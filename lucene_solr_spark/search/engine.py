@@ -1,0 +1,274 @@
+"""Query compiler: AST -> Spark DataFrame plans (double-precision mode).
+
+The Spark realization of Lucene's Weight/Scorer stage
+(SEARCH/IndexSearcher.java:459-505, Boolean2ScorerSupplier):
+
+    term lookup      -> filter on the postings DataFrame (Catalyst prunes)
+    MUST             -> inner join on docid   (ConjunctionDISI)
+    SHOULD           -> union-all + groupBy(docid) (DisjunctionSumScorer)
+    MUST_NOT         -> left_anti join        (ReqExclScorer)
+    FILTER           -> left_semi join        (COMPLETE_NO_SCORES)
+    phrase           -> position-list intersection (ExactPhraseMatcher)
+    top-k            -> orderBy(score desc, docid asc).limit(k)
+                        == TakeOrderedAndProject (per-partition heaps +
+                        k-way merge = TopScoreDocCollector + TopDocs.merge)
+
+Statistics are frozen at query-compile time exactly like
+IndexSearcher.createWeight: per-term df comes from one tiny lookup on the
+cached term_stats table, idf/avgdl are computed in python doubles and
+inlined as literals (libm == the DuckDB oracle's libm, so engine and
+oracle share the same transcendental bits).
+
+Scores here are float64 end-to-end — the "oracle-checkable" mode whose
+arithmetic is expressible in ANSI SQL. The Lucene float32 bit-parity
+kernel lives in bm25.score32 and is exercised by the pytest oracle
+(tests/test_lucene_parity.py); rank order agrees between the two modes
+except at float32-rounding ties, which the fixtures pin.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+from .bm25 import score_sql
+from .query import (
+    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, Phrase, Prefix,
+    Query, Regexp, Synonym, Term, TermInSet, TermRange, Wildcard,
+    collect_terms,
+)
+
+
+def _like_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
+def wildcard_to_like(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(_like_escape(ch))
+    return "".join(out)
+
+
+class Searcher:
+    def __init__(self, ix: InvertedIndex):
+        self.ix = ix
+        self._df_cache: dict[str, int] = {}
+
+    # -- statistics (createWeight analogue) --------------------------------
+
+    def _resolve_dfs(self, terms: set) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (self.ix.term_stats
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def idf(self, df: int) -> float:
+        n = self.ix.doc_count
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    # -- clause scoring -----------------------------------------------------
+
+    def _score_expr(self, tf_expr: str, idf_value: float) -> F.Column:
+        return F.expr(
+            score_sql(tf_expr, "qdl", repr(idf_value), self.ix.avgdl_sql))
+
+    def _with_qdl(self, df: DataFrame) -> DataFrame:
+        return df.join(self.ix.docs.select("docid", "qdl"), "docid")
+
+    def scored(self, q: Query) -> DataFrame:
+        """(docid long, score double) — one row per matching doc."""
+        ix = self.ix
+        if isinstance(q, Term):
+            dfs = self._resolve_dfs({q.term})
+            if dfs[q.term] == 0:
+                return self._empty_scored()
+            base = ix.postings.filter(F.col("term") == q.term)
+            return (self._with_qdl(base.select("docid", "tf"))
+                    .select("docid",
+                            self._score_expr("tf", self.idf(dfs[q.term]))
+                            .alias("score")))
+
+        if isinstance(q, Synonym):
+            dfs = self._resolve_dfs(set(q.terms))
+            df_max = max(dfs.values(), default=0)
+            if df_max == 0:
+                return self._empty_scored()
+            base = (ix.postings.filter(F.col("term").isin(list(q.terms)))
+                    .groupBy("docid").agg(F.sum("tf").alias("tf")))
+            return (self._with_qdl(base)
+                    .select("docid",
+                            self._score_expr("tf", self.idf(df_max))
+                            .alias("score")))
+
+        if isinstance(q, Phrase):
+            return self._scored_phrase(q)
+
+        if isinstance(q, Bool):
+            return self._scored_bool(q)
+
+        if isinstance(q, DisMax):
+            parts = [self.scored(c) for c in q.clauses]
+            u = reduce(DataFrame.unionAll, parts)
+            agg = u.groupBy("docid").agg(
+                F.max("score").alias("mx"), F.sum("score").alias("sm"))
+            tb = float(q.tiebreak)
+            return agg.select(
+                "docid",
+                F.expr(f"mx + {tb!r} * (sm - mx)").alias("score"))
+
+        if isinstance(q, Boost):
+            sub = self.scored(q.query)
+            return sub.select(
+                "docid", F.expr(f"score * {float(q.boost)!r}").alias("score"))
+
+        if isinstance(q, ConstantScore):
+            m = self.matching(q.query)
+            return m.select(
+                "docid", F.lit(float(q.score)).cast("double").alias("score"))
+
+        if isinstance(q, MatchAll):
+            return ix.docs.select(
+                "docid", F.lit(1.0).cast("double").alias("score"))
+
+        if isinstance(q, (Prefix, Wildcard, TermRange, TermInSet, Fuzzy,
+                          Regexp)):
+            # multi-term under constant-score rewrite
+            # (MultiTermQueryConstantScoreWrapper)
+            return self.scored(ConstantScore(q, 1.0))
+
+        raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _empty_scored(self) -> DataFrame:
+        return (self.ix.docs.select("docid")
+                .filter(F.lit(False))
+                .select("docid", F.lit(0.0).cast("double").alias("score")))
+
+    def _scored_phrase(self, q: Phrase) -> DataFrame:
+        terms = list(q.terms)
+        dfs = self._resolve_dfs(set(terms))
+        if any(dfs[t] == 0 for t in terms):
+            return self._empty_scored()
+        # idf contributions summed in double over per-term idfs
+        # (BM25Similarity.idfExplain(termStats[]) — double sum of floats;
+        # in double mode the narrowing is a no-op)
+        idf_sum = sum(self.idf(dfs[t]) for t in terms)
+        joined = None
+        for i, t in enumerate(terms):
+            p = (self.ix.postings.filter(F.col("term") == t)
+                 .select("docid", F.col("positions").alias(f"pos{i}")))
+            joined = p if joined is None else joined.join(p, "docid")
+        conds = " AND ".join(
+            f"array_contains(pos{i}, x + {i})" for i in range(1, len(terms)))
+        freq = f"size(filter(pos0, x -> {conds}))" if conds else "size(pos0)"
+        out = (joined.select("docid", F.expr(freq).cast("long").alias("tf"))
+               .filter(F.col("tf") > 0))
+        return (self._with_qdl(out)
+                .select("docid",
+                        self._score_expr("tf", idf_sum).alias("score")))
+
+    def _scored_bool(self, q: Bool) -> DataFrame:
+        musts = [self.scored(m) for m in q.must]
+        base = None
+        if musts:
+            base = musts[0].select("docid", F.col("score").alias("s0"))
+            for i, m in enumerate(musts[1:], start=1):
+                base = base.join(
+                    m.select("docid", F.col("score").alias(f"s{i}")), "docid")
+            total = "(" + " + ".join(f"s{i}" for i in range(len(musts))) + ")"
+            base = base.select("docid", F.expr(total).alias("score"))
+
+        if q.should:
+            sh = reduce(DataFrame.unionAll, [self.scored(s) for s in q.should])
+            sh = sh.groupBy("docid").agg(
+                F.sum("score").alias("opt"), F.count("*").alias("nm"))
+            if base is not None:
+                base = base.join(sh, "docid", "left")
+                if q.minimum_should_match > 0:
+                    base = base.filter(
+                        F.coalesce(F.col("nm"), F.lit(0))
+                        >= q.minimum_should_match)
+                base = base.select(
+                    "docid",
+                    (F.col("score") + F.coalesce(F.col("opt"), F.lit(0.0)))
+                    .alias("score"))
+            else:
+                msm = max(q.minimum_should_match, 1)
+                base = (sh.filter(F.col("nm") >= msm)
+                        .select("docid", F.col("opt").alias("score")))
+        flts = list(q.filter)
+        if base is None:
+            if not flts:
+                raise ValueError("Bool query with no positive clauses")
+            base = (self.matching(flts.pop(0))
+                    .select("docid", F.lit(0.0).cast("double").alias("score")))
+        for f in flts:
+            base = base.join(self.matching(f), "docid", "left_semi")
+        for x in q.must_not:
+            base = base.join(self.matching(x), "docid", "left_anti")
+        return base
+
+    # -- non-scoring match sets ---------------------------------------------
+
+    def _term_pred(self, q: Query):
+        t = F.col("term")
+        if isinstance(q, Prefix):
+            return t.like(_like_escape(q.prefix) + "%")
+        if isinstance(q, Wildcard):
+            return t.like(wildcard_to_like(q.pattern))
+        if isinstance(q, TermRange):
+            lo = t >= q.lower if q.include_lower else t > q.lower
+            hi = t <= q.upper if q.include_upper else t < q.upper
+            return lo & hi
+        if isinstance(q, TermInSet):
+            return t.isin(list(q.terms))
+        if isinstance(q, Fuzzy):
+            return F.levenshtein(t, F.lit(q.term)) <= q.max_edits
+        if isinstance(q, Regexp):
+            return t.rlike(q.pattern)
+        return None
+
+    def matching(self, q: Query) -> DataFrame:
+        """(docid) distinct — FILTER / MUST_NOT / constant-score contexts."""
+        pred = self._term_pred(q)
+        if pred is not None:
+            return (self.ix.postings.filter(pred)
+                    .select("docid").distinct())
+        if isinstance(q, Term):
+            return (self.ix.postings.filter(F.col("term") == q.term)
+                    .select("docid"))
+        if isinstance(q, MatchAll):
+            return self.ix.docs.select("docid")
+        return self.scored(q).select("docid")
+
+    # -- top-k ----------------------------------------------------------------
+
+    def topk(self, q: Query, k: int = 10,
+             round_digits: int = 6) -> DataFrame:
+        """Top-k by (rounded score DESC, docid ASC) — rounding first makes
+        the ordering identical between engine and DuckDB oracle at ulp
+        noise levels; ties inside a rounded score break by docid exactly
+        like HitQueue.lessThan."""
+        s = self.scored(q).select(
+            "docid", F.round(F.col("score"), round_digits).alias("score"))
+        return (s.orderBy(F.desc("score"), F.asc("docid"))
+                .limit(k)
+                .select(F.col("docid").alias("doc_id"), "score"))
+
+    def count(self, q: Query) -> DataFrame:
+        """TotalHitCountCollector analogue."""
+        return self.matching(q).agg(F.count("*").cast("long").alias("n_hits"))

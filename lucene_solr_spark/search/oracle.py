@@ -1,0 +1,246 @@
+"""Oracle-SQL generator: query AST -> standalone DuckDB SQL.
+
+Mirrors search/engine.py clause by clause so the driver's DuckDB
+comparison validates the Spark plans. The two backends share:
+
+- the tokenizer definition (ASCII-alnum runs, lowercased),
+- the SmallFloat norm-quantization CASE ladder (codecs.smallfloat.qdl_sql
+  — pure integer arithmetic, bit-identical),
+- the BM25 double formula text (search.bm25.score_sql),
+- tie-breaking and rounding: ORDER BY round(score, 6) DESC, docid ASC.
+
+Engine-side idf/avgdl are python-double literals; oracle-side they are
+computed by DuckDB from the same exact integers with the same libm, so
+values agree to <= 1 ulp and round(score, 6) hashes equal.
+"""
+
+from __future__ import annotations
+
+from ..codecs.smallfloat import qdl_sql
+from .bm25 import idf_sql, score_sql
+from .engine import _like_escape, wildcard_to_like
+from .query import (
+    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, Phrase, Prefix,
+    Query, Regexp, Synonym, Term, TermInSet, TermRange, Wildcard,
+)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+class OracleBuilder:
+    """Builds DuckDB SQL over a registered view of the corpus table."""
+
+    def __init__(self, table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.table = table
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- shared CTE prolog ---------------------------------------------------
+
+    def base_ctes(self) -> str:
+        return f"""
+toks AS (
+  SELECT {self.id_col} AS docid,
+         list_transform(regexp_extract_all({self.text_col}, '[A-Za-z0-9]+', 0),
+                        t -> lower(t)) AS tokens
+  FROM {self.table}
+),
+docs AS (
+  SELECT docid, len(tokens) AS dl, {qdl_sql('len(tokens)')} AS qdl
+  FROM toks
+),
+px AS (
+  SELECT docid, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) - 1 AS pos
+  FROM toks
+),
+postings AS (
+  SELECT docid, term, COUNT(*) AS tf, list(pos ORDER BY pos) AS positions
+  FROM px GROUP BY docid, term
+),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM docs),
+ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
+""".strip()
+
+    @property
+    def n_sql(self) -> str:
+        return "(SELECT n FROM st)"
+
+    @property
+    def avgdl_sql(self) -> str:
+        return f"(CAST((SELECT sumdl FROM st) AS DOUBLE) / {self.n_sql})"
+
+    def term_idf_sql(self, term: str) -> str:
+        df = f"(SELECT df FROM ts WHERE term = {_q(term)})"
+        return idf_sql(df, self.n_sql)
+
+    # -- scored fragments ----------------------------------------------------
+
+    def scored(self, q: Query) -> str:
+        """SQL producing (docid, score) — embeddable subquery body."""
+        if isinstance(q, Term):
+            sc = score_sql("p.tf", "d.qdl", self.term_idf_sql(q.term),
+                           self.avgdl_sql)
+            return (f"SELECT p.docid, {sc} AS score "
+                    f"FROM postings p JOIN docs d ON d.docid = p.docid "
+                    f"WHERE p.term = {_q(q.term)}")
+
+        if isinstance(q, Synonym):
+            terms = ", ".join(_q(t) for t in q.terms)
+            df = ("(SELECT COALESCE(MAX(df), 0) FROM ts "
+                  f"WHERE term IN ({terms}))")
+            sc = score_sql("g.tf", "d.qdl", idf_sql(df, self.n_sql),
+                           self.avgdl_sql)
+            return (
+                f"SELECT g.docid, {sc} AS score FROM ("
+                f"SELECT docid, SUM(tf) AS tf FROM postings "
+                f"WHERE term IN ({terms}) GROUP BY docid) g "
+                f"JOIN docs d ON d.docid = g.docid")
+
+        if isinstance(q, Phrase):
+            return self._scored_phrase(q)
+
+        if isinstance(q, Bool):
+            return self._scored_bool(q)
+
+        if isinstance(q, DisMax):
+            parts = " UNION ALL ".join(
+                f"({self.scored(c)})" for c in q.clauses)
+            tb = repr(float(q.tiebreak))
+            return (
+                f"SELECT docid, mx + {tb} * (sm - mx) AS score FROM ("
+                f"SELECT docid, MAX(score) AS mx, SUM(score) AS sm "
+                f"FROM ({parts}) u GROUP BY docid) a")
+
+        if isinstance(q, Boost):
+            return (f"SELECT docid, score * {float(q.boost)!r} AS score "
+                    f"FROM ({self.scored(q.query)}) b")
+
+        if isinstance(q, ConstantScore):
+            return (f"SELECT docid, CAST({float(q.score)!r} AS DOUBLE) "
+                    f"AS score FROM ({self.matching(q.query)}) m")
+
+        if isinstance(q, MatchAll):
+            return "SELECT docid, CAST(1.0 AS DOUBLE) AS score FROM docs"
+
+        if isinstance(q, (Prefix, Wildcard, TermRange, TermInSet, Fuzzy,
+                          Regexp)):
+            return self.scored(ConstantScore(q, 1.0))
+
+        raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _scored_phrase(self, q: Phrase) -> str:
+        terms = list(q.terms)
+        idf_parts = " + ".join(f"({self.term_idf_sql(t)})" for t in terms)
+        joins = ["postings p0"]
+        for i in range(1, len(terms)):
+            joins.append(
+                f"JOIN postings p{i} ON p{i}.docid = p0.docid "
+                f"AND p{i}.term = {_q(terms[i])}")
+        conds = " AND ".join(
+            f"list_contains(p{i}.positions, x + {i})"
+            for i in range(1, len(terms)))
+        freq = (f"len(list_filter(p0.positions, x -> {conds}))"
+                if conds else "len(p0.positions)")
+        sc = score_sql("f.tf", "d.qdl", f"({idf_parts})", self.avgdl_sql)
+        return (
+            f"SELECT f.docid, {sc} AS score FROM ("
+            f"SELECT p0.docid, CAST({freq} AS BIGINT) AS tf "
+            f"FROM {' '.join(joins)} WHERE p0.term = {_q(terms[0])}) f "
+            f"JOIN docs d ON d.docid = f.docid WHERE f.tf > 0")
+
+    def _scored_bool(self, q: Bool) -> str:
+        base = None
+        if q.must:
+            sel = ["m0.docid"]
+            frm = [f"({self.scored(q.must[0])}) m0"]
+            for i, m in enumerate(q.must[1:], start=1):
+                frm.append(
+                    f"JOIN ({self.scored(m)}) m{i} ON m{i}.docid = m0.docid")
+            total = "(" + " + ".join(
+                f"m{i}.score" for i in range(len(q.must))) + ")"
+            base = (f"SELECT {sel[0]} AS docid, {total} AS score "
+                    f"FROM {' '.join(frm)}")
+
+        if q.should:
+            parts = " UNION ALL ".join(
+                f"({self.scored(s)})" for s in q.should)
+            sh = (f"SELECT docid, SUM(score) AS opt, COUNT(*) AS nm "
+                  f"FROM ({parts}) u GROUP BY docid")
+            if base is not None:
+                msm_filter = (
+                    f" WHERE COALESCE(sh.nm, 0) >= {q.minimum_should_match}"
+                    if q.minimum_should_match > 0 else "")
+                base = (
+                    f"SELECT b.docid, b.score + COALESCE(sh.opt, 0.0) AS score "
+                    f"FROM ({base}) b LEFT JOIN ({sh}) sh "
+                    f"ON sh.docid = b.docid{msm_filter}")
+            else:
+                msm = max(q.minimum_should_match, 1)
+                base = (f"SELECT docid, opt AS score FROM ({sh}) sh "
+                        f"WHERE nm >= {msm}")
+
+        flts = list(q.filter)
+        if base is None:
+            if not flts:
+                raise ValueError("Bool query with no positive clauses")
+            base = (f"SELECT docid, CAST(0.0 AS DOUBLE) AS score "
+                    f"FROM ({self.matching(flts.pop(0))}) f0")
+        for i, f in enumerate(flts):
+            base = (f"SELECT b.docid, b.score FROM ({base}) b "
+                    f"WHERE b.docid IN (SELECT docid FROM "
+                    f"({self.matching(f)}) ff{i})")
+        for i, x in enumerate(q.must_not):
+            base = (f"SELECT b.docid, b.score FROM ({base}) b "
+                    f"WHERE b.docid NOT IN (SELECT docid FROM "
+                    f"({self.matching(x)}) xx{i})")
+        return base
+
+    # -- match sets ------------------------------------------------------------
+
+    def _term_pred(self, q: Query) -> str | None:
+        if isinstance(q, Prefix):
+            return f"term LIKE {_q(_like_escape(q.prefix) + '%')} ESCAPE '\\'"
+        if isinstance(q, Wildcard):
+            return f"term LIKE {_q(wildcard_to_like(q.pattern))} ESCAPE '\\'"
+        if isinstance(q, TermRange):
+            lo = ">=" if q.include_lower else ">"
+            hi = "<=" if q.include_upper else "<"
+            return f"term {lo} {_q(q.lower)} AND term {hi} {_q(q.upper)}"
+        if isinstance(q, TermInSet):
+            return f"term IN ({', '.join(_q(t) for t in q.terms)})"
+        if isinstance(q, Fuzzy):
+            return f"levenshtein(term, {_q(q.term)}) <= {q.max_edits}"
+        if isinstance(q, Regexp):
+            return f"regexp_matches(term, {_q('^' + q.pattern + '$')})"
+        return None
+
+    def matching(self, q: Query) -> str:
+        pred = self._term_pred(q)
+        if pred is not None:
+            return f"SELECT DISTINCT docid FROM postings WHERE {pred}"
+        if isinstance(q, Term):
+            return (f"SELECT docid FROM postings "
+                    f"WHERE term = {_q(q.term)}")
+        if isinstance(q, MatchAll):
+            return "SELECT docid FROM docs"
+        return f"SELECT docid FROM ({self.scored(q)}) s"
+
+    # -- entry points ------------------------------------------------------------
+
+    def topk_sql(self, q: Query, k: int = 10, round_digits: int = 6) -> str:
+        return (
+            f"WITH {self.base_ctes()} "
+            f"SELECT docid AS doc_id, ROUND(score, {round_digits}) AS score "
+            f"FROM ({self.scored(q)}) fin "
+            f"ORDER BY ROUND(score, {round_digits}) DESC, docid ASC "
+            f"LIMIT {k}")
+
+    def count_sql(self, q: Query) -> str:
+        return (
+            f"WITH {self.base_ctes()} "
+            f"SELECT COUNT(*) AS n_hits "
+            f"FROM ({self.matching(q)}) fin")
