@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: lucene_solr_spark — a PySpark-native inverted-index + BM25
+top-k engine with the capabilities of the Lucene/Solr reference
+(SURVEY.md). Every entry in ``queries()`` is a Spark DataFrame plan;
+``oracle_sql()`` holds the equivalent standalone DuckDB SQL. Both
+backends share the tokenizer definition, the SmallFloat norm
+quantization ladder, the double-precision BM25 formula, and the
+rounding/tie-break convention (ROUND(score, 6) DESC, doc_id ASC), so
+row sets and value hashes match exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +15,449 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from lucene_solr_spark.index.builder import InvertedIndex, build_index
+from lucene_solr_spark.search.engine import Searcher
+from lucene_solr_spark.search.oracle import OracleBuilder
+from lucene_solr_spark.search.query import (
+    Bool, Boost, DisMax, Fuzzy, MatchAll, Phrase, Prefix, Query, Regexp,
+    Synonym, Term, TermInSet, TermRange, Wildcard,
+)
+from lucene_solr_spark.textops import ops as textops
+from lucene_solr_spark.vector.ann import cosine_topk
+
+# ---------------------------------------------------------------------------
+# index cache (one build per corpus dir per session)
+# ---------------------------------------------------------------------------
+
+_IX: dict[str, InvertedIndex] = {}
+_SE: dict[str, Searcher] = {}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    if sf_dir not in _SE:
+        _IX[sf_dir] = build_index(_documents(spark, sf_dir))
+        _SE[sf_dir] = Searcher(_IX[sf_dir])
+    return _SE[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# query fixtures (reference-style set: EnwikiQueryMaker / query-terms.txt
+# re-vocabularied onto the synthetic corpus — SURVEY.md §6, FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+SEARCH_SPECS: dict[str, tuple[Query, int]] = {
+    "q_term_common": (Term("the"), 10),
+    "q_term_mid": (Term("window"), 10),
+    "q_term_rare": (Term("dup"), 10),
+    "q_term_zero": (Term("zzzzabsent"), 10),
+    "q_bool_and2": (Bool(must=(Term("join"), Term("merge"))), 10),
+    "q_bool_and3": (Bool(must=(Term("hash"), Term("scan"), Term("sort"))), 10),
+    "q_bool_or3": (Bool(should=(Term("dup"), Term("vector"),
+                                Term("window"))), 10),
+    "q_bool_msm2": (Bool(should=(Term("dup"), Term("vector"), Term("spark"),
+                                 Term("key")), minimum_should_match=2), 10),
+    "q_bool_mixed": (Bool(must=(Term("scan"),),
+                          should=(Term("dup"), Term("fast")),
+                          must_not=(Term("slow"),)), 10),
+    "q_bool_filter": (Bool(must=(Term("join"),),
+                           filter=(Term("batch"),)), 10),
+    "q_req_opt": (Bool(must=(Term("stream"),), should=(Term("dup"),)), 10),
+    "q_phrase2": (Phrase(("table", "hash")), 10),
+    "q_phrase3": (Phrase(("slow", "hash", "batch")), 10),
+    "q_synonym": (Synonym(("join", "merge")), 10),
+    "q_dismax": (DisMax((Term("dup"), Term("join")), 0.3), 10),
+    "q_boost": (Bool(should=(Boost(Term("dup"), 2.0), Term("join"))), 10),
+    "q_prefix": (Prefix("s"), 10),
+    "q_wildcard": (Wildcard("s?a*"), 10),
+    "q_term_range": (TermRange("query", "sort"), 10),
+    "q_term_inset": (TermInSet(("dup", "vector", "line")), 10),
+    "q_fuzzy": (Fuzzy("merg", 1), 10),
+    "q_regexp": (Regexp("s.*k"), 10),
+    "q_match_all": (MatchAll(), 10),
+}
+
+COUNT_SPECS: dict[str, Query] = {
+    "q_count_or": Bool(should=(Term("dup"), Term("join"))),
+    "q_count_and3": Bool(must=(Term("hash"), Term("scan"), Term("sort"))),
+}
+
+_FACET_TERM = "dup"
+_GROUP_TERM = "join"
+_STATS_TERM = "vector"
+_RESCORE_PREFIX = "s"
+_RESCORE_TERM = "spark"
+
+
+def _mk_search(name: str):
+    ast, k = SEARCH_SPECS[name]
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).topk(ast, k)
+    return f
+
+
+def _mk_count(name: str):
+    ast = COUNT_SPECS[name]
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).count(ast)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# beyond-topk operators (facets, grouping, stats, paging, rescoring — §2.4-2.6)
+# ---------------------------------------------------------------------------
+
+def _q_facet_source(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    return (se.ix.source.join(m, "docid")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def _q_facet_lang(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Bool(should=(Term("dup"), Term("vector"))))
+    return (se.ix.source.join(m, "docid")
+            .groupBy("lang").agg(F.count("*").cast("long").alias("n")))
+
+
+def _q_grouped_topk(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_GROUP_TERM)).withColumn("score", F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", "lang"), "docid")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("docid"))
+    return (j.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= 2)
+            .select("lang", F.col("docid").alias("doc_id"), "score", "rn"))
+
+
+def _q_field_stats(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_STATS_TERM))
+    return (se.ix.source.join(m, "docid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars")))
+
+
+def _q_distinct_sources(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    return (se.ix.source.join(m, "docid")
+            .agg(F.countDistinct("source").cast("long").alias("n_sources")))
+
+
+def _q_search_after(spark, sf_dir):
+    """Page 2 (hits 11-20) of q_bool_or3 — searchAfter paging."""
+    se = _searcher(spark, sf_dir)
+    ast, _ = SEARCH_SPECS["q_bool_or3"]
+    s = se.scored(ast).select(
+        "docid", F.round(F.col("score"), 6).alias("score"))
+    return (s.orderBy(F.desc("score"), F.asc("docid"))
+            .offset(10).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+def _q_rescore(spark, sf_dir):
+    """QueryRescorer: constant-score prefix first pass (top-50 by docid),
+    BM25 second pass, combined score = 1.0 + bm25."""
+    se = _searcher(spark, sf_dir)
+    fp = (se.matching(Prefix(_RESCORE_PREFIX))
+          .orderBy("docid").limit(50))
+    sec = se.scored(Term(_RESCORE_TERM))
+    out = (fp.join(sec, "docid", "left")
+           .select(F.col("docid").alias("doc_id"),
+                   F.round(F.lit(1.0) + F.coalesce(F.col("score"),
+                                                   F.lit(0.0)), 6)
+                   .alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _q_norms_table(spark, sf_dir):
+    """The docs/norms side table itself (dl + SmallFloat-encoded byte)."""
+    se = _searcher(spark, sf_dir)
+    return se.ix.docs.select(
+        F.col("docid").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("qdl").cast("long").alias("qdl"),
+        F.col("norm_byte").cast("int").alias("norm_byte"))
+
+
+def _q_term_stats(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    return (se.ix.term_stats
+            .filter(F.col("term").isin(["dup", "the", "join", "vector"]))
+            .select("term", F.col("df").cast("long"),
+                    F.col("ttf").cast("long")))
+
+
+def _q_collection_stats(spark, sf_dir):
+    se = _searcher(spark, sf_dir)
+    return se.ix.docs.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.sum("dl").cast("long").alias("sum_ttf"),
+        F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"))
+
+
+# -- events (time-window aggregation over the stream table) -----------------
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+# -- text-pipeline ops -------------------------------------------------------
+
+def _q_token_count(spark, sf_dir):
+    return textops.token_count(_documents(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textops.quality_score(_documents(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_documents(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(_documents(spark, sf_dir))
+
+
+def _q_near_dup(spark, sf_dir):
+    return textops.near_dup_pairs(_documents(spark, sf_dir), threshold=0.8)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# contract entry points
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a scored disjunction on sf0.001."""
+    return _mk_search("q_bool_or3")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name in SEARCH_SPECS:
+        out[name] = _mk_search(name)
+    for name in COUNT_SPECS:
+        out[name] = _mk_count(name)
+    out.update({
+        "q_facet_source": _q_facet_source,
+        "q_facet_lang": _q_facet_lang,
+        "q_grouped_topk": _q_grouped_topk,
+        "q_field_stats": _q_field_stats,
+        "q_distinct_sources": _q_distinct_sources,
+        "q_search_after": _q_search_after,
+        "q_rescore": _q_rescore,
+        "q_norms_table": _q_norms_table,
+        "q_term_stats": _q_term_stats,
+        "q_collection_stats": _q_collection_stats,
+        "q_events_hourly": _q_events_hourly,
+        "t_token_count": _q_token_count,
+        "t_quality": _q_quality,
+        "t_lang_id": _q_lang_id,
+        "t_dedup_exact": _q_dedup_exact,
+        "t_near_dup": _q_near_dup,
+        "v_ann_cosine": _q_ann_cosine,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ob = OracleBuilder(table="documents", id_col="doc_id", text_col="text")
+    ctes = ob.base_ctes()
+    out: dict[str, str] = {}
+    for name, (ast, k) in SEARCH_SPECS.items():
+        out[name] = ob.topk_sql(ast, k)
+    for name, ast in COUNT_SPECS.items():
+        out[name] = ob.count_sql(ast)
+
+    out["q_facet_source"] = f"""
+WITH {ctes}
+SELECT d.source AS source, COUNT(*) AS n FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_FACET_TERM}')
+GROUP BY d.source"""
+
+    out["q_facet_lang"] = f"""
+WITH {ctes}
+SELECT d.lang AS lang, COUNT(*) AS n FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT docid FROM postings
+                   WHERE term IN ('dup', 'vector'))
+GROUP BY d.lang"""
+
+    out["q_grouped_topk"] = f"""
+WITH {ctes},
+sc AS (SELECT docid, ROUND(score, 6) AS score
+       FROM ({ob.scored(Term(_GROUP_TERM))}) s)
+SELECT lang, doc_id, score, rn FROM (
+  SELECT d.lang, sc.docid AS doc_id, sc.score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+              ORDER BY sc.score DESC, sc.docid ASC) AS INT) AS rn
+  FROM sc JOIN documents d ON d.doc_id = sc.docid) t
+WHERE rn <= 2"""
+
+    out["q_field_stats"] = f"""
+WITH {ctes}
+SELECT COUNT(*) AS n,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       ROUND(STDDEV_SAMP(n_chars), 6) AS sd_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_STATS_TERM}')"""
+
+    out["q_distinct_sources"] = f"""
+WITH {ctes}
+SELECT CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_FACET_TERM}')"""
+
+    or3, _ = SEARCH_SPECS["q_bool_or3"]
+    out["q_search_after"] = f"""
+WITH {ctes}
+SELECT docid AS doc_id, ROUND(score, 6) AS score
+FROM ({ob.scored(or3)}) fin
+ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10 OFFSET 10"""
+
+    out["q_rescore"] = f"""
+WITH {ctes},
+fp AS (SELECT docid FROM ({ob.matching(Prefix(_RESCORE_PREFIX))}) m
+       ORDER BY docid ASC LIMIT 50)
+SELECT fp.docid AS doc_id,
+       ROUND(1.0 + COALESCE(s.score, 0.0), 6) AS score
+FROM fp LEFT JOIN ({ob.scored(Term(_RESCORE_TERM))}) s
+  ON s.docid = fp.docid
+ORDER BY ROUND(1.0 + COALESCE(s.score, 0.0), 6) DESC, fp.docid ASC
+LIMIT 10"""
+
+    from lucene_solr_spark.codecs.smallfloat import norm_byte_sql, qdl_sql
+    out["q_norms_table"] = f"""
+WITH {ctes}
+SELECT docid AS doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(qdl AS BIGINT) AS qdl,
+       CAST({norm_byte_sql('dl')} AS INT) AS norm_byte
+FROM docs"""
+
+    out["q_term_stats"] = f"""
+WITH {ctes}
+SELECT term, CAST(df AS BIGINT) AS df, CAST(ttf AS BIGINT) AS ttf
+FROM ts WHERE term IN ('dup', 'the', 'join', 'vector')"""
+
+    out["q_collection_stats"] = f"""
+WITH {ctes}
+SELECT CAST(n AS BIGINT) AS doc_count, CAST(sumdl AS BIGINT) AS sum_ttf,
+       ROUND(CAST(sumdl AS DOUBLE) / n, 6) AS avgdl
+FROM st"""
+
+    out["q_events_hourly"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    out["t_token_count"] = f"""
+WITH {ctes}
+SELECT docid AS doc_id, CAST(dl AS BIGINT) AS n_tokens FROM docs"""
+
+    out["t_quality"] = f"""
+WITH {ctes},
+feat AS (
+  SELECT t.docid AS doc_id,
+         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         ROUND(CAST(len(list_filter(t.tokens,
+               x -> x IN ('the','a','of','and'))) AS DOUBLE)
+               / CASE WHEN len(t.tokens) = 0 THEN 1
+                      ELSE len(t.tokens) END, 6) AS stop_ratio,
+         ROUND(CAST(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))
+               AS DOUBLE)
+               / CASE WHEN length(d.text) = 0 THEN 1
+                      ELSE length(d.text) END, 6) AS alnum_ratio
+  FROM toks t JOIN documents d ON d.doc_id = t.docid)
+SELECT doc_id, n_tokens, stop_ratio, alnum_ratio,
+       ROUND(0.4 * LEAST(stop_ratio * 5.0, 1.0)
+             + 0.6 * LEAST(n_tokens, 100) / 100.0, 6) AS quality
+FROM feat"""
+
+    out["t_lang_id"] = f"""
+WITH {ctes},
+feat AS (
+  SELECT docid AS doc_id,
+    ROUND(CAST(len(list_filter(tokens, x -> x IN ('the','a','of','and')))
+          AS DOUBLE) / CASE WHEN len(tokens) = 0 THEN 1
+                            ELSE len(tokens) END, 6) AS en_ratio,
+    ROUND(CAST(len(list_filter(tokens, x -> x IN ('der','die','das','und')))
+          AS DOUBLE) / CASE WHEN len(tokens) = 0 THEN 1
+                            ELSE len(tokens) END, 6) AS de_ratio,
+    ROUND(CAST(len(list_filter(tokens, x -> x IN ('le','la','et','les')))
+          AS DOUBLE) / CASE WHEN len(tokens) = 0 THEN 1
+                            ELSE len(tokens) END, 6) AS fr_ratio
+  FROM toks)
+SELECT doc_id, en_ratio, de_ratio, fr_ratio,
+       CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en'
+            WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END AS pred_lang
+FROM feat"""
+
+    out["t_dedup_exact"] = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY md5(text)"""
+
+    out["t_near_dup"] = f"""
+WITH {ctes},
+sh AS (SELECT DISTINCT docid,
+              tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+       FROM toks, unnest(range(1, len(tokens) - 1)) t(i)
+       WHERE len(tokens) >= 3),
+card AS (SELECT docid, COUNT(*) AS c FROM sh GROUP BY docid),
+pairs AS (SELECT a.docid AS doc_a, b.docid AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          AND a.docid < b.docid GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.inter,
+       ROUND(CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter), 6) AS jaccard
+FROM pairs p JOIN card ca ON ca.docid = p.doc_a
+JOIN card cb ON cb.docid = p.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.8"""
+
+    out["v_ann_cosine"] = """
+WITH q AS (SELECT unnest(embedding) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, unnest(embedding) AS ev,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0),
+d AS (SELECT e.vec_id,
+             SUM(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na
+      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+nq AS (SELECT SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nb FROM q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id ASC
+LIMIT 10"""
+
+    return out

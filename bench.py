@@ -1,0 +1,94 @@
+"""Benchmark driver: index build + headline BM25 queries + pipeline ops.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: index_build_sec, index_docs, index_throughput_docs_per_sec,
+transcript_build (the north-rule corpus: deterministic synthetic
+transcripts indexed end-to-end, reported as turns/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("lucene_solr_spark-bench")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+
+    # ---- index build over the documents corpus -----------------------------
+    t0 = time.perf_counter()
+    se = entrymod._searcher(spark, sf_dir)
+    n_postings = se.ix.postings.count()  # force full materialization
+    build_sec = time.perf_counter() - t0
+    n_docs = se.ix.doc_count
+
+    # ---- headline queries ---------------------------------------------------
+    headline = [
+        "q_term_common", "q_term_rare", "q_bool_and2", "q_bool_or3",
+        "q_bool_mixed", "q_phrase2", "q_synonym", "q_dismax", "q_prefix",
+        "q_match_all", "q_grouped_topk", "q_facet_source",
+        "t_near_dup", "t_quality", "t_dedup_exact", "v_ann_cosine",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # ---- north-rule corpus: synthetic transcript indexing -------------------
+    from lucene_solr_spark.datagen.transcripts import gen_transcripts
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.docids import assign_docids
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "10000"))
+    t0 = time.perf_counter()
+    tr = gen_transcripts(spark, n_convs)
+    tr = assign_docids(tr, ["conv_id", "turn_idx"])
+    tix = build_index(tr, text_col="text", docid_col="docid", cache=False)
+    n_turns, _ = tix.doc_count, tix.sum_ttf
+    tix.postings.count()
+    transcript_sec = time.perf_counter() - t0
+    timings["transcript_index_build"] = round(transcript_sec, 4)
+
+    total = round(sum(timings.values()) + build_sec, 4)
+    out = {
+        "metric": "index_build_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "index_build_sec": round(build_sec, 4),
+        "index_docs": n_docs,
+        "index_postings": n_postings,
+        "transcript_turns": n_turns,
+        "transcript_turns_per_sec": round(n_turns / transcript_sec, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
