@@ -29,6 +29,12 @@ def assign_docids(df: DataFrame, order_cols: list[str],
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
          .withColumn("_pid", F.spark_partition_id()))
+    # Materialize once: the offsets job and the ranking job MUST see the
+    # same partition ids. Without this, AQE / shuffle re-planning can give
+    # the two jobs different partitionings, silently corrupting docids.
+    # (At 10^12-doc scale this persist is a checkpoint of the build's
+    # staging table — the segment writer consumes the same partitioning.)
+    d = d.persist()
     counts = sorted(
         (r["_pid"], r["cnt"]) for r in
         d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect())

@@ -272,3 +272,145 @@ class Searcher:
     def count(self, q: Query) -> DataFrame:
         """TotalHitCountCollector analogue."""
         return self.matching(q).agg(F.count("*").cast("long").alias("n_hits"))
+
+    # -- Lucene float32 bit-parity mode --------------------------------------
+
+    def _score32_udf(self):
+        """Vectorized pandas UDF evaluating the reference's exact float32
+        BM25 (BM25Similarity.java:222-235): per-row weight column so one
+        UDF serves all terms; the 256-entry normInverse cache is baked
+        from the index's frozen avgdl."""
+        import numpy as np
+        import pandas as pd
+
+        from .bm25 import avgdl32, norm_inverse_cache, score32
+
+        cache = norm_inverse_cache(
+            avgdl32(self.ix.sum_ttf, self.ix.doc_count))
+
+        def _f(tf, nb, w):
+            weights = w.to_numpy(dtype=np.float32)
+            return pd.Series(
+                score32(tf.to_numpy(), nb.to_numpy(), weights, cache))
+
+        return F.pandas_udf(_f, "float")
+
+    def scored32(self, q: Query) -> DataFrame:
+        """(docid, score float32) with Lucene-exact arithmetic.
+
+        Clause sums run in float64 (exact for <=2^29 float32 addends, so
+        order-independent and bit-equal to the reference's double
+        accumulation in ConjunctionScorer/DisjunctionSumScorer) and are
+        narrowed back to float32.
+        """
+        import numpy as np
+
+        from .bm25 import idf32
+
+        udf = self._score32_udf()
+        ix = self.ix
+
+        def term32(term: str, boost: float = 1.0) -> DataFrame:
+            dfs = self._resolve_dfs({term})
+            if dfs[term] == 0:
+                return self._empty_scored32()
+            w = float(np.float32(boost) *
+                      idf32(dfs[term], ix.doc_count))
+            base = (ix.postings.filter(F.col("term") == term)
+                    .select("docid", "tf")
+                    .join(ix.docs.select("docid", "norm_byte"), "docid"))
+            return base.select(
+                "docid",
+                udf(F.col("tf"), F.col("norm_byte"),
+                    F.lit(w).cast("float")).alias("score"))
+
+        if isinstance(q, Term):
+            return term32(q.term)
+        if isinstance(q, Boost):
+            if isinstance(q.query, Term):
+                return term32(q.query.term, q.boost)
+            sub = self.scored32(q.query)
+            return sub.select(
+                "docid",
+                F.expr(f"CAST(CAST(score AS DOUBLE) * "
+                       f"CAST({float(np.float32(q.boost))!r} AS FLOAT) "
+                       f"AS FLOAT)").alias("score"))
+        if isinstance(q, Phrase):
+            # phrase freq via the double-mode plan, then float32 scoring
+            # with idf = (float) double-sum of per-term float32 idfs
+            dfs = self._resolve_dfs(set(q.terms))
+            if any(dfs[t] == 0 for t in q.terms):
+                return self._empty_scored32()
+            idf_d = float(np.float32(sum(
+                float(idf32(dfs[t], ix.doc_count)) for t in q.terms)))
+            joined = None
+            for i, t in enumerate(q.terms):
+                p = (ix.postings.filter(F.col("term") == t)
+                     .select("docid", F.col("positions").alias(f"pos{i}")))
+                joined = p if joined is None else joined.join(p, "docid")
+            conds = " AND ".join(
+                f"array_contains(pos{i}, x + {i})"
+                for i in range(1, len(q.terms)))
+            freq = (f"size(filter(pos0, x -> {conds}))" if conds
+                    else "size(pos0)")
+            out = (joined.select("docid",
+                                 F.expr(freq).cast("long").alias("tf"))
+                   .filter(F.col("tf") > 0)
+                   .join(ix.docs.select("docid", "norm_byte"), "docid"))
+            return out.select(
+                "docid", udf(F.col("tf"), F.col("norm_byte"),
+                             F.lit(idf_d).cast("float")).alias("score"))
+        if isinstance(q, Bool):
+            musts = [self.scored32(m) for m in q.must]
+            base = None
+            if musts:
+                base = musts[0].select("docid", F.col("score").alias("s0"))
+                for i, m in enumerate(musts[1:], start=1):
+                    base = base.join(
+                        m.select("docid", F.col("score").alias(f"s{i}")),
+                        "docid")
+                total = " + ".join(
+                    f"CAST(s{i} AS DOUBLE)" for i in range(len(musts)))
+                base = base.select(
+                    "docid", F.expr(f"CAST({total} AS FLOAT)").alias("score"))
+            if q.should:
+                sh = reduce(DataFrame.unionAll,
+                            [self.scored32(s) for s in q.should])
+                sh = sh.groupBy("docid").agg(
+                    F.expr("CAST(SUM(CAST(score AS DOUBLE)) AS FLOAT)")
+                    .alias("opt"), F.count("*").alias("nm"))
+                if base is not None:
+                    base = base.join(sh, "docid", "left")
+                    if q.minimum_should_match > 0:
+                        base = base.filter(
+                            F.coalesce(F.col("nm"), F.lit(0))
+                            >= q.minimum_should_match)
+                    base = base.select(
+                        "docid",
+                        F.expr("CAST(CAST(score AS DOUBLE) + "
+                               "COALESCE(CAST(opt AS DOUBLE), 0D) AS FLOAT)")
+                        .alias("score"))
+                else:
+                    msm = max(q.minimum_should_match, 1)
+                    base = (sh.filter(F.col("nm") >= msm)
+                            .select("docid", F.col("opt").alias("score")))
+            if base is None:
+                raise ValueError("Bool query with no positive clauses")
+            for f in q.filter:
+                base = base.join(self.matching(f), "docid", "left_semi")
+            for x in q.must_not:
+                base = base.join(self.matching(x), "docid", "left_anti")
+            return base
+        raise TypeError(
+            f"float32 mode does not support {type(q).__name__} yet")
+
+    def _empty_scored32(self) -> DataFrame:
+        return (self.ix.docs.select("docid").filter(F.lit(False))
+                .select("docid", F.lit(0.0).cast("float").alias("score")))
+
+    def topk32(self, q: Query, k: int = 10) -> DataFrame:
+        """Lucene-parity top-k: float32 scores, ties broken by docid ASC
+        (HitQueue.lessThan)."""
+        return (self.scored32(q)
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                .select(F.col("docid").alias("doc_id"), "score"))
