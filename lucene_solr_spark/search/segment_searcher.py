@@ -1,0 +1,571 @@
+"""Segment-native BM25 top-k: block-max WAND inside applyInPandas.
+
+The Spark realization of the reference's pruned search path
+(SEARCH/WANDScorer.java:29-447, ImpactsDISI.java:95-127,
+MaxScoreCache.java:61-124, BlockMaxConjunctionScorer.java:101-140):
+
+- the driver compiles the query AST to a flat clause spec, resolves
+  **global** term stats once (IndexSearcher.createWeight freezing
+  CollectionStatistics — SEARCH/IndexSearcher.java:909-926) and bakes
+  idf weights into the spec;
+- executors run one kernel invocation per segment
+  (``groupBy(seg_id).applyInPandas``): per-term skip arrays give a
+  piecewise-constant score upper bound over docid space; cells (merged
+  block intervals) are processed in descending upper-bound order and
+  the kernel stops as soon as the next cell's bound is below the
+  current k-th best true score θ — score-safe pruning, identical
+  result set to exhaustive evaluation (CheckHits.checkTopScores is the
+  test contract);
+- per-segment candidates (≤k each) are reduced by one narrow
+  ``orderBy(score DESC, docid ASC).limit(k)`` = TopDocs.merge
+  (SEARCH/TopDocs.java:70-115) with the HitQueue tie-break.
+
+Only the query terms' packed rows are read: the filter on ``term``
+reaches the Parquet scan (term-sorted row groups prune), and the
+``seg_id`` partitioning keeps the shuffle to one tiny candidate union.
+
+Scores are float64 in the same operation order as the SQL oracle
+(bm25.score_sql), so segment-path results hash-match the DuckDB oracle
+exactly like the naive path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..codecs import blocks as blk
+from ..index.segments import SegmentIndex
+from .query import (
+    Bool, Boost, ConstantScore, DisMax, MatchAll, Phrase, Query, Synonym,
+    Term,
+)
+
+OUT_SCHEMA = "docid long, score double"
+
+
+# ---------------------------------------------------------------------------
+# clause spec (driver-side compile; shipped pickled into the kernel)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Clause:
+    kind: str                 # 'term' | 'synonym' | 'phrase'
+    terms: tuple              # analyzed terms
+    weight: float             # idf (double), boost-multiplied
+    required: bool            # MUST vs SHOULD
+
+
+@dataclass
+class SegSpec:
+    clauses: list
+    must_not: tuple = ()      # plain terms to exclude
+    filters: tuple = ()       # plain terms that must match (non-scoring)
+    msm: int = 0              # minimum SHOULD clauses to match
+    k: int = 10
+    k1: float = K1
+    b: float = B
+    avgdl: float = 1.0
+    emit_all: bool = False    # True -> all matches (scored()), no pruning
+    prune: bool = True        # False -> exhaustive (CheckHits oracle mode)
+
+    @property
+    def wand_ok(self) -> bool:
+        """Block-max pruning is available when every scoring clause is a
+        plain term and there are no msm/filter/exclusion constraints
+        interacting with scores mid-stream (those are applied after
+        scoring a cell, so they are safe too — the bound only ever
+        over-estimates)."""
+        return all(c.kind == "term" for c in self.clauses)
+
+
+def _score_f64(tf: np.ndarray, qdl: np.ndarray, w: float, k1: float,
+               b: float, avgdl: float) -> np.ndarray:
+    """(w * tf) / (tf + k1*((1-b) + (b*qdl)/avgdl)) in float64, operation
+    order identical to bm25.score_sql."""
+    tf = tf.astype(np.float64)
+    denom = tf + k1 * ((1.0 - b) + (b * qdl.astype(np.float64)) / avgdl)
+    return (w * tf) / denom
+
+
+def _bound(w: float, max_tf: np.ndarray, min_qdl: np.ndarray, k1: float,
+           b: float, avgdl: float) -> np.ndarray:
+    """Per-block upper bound: score is monotone ↑tf, ↓qdl, so
+    score(max_tf, min_qdl) dominates every doc in the block
+    (MaxScoreCache.computeMaxScore over competitive impacts)."""
+    return _score_f64(np.asarray(max_tf, dtype=np.int64),
+                      np.asarray(min_qdl, dtype=np.int64), w, k1, b, avgdl)
+
+
+# ---------------------------------------------------------------------------
+# per-segment kernel
+# ---------------------------------------------------------------------------
+
+class _TermData:
+    """Decoded-on-demand view of one packed posting row."""
+
+    __slots__ = ("doc_blocks", "tf_blocks", "pos_blocks", "last", "ndocs",
+                 "max_tf", "min_qdl", "starts", "_cache", "_pcache")
+
+    def __init__(self, row):
+        self.doc_blocks = row.doc_blocks
+        self.tf_blocks = row.tf_blocks
+        self.pos_blocks = row.pos_blocks
+        self.last = np.asarray(row.skip_last_docid, dtype=np.int64)
+        self.ndocs = np.asarray(row.skip_n_docs, dtype=np.int64)
+        self.max_tf = np.asarray(row.skip_max_tf, dtype=np.int64)
+        self.min_qdl = np.asarray(row.skip_min_qdl, dtype=np.int64)
+        self.starts = np.concatenate(
+            ([np.int64(-1)], self.last[:-1]))  # block covers (start, last]
+        self._cache: dict = {}
+        self._pcache: dict = {}
+
+    def block(self, i: int):
+        if i not in self._cache:
+            self._cache[i] = blk.decode_block(
+                self.doc_blocks, self.tf_blocks, self.ndocs, i)
+        return self._cache[i]
+
+    def positions(self, i: int) -> np.ndarray:
+        if i not in self._pcache:
+            _, tfs = self.block(i)
+            self._pcache[i] = blk.decode_pos_block(self.pos_blocks[i], tfs)
+        return self._pcache[i]
+
+    def decode_all(self):
+        return blk.decode_all(self.doc_blocks, self.tf_blocks, self.ndocs)
+
+    def all_positions(self):
+        """(docids, per-doc position list offsets, concatenated positions)."""
+        d, t = self.decode_all()
+        pos = np.concatenate([self.positions(i)
+                              for i in range(len(self.doc_blocks))]) \
+            if len(self.doc_blocks) else np.empty(0, dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(t)))
+        return d, t, offs, pos
+
+
+def _sum_scores(parts):
+    """[(docids, scores)] -> (unique docids, summed scores, match counts)."""
+    d = np.concatenate([p[0] for p in parts])
+    s = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(d, return_inverse=True)
+    tot = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(tot, inv, s)
+    cnt = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(cnt, inv, 1)
+    return uniq, tot, cnt
+
+
+def _phrase_freq(tds: list, terms: list) -> tuple:
+    """Exact phrase matcher (SEARCH/ExactPhraseMatcher.java:36): docids
+    common to all terms, freq = #positions p in term0 with p+i in termi."""
+    views = [tds[t].all_positions() for t in terms]
+    common = views[0][0]
+    for v in views[1:]:
+        common = common[np.isin(common, v[0])]
+    if common.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    out_d, out_f = [], []
+    idxs = [np.searchsorted(v[0], common) for v in views]
+    for j, doc in enumerate(common):
+        v0 = views[0]
+        i0 = idxs[0][j]
+        cand = v0[3][v0[2][i0]:v0[2][i0 + 1]]
+        for off in range(1, len(terms)):
+            v = views[off]
+            ii = idxs[off][j]
+            plist = v[3][v[2][ii]:v[2][ii + 1]]
+            cand = cand[np.isin(cand + off, plist)]
+            if cand.size == 0:
+                break
+        if cand.size:
+            out_d.append(int(doc))
+            out_f.append(int(cand.size))
+    return (np.array(out_d, dtype=np.int64),
+            np.array(out_f, dtype=np.int64))
+
+
+def make_kernel(spec: SegSpec):
+    """Build the applyInPandas function for one query."""
+
+    def kernel(pdf):
+        import pandas as pd
+        qdl_blob = np.frombuffer(pdf["qdl_blob"].iloc[0], dtype=np.int32)
+        docid_min = int(pdf["docid_min"].iloc[0])
+        tds = {row.term: _TermData(row)
+               for row in pdf.itertuples(index=False)}
+
+        def qdl_of(docids: np.ndarray) -> np.ndarray:
+            return qdl_blob[docids - docid_min].astype(np.int64)
+
+        def term_scores(term, w):
+            td = tds.get(term)
+            if td is None:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64))
+            d, t = td.decode_all()
+            return d, _score_f64(t, qdl_of(d), w, spec.k1, spec.b,
+                                 spec.avgdl)
+
+        def clause_scores(c: Clause):
+            if c.kind == "term":
+                return term_scores(c.terms[0], c.weight)
+            if c.kind == "synonym":
+                parts = []
+                for t in c.terms:
+                    td = tds.get(t)
+                    if td is not None:
+                        parts.append(td.decode_all())
+                if not parts:
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+                d = np.concatenate([p[0] for p in parts])
+                t = np.concatenate([p[1] for p in parts])
+                uniq, inv = np.unique(d, return_inverse=True)
+                tf = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(tf, inv, t)
+                return uniq, _score_f64(tf, qdl_of(uniq), c.weight,
+                                        spec.k1, spec.b, spec.avgdl)
+            if c.kind == "phrase":
+                if any(t not in tds for t in c.terms):
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+                d, f = _phrase_freq(tds, list(c.terms))
+                if d.size == 0:
+                    return d, np.empty(0, dtype=np.float64)
+                return d, _score_f64(f, qdl_of(d), c.weight, spec.k1,
+                                     spec.b, spec.avgdl)
+            raise ValueError(c.kind)
+
+        req = [c for c in spec.clauses if c.required]
+        opt = [c for c in spec.clauses if not c.required]
+
+        def finalize(docids, scores):
+            """filters / exclusions, then emit."""
+            keep = np.ones(docids.size, dtype=bool)
+            for t in spec.filters:
+                td = tds.get(t)
+                if td is None:
+                    keep[:] = False
+                    break
+                keep &= np.isin(docids, td.decode_all()[0])
+            for t in spec.must_not:
+                td = tds.get(t)
+                if td is not None:
+                    keep &= ~np.isin(docids, td.decode_all()[0])
+            docids, scores = docids[keep], scores[keep]
+            if not spec.emit_all and docids.size > spec.k:
+                # per-segment top-k, ties by docid ASC (HitQueue.lessThan)
+                order = np.lexsort((docids, -scores))[:spec.k]
+                docids, scores = docids[order], scores[order]
+            return pd.DataFrame({"docid": docids, "score": scores})
+
+        # ---------------- exhaustive path --------------------------------
+        def exhaustive():
+            req_parts = [clause_scores(c) for c in req]
+            if req and any(p[0].size == 0 for p in req_parts):
+                return finalize(np.empty(0, dtype=np.int64),
+                                np.empty(0, dtype=np.float64))
+            opt_parts = [clause_scores(c) for c in opt]
+            if req:
+                base = req_parts[0][0]
+                for p in req_parts[1:]:
+                    base = base[np.isin(base, p[0])]
+                if base.size == 0:
+                    return finalize(base, np.empty(0, dtype=np.float64))
+                tot = np.zeros(base.size, dtype=np.float64)
+                for p in req_parts:
+                    tot += p[1][np.searchsorted(p[0], base)]
+                nm = np.zeros(base.size, dtype=np.int64)
+                for d, s in opt_parts:
+                    if d.size == 0:
+                        continue
+                    pos = np.searchsorted(d, base)
+                    pos = np.clip(pos, 0, d.size - 1)
+                    hit = d[pos] == base
+                    tot[hit] += s[pos[hit]]
+                    nm[hit] += 1
+                if spec.msm > 0:
+                    sel = nm >= spec.msm
+                    base, tot = base[sel], tot[sel]
+                return finalize(base, tot)
+            # pure disjunction
+            parts = [p for p in opt_parts if p[0].size]
+            if not parts:
+                return finalize(np.empty(0, dtype=np.int64),
+                                np.empty(0, dtype=np.float64))
+            uniq, tot, cnt = _sum_scores(parts)
+            msm = max(spec.msm, 1)
+            sel = cnt >= msm
+            return finalize(uniq[sel], tot[sel])
+
+        if spec.emit_all or not spec.prune or not spec.wand_ok:
+            return exhaustive()
+
+        # ---------------- block-max WAND path ----------------------------
+        # cells = merged block boundaries; UB(cell) = Σ clause block bounds
+        active = [(c, tds[c.terms[0]]) for c in spec.clauses
+                  if c.terms[0] in tds]
+        if not active or (req and len([1 for c in req
+                                       if c.terms[0] in tds]) < len(req)):
+            return finalize(np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+        bounds = [(_bound(c.weight, td.max_tf, td.min_qdl, spec.k1,
+                          spec.b, spec.avgdl), td) for c, td in active]
+        edges = np.unique(np.concatenate(
+            [td.last for _, td in bounds]))  # cell i covers (edges[i-1], edges[i]]
+        ub = np.zeros(edges.size, dtype=np.float64)
+        req_cover = np.zeros(edges.size, dtype=np.int64)
+        n_req = len(req)
+        for (bnd, td), (c, _) in zip(bounds, active):
+            # block j covers (starts[j], last[j]]; for each cell find the
+            # covering block (the first block whose last >= cell edge and
+            # whose start < cell edge)
+            j = np.searchsorted(td.last, edges)
+            valid = j < td.last.size
+            jj = np.clip(j, 0, td.last.size - 1)
+            covers = valid & (td.starts[jj] < edges)
+            ub[covers] += bnd[jj[covers]]
+            if c.required:
+                req_cover[covers] += 1
+        if n_req:
+            ub[req_cover < n_req] = -np.inf
+        order = np.argsort(-ub)
+        # decode exclusion / filter sets once: θ must only ever be fed by
+        # docs that survive MUST_NOT / FILTER, otherwise pruning is not
+        # score-safe (a doc excluded later would have inflated θ)
+        excl = [tds[t].decode_all()[0] for t in spec.must_not if t in tds]
+        filt = []
+        for t in spec.filters:
+            if t not in tds:
+                return finalize(np.empty(0, dtype=np.int64),
+                                np.empty(0, dtype=np.float64))
+            filt.append(tds[t].decode_all()[0])
+        cand_d: list = []
+        cand_s: list = []
+        theta = -np.inf
+        kth_pool_d = np.empty(0, dtype=np.int64)
+        kth_pool_s = np.empty(0, dtype=np.float64)
+
+        def cell_range(ci):
+            lo = np.int64(-1) if ci == 0 else edges[ci - 1]
+            return lo, edges[ci]
+
+        for ci in order:
+            if ub[ci] == -np.inf:
+                break
+            if ub[ci] < theta:
+                break
+            lo, hi = cell_range(ci)
+            parts = []
+            req_sets = []
+            for (bnd, td), (c, _) in zip(bounds, active):
+                j = int(np.searchsorted(td.last, hi))
+                if j >= td.last.size or td.starts[j] >= hi or td.last[j] < hi:
+                    if c.required:
+                        parts = None
+                        break
+                    continue
+                d, t = td.block(j)
+                sel = (d > lo) & (d <= hi)
+                d, t = d[sel], t[sel]
+                if c.required and d.size == 0:
+                    parts = None
+                    break
+                if d.size:
+                    s = _score_f64(t, qdl_of(d), c.weight, spec.k1,
+                                   spec.b, spec.avgdl)
+                    parts.append((d, s, c.required))
+                    if c.required:
+                        req_sets.append(d)
+            if parts is None or not parts:
+                continue
+            if n_req:
+                base = req_sets[0]
+                for rs in req_sets[1:]:
+                    base = base[np.isin(base, rs)]
+                if base.size == 0:
+                    continue
+                tot = np.zeros(base.size, dtype=np.float64)
+                nm = np.zeros(base.size, dtype=np.int64)
+                for d, s, is_req in parts:
+                    pos = np.searchsorted(d, base)
+                    pos = np.clip(pos, 0, max(d.size - 1, 0))
+                    hit = (d.size > 0) & (d[pos] == base)
+                    tot[hit] += s[pos[hit]]
+                    if not is_req:
+                        nm[hit] += 1
+                if spec.msm > 0:
+                    selm = nm >= spec.msm
+                    base, tot = base[selm], tot[selm]
+                uniq, totv = base, tot
+            else:
+                uniq, totv, cnt = _sum_scores(
+                    [(d, s) for d, s, _ in parts])
+                msm = max(spec.msm, 1)
+                selm = cnt >= msm
+                uniq, totv = uniq[selm], totv[selm]
+            for fs in filt:
+                sel = np.isin(uniq, fs)
+                uniq, totv = uniq[sel], totv[sel]
+            for xs in excl:
+                sel = ~np.isin(uniq, xs)
+                uniq, totv = uniq[sel], totv[sel]
+            if uniq.size == 0:
+                continue
+            cand_d.append(uniq)
+            cand_s.append(totv)
+            pool_s = np.concatenate([kth_pool_s, totv])
+            pool_d = np.concatenate([kth_pool_d, uniq])
+            if pool_s.size > spec.k:
+                keep = np.lexsort((pool_d, -pool_s))[:spec.k]
+                pool_s, pool_d = pool_s[keep], pool_d[keep]
+                theta = float(pool_s.min())
+            kth_pool_s, kth_pool_d = pool_s, pool_d
+        if not cand_d:
+            return finalize(np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+        alld = np.concatenate(cand_d)
+        alls = np.concatenate(cand_s)
+        return finalize(alld, alls)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# driver-side searcher
+# ---------------------------------------------------------------------------
+
+class SegmentSearcher:
+    """Query engine over an on-disk SegmentIndex (WAND path)."""
+
+    def __init__(self, six: SegmentIndex):
+        self.six = six
+        self._df_cache: dict = {}
+
+    def _resolve_dfs(self, terms) -> dict:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (self.six.term_stats
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def idf(self, df: int) -> float:
+        n = self.six.doc_count
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def compile(self, q: Query, k: int, emit_all: bool = False,
+                prune: bool = True) -> SegSpec:
+        clauses: list = []
+        must_not: list = []
+        filters: list = []
+        msm = 0
+
+        def leaf(node: Query, required: bool, boost: float = 1.0):
+            if isinstance(node, Boost):
+                leaf(node.query, required, boost * node.boost)
+                return
+            if isinstance(node, Term):
+                dfs = self._resolve_dfs({node.term})
+                if dfs[node.term] == 0:
+                    if required:
+                        clauses.append(Clause("term", (node.term,), 0.0,
+                                              True))
+                    return
+                clauses.append(Clause(
+                    "term", (node.term,),
+                    boost * self.idf(dfs[node.term]), required))
+                return
+            if isinstance(node, Synonym):
+                dfs = self._resolve_dfs(set(node.terms))
+                df_max = max(dfs.values(), default=0)
+                if df_max == 0:
+                    return
+                clauses.append(Clause("synonym", tuple(node.terms),
+                                      boost * self.idf(df_max), required))
+                return
+            if isinstance(node, Phrase):
+                dfs = self._resolve_dfs(set(node.terms))
+                if any(dfs[t] == 0 for t in node.terms):
+                    if required:
+                        clauses.append(Clause("phrase", tuple(node.terms),
+                                              0.0, True))
+                    return
+                idf_sum = sum(self.idf(dfs[t]) for t in node.terms)
+                clauses.append(Clause("phrase", tuple(node.terms),
+                                      boost * idf_sum, required))
+                return
+            raise TypeError(
+                f"segment path does not support {type(node).__name__} "
+                f"in scoring position")
+
+        if isinstance(q, Bool):
+            msm = q.minimum_should_match
+            for m in q.must:
+                leaf(m, True)
+            for s in q.should:
+                leaf(s, False)
+            for x in q.must_not:
+                if not isinstance(x, Term):
+                    raise TypeError("segment path MUST_NOT needs Term")
+                must_not.append(x.term)
+            for ft in q.filter:
+                if not isinstance(ft, Term):
+                    raise TypeError("segment path FILTER needs Term")
+                filters.append(ft.term)
+        else:
+            leaf(q, True)
+
+        return SegSpec(clauses=clauses, must_not=tuple(must_not),
+                       filters=tuple(filters), msm=msm, k=k,
+                       avgdl=self.six.doc_count and
+                       (self.six.sum_ttf / float(self.six.doc_count)),
+                       emit_all=emit_all, prune=prune)
+
+    def _all_terms(self, spec: SegSpec):
+        ts = set(spec.must_not) | set(spec.filters)
+        for c in spec.clauses:
+            ts |= set(c.terms)
+        return sorted(ts)
+
+    def _segment_frame(self, spec: SegSpec) -> DataFrame:
+        terms = self._all_terms(spec)
+        pk = self.six.packed.filter(F.col("term").isin(terms))
+        nm = self.six.norms.select("seg_id", "docid_min", "qdl_blob")
+        return pk.join(F.broadcast(nm), "seg_id")
+
+    def candidates(self, q: Query, k: int, emit_all: bool = False,
+                   prune: bool = True) -> DataFrame:
+        spec = self.compile(q, k, emit_all=emit_all, prune=prune)
+        if not spec.clauses:
+            return (self.six.norms.sparkSession
+                    .range(0).select(F.col("id").alias("docid"),
+                                     F.lit(0.0).alias("score")))
+        df = self._segment_frame(spec)
+        return df.groupBy("seg_id").applyInPandas(
+            make_kernel(spec), OUT_SCHEMA)
+
+    def topk(self, q: Query, k: int = 10, round_digits: int = 6,
+             prune: bool = True) -> DataFrame:
+        s = self.candidates(q, k, prune=prune).select(
+            "docid", F.round(F.col("score"), round_digits).alias("score"))
+        return (s.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                .select(F.col("docid").alias("doc_id"), "score"))
+
+    def scored(self, q: Query) -> DataFrame:
+        """All matches with scores (no pruning) — grouping/paging feed."""
+        return self.candidates(q, k=0, emit_all=True, prune=False)
+
+    def count(self, q: Query) -> DataFrame:
+        return (self.scored(q)
+                .agg(F.count("*").cast("long").alias("n_hits")))

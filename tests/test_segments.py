@@ -1,0 +1,89 @@
+"""Segment layout + WAND search: CheckHits-style pruned-vs-exhaustive
+equivalence (lucene/test-framework/.../search/CheckHits.java:578-587 —
+every query runs pruned AND complete, hits must be identical) and
+CheckIndex-style invariants (INDEX/CheckIndex.java:496-508)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.segments import (
+    check_index, open_segments, write_segments,
+)
+from lucene_solr_spark.search.engine import Searcher
+from lucene_solr_spark.search.query import Bool, Boost, Phrase, Synonym, Term
+from lucene_solr_spark.search.segment_searcher import SegmentSearcher
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, xs_index, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segs") / "ix")
+    # small segments so the fixture exercises multi-segment merge paths
+    return write_segments(xs_index, out, docs_per_segment=128,
+                          lineage="xs_transcripts")
+
+
+QUERIES = [
+    Term("ok"),                                     # hot term
+    Term("w1"),                                     # mid
+    Term("zzzzabsent"),                             # zero hits
+    Bool(must=(Term("ok"), Term("retry"))),
+    Bool(should=(Term("retry"), Term("error"), Term("w2"))),
+    Bool(should=(Term("retry"), Term("error"), Term("w2"), Term("w3")),
+         minimum_should_match=2),
+    Bool(must=(Term("ok"),), should=(Term("retry"),),
+         must_not=(Term("error"),)),
+    Bool(must=(Term("ok"),), filter=(Term("retry"),)),
+    Phrase(("ok", "the")),
+    Synonym(("retry", "error")),
+    Bool(should=(Boost(Term("retry"), 2.0), Term("ok"))),
+]
+
+
+def test_check_index_clean(seg_index):
+    assert check_index(seg_index).count() == 0
+
+
+def test_catalog_metrics(seg_index, xs_index):
+    cat = seg_index.catalog.collect()
+    assert len(cat) > 1  # multi-segment fixture
+    assert sum(r["n_docs"] for r in cat) == xs_index.doc_count
+    assert sum(r["n_tokens"] for r in cat) == xs_index.sum_ttf
+    assert all(r["packed_bytes"] > 0 for r in cat)
+    assert all(r["lineage"] == "xs_transcripts" for r in cat)
+
+
+def test_open_segments_roundtrip(spark, seg_index):
+    six = open_segments(spark, seg_index.path)
+    assert six.doc_count == seg_index.doc_count
+    assert six.sum_ttf == seg_index.sum_ttf
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+@pytest.mark.parametrize("k", [1, 10])
+def test_pruned_equals_exhaustive_equals_naive(spark, xs_index, seg_index,
+                                               qi, k):
+    """The central invariant (SURVEY.md §5): WAND-pruned top-k ==
+    exhaustive segment top-k == naive DataFrame top-k, scores and all."""
+    q = QUERIES[qi]
+    naive = Searcher(xs_index).topk(q, k).collect()
+    ss = SegmentSearcher(seg_index)
+    pruned = ss.topk(q, k).collect()
+    exhaustive = ss.topk(q, k, prune=False).collect()
+    as_tuples = lambda rows: [(r.doc_id, r.score) for r in rows]  # noqa: E731
+    assert as_tuples(pruned) == as_tuples(exhaustive)
+    assert as_tuples(pruned) == as_tuples(naive)
+
+
+def test_count_parity(xs_index, seg_index):
+    q = Bool(should=(Term("retry"), Term("error")))
+    a = Searcher(xs_index).count(q).first()["n_hits"]
+    b = SegmentSearcher(seg_index).count(q).first()["n_hits"]
+    assert a == b > 0
+
+
+def test_term_pruning_reads_only_query_terms(seg_index):
+    """The packed scan must push the term filter down to Parquet."""
+    plan = (seg_index.packed.filter(F.col("term") == "ok")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan
+    assert "term" in plan.split("PushedFilters")[1][:120]
