@@ -89,13 +89,21 @@ def _pack_rows(it):
         yield pd.DataFrame(out)
 
 
+def _seg_expr(docs_per_segment: int, base_docid: int = 0,
+              seg_id_base: int = 0):
+    return (F.lit(seg_id_base)
+            + ((F.col("docid") - base_docid) / docs_per_segment)
+            .cast("int")).cast("int")
+
+
 def build_packed_postings(postings: DataFrame, docs: DataFrame,
-                          docs_per_segment: int) -> DataFrame:
+                          docs_per_segment: int, base_docid: int = 0,
+                          seg_id_base: int = 0) -> DataFrame:
     """(term, docid, tf, positions) + (docid, qdl) -> packed posting rows."""
     p = (postings
          .join(docs.select("docid", "qdl"), "docid")
-         .withColumn("seg_id",
-                     (F.col("docid") / docs_per_segment).cast("int")))
+         .withColumn("seg_id", _seg_expr(docs_per_segment, base_docid,
+                                         seg_id_base)))
     agg = (p.groupBy("seg_id", "term")
            .agg(F.sort_array(F.collect_list(F.struct(
                "docid", "tf", "qdl", "positions"))).alias("pl"))
@@ -117,7 +125,8 @@ NORMS_SCHEMA = StructType([
 ])
 
 
-def build_norms(docs: DataFrame, docs_per_segment: int) -> DataFrame:
+def build_norms(docs: DataFrame, docs_per_segment: int,
+                base_docid: int = 0, seg_id_base: int = 0) -> DataFrame:
     """Per-segment forward norms: blob[docid - docid_min] = norm info."""
     def _blob(it):
         import pandas as pd
@@ -141,8 +150,8 @@ def build_norms(docs: DataFrame, docs_per_segment: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     agg = (docs
-           .withColumn("seg_id",
-                       (F.col("docid") / docs_per_segment).cast("int"))
+           .withColumn("seg_id", _seg_expr(docs_per_segment, base_docid,
+                                           seg_id_base))
            .groupBy("seg_id")
            .agg(F.sort_array(F.collect_list(F.struct(
                "docid", "norm_byte", "qdl"))).alias("dl"))
@@ -155,29 +164,45 @@ def build_norms(docs: DataFrame, docs_per_segment: int) -> DataFrame:
 
 @dataclass
 class SegmentIndex:
-    """On-disk segment index handle (IndexReader-over-commit analogue)."""
+    """On-disk segment index handle (IndexReader-over-commit analogue).
+
+    A commit = ``commit.json`` (generation, collection stats, live
+    segment ids) + per-generation catalog/term_stats snapshots +
+    cumulative seg_id-partitioned postings/norms stores. Readers see
+    only the commit's live segments, so appends and merges are atomic
+    at the commit.json swap — the segments_N model
+    (INDEX/SegmentInfos.java)."""
 
     path: str
     spark: SparkSession
     doc_count: int
     sum_ttf: int
     docs_per_segment: int
+    generation: int = 1
+    live_segs: tuple = ()
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        if not self.live_segs:
+            return df
+        return df.filter(F.col("seg_id").isin(list(self.live_segs)))
 
     @property
     def packed(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/postings")
+        return self._live(self.spark.read.parquet(f"{self.path}/postings"))
 
     @property
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/norms")
+        return self._live(self.spark.read.parquet(f"{self.path}/norms"))
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/term_stats")
+        return self.spark.read.parquet(
+            f"{self.path}/term_stats/gen={self.generation}")
 
     @property
     def catalog(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/catalog")
+        return self.spark.read.parquet(
+            f"{self.path}/catalog/gen={self.generation}")
 
     @property
     def avgdl(self) -> float:
@@ -188,70 +213,67 @@ class SegmentIndex:
         return f"(CAST({self.sum_ttf} AS DOUBLE) / {self.doc_count})"
 
 
-def write_segments(ix: InvertedIndex, out_dir: str,
-                   docs_per_segment: int = 65536,
-                   lineage: str = "") -> SegmentIndex:
-    """Materialize an InvertedIndex as an on-disk segment commit.
-
-    Layout: ``{out}/postings`` (partitioned by seg_id, term-sorted files
-    for row-group pruning), ``{out}/norms``, ``{out}/term_stats``,
-    ``{out}/catalog``, ``{out}/commit.json`` (collection stats +
-    generation marker — the segments_N analogue).
-    """
-    spark = ix.docs.sparkSession
-    packed = build_packed_postings(ix.postings, ix.docs, docs_per_segment)
-    (packed
-     .repartition("seg_id")
-     .sortWithinPartitions("seg_id", "term")
-     .write.mode("overwrite").partitionBy("seg_id")
-     .parquet(f"{out_dir}/postings"))
-
-    build_norms(ix.docs, docs_per_segment) \
-        .write.mode("overwrite").parquet(f"{out_dir}/norms")
-
-    ix.term_stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
-
-    # catalog with lineage + metrics (rows/bytes) per segment
-    pk = spark.read.parquet(f"{out_dir}/postings")
+def catalog_from_packed(pk: DataFrame, norms: DataFrame,
+                        lineage: str) -> DataFrame:
+    """Segment metrics (rows/bytes) + lineage for new packed rows."""
     bytes_expr = (
         "aggregate(transform(doc_blocks, x -> length(x)), 0L, (a, x) -> a + x)"
         " + aggregate(transform(tf_blocks, x -> length(x)), 0L, (a, x) -> a + x)"
         " + aggregate(transform(pos_blocks, x -> length(x)), 0L, (a, x) -> a + x)")
-    cat = (pk.groupBy("seg_id").agg(
-        F.min(F.expr("skip_last_docid[0]")).alias("_any"),
+    cat = pk.groupBy("seg_id").agg(
         F.count("*").cast("long").alias("n_terms"),
         F.sum("df").cast("long").alias("n_postings"),
         F.sum("ttf").cast("long").alias("n_tokens"),
         F.sum(F.expr(bytes_expr)).cast("long").alias("packed_bytes"))
-        .drop("_any"))
-    nm = spark.read.parquet(f"{out_dir}/norms").select(
-        "seg_id", "docid_min", F.col("n_docs").alias("n_docs"))
-    cat = (cat.join(nm, "seg_id")
-           .withColumn("lineage", F.lit(lineage))
-           .withColumn("build_ts", F.lit(int(time.time()))))
-    cat.write.mode("overwrite").parquet(f"{out_dir}/catalog")
+    nm = norms.select("seg_id", "docid_min",
+                      F.col("n_docs").alias("n_docs"))
+    return (cat.join(nm, "seg_id")
+            .withColumn("lineage", F.lit(lineage))
+            .withColumn("build_ts", F.lit(int(time.time()))))
 
+
+def write_commit(path: str, generation: int, doc_count: int, sum_ttf: int,
+                 docs_per_segment: int, next_seg_id: int,
+                 live_segs: list, lineage: str = "") -> None:
     commit = {
-        "generation": 1,
-        "doc_count": ix.doc_count,
-        "sum_ttf": ix.sum_ttf,
+        "generation": generation,
+        "doc_count": doc_count,
+        "sum_ttf": sum_ttf,
         "docs_per_segment": docs_per_segment,
+        "next_seg_id": next_seg_id,
+        "live_segs": sorted(int(s) for s in live_segs),
         "lineage": lineage,
     }
-    with open(os.path.join(out_dir, "commit.json"), "w") as f:
+    tmp = os.path.join(path, "commit.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(commit, f)
-    return SegmentIndex(path=out_dir, spark=spark, doc_count=ix.doc_count,
-                        sum_ttf=ix.sum_ttf,
-                        docs_per_segment=docs_per_segment)
+    os.replace(tmp, os.path.join(path, "commit.json"))
+
+
+def read_commit(path: str) -> dict:
+    with open(os.path.join(path, "commit.json")) as f:
+        return json.load(f)
+
+
+def write_segments(ix: InvertedIndex, out_dir: str,
+                   docs_per_segment: int = 65536,
+                   lineage: str = "") -> SegmentIndex:
+    """Materialize an InvertedIndex as generation-1 of a segment store."""
+    from .writer import IndexWriter
+    w = IndexWriter.create(ix.docs.sparkSession, out_dir,
+                           docs_per_segment=docs_per_segment)
+    w.append_index(ix, lineage=lineage)
+    return w.reader()
 
 
 def open_segments(spark: SparkSession, path: str) -> SegmentIndex:
-    with open(os.path.join(path, "commit.json")) as f:
-        commit = json.load(f)
+    commit = read_commit(path)
     return SegmentIndex(path=path, spark=spark,
                         doc_count=commit["doc_count"],
                         sum_ttf=commit["sum_ttf"],
-                        docs_per_segment=commit["docs_per_segment"])
+                        docs_per_segment=commit["docs_per_segment"],
+                        generation=commit["generation"],
+                        live_segs=tuple(commit.get("live_segs", ())))
 
 
 # ---------------------------------------------------------------------------
