@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lucene_solr_spark.index.builder import InvertedIndex, build_index
+from lucene_solr_spark.index.segments import SegmentIndex, write_segments
 from lucene_solr_spark.search.engine import Searcher
 from lucene_solr_spark.search.oracle import OracleBuilder
+from lucene_solr_spark.search.segment_searcher import SegmentSearcher
 from lucene_solr_spark.search.query import (
     Bool, Boost, DisMax, Fuzzy, MatchAll, Phrase, Prefix, Query, Regexp,
     Synonym, Term, TermInSet, TermRange, Wildcard,
@@ -45,6 +47,26 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
         _IX[sf_dir] = build_index(_documents(spark, sf_dir))
         _SE[sf_dir] = Searcher(_IX[sf_dir])
     return _SE[sf_dir]
+
+
+_SEG: dict[str, SegmentSearcher] = {}
+
+
+def _seg_searcher(spark: SparkSession, sf_dir: str) -> SegmentSearcher:
+    """Packed-segment WAND path over the same corpus (block-max pruned;
+    results must be identical to the naive path and the oracle)."""
+    if sf_dir not in _SEG:
+        import hashlib
+        import os
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        out = f"/tmp/lucene_solr_spark_segs/{tag}"
+        if not os.path.exists(f"{out}/commit.json"):
+            ix = build_index(_documents(spark, sf_dir), cache=False)
+            write_segments(ix, out, docs_per_segment=1024,
+                           lineage=f"documents@{sf_dir}")
+        from lucene_solr_spark.index.segments import open_segments
+        _SEG[sf_dir] = SegmentSearcher(open_segments(spark, out))
+    return _SEG[sf_dir]
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +122,23 @@ def _mk_search(name: str):
 
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _searcher(spark, sf_dir).topk(ast, k)
+    return f
+
+
+# WAND (packed-segment) variants: same ASTs, same oracle SQL — the
+# correctness gate proves the pruned path rank-identical per round
+WAND_SPECS = (
+    "q_term_common", "q_term_rare", "q_term_zero", "q_bool_and2",
+    "q_bool_and3", "q_bool_or3", "q_bool_msm2", "q_bool_mixed",
+    "q_bool_filter", "q_phrase2", "q_synonym", "q_boost",
+)
+
+
+def _mk_wand(name: str):
+    ast, k = SEARCH_SPECS[name]
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _seg_searcher(spark, sf_dir).topk(ast, k)
     return f
 
 
@@ -264,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mk_search(name)
     for name in COUNT_SPECS:
         out[name] = _mk_count(name)
+    for name in WAND_SPECS:
+        out[f"w_{name[2:]}"] = _mk_wand(name)
     out.update({
         "q_facet_source": _q_facet_source,
         "q_facet_lang": _q_facet_lang,
@@ -294,6 +335,9 @@ def oracle_sql() -> dict[str, str]:
         out[name] = ob.topk_sql(ast, k)
     for name, ast in COUNT_SPECS.items():
         out[name] = ob.count_sql(ast)
+    for name in WAND_SPECS:
+        ast, k = SEARCH_SPECS[name]
+        out[f"w_{name[2:]}"] = ob.topk_sql(ast, k)
 
     out["q_facet_source"] = f"""
 WITH {ctes}

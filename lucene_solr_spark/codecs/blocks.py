@@ -280,6 +280,196 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray,
     }
 
 
+# ---------------------------------------------------------------------------
+# batched whole-segment encoder (one vectorized pass over every term's
+# blocks; produces byte-identical output to encode_postings per term)
+# ---------------------------------------------------------------------------
+
+def _bit_length_np(v: np.ndarray) -> np.ndarray:
+    bl = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.astype(np.uint64).copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = tmp >= np.uint64(1 << shift)
+        bl[m] += shift
+        tmp[m] >>= np.uint64(shift)
+    bl += (tmp > 0).astype(np.int64)
+    return bl
+
+
+def _vbyte_stream(values: np.ndarray):
+    """VByte-encode a value stream; returns (buffer, per-value byte len)."""
+    v = values.astype(np.uint64)
+    ngroups = np.maximum((_bit_length_np(v) + 6) // 7, 1)
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    out = np.zeros(int(ends[-1]) if v.size else 0, dtype=np.uint8)
+    max_g = int(ngroups.max()) if v.size else 0
+    if max_g:
+        # group 0 exists for every value — no boolean select needed
+        out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | \
+            ((ngroups > 1).astype(np.uint8) << 7)
+    for g in range(1, max_g):
+        sel = ngroups > g
+        idx = starts[sel] + g
+        chunk = (v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (ngroups[sel] - 1 > g)
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out, ngroups
+
+
+def _pack_for_blocks(values: np.ndarray, blk_of_value: np.ndarray,
+                     blk_widths: np.ndarray, blk_nvals: np.ndarray):
+    """FOR-pack per-block values (block width varies) in one pass.
+
+    Returns (buffer, per-block byte offsets[nblocks+1]); each block's
+    payload is byte-aligned and bit-identical to for_pack(vals, width).
+    """
+    nblk = blk_widths.size
+    payload = (blk_nvals * blk_widths + 7) // 8
+    offs = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(payload, out=offs[1:])
+    buf = np.zeros(int(offs[-1]) + 8, dtype=np.uint8)
+    if values.size == 0:
+        return buf[:int(offs[-1])], offs
+    blk_starts_v = np.zeros(nblk, dtype=np.int64)
+    np.cumsum(blk_nvals[:-1], out=blk_starts_v[1:])
+    idx_in_blk = np.arange(values.size, dtype=np.int64) - \
+        blk_starts_v[blk_of_value]
+    w_of_value = blk_widths[blk_of_value]
+    bitpos = offs[blk_of_value] * 8 + idx_in_blk * w_of_value
+    byte0 = bitpos >> 3
+    shift = (bitpos & 7).astype(np.uint64)
+    v = values.astype(np.uint64)
+    # accumulate with bincount (+ is | here: distinct values never share
+    # bits within a byte) — orders of magnitude faster than ufunc.at
+    acc = np.zeros(buf.size, dtype=np.int64)
+    for b in range(8):
+        sel = (b * 8) < (w_of_value + 7)
+        if not np.any(sel):
+            break
+        part = ((v[sel] << shift[sel]) >> np.uint64(8 * b)) & np.uint64(0xFF)
+        acc += np.bincount(byte0[sel] + b, weights=part.astype(np.int64),
+                           minlength=buf.size).astype(np.int64)
+    hi_sel = w_of_value > 56
+    if np.any(hi_sel):
+        sh2 = (np.uint64(64) - shift[hi_sel]) % np.uint64(64)
+        hi = np.where(shift[hi_sel] > 0,
+                      v[hi_sel] >> sh2, np.uint64(0)) & np.uint64(0xFF)
+        acc += np.bincount(byte0[hi_sel] + 8, weights=hi.astype(np.int64),
+                           minlength=buf.size).astype(np.int64)
+    return acc.astype(np.uint8)[:int(offs[-1])], offs
+
+
+def encode_postings_batch(p_doc: np.ndarray, p_tf: np.ndarray,
+                          p_qdl: np.ndarray, pos_concat: np.ndarray,
+                          term_counts: np.ndarray):
+    """Encode every term's postings of a segment in one vectorized pass.
+
+    ``p_doc/p_tf/p_qdl`` are posting-level arrays sorted by (term, doc);
+    ``term_counts[t]`` = number of postings of term t (terms in order);
+    ``pos_concat`` = doc-major concatenated positions aligned to
+    postings. Returns a list per term of dicts shaped like
+    encode_postings' output (byte-identical blocks).
+    """
+    npost = p_doc.size
+    nterm = term_counts.size
+    term_starts = np.zeros(nterm, dtype=np.int64)
+    np.cumsum(term_counts[:-1], out=term_starts[1:])
+    t_ix = np.repeat(np.arange(nterm, dtype=np.int64), term_counts)
+    within = np.arange(npost, dtype=np.int64) - term_starts[t_ix]
+    blk_start_flag = (within % BLOCK_SIZE) == 0
+    gb = np.cumsum(blk_start_flag) - 1          # global block id per posting
+    blk_starts_p = np.flatnonzero(blk_start_flag)
+    nblk = blk_starts_p.size
+    blk_ends_p = np.concatenate((blk_starts_p[1:], [npost])) - 1
+    blk_nvals = blk_ends_p - blk_starts_p + 1
+    blk_term = t_ix[blk_starts_p]
+    blk_last = p_doc[blk_ends_p]
+    blk_max_tf = np.maximum.reduceat(p_tf, blk_starts_p)
+    blk_min_qdl = np.minimum.reduceat(p_qdl, blk_starts_p)
+    blk_first = p_doc[blk_starts_p]
+
+    # ---- doc blocks: deltas within block (first doc in header) -----------
+    deltas = np.empty(npost, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = p_doc[1:] - p_doc[:-1]
+    deltas[blk_starts_p] = 0                    # headers carry the first
+    is_payload = ~blk_start_flag
+    dvals = deltas[is_payload].astype(np.uint64)
+    d_blk = gb[is_payload]
+    # per-block payload max: block-start positions hold 0, so a plain
+    # reduceat over the full delta stream gives the payload max
+    d_max = np.maximum.reduceat(deltas, blk_starts_p)
+    payload_nvals = blk_nvals - 1
+    ones_cnt = np.add.reduceat(
+        (deltas == 1).astype(np.int64), blk_starts_p)
+    d_all1 = ones_cnt == payload_nvals
+    dense = d_all1 | (payload_nvals == 0)
+    d_width = np.maximum(_bit_length_np(d_max.astype(np.uint64)), 1)
+    d_width[dense] = 0
+    keep = ~dense[d_blk]
+    dbuf, doffs = _pack_for_blocks(
+        dvals[keep], d_blk[keep], d_width,
+        np.where(dense, 0, payload_nvals))
+
+    # ---- tf blocks -------------------------------------------------------
+    tf_all1 = np.add.reduceat(
+        (p_tf == 1).astype(np.int64), blk_starts_p) == blk_nvals
+    t_width = np.maximum(_bit_length_np(blk_max_tf.astype(np.uint64)), 1)
+    t_width[tf_all1] = 0
+    tkeep = ~tf_all1[gb]
+    tbuf, toffs = _pack_for_blocks(
+        p_tf[tkeep].astype(np.uint64), gb[tkeep], t_width,
+        np.where(tf_all1, 0, blk_nvals))
+
+    # ---- position blocks (VByte of per-doc deltas) -----------------------
+    npos = pos_concat.size
+    pdeltas = np.empty(npos, dtype=np.int64)
+    if npos:
+        pdeltas[0] = pos_concat[0] + 1
+        pdeltas[1:] = pos_concat[1:] - pos_concat[:-1]
+        doc_pos_starts = np.zeros(npost, dtype=np.int64)
+        np.cumsum(p_tf[:-1], out=doc_pos_starts[1:])
+        pdeltas[doc_pos_starts] = pos_concat[doc_pos_starts] + 1
+    pbuf, pglen = _vbyte_stream(pdeltas)
+    # positions per block -> byte ranges
+    blk_npos = np.add.reduceat(p_tf, blk_starts_p) if npost else \
+        np.empty(0, dtype=np.int64)
+    val_bytes_cum = np.concatenate(([0], np.cumsum(pglen)))
+    blk_pos_starts_v = np.zeros(nblk, dtype=np.int64)
+    np.cumsum(blk_npos[:-1], out=blk_pos_starts_v[1:])
+    p_off_lo = val_bytes_cum[blk_pos_starts_v]
+    p_off_hi = val_bytes_cum[blk_pos_starts_v + blk_npos]
+
+    # ---- assemble per-term python structures -----------------------------
+    dmem, tmem, pmem = dbuf.tobytes(), tbuf.tobytes(), pbuf.tobytes()
+    out = []
+    blk_term_starts = np.zeros(nterm, dtype=np.int64)
+    term_nblk = np.bincount(blk_term, minlength=nterm)
+    np.cumsum(term_nblk[:-1], out=blk_term_starts[1:])
+    first_hdr = blk_first.astype(np.uint64)
+    for t in range(nterm):
+        b0, b1 = blk_term_starts[t], blk_term_starts[t] + term_nblk[t]
+        doc_blocks, tf_blocks, pos_blocks = [], [], []
+        for j in range(b0, b1):
+            hdr = bytes([int(d_width[j])]) + first_hdr[j].tobytes()
+            doc_blocks.append(
+                hdr + dmem[doffs[j]:doffs[j + 1]])
+            tf_blocks.append(
+                bytes([int(t_width[j])]) + tmem[toffs[j]:toffs[j + 1]])
+            pos_blocks.append(pmem[p_off_lo[j]:p_off_hi[j]])
+        out.append({
+            "doc_blocks": doc_blocks,
+            "tf_blocks": tf_blocks,
+            "pos_blocks": pos_blocks,
+            "skip_last_docid": blk_last[b0:b1],
+            "skip_n_docs": blk_nvals[b0:b1].astype(np.int32),
+            "skip_max_tf": blk_max_tf[b0:b1],
+            "skip_min_qdl": blk_min_qdl[b0:b1],
+        })
+    return out
+
+
 def decode_block(doc_blocks, tf_blocks, skip_n_docs, i: int):
     """Decode block i -> (docids, tfs)."""
     n = int(skip_n_docs[i])

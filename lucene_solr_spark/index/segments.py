@@ -58,6 +58,7 @@ PACKED_SCHEMA = StructType([
     StructField("skip_n_docs", ArrayType(IntegerType())),
     StructField("skip_max_tf", ArrayType(LongType())),
     StructField("skip_min_qdl", ArrayType(LongType())),
+    StructField("packed_bytes", LongType()),
 ])
 
 
@@ -86,6 +87,10 @@ def _pack_rows(it):
             out["skip_n_docs"].append(enc["skip_n_docs"].tolist())
             out["skip_max_tf"].append(enc["skip_max_tf"].tolist())
             out["skip_min_qdl"].append(enc["skip_min_qdl"].tolist())
+            out["packed_bytes"].append(
+                sum(len(x) for x in enc["doc_blocks"])
+                + sum(len(x) for x in enc["tf_blocks"])
+                + sum(len(x) for x in (enc["pos_blocks"] or ())))
         yield pd.DataFrame(out)
 
 
@@ -114,6 +119,261 @@ def build_packed_postings(postings: DataFrame, docs: DataFrame,
                F.col("pl.qdl").alias("qdls"),
                F.flatten("pl.positions").alias("pos_concat")))
     return agg.mapInPandas(_pack_rows, PACKED_SCHEMA)
+
+
+# byte tables for the `simple` analyzer: [A-Za-z0-9]+ runs, ASCII
+# lowercase — identical semantics to analyzers.simple_tokens_col (UTF-8
+# multibyte lead/continuation bytes are >= 0x80 and thus separators for
+# both). Byte-level + lookup tables keeps tokenization a handful of
+# streaming passes over contiguous Arrow buffers — no JVM regex (which
+# allocation-storms at high parallelism), no Python string objects.
+_ALNUM = np.zeros(256, dtype=bool)
+for _c in (range(48, 58), range(65, 91), range(97, 123)):
+    _ALNUM[list(_c)] = True
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] += 32
+
+
+_ALLOC_TUNED = False
+
+
+def _tune_allocator():
+    """Make reused python workers keep their heap warm.
+
+    First-touch page faults dominate concurrent kernel cost on
+    virtualized hosts (page zeroing is serialized in the hypervisor);
+    measured here: a cold kernel call is ~14x slower than a warm one at
+    26-way concurrency. Two sources of page churn:
+      - pyarrow's jemalloc pool returns dirty pages eagerly -> switch
+        to the system (glibc) pool;
+      - glibc serves large allocations via mmap/munmap -> raise the
+        mmap threshold and disable trim so freed buffers stay mapped
+        and are reused by the next task on the same worker
+        (spark.python.worker.reuse is on by default).
+    Idempotent, per-process."""
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED:
+        return
+    _ALLOC_TUNED = True
+    try:
+        import pyarrow as pa
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, (1 << 31) - 1)
+    except Exception:
+        pass
+
+
+def _byte_tokenize(text_col):
+    """ChunkedArray/Array of strings -> (raw bytes, doc byte offsets,
+    token byte starts, token byte ends, token doc index)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ta = text_col.combine_chunks() if hasattr(text_col, "combine_chunks") \
+        else text_col
+    ta = pc.cast(ta, pa.large_utf8())
+    toffs = np.frombuffer(ta.buffers()[1], dtype=np.int64,
+                          count=len(ta) + 1)
+    base = int(toffs[0])
+    if base:
+        toffs = toffs - base  # sliced array view
+    raw = np.frombuffer(ta.buffers()[2], dtype=np.uint8,
+                        count=int(toffs[-1]) + base)[base:]
+    nb = raw.size
+    if nb == 0:
+        z = np.empty(0, dtype=np.int64)
+        return raw, toffs, z, z, z
+    mask = _ALNUM[raw]
+    prev = np.empty(nb, dtype=bool)
+    prev[0] = False
+    prev[1:] = mask[:-1]
+    nxt = np.empty(nb, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = mask[1:]
+    doc_edge = toffs[1:-1]
+    doc_edge = doc_edge[(doc_edge > 0) & (doc_edge < nb)]
+    prev[doc_edge] = False                      # token cannot cross docs
+    nxt[doc_edge - 1] = False
+    tok_starts = np.flatnonzero(mask & ~prev)
+    tok_ends = np.flatnonzero(mask & ~nxt) + 1
+    tok_doc = np.searchsorted(toffs, tok_starts, side="right") - 1
+    return raw, toffs, tok_starts, tok_ends, tok_doc
+
+
+def _invert_kernel_arrow():
+    """Arrow-native kernel for the direct (DWPT-style) segment build:
+    one group = one segment's (docid, tokens) rows, tokens already
+    produced by the JVM tokenizer. This is the Spark shape of Lucene's
+    DocumentsWriterPerThread — each doc-range slice privately builds
+    its whole mini-index at flush (INDEX/DocumentsWriterPerThread.java,
+    DefaultIndexingChain.java:386-850, byte-slice TermsHash
+    INDEX/TermsHashPerField.java) — with the term hash realized as
+    pyarrow ``dictionary_encode`` (C++, contiguous buffers; no Python
+    string objects are ever materialized for the token stream, which
+    keeps the kernel compute-bound instead of memory-bandwidth-bound
+    and is what makes build throughput scale with cores)."""
+
+    def kernel(key, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..codecs.smallfloat import quantize_length_np
+
+        _tune_allocator()
+        seg_id = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        order = pc.sort_indices(tbl["docid"])
+        tbl = tbl.take(order)
+        docids = tbl["docid"].to_numpy()
+        raw, toffs, tok_starts, tok_ends, tok_doc = _byte_tokenize(
+            tbl["text"])
+        n_docs = len(toffs) - 1
+        n_tok = tok_starts.size
+        dl = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+        qdl = quantize_length_np(dl)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(dl, out=offsets[1:])
+
+        out = {c.name: [] for c in PACKED_SCHEMA.fields}
+        if n_tok:
+            # ---- materialize lowercased token bytes (ragged gather) ---
+            lens = tok_ends - tok_starts
+            tb_off = np.zeros(n_tok + 1, dtype=np.int64)
+            np.cumsum(lens, out=tb_off[1:])
+            gidx = (np.arange(int(tb_off[-1]), dtype=np.int64)
+                    - np.repeat(tb_off[:-1], lens)
+                    + np.repeat(tok_starts, lens))
+            tok_bytes = _LOWER[raw[gidx]]
+            flat = pa.Array.from_buffers(
+                pa.large_utf8(), n_tok,
+                [None, pa.py_buffer(tb_off.tobytes()),
+                 pa.py_buffer(tok_bytes.tobytes())])
+            de = pc.dictionary_encode(flat)
+            codes = de.indices.to_numpy().astype(np.int64)
+            uniq_unsorted = de.dictionary  # StringArray of uniques
+            # order the dictionary (unsigned-byte term order =
+            # TermsHashPerField.sortPostings); small: ~vocab size
+            term_order = pc.sort_indices(uniq_unsorted).to_numpy() \
+                .astype(np.int64)
+            rank = np.empty_like(term_order)
+            rank[term_order] = np.arange(term_order.size)
+            codes = rank[codes]
+            uniq = uniq_unsorted.take(pa.array(term_order))
+            uniq_py = uniq.to_pylist()
+
+            n_docs = dl.size
+            doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), dl)
+            pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
+                offsets[:-1], dl)
+            order2 = np.argsort(codes, kind="stable")
+            sdoc = doc_ix[order2]
+            spos = pos[order2]
+            scodes = codes[order2]
+            # posting (term, doc) run boundaries — fully vectorized
+            # (FreqProxTermsWriterPerField's per-term lastDocID walk)
+            pb = np.flatnonzero((np.diff(scodes, prepend=-1) != 0)
+                                | (np.diff(sdoc, prepend=-1) != 0))
+            p_doc_l = sdoc[pb]
+            p_tf = np.diff(np.concatenate((pb, [n_tok])))
+            p_code = scodes[pb]
+            term_counts = np.bincount(p_code, minlength=len(uniq_py))
+            ttf_per_term = np.bincount(scodes, minlength=len(uniq_py))
+            encs = blk.encode_postings_batch(
+                docids[p_doc_l], p_tf, qdl[p_doc_l], spos, term_counts)
+            for i in range(len(uniq_py)):
+                enc = encs[i]
+                out["seg_id"].append(seg_id)
+                out["term"].append(uniq_py[i])
+                out["df"].append(int(term_counts[i]))
+                out["ttf"].append(int(ttf_per_term[i]))
+                out["doc_blocks"].append(enc["doc_blocks"])
+                out["tf_blocks"].append(enc["tf_blocks"])
+                out["pos_blocks"].append(enc["pos_blocks"])
+                out["skip_last_docid"].append(
+                    enc["skip_last_docid"].tolist())
+                out["skip_n_docs"].append(enc["skip_n_docs"].tolist())
+                out["skip_max_tf"].append(enc["skip_max_tf"].tolist())
+                out["skip_min_qdl"].append(enc["skip_min_qdl"].tolist())
+                out["packed_bytes"].append(
+                    sum(len(x) for x in enc["doc_blocks"])
+                    + sum(len(x) for x in enc["tf_blocks"])
+                    + sum(len(x) for x in enc["pos_blocks"]))
+        return pa.Table.from_pydict(
+            out, schema=pa.schema([
+                ("seg_id", pa.int32()), ("term", pa.string()),
+                ("df", pa.int64()), ("ttf", pa.int64()),
+                ("doc_blocks", pa.list_(pa.binary())),
+                ("tf_blocks", pa.list_(pa.binary())),
+                ("pos_blocks", pa.list_(pa.binary())),
+                ("skip_last_docid", pa.list_(pa.int64())),
+                ("skip_n_docs", pa.list_(pa.int32())),
+                ("skip_max_tf", pa.list_(pa.int64())),
+                ("skip_min_qdl", pa.list_(pa.int64())),
+                ("packed_bytes", pa.int64()),
+            ]))
+
+    return kernel
+
+
+def build_packed_direct(docs_raw: DataFrame, docs_per_segment: int,
+                        text_col: str = "text", base_docid: int = 0,
+                        seg_id_base: int = 0) -> DataFrame:
+    """(docid, text) -> packed posting rows, one shuffle total (raw text
+    to segment builders). The hot 100 TB path."""
+    d = docs_raw.select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col(text_col).alias("text"),
+        _seg_expr(docs_per_segment, base_docid, seg_id_base).alias("seg_id"))
+    return d.groupBy("seg_id").applyInArrow(
+        _invert_kernel_arrow(), PACKED_SCHEMA)
+
+
+def build_norms_direct(docs_raw: DataFrame, docs_per_segment: int,
+                       text_col: str = "text", base_docid: int = 0,
+                       seg_id_base: int = 0) -> DataFrame:
+    """(docid, text) -> per-segment norm/qdl blobs via the byte
+    tokenizer (count-only; no token materialization)."""
+
+    def kernel(key, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..codecs.smallfloat import int_to_byte4_np, quantize_length_np
+
+        _tune_allocator()
+        seg_id = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        order = pc.sort_indices(tbl["docid"])
+        tbl = tbl.take(order)
+        docids = tbl["docid"].to_numpy()
+        _, toffs, _, _, tok_doc = _byte_tokenize(tbl["text"])
+        n_docs = len(toffs) - 1
+        dl = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+        lo = int(docids.min())
+        span = int(docids.max()) - lo + 1
+        nb_arr = np.zeros(span, dtype=np.uint8)
+        nb_arr[docids - lo] = int_to_byte4_np(dl).astype(np.uint8)
+        qb = np.zeros(span, dtype=np.int32)
+        qb[docids - lo] = quantize_length_np(dl).astype(np.int32)
+        return pa.Table.from_pydict({
+            "seg_id": [seg_id], "docid_min": [lo],
+            "n_docs": [int(n_docs)],
+            "norm_blob": [nb_arr.tobytes()],
+            "qdl_blob": [qb.tobytes()],
+        }, schema=pa.schema([
+            ("seg_id", pa.int32()), ("docid_min", pa.int64()),
+            ("n_docs", pa.int64()), ("norm_blob", pa.binary()),
+            ("qdl_blob", pa.binary())]))
+
+    d = docs_raw.select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col(text_col).alias("text"),
+        _seg_expr(docs_per_segment, base_docid, seg_id_base).alias("seg_id"))
+    return d.groupBy("seg_id").applyInArrow(kernel, NORMS_SCHEMA)
 
 
 NORMS_SCHEMA = StructType([
@@ -180,19 +440,29 @@ class SegmentIndex:
     docs_per_segment: int
     generation: int = 1
     live_segs: tuple = ()
+    data_gens: dict = None  # gen -> [seg_ids] written under that gen dir
 
     def _live(self, df: DataFrame) -> DataFrame:
         if not self.live_segs:
             return df
         return df.filter(F.col("seg_id").isin(list(self.live_segs)))
 
+    def _data(self, sub: str) -> DataFrame:
+        gens = sorted(self.data_gens or {})
+        paths = [f"{self.path}/{sub}/gen={g}" for g in gens
+                 if os.path.isdir(f"{self.path}/{sub}/gen={g}")]
+        if not paths:
+            schema = PACKED_SCHEMA if sub == "postings" else NORMS_SCHEMA
+            return self.spark.createDataFrame([], schema)
+        return self._live(self.spark.read.parquet(*paths))
+
     @property
     def packed(self) -> DataFrame:
-        return self._live(self.spark.read.parquet(f"{self.path}/postings"))
+        return self._data("postings")
 
     @property
     def norms(self) -> DataFrame:
-        return self._live(self.spark.read.parquet(f"{self.path}/norms"))
+        return self._data("norms")
 
     @property
     def term_stats(self) -> DataFrame:
@@ -215,16 +485,16 @@ class SegmentIndex:
 
 def catalog_from_packed(pk: DataFrame, norms: DataFrame,
                         lineage: str) -> DataFrame:
-    """Segment metrics (rows/bytes) + lineage for new packed rows."""
-    bytes_expr = (
-        "aggregate(transform(doc_blocks, x -> length(x)), 0L, (a, x) -> a + x)"
-        " + aggregate(transform(tf_blocks, x -> length(x)), 0L, (a, x) -> a + x)"
-        " + aggregate(transform(pos_blocks, x -> length(x)), 0L, (a, x) -> a + x)")
-    cat = pk.groupBy("seg_id").agg(
-        F.count("*").cast("long").alias("n_terms"),
-        F.sum("df").cast("long").alias("n_postings"),
-        F.sum("ttf").cast("long").alias("n_tokens"),
-        F.sum(F.expr(bytes_expr)).cast("long").alias("packed_bytes"))
+    """Segment metrics (rows/bytes) + lineage for new packed rows.
+
+    Reads only scalar columns (parquet column pruning — the blob
+    columns never leave disk)."""
+    cat = pk.select("seg_id", "df", "ttf", "packed_bytes") \
+        .groupBy("seg_id").agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("ttf").cast("long").alias("n_tokens"),
+            F.sum("packed_bytes").cast("long").alias("packed_bytes"))
     nm = norms.select("seg_id", "docid_min",
                       F.col("n_docs").alias("n_docs"))
     return (cat.join(nm, "seg_id")
@@ -234,8 +504,11 @@ def catalog_from_packed(pk: DataFrame, norms: DataFrame,
 
 def write_commit(path: str, generation: int, doc_count: int, sum_ttf: int,
                  docs_per_segment: int, next_seg_id: int,
-                 live_segs: list, lineage: str = "") -> None:
-    commit = {
+                 live_segs: list, lineage: str = "",
+                 data_gens: dict | None = None,
+                 extra: dict | None = None) -> None:
+    commit = dict(extra or {})
+    commit.update({
         "generation": generation,
         "doc_count": doc_count,
         "sum_ttf": sum_ttf,
@@ -243,7 +516,9 @@ def write_commit(path: str, generation: int, doc_count: int, sum_ttf: int,
         "next_seg_id": next_seg_id,
         "live_segs": sorted(int(s) for s in live_segs),
         "lineage": lineage,
-    }
+        "data_gens": {str(g): sorted(int(s) for s in segs)
+                      for g, segs in (data_gens or {}).items()},
+    })
     tmp = os.path.join(path, "commit.json.tmp")
     with open(tmp, "w") as f:
         json.dump(commit, f)
@@ -273,7 +548,9 @@ def open_segments(spark: SparkSession, path: str) -> SegmentIndex:
                         sum_ttf=commit["sum_ttf"],
                         docs_per_segment=commit["docs_per_segment"],
                         generation=commit["generation"],
-                        live_segs=tuple(commit.get("live_segs", ())))
+                        live_segs=tuple(commit.get("live_segs", ())),
+                        data_gens={int(g): segs for g, segs in
+                                   commit.get("data_gens", {}).items()})
 
 
 # ---------------------------------------------------------------------------

@@ -4,13 +4,16 @@ The Spark re-expression of Lucene's write path
 (INDEX/IndexWriter.java:1212 addDocument -> DWPT flush -> publish ->
 TieredMergePolicy -> commit; INDEX/SegmentInfos.java generations):
 
-- ``append(batch)`` = one "flush": assign docids continuing from the
-  commit's doc_count (insertion-ordered like Lucene docIDs), build
-  packed segments + norms for the batch, write them as NEW seg_id
-  partitions, then atomically swap ``commit.json`` to a new generation
-  whose catalog/term_stats snapshots include the batch. A crash before
-  the swap leaves orphan partitions that no reader sees and that the
-  next append simply ignores — that is the checkpoint/resume story
+- ``append_raw(batch)`` = one "flush": assign docids continuing from
+  the commit's doc_count (insertion-ordered like Lucene docIDs), build
+  packed segments + norms for the batch with ONE data shuffle, and
+  write them into fresh per-generation directories
+  (``postings/gen=N``, ``norms/gen=N``) — plain parquet appends, no
+  dynamic-partition write, no sort (the build kernel already emits
+  rows segment-grouped and term-sorted, so parquet row-group min/max
+  stats prune term lookups for free). The commit.json swap is atomic;
+  a crashed append leaves a gen directory no commit references, and
+  the retry simply overwrites it — that is the checkpoint/resume story
   (the north rule's "resumable from checkpoint with per-partition
   lineage + metrics").
 - ``maybe_merge()`` = TieredMergePolicy
@@ -19,8 +22,10 @@ TieredMergePolicy -> commit; INDEX/SegmentInfos.java generations):
   merged segments stay contiguous ranges. The merge job itself is a
   **bulk merge**: because blocks carry explicit lengths, a merged
   posting row is the docid-ordered concatenation of the source rows'
-  block arrays — pure JVM (sort_array + flatten), no decode, exactly
-  Lucene's bulk-merge fast path (FieldsConsumer.merge:86).
+  block arrays — pure JVM (sort_array+flatten, no decode), exactly
+  Lucene's bulk-merge fast path (codecs/FieldsConsumer.merge:86).
+- ``vacuum()`` deletes generation directories whose segments are all
+  dead (merge inputs), like Lucene deleting merged-away segment files.
 """
 
 from __future__ import annotations
@@ -35,9 +40,12 @@ from pyspark.sql import functions as F
 from .builder import InvertedIndex, build_index
 from .docids import assign_docids
 from .segments import (
-    SegmentIndex, build_norms, build_packed_postings, catalog_from_packed,
-    read_commit, write_commit,
+    SegmentIndex, build_norms, build_norms_direct, build_packed_direct,
+    build_packed_postings, catalog_from_packed, read_commit, write_commit,
 )
+
+_COMMIT_KEYS = {"generation", "doc_count", "sum_ttf", "docs_per_segment",
+                "next_seg_id", "live_segs", "lineage", "data_gens"}
 
 
 class IndexWriter:
@@ -53,7 +61,7 @@ class IndexWriter:
         os.makedirs(path, exist_ok=True)
         write_commit(path, generation=0, doc_count=0, sum_ttf=0,
                      docs_per_segment=docs_per_segment, next_seg_id=0,
-                     live_segs=[])
+                     live_segs=[], data_gens={})
         return cls(spark, path)
 
     @classmethod
@@ -67,6 +75,35 @@ class IndexWriter:
     def reader(self) -> SegmentIndex:
         from .segments import open_segments
         return open_segments(self.spark, self.path)
+
+    def _gen_dir(self, sub: str, gen: int) -> str:
+        return f"{self.path}/{sub}/gen={gen}"
+
+    def _extras(self, st: dict) -> dict:
+        return {k: v for k, v in st.items() if k not in _COMMIT_KEYS}
+
+    def _write_commit(self, st: dict, **updates) -> None:
+        merged = {**st, **updates}
+        write_commit(self.path,
+                     generation=merged["generation"],
+                     doc_count=merged["doc_count"],
+                     sum_ttf=merged["sum_ttf"],
+                     docs_per_segment=merged["docs_per_segment"],
+                     next_seg_id=merged["next_seg_id"],
+                     live_segs=merged["live_segs"],
+                     lineage=merged.get("lineage", ""),
+                     data_gens=merged.get("data_gens", {}))
+        extras = self._extras(st)
+        if extras:
+            import json
+            p = os.path.join(self.path, "commit.json")
+            with open(p) as f:
+                c = json.load(f)
+            c.update(extras)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(c, f)
+            os.replace(tmp, p)
 
     # -- append -------------------------------------------------------------
 
@@ -84,52 +121,91 @@ class IndexWriter:
                          analyzer=analyzer, cache=False)
         return self.append_index(ix, lineage=lineage)
 
-    def append_index(self, ix: InvertedIndex, lineage: str = "") -> SegmentIndex:
+    def append_raw(self, batch: DataFrame, text_col: str = "text",
+                   order_cols: list | None = None,
+                   lineage: str = "") -> SegmentIndex:
+        """The hot build path: raw docs -> segments with ONE data shuffle.
+
+        Unlike append()/append_index() (which materialize the exploded
+        (term, docid) postings DataFrame — the oracle-checkable layout),
+        this ships raw text straight to per-segment builder tasks that
+        tokenize + invert + pack in vectorized numpy/Arrow (the DWPT
+        shape). Shuffled bytes = corpus size, not token-explosion size.
+        Results are bit-identical: the kernel implements the same
+        tokenizer spec and shares the SmallFloat/packing code paths
+        (tests assert store equality against the exploded path)."""
+        st = self.commit_state()
+        dps = st["docs_per_segment"]
+        base = st["doc_count"]
+        seg_base = st["next_seg_id"]
+        gen = st["generation"] + 1
+        order_cols = order_cols or ["conv_id", "turn_idx"]
+
+        ids = assign_docids(batch, order_cols)
+        if base:
+            ids = ids.withColumn("docid", F.col("docid") + base)
+
+        # mode=overwrite clears the orphan gen dir of a crashed attempt
+        build_packed_direct(ids, dps, text_col=text_col, base_docid=base,
+                            seg_id_base=seg_base) \
+            .write.mode("overwrite").parquet(self._gen_dir("postings", gen))
+        build_norms_direct(ids, dps, text_col=text_col, base_docid=base,
+                           seg_id_base=seg_base) \
+            .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
+        return self._publish(st, gen, lineage)
+
+    def append_index(self, ix: InvertedIndex,
+                     lineage: str = "") -> SegmentIndex:
         """Publish an already-built InvertedIndex whose docids start at
         the current commit's doc_count (segment-publish step)."""
         st = self.commit_state()
         dps = st["docs_per_segment"]
         base = st["doc_count"]
         seg_base = st["next_seg_id"]
-        # resume: partitions at seg_id >= next_seg_id are orphans of a
-        # crashed append (never referenced by any commit) — drop them so
-        # the retry writes into clean partitions
-        self._drop_orphans(seg_base)
-
-        packed = build_packed_postings(ix.postings, ix.docs, dps,
-                                       base_docid=base, seg_id_base=seg_base)
-        (packed.repartition("seg_id")
-         .sortWithinPartitions("seg_id", "term")
-         .write.mode("append").partitionBy("seg_id")
-         .parquet(f"{self.path}/postings"))
-
-        norms = build_norms(ix.docs, dps, base_docid=base,
-                            seg_id_base=seg_base)
-        (norms.write.mode("append").partitionBy("seg_id")
-         .parquet(f"{self.path}/norms"))
-
         gen = st["generation"] + 1
-        new_segs = [r["seg_id"] for r in
-                    self.spark.read.parquet(f"{self.path}/norms")
-                    .filter(F.col("seg_id") >= seg_base)
-                    .select("seg_id").distinct().collect()]
+
+        # postings/docs feed three consumers (pack, norms, term_stats)
+        # — persist so the invert pipeline runs once, not 3x
+        own_cache = not ix._cached
+        if own_cache:
+            ix.postings.persist()
+            ix.docs.persist()
+        build_packed_postings(ix.postings, ix.docs, dps, base_docid=base,
+                              seg_id_base=seg_base) \
+            .sortWithinPartitions("seg_id", "term") \
+            .write.mode("overwrite").parquet(self._gen_dir("postings", gen))
+        build_norms(ix.docs, dps, base_docid=base, seg_id_base=seg_base) \
+            .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
+        out = self._publish(st, gen, lineage)
+        if own_cache:
+            ix.postings.unpersist()
+            ix.docs.unpersist()
+        return out
+
+    def _publish(self, st: dict, gen: int, lineage: str) -> SegmentIndex:
+        """Catalog/term_stats snapshots + atomic commit swap for the
+        segments just written under gen's data dirs (scalar-column jobs
+        only — blob columns never leave disk)."""
+        nm_new = self.spark.read.parquet(self._gen_dir("norms", gen))
+        pk_new = self.spark.read.parquet(self._gen_dir("postings", gen))
+        cat_add = catalog_from_packed(pk_new, nm_new, lineage).persist()
+        cat_rows = cat_add.collect()
+        new_segs = [r["seg_id"] for r in cat_rows]
         live = sorted(set(st.get("live_segs", [])) | set(new_segs))
 
-        # catalog snapshot = previous snapshot + new segment rows
-        pk_new = (self.spark.read.parquet(f"{self.path}/postings")
-                  .filter(F.col("seg_id").isin(new_segs)))
-        nm_new = (self.spark.read.parquet(f"{self.path}/norms")
-                  .filter(F.col("seg_id").isin(new_segs)))
-        cat_new = catalog_from_packed(pk_new, nm_new, lineage)
+        cat_new = cat_add
         if st["generation"] > 0:
-            cat_prev = self.spark.read.parquet(
-                f"{self.path}/catalog/gen={st['generation']}")
-            cat_new = cat_prev.unionByName(cat_new)
+            cat_new = self.spark.read.parquet(
+                f"{self.path}/catalog/gen={st['generation']}") \
+                .unionByName(cat_add)
         cat_new.write.mode("overwrite").parquet(
             f"{self.path}/catalog/gen={gen}")
+        cat_add.unpersist()
 
-        # term_stats snapshot = previous + batch, summed
-        ts_new = ix.term_stats
+        ts_new = (pk_new.select("term", "df", "ttf")
+                  .groupBy("term")
+                  .agg(F.sum("df").cast("long").alias("df"),
+                       F.sum("ttf").cast("long").alias("ttf")))
         if st["generation"] > 0:
             ts_prev = self.spark.read.parquet(
                 f"{self.path}/term_stats/gen={st['generation']}")
@@ -140,12 +216,14 @@ class IndexWriter:
         ts_new.write.mode("overwrite").parquet(
             f"{self.path}/term_stats/gen={gen}")
 
-        write_commit(self.path, generation=gen,
-                     doc_count=st["doc_count"] + ix.doc_count,
-                     sum_ttf=st["sum_ttf"] + ix.sum_ttf,
-                     docs_per_segment=dps,
-                     next_seg_id=(max(live) + 1) if live else 0,
-                     live_segs=live, lineage=lineage)
+        data_gens = dict(st.get("data_gens", {}))
+        data_gens[gen] = sorted(new_segs)
+        self._write_commit(
+            st, generation=gen,
+            doc_count=st["doc_count"] + sum(r["n_docs"] for r in cat_rows),
+            sum_ttf=st["sum_ttf"] + sum(r["n_tokens"] for r in cat_rows),
+            next_seg_id=(max(live) + 1) if live else 0,
+            live_segs=live, lineage=lineage, data_gens=data_gens)
         return self.reader()
 
     # -- tiered merge -------------------------------------------------------
@@ -169,15 +247,16 @@ class IndexWriter:
     def merge_segments(self, seg_ids: list) -> SegmentIndex:
         """Bulk-merge docid-adjacent segments into one new segment."""
         st = self.commit_state()
+        six = self.reader()
         seg_ids = sorted(seg_ids)
         new_id = st["next_seg_id"]
-        pk = (self.spark.read.parquet(f"{self.path}/postings")
-              .filter(F.col("seg_id").isin(seg_ids)))
+        gen = st["generation"] + 1
+        pk = six.packed.filter(F.col("seg_id").isin(seg_ids))
         # concatenation order must be docid order; seg_id order diverges
         # from it once merged segments (fresh, higher ids) re-merge, so
         # sort by the catalog's docid_min
         rng = {r["seg_id"]: int(r["docid_min"])
-               for r in (self.reader().catalog
+               for r in (six.catalog
                          .filter(F.col("seg_id").isin(seg_ids))
                          .select("seg_id", "docid_min").collect())}
         rng_df = self.spark.createDataFrame(
@@ -187,7 +266,8 @@ class IndexWriter:
                   .agg(F.sort_array(F.collect_list(F.struct(
                       "docid_min", "df", "ttf", "doc_blocks", "tf_blocks",
                       "pos_blocks", "skip_last_docid", "skip_n_docs",
-                      "skip_max_tf", "skip_min_qdl"))).alias("pl"))
+                      "skip_max_tf", "skip_min_qdl",
+                      "packed_bytes"))).alias("pl"))
                   .select(
                       F.lit(new_id).cast("int").alias("seg_id"),
                       "term",
@@ -201,13 +281,13 @@ class IndexWriter:
                       F.flatten("pl.skip_last_docid").alias("skip_last_docid"),
                       F.flatten("pl.skip_n_docs").alias("skip_n_docs"),
                       F.flatten("pl.skip_max_tf").alias("skip_max_tf"),
-                      F.flatten("pl.skip_min_qdl").alias("skip_min_qdl")))
-        (merged.repartition(1).sortWithinPartitions("term")
-         .write.mode("append").partitionBy("seg_id")
-         .parquet(f"{self.path}/postings"))
+                      F.flatten("pl.skip_min_qdl").alias("skip_min_qdl"),
+                      F.aggregate("pl.packed_bytes", F.lit(0).cast("long"),
+                                  lambda a, x: a + x).alias("packed_bytes")))
+        (merged.sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(self._gen_dir("postings", gen)))
 
-        nm = (self.spark.read.parquet(f"{self.path}/norms")
-              .filter(F.col("seg_id").isin(seg_ids)))
+        nm = six.norms.filter(F.col("seg_id").isin(seg_ids))
 
         def _merge_norms(it):
             import numpy as np
@@ -235,57 +315,58 @@ class IndexWriter:
                 "norm_blob": [nb.tobytes()], "qdl_blob": [qb.tobytes()]})
 
         (nm.repartition(1).mapInPandas(_merge_norms, nm.schema)
-         .write.mode("append").partitionBy("seg_id")
-         .parquet(f"{self.path}/norms"))
+         .write.mode("overwrite").parquet(self._gen_dir("norms", gen)))
 
-        gen = st["generation"] + 1
         live = sorted((set(st["live_segs"]) - set(seg_ids)) | {new_id})
-        pk_new = (self.spark.read.parquet(f"{self.path}/postings")
-                  .filter(F.col("seg_id") == new_id))
-        nm_new = (self.spark.read.parquet(f"{self.path}/norms")
-                  .filter(F.col("seg_id") == new_id))
         lineage = f"merge({','.join(map(str, seg_ids))})"
-        cat_prev = (self.spark.read.parquet(
+        pk_new = self.spark.read.parquet(self._gen_dir("postings", gen))
+        nm_new = self.spark.read.parquet(self._gen_dir("norms", gen))
+        cat = (self.spark.read.parquet(
             f"{self.path}/catalog/gen={st['generation']}")
-            .filter(~F.col("seg_id").isin(seg_ids)))
-        cat = cat_prev.unionByName(
-            catalog_from_packed(pk_new, nm_new, lineage))
+            .filter(~F.col("seg_id").isin(seg_ids))
+            .unionByName(catalog_from_packed(pk_new, nm_new, lineage)))
         cat.write.mode("overwrite").parquet(f"{self.path}/catalog/gen={gen}")
         # term stats unchanged by merge — snapshot carries forward
-        src = f"{self.path}/term_stats/gen={st['generation']}"
-        dst = f"{self.path}/term_stats/gen={gen}"
-        self.spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+        self.spark.read.parquet(
+            f"{self.path}/term_stats/gen={st['generation']}") \
+            .write.mode("overwrite").parquet(
+                f"{self.path}/term_stats/gen={gen}")
 
-        write_commit(self.path, generation=gen, doc_count=st["doc_count"],
-                     sum_ttf=st["sum_ttf"], docs_per_segment=st["docs_per_segment"],
-                     next_seg_id=new_id + 1, live_segs=live, lineage=lineage)
+        data_gens = dict(st.get("data_gens", {}))
+        data_gens[gen] = [new_id]
+        self._write_commit(st, generation=gen, next_seg_id=new_id + 1,
+                           live_segs=live, lineage=lineage,
+                           data_gens=data_gens)
         return self.reader()
 
-    def _drop_orphans(self, next_seg_id: int) -> None:
-        for sub in ("postings", "norms"):
-            root = os.path.join(self.path, sub)
-            if not os.path.isdir(root):
-                continue
-            for d in os.listdir(root):
-                if d.startswith("seg_id=") and \
-                        int(d.split("=")[1]) >= next_seg_id:
-                    shutil.rmtree(os.path.join(root, d))
-
     def vacuum(self) -> list:
-        """Delete non-live seg_id partition dirs (old merged inputs)."""
+        """Delete generation data dirs whose segments are all dead."""
         st = self.commit_state()
         live = set(st["live_segs"])
+        data_gens = {int(g): segs
+                     for g, segs in st.get("data_gens", {}).items()}
         removed = []
+        for g in sorted(data_gens):
+            if not set(data_gens[g]) & live:
+                for sub in ("postings", "norms"):
+                    d = self._gen_dir(sub, g)
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+                        removed.append(f"{sub}/gen={g}")
+                del data_gens[g]
+        # also drop stale uncommitted gen dirs (crashed attempts)
+        committed = set(data_gens)
         for sub in ("postings", "norms"):
             root = os.path.join(self.path, sub)
             if not os.path.isdir(root):
                 continue
             for d in os.listdir(root):
-                if d.startswith("seg_id="):
-                    sid = int(d.split("=")[1])
-                    if sid not in live:
-                        shutil.rmtree(os.path.join(root, d))
-                        removed.append(f"{sub}/{d}")
+                if d.startswith("gen=") and int(d.split("=")[1]) \
+                        not in committed:
+                    shutil.rmtree(os.path.join(root, d))
+                    removed.append(f"{sub}/{d}")
+        if removed:
+            self._write_commit(st, data_gens=data_gens)
         return removed
 
 
