@@ -58,12 +58,18 @@ def _seg_searcher(spark: SparkSession, sf_dir: str) -> SegmentSearcher:
     if sf_dir not in _SEG:
         import hashlib
         import os
+
+        from lucene_solr_spark.index.segments import FORMAT_VERSION
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        out = f"/tmp/lucene_solr_spark_segs/{tag}"
+        out = f"/tmp/lucene_solr_spark_segs/v{FORMAT_VERSION}/{tag}"
         if not os.path.exists(f"{out}/commit.json"):
-            ix = build_index(_documents(spark, sf_dir), cache=False)
-            write_segments(ix, out, docs_per_segment=1024,
-                           lineage=f"documents@{sf_dir}")
+            # hot build path (append_raw): byte-identical to the
+            # exploded path, so the oracle gate checks it too
+            from lucene_solr_spark.index.writer import IndexWriter
+            w = IndexWriter.create(spark, out, docs_per_segment=1024)
+            w.append_raw(_documents(spark, sf_dir),
+                         order_cols=["doc_id"],
+                         lineage=f"documents@{sf_dir}")
         from lucene_solr_spark.index.segments import open_segments
         _SEG[sf_dir] = SegmentSearcher(open_segments(spark, out))
     return _SEG[sf_dir]

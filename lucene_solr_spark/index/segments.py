@@ -46,6 +46,9 @@ from pyspark.sql.types import (
 from ..codecs import blocks as blk
 from .builder import InvertedIndex
 
+# bump when the on-disk layout changes (readers must not open older stores)
+FORMAT_VERSION = 2
+
 PACKED_SCHEMA = StructType([
     StructField("seg_id", IntegerType()),
     StructField("term", StringType()),
