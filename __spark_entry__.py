@@ -24,11 +24,14 @@ from lucene_solr_spark.search.engine import Searcher
 from lucene_solr_spark.search.oracle import OracleBuilder
 from lucene_solr_spark.search.segment_searcher import SegmentSearcher
 from lucene_solr_spark.search.query import (
-    Bool, Boost, DisMax, Fuzzy, MatchAll, Phrase, Prefix, Query, Regexp,
-    Synonym, Term, TermInSet, TermRange, Wildcard,
+    Bool, Boost, DisMax, Fuzzy, MatchAll, MultiPhrase, Phrase, Prefix,
+    Query, Regexp, SpanNear, Synonym, Term, TermInSet, TermRange, Wildcard,
 )
 from lucene_solr_spark.textops import ops as textops
-from lucene_solr_spark.vector.ann import cosine_topk
+from lucene_solr_spark.vector.ann import (
+    cosine_pairs, cosine_topk, hyperplanes, lsh_bucket_topk,
+    lsh_signature_expr,
+)
 
 # ---------------------------------------------------------------------------
 # index cache (one build per corpus dir per session)
@@ -109,6 +112,9 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     "q_fuzzy": (Fuzzy("merg", 1), 10),
     "q_regexp": (Regexp("s.*k"), 10),
     "q_match_all": (MatchAll(), 10),
+    "q_multiphrase": (MultiPhrase((("table", "slow"), ("hash", "batch"))),
+                      10),
+    "q_span_near": (SpanNear(("join", "batch"), slop=3), 10),
 }
 
 COUNT_SPECS: dict[str, Query] = {
@@ -294,6 +300,70 @@ def _q_ann_cosine(spark, sf_dir):
     return cosine_topk(emb, query_vec_id=0, k=10)
 
 
+def _q_embed_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, top_n=20)
+
+
+_LSH_PLANES = 6
+
+
+def _q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(emb, query_vec_id=0, k=10,
+                           n_planes=_LSH_PLANES)
+
+
+def _q_minhash_sig(spark, sf_dir):
+    sig = textops.minhash_signatures(_documents(spark, sf_dir))
+    cols = [F.col(f"sig{i}") for i in range(8)]
+    return sig.select(F.col("doc_id").cast("long"),
+                      F.concat_ws("|", *cols).alias("minhash"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_documents(spark, sf_dir),
+                                     threshold=0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    return textops.simhash16(_documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_documents(spark, sf_dir))
+
+
+_HL_TERM = "window"
+
+
+def _q_highlight(spark, sf_dir):
+    """Snippet extraction for top-10 hits (UnifiedHighlighter-lite:
+    fixed window around the first occurrence)."""
+    se = _searcher(spark, sf_dir)
+    top = se.topk(Term(_HL_TERM), 10)
+    src = se.ix.source.select(F.col("docid").alias("doc_id"), "text")
+    snip = (f"substring(text, greatest(1, locate('{_HL_TERM}', "
+            f"lower(text)) - 20), 60)")
+    return (top.join(src, "doc_id")
+            .select("doc_id", "score", F.expr(snip).alias("snippet")))
+
+
+def _q_blob_meta(spark, sf_dir):
+    """Multimodal metadata over opaque payload bytes (the text column
+    standing in for an encoded media blob)."""
+    d = _documents(spark, sf_dir)
+    hexv = "(instr('0123456789abcdef', substring(md5(text), {p}, 1)) - 1)"
+    b0 = f"({hexv.format(p=1)} * 16 + {hexv.format(p=2)})"
+    b1 = f"({hexv.format(p=3)} * 16 + {hexv.format(p=4)})"
+    return d.select(
+        F.col("doc_id").cast("long"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("blob_md5"),
+        F.expr(f"CAST(64 + {b0} % 193 AS INT)").alias("fake_width"),
+        F.expr(f"CAST(64 + {b1} % 129 AS INT)").alias("fake_height"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -328,7 +398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": _q_lang_id,
         "t_dedup_exact": _q_dedup_exact,
         "t_near_dup": _q_near_dup,
+        "t_minhash_sig": _q_minhash_sig,
+        "t_minhash_lsh": _q_minhash_lsh,
+        "t_simhash": _q_simhash,
+        "t_fingerprint": _q_fingerprint,
+        "q_highlight": _q_highlight,
+        "m_blob_meta": _q_blob_meta,
         "v_ann_cosine": _q_ann_cosine,
+        "v_embed_pairs": _q_embed_pairs,
+        "v_ann_lsh": _q_ann_lsh,
     })
     return out
 
@@ -491,6 +569,147 @@ SELECT p.doc_a, p.doc_b, p.inter,
 FROM pairs p JOIN card ca ON ca.docid = p.doc_a
 JOIN card cb ON cb.docid = p.doc_b
 WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.8"""
+
+    _sh_cte = """
+sh AS (SELECT DISTINCT docid,
+              tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+       FROM toks, unnest(range(1, len(tokens) - 1)) t(i)
+       WHERE len(tokens) >= 3)"""
+
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig{i}" for i in range(8))
+    out["t_minhash_sig"] = f"""
+WITH {ctes},
+{_sh_cte}
+SELECT docid AS doc_id,
+       concat_ws('|', sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7)
+       AS minhash
+FROM (SELECT docid, {sig_cols} FROM sh GROUP BY docid) s"""
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT docid, {b} AS band, md5(sig{2 * b} || sig{2 * b + 1}) AS bk"
+        f" FROM sig" for b in range(4))
+    out["t_minhash_lsh"] = f"""
+WITH {ctes},
+{_sh_cte},
+sig AS (SELECT docid, {sig_cols} FROM sh GROUP BY docid),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.docid AS doc_a, b.docid AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bk = b.bk AND a.docid < b.docid),
+card AS (SELECT docid, COUNT(*) AS c FROM sh GROUP BY docid),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.docid = c.doc_a
+          JOIN sh b ON b.docid = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.inter,
+       ROUND(CAST(i.inter AS DOUBLE) / (ca.c + cb.c - i.inter), 6) AS jaccard
+FROM inter i JOIN card ca ON ca.docid = i.doc_a
+JOIN card cb ON cb.docid = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (ca.c + cb.c - i.inter) >= 0.8"""
+
+    hexv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    bit_sums = ", ".join(
+        "SUM((CAST(floor({nib} / {den}) AS INT) % 2)) AS s{k}".format(
+            nib=hexv.format(p=1 + k // 4), den=2 ** (3 - k % 4), k=k)
+        for k in range(16))
+    sim_expr = " + ".join(
+        f"(CASE WHEN 2 * s{k} >= nt THEN {1 << k} ELSE 0 END)"
+        for k in range(16))
+    out["t_simhash"] = f"""
+WITH {ctes},
+dt AS (SELECT DISTINCT docid, t AS tok
+       FROM (SELECT docid, unnest(tokens) AS t FROM toks) u),
+hx AS (SELECT docid, md5(tok) AS h FROM dt),
+g AS (SELECT docid, COUNT(*) AS nt, {bit_sums} FROM hx GROUP BY docid)
+SELECT docid AS doc_id, CAST({sim_expr} AS BIGINT) AS simhash,
+       CAST(nt AS BIGINT) AS n_tokens
+FROM g"""
+
+    out["t_fingerprint"] = f"""
+WITH {ctes},
+{_sh_cte},
+hh AS (SELECT docid, md5(shingle) AS h FROM sh)
+SELECT docid AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(SUM(CASE WHEN substr(h, 1, 1) = '0' THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_selected,
+       md5(array_to_string(list_sort(COALESCE(
+           list(h) FILTER (WHERE substr(h, 1, 1) = '0'), [])), '|'))
+       AS fingerprint
+FROM hh GROUP BY docid"""
+
+    out["q_highlight"] = f"""
+WITH {ctes},
+top AS (SELECT docid AS doc_id, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term(_HL_TERM))}) fin
+        ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10)
+SELECT t.doc_id, t.score,
+       substr(d.text, greatest(1, strpos(lower(d.text), '{_HL_TERM}') - 20),
+              60) AS snippet
+FROM top t JOIN documents d ON d.doc_id = t.doc_id"""
+
+    hexm = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+    mb0 = f"({hexm.format(p=1)} * 16 + {hexm.format(p=2)})"
+    mb1 = f"({hexm.format(p=3)} * 16 + {hexm.format(p=4)})"
+    out["m_blob_meta"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS blob_md5,
+       CAST(64 + {mb0} % 193 AS INT) AS fake_width,
+       CAST(64 + {mb1} % 129 AS INT) AS fake_height
+FROM documents"""
+
+    out["v_embed_pairs"] = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+             SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+             SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d
+ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_a ASC, vec_b ASC
+LIMIT 20"""
+
+    # LSH bucket ANN: hyperplane dots as explicit ordered sums so the
+    # IEEE op sequence matches the engine's zip_with/aggregate exactly
+    planes = hyperplanes(_LSH_PLANES, 64)
+
+    def _dot_lit(row):
+        terms = [f"CAST(embedding[{i + 1}] AS DOUBLE) * {c!r}"
+                 for i, c in enumerate(row)]
+        s = "(0.0"
+        for t in terms:
+            s = f"({s} + {t}"
+        return s + ")" * (len(terms) + 1)
+
+    sig_sql = "CAST(" + " + ".join(
+        f"(CASE WHEN {_dot_lit(row)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, row in enumerate(planes)) + " AS BIGINT)"
+    out["v_ann_lsh"] = f"""
+WITH wb AS (SELECT vec_id, embedding, {sig_sql} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qb FROM wb WHERE vec_id = 0),
+cand AS (SELECT wb.vec_id, wb.embedding, q.qe FROM wb, q
+         WHERE wb.vec_id != 0 AND wb.bucket = q.qb),
+eu AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM cand),
+qu AS (SELECT unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+d AS (SELECT e.vec_id,
+             SUM(CAST(e.v AS DOUBLE) * CAST(qv.v AS DOUBLE)) AS dot,
+             SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na
+      FROM eu e JOIN qu qv ON e.i = qv.i GROUP BY e.vec_id),
+nq AS (SELECT SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nb FROM qu)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id ASC
+LIMIT 10"""
 
     out["v_ann_cosine"] = """
 WITH q AS (SELECT unnest(embedding) AS qv,

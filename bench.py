@@ -49,6 +49,7 @@ def main() -> None:
         "q_term_common", "q_term_rare", "q_bool_and2", "q_bool_or3",
         "q_bool_mixed", "q_phrase2", "q_synonym", "q_dismax", "q_prefix",
         "q_match_all", "q_grouped_topk", "q_facet_source",
+        "w_term_common", "w_bool_or3", "w_bool_mixed", "w_phrase2",
         "t_near_dup", "t_quality", "t_dedup_exact", "v_ann_cosine",
     ]
     qs = entrymod.queries()
@@ -58,18 +59,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     # ---- north-rule corpus: synthetic transcript indexing -------------------
+    # full end-to-end segment build (tokenize -> invert -> pack -> write
+    # -> commit) through the production append_raw path
+    import shutil
+    import tempfile
+
     from lucene_solr_spark.datagen.transcripts import gen_transcripts
-    from lucene_solr_spark.index.builder import build_index
-    from lucene_solr_spark.index.docids import assign_docids
+    from lucene_solr_spark.index.writer import IndexWriter
 
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "10000"))
+    tr = gen_transcripts(spark, n_convs).persist()
+    n_turns = tr.count()  # corpus gen not timed
+    out_dir = tempfile.mkdtemp(prefix="bench_segs_")
     t0 = time.perf_counter()
-    tr = gen_transcripts(spark, n_convs)
-    tr = assign_docids(tr, ["conv_id", "turn_idx"])
-    tix = build_index(tr, text_col="text", docid_col="docid", cache=False)
-    n_turns, _ = tix.doc_count, tix.sum_ttf
-    tix.postings.count()
+    w = IndexWriter.create(spark, out_dir, docs_per_segment=4096)
+    tix = w.append_raw(tr, lineage=f"bench {n_convs} convs")
     transcript_sec = time.perf_counter() - t0
+    assert tix.doc_count == n_turns
+    shutil.rmtree(out_dir, ignore_errors=True)
     timings["transcript_index_build"] = round(transcript_sec, 4)
 
     total = round(sum(timings.values()) + build_sec, 4)

@@ -37,9 +37,9 @@ from pyspark.sql import functions as F
 from ..index.builder import InvertedIndex
 from .bm25 import score_sql
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, Phrase, Prefix,
-    Query, Regexp, Synonym, Term, TermInSet, TermRange, Wildcard,
-    collect_terms,
+    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, MultiPhrase,
+    Phrase, Prefix, Query, Regexp, SpanNear, Synonym, Term, TermInSet,
+    TermRange, Wildcard, collect_terms,
 )
 
 
@@ -118,6 +118,13 @@ class Searcher:
         if isinstance(q, Phrase):
             return self._scored_phrase(q)
 
+        if isinstance(q, MultiPhrase):
+            return self._scored_multiphrase(q)
+
+        if isinstance(q, SpanNear):
+            # spans score under the constant-score rewrite (see query.py)
+            return self.scored(ConstantScore(q, 1.0))
+
         if isinstance(q, Bool):
             return self._scored_bool(q)
 
@@ -180,6 +187,58 @@ class Searcher:
         return (self._with_qdl(out)
                 .select("docid",
                         self._score_expr("tf", idf_sum).alias("score")))
+
+    def _scored_multiphrase(self, q: MultiPhrase) -> DataFrame:
+        all_terms = [t for slot in q.slots for t in slot]
+        dfs = self._resolve_dfs(set(all_terms))
+        # a slot with NO indexed alternative can never match
+        if any(all(dfs[t] == 0 for t in slot) for slot in q.slots):
+            return self._empty_scored()
+        idf_sum = sum(self.idf(dfs[t]) for t in all_terms if dfs[t] > 0)
+        joined = None
+        for i, slot in enumerate(q.slots):
+            # union the alternatives' position lists (UnionPostingsEnum)
+            p = (self.ix.postings
+                 .filter(F.col("term").isin([t for t in slot]))
+                 .groupBy("docid")
+                 .agg(F.sort_array(F.array_distinct(
+                     F.flatten(F.collect_list("positions"))))
+                     .alias(f"pos{i}")))
+            joined = p if joined is None else joined.join(p, "docid")
+        conds = " AND ".join(
+            f"array_contains(pos{i}, x + {i})"
+            for i in range(1, len(q.slots)))
+        freq = f"size(filter(pos0, x -> {conds}))" if conds else "size(pos0)"
+        out = (joined.select("docid", F.expr(freq).cast("long").alias("tf"))
+               .filter(F.col("tf") > 0))
+        return (self._with_qdl(out)
+                .select("docid",
+                        self._score_expr("tf", idf_sum).alias("score")))
+
+    def _span_near_expr(self, q: SpanNear) -> str:
+        """Nested-lambda EXISTS over per-term position arrays pos0..posk:
+        ordered positions, total gap <= slop."""
+        k = len(q.terms)
+        inner = (f"a{k - 1} > a{k - 2} AND "
+                 f"a{k - 1} - a0 - {k - 1} <= {q.slop}")
+        expr = f"exists(pos{k - 1}, a{k - 1} -> {inner})"
+        for i in range(k - 2, 0, -1):
+            expr = f"exists(pos{i}, a{i} -> a{i} > a{i - 1} AND {expr})"
+        return f"exists(pos0, a0 -> {expr})"
+
+    def _matching_span(self, q: SpanNear) -> DataFrame:
+        dfs = self._resolve_dfs(set(q.terms))
+        if any(dfs[t] == 0 for t in q.terms):
+            return (self.ix.docs.select("docid").filter(F.lit(False)))
+        joined = None
+        for i, t in enumerate(q.terms):
+            p = (self.ix.postings.filter(F.col("term") == t)
+                 .select("docid", F.col("positions").alias(f"pos{i}")))
+            joined = p if joined is None else joined.join(p, "docid")
+        if len(q.terms) == 1:
+            return joined.select("docid")
+        return (joined.filter(F.expr(self._span_near_expr(q)))
+                .select("docid"))
 
     def _scored_bool(self, q: Bool) -> DataFrame:
         musts = [self.scored(m) for m in q.must]
@@ -251,6 +310,8 @@ class Searcher:
         if isinstance(q, Term):
             return (self.ix.postings.filter(F.col("term") == q.term)
                     .select("docid"))
+        if isinstance(q, SpanNear):
+            return self._matching_span(q)
         if isinstance(q, MatchAll):
             return self.ix.docs.select("docid")
         return self.scored(q).select("docid")

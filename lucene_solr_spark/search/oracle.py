@@ -20,8 +20,9 @@ from ..codecs.smallfloat import qdl_sql
 from .bm25 import idf_sql, score_sql
 from .engine import _like_escape, wildcard_to_like
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, Phrase, Prefix,
-    Query, Regexp, Synonym, Term, TermInSet, TermRange, Wildcard,
+    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, MultiPhrase,
+    Phrase, Prefix, Query, Regexp, SpanNear, Synonym, Term, TermInSet,
+    TermRange, Wildcard,
 )
 
 
@@ -103,6 +104,12 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
         if isinstance(q, Phrase):
             return self._scored_phrase(q)
 
+        if isinstance(q, MultiPhrase):
+            return self._scored_multiphrase(q)
+
+        if isinstance(q, SpanNear):
+            return self.scored(ConstantScore(q, 1.0))
+
         if isinstance(q, Bool):
             return self._scored_bool(q)
 
@@ -151,6 +158,57 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             f"SELECT p0.docid, CAST({freq} AS BIGINT) AS tf "
             f"FROM {' '.join(joins)} WHERE p0.term = {_q(terms[0])}) f "
             f"JOIN docs d ON d.docid = f.docid WHERE f.tf > 0")
+
+    def _scored_multiphrase(self, q: MultiPhrase) -> str:
+        all_terms = [t for slot in q.slots for t in slot]
+        # idf sum over alternatives that exist in the index (engine skips
+        # df=0 alternatives identically)
+        idf_parts = " + ".join(
+            f"(CASE WHEN EXISTS (SELECT 1 FROM ts WHERE term = {_q(t)}) "
+            f"THEN {self.term_idf_sql(t)} ELSE 0.0 END)"
+            for t in all_terms)
+        slot_sql = []
+        for i, slot in enumerate(q.slots):
+            terms = ", ".join(_q(t) for t in slot)
+            slot_sql.append(
+                f"(SELECT docid, list_sort(list_distinct(flatten("
+                f"list(positions)))) AS positions FROM postings "
+                f"WHERE term IN ({terms}) GROUP BY docid) s{i}")
+        joins = [slot_sql[0]]
+        for i in range(1, len(q.slots)):
+            joins.append(f"JOIN {slot_sql[i]} ON s{i}.docid = s0.docid")
+        conds = " AND ".join(
+            f"list_contains(s{i}.positions, x + {i})"
+            for i in range(1, len(q.slots)))
+        freq = (f"len(list_filter(s0.positions, x -> {conds}))"
+                if conds else "len(s0.positions)")
+        sc = score_sql("f.tf", "d.qdl", f"({idf_parts})", self.avgdl_sql)
+        return (
+            f"SELECT f.docid, {sc} AS score FROM ("
+            f"SELECT s0.docid, CAST({freq} AS BIGINT) AS tf "
+            f"FROM {' '.join(joins)}) f "
+            f"JOIN docs d ON d.docid = f.docid WHERE f.tf > 0")
+
+    def _matching_span(self, q: SpanNear) -> str:
+        k = len(q.terms)
+        if k == 1:
+            return self.matching(Term(q.terms[0]))
+        joins = [f"(SELECT docid, positions AS pos0 FROM postings "
+                 f"WHERE term = {_q(q.terms[0])}) s0"]
+        for i in range(1, k):
+            joins.append(
+                f"JOIN (SELECT docid, positions AS pos{i} FROM postings "
+                f"WHERE term = {_q(q.terms[i])}) s{i} "
+                f"ON s{i}.docid = s0.docid")
+        inner = (f"a{k - 1} > a{k - 2} AND "
+                 f"a{k - 1} - a0 - {k - 1} <= {q.slop}")
+        expr = (f"len(list_filter(s{k - 1}.pos{k - 1}, "
+                f"a{k - 1} -> {inner})) > 0")
+        for i in range(k - 2, 0, -1):
+            expr = (f"len(list_filter(s{i}.pos{i}, a{i} -> "
+                    f"a{i} > a{i - 1} AND {expr})) > 0")
+        expr = f"len(list_filter(s0.pos0, a0 -> {expr})) > 0"
+        return (f"SELECT s0.docid FROM {' '.join(joins)} WHERE {expr}")
 
     def _scored_bool(self, q: Bool) -> str:
         base = None
@@ -225,6 +283,8 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
         if isinstance(q, Term):
             return (f"SELECT docid FROM postings "
                     f"WHERE term = {_q(q.term)}")
+        if isinstance(q, SpanNear):
+            return self._matching_span(q)
         if isinstance(q, MatchAll):
             return "SELECT docid FROM docs"
         return f"SELECT docid FROM ({self.scored(q)}) s"

@@ -35,9 +35,9 @@ from dataclasses import dataclass, field
 from typing import Tuple, Union
 
 Query = Union[
-    "Term", "Bool", "Phrase", "Synonym", "Prefix", "Wildcard", "TermRange",
-    "TermInSet", "Fuzzy", "Regexp", "DisMax", "Boost", "ConstantScore",
-    "MatchAll",
+    "Term", "Bool", "Phrase", "MultiPhrase", "SpanNear", "Synonym", "Prefix",
+    "Wildcard", "TermRange", "TermInSet", "Fuzzy", "Regexp", "DisMax",
+    "Boost", "ConstantScore", "MatchAll",
 ]
 
 
@@ -57,6 +57,31 @@ class Bool:
 
 @dataclass(frozen=True)
 class Phrase:
+    terms: Tuple[str, ...]
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class MultiPhrase:
+    """Phrase with term alternatives per slot (MultiPhraseQuery,
+    SEARCH/MultiPhraseQuery.java:56). freq = number of start positions
+    p with SOME alternative of slot i at p+i for every i; idf = double
+    sum of every alternative's idf (BM25Similarity.idfExplain over all
+    terms, MultiPhraseQuery weight construction)."""
+
+    slots: Tuple[Tuple[str, ...], ...]
+
+
+@dataclass(frozen=True)
+class SpanNear:
+    """Ordered proximity filter (SpanNearQuery,
+    lucene/core/src/java/org/apache/lucene/search/spans/
+    SpanNearQuery.java, in_order=true): matches docs containing
+    positions p_1 < p_2 < ... < p_k for the k terms with total gap
+    p_k - p_1 - (k-1) <= slop. Used in constant-score / FILTER
+    contexts (our engine scores spans under the constant-score
+    rewrite rather than Lucene's sloppyFreq)."""
+
     terms: Tuple[str, ...]
     slop: int = 0
 
@@ -127,8 +152,10 @@ def collect_terms(q: Query) -> set:
     """All literal terms referenced by the tree (for stats resolution)."""
     if isinstance(q, Term):
         return {q.term}
-    if isinstance(q, (Phrase, Synonym, TermInSet)):
+    if isinstance(q, (Phrase, Synonym, TermInSet, SpanNear)):
         return set(q.terms)
+    if isinstance(q, MultiPhrase):
+        return {t for slot in q.slots for t in slot}
     if isinstance(q, Bool):
         out = set()
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):

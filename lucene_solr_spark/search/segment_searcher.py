@@ -196,6 +196,9 @@ def make_kernel(spec: SegSpec):
 
     def kernel(pdf):
         import pandas as pd
+
+        from ..index.segments import _tune_allocator
+        _tune_allocator()
         qdl_blob = np.frombuffer(pdf["qdl_blob"].iloc[0], dtype=np.int32)
         docid_min = int(pdf["docid_min"].iloc[0])
         tds = {row.term: _TermData(row)

@@ -112,6 +112,115 @@ def shingles(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
         .distinct())
 
 
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       n_hashes: int = 8, n: int = 3) -> DataFrame:
+    """MinHash signatures portable across engines: sig_i(doc) =
+    lexicographic MIN over shingles of md5(i || ':' || shingle).
+
+    String-min of a cryptographic hex digest is a valid min-hash family
+    and — unlike integer hash builtins — md5 hex is bit-identical in
+    Spark and DuckDB, so the oracle can verify signatures exactly.
+    """
+    sh = shingles(df, id_col, n)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"sig{i}") for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = 8, bands: int = 4, n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: band candidate generation,
+    then exact-Jaccard verification restricted to candidates.
+
+    The banding join is the scale path (candidates ~ O(near-dups), not
+    O(n^2)); verification touches only candidate pairs' shingles.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, n_hashes, n)
+    band_parts = []
+    for b in range(bands):
+        cols = [F.col(f"sig{b * r + j}") for j in range(r)]
+        band_parts.append(sig.select(
+            F.col(id_col).alias("docid"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("", *cols)).alias("bk")))
+    bdf = band_parts[0]
+    for p in band_parts[1:]:
+        bdf = bdf.unionAll(p)
+    a = bdf.select(F.col("docid").alias("doc_a"), "band", "bk")
+    b2 = bdf.select(F.col("docid").alias("doc_b"), "band", "bk")
+    cand = (a.join(b2, ["band", "bk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+    sh = shingles(df, id_col, n)
+    card = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("long").alias("inter")))
+    ca = card.select(F.col(id_col).alias("doc_a"), F.col("c").alias("ca"))
+    cb = card.select(F.col(id_col).alias("doc_b"), F.col("c").alias("cb"))
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .withColumn("jaccard", F.expr(
+                "ROUND(CAST(inter AS DOUBLE) / (ca + cb - inter), 6)"))
+            .filter(F.expr(
+                f"CAST(inter AS DOUBLE) / (ca + cb - inter)"
+                f" >= {threshold!r}"))
+            .select(F.col("doc_a").cast("long"),
+                    F.col("doc_b").cast("long"), "inter", "jaccard"))
+
+
+_HEXVAL = "(instr('0123456789abcdef', {c}) - 1)"
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over each doc's distinct tokens.
+
+    Bit k comes from md5 hex nibble k//4 (chars 1-4 of the digest);
+    the fingerprint bit is the majority vote across tokens (ties -> 1).
+    Pure hex-char arithmetic so Spark and DuckDB agree bit-for-bit.
+    Output: (doc_id, simhash int, n_tokens).
+    """
+    t = (with_tokens(df)
+         .select(F.col(id_col),
+                 F.explode(F.array_distinct("tokens")).alias("tok")))
+    t = t.withColumn("h", F.md5(F.col("tok")))
+    bit_sums = []
+    for k in range(16):
+        c = f"substring(h, {1 + k // 4}, 1)"
+        nib = _HEXVAL.format(c=c)
+        bit = f"(CAST(floor({nib} / {2 ** (3 - k % 4)}) AS INT) % 2)"
+        bit_sums.append(F.sum(F.expr(bit)).alias(f"s{k}"))
+    g = t.groupBy(id_col).agg(F.count("*").alias("nt"), *bit_sums)
+    sim = " + ".join(
+        f"(CASE WHEN 2 * s{k} >= nt THEN {1 << k} ELSE 0 END)"
+        for k in range(16))
+    return g.select(
+        F.col(id_col),
+        F.expr(f"CAST({sim} AS BIGINT)").alias("simhash"),
+        F.col("nt").cast("long").alias("n_tokens"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                n: int = 3) -> DataFrame:
+    """Mod-p sampled shingle fingerprint (winnowing-style document
+    signature): keep shingles whose md5 starts with '0' (1/16 sample),
+    fingerprint = md5 of the sorted selected digests.
+    Output: (doc_id, n_shingles, n_selected, fingerprint)."""
+    sh = shingles(df, id_col, n).withColumn("h", F.md5(F.col("shingle")))
+    return (sh.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.expr("CASE WHEN substring(h, 1, 1) = '0' THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_selected"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(
+            F.expr("CASE WHEN substring(h, 1, 1) = '0' THEN h END")))))
+        .alias("fingerprint")))
+
+
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3,
                    threshold: float = 0.8) -> DataFrame:
     """n-gram Jaccard near-duplicate pairs via shingle inverted-index join.

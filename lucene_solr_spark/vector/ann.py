@@ -39,3 +39,77 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
         F.col(id_col).cast("long").alias(id_col),
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
     return (scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k))
+
+
+def cosine_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: top-N most-similar pairs
+    (a < b). Brute-force O(n^2) exact baseline; the scale path runs the
+    same kernel after lsh bucket candidate generation."""
+    a = emb.select(F.col(id_col).alias("vec_a"),
+                   F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("vec_b"),
+                   F.col(vec_col).alias("eb"))
+    cand = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    dot = DOT.format(a="ea", b="eb")
+    na = DOT.format(a="ea", b="ea")
+    nb = DOT.format(a="eb", b="eb")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return (cand.select(
+        F.col("vec_a").cast("long"), F.col("vec_b").cast("long"),
+        F.expr(f"ROUND({cos}, 6)").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top_n))
+
+
+def hyperplanes(n_planes: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplanes shared by engine and
+    oracle: component i of plane j = hexval(md5(f"{j}:{i}")[0]) - 7.5,
+    reproducible in any md5-equipped system."""
+    import hashlib
+    out = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]
+            row.append(int(h, 16) - 7.5)
+        out.append(row)
+    return out
+
+
+def lsh_signature_expr(vec_col: str, planes: list) -> str:
+    """SQL int expression: bit j = 1 iff dot(vec, plane_j) >= 0."""
+    bits = []
+    for j, row in enumerate(planes):
+        arr = "array(" + ", ".join(repr(x) for x in row) + ")"
+        dot = DOT.format(a=vec_col, b=arr)
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+                    n_planes: int = 6, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN via random-hyperplane LSH: exact cosine re-rank restricted
+    to the probe's bucket (approximate — may differ from exact top-k;
+    deterministic given the fixed hyperplanes). At scale the bucket
+    column is a partition key, so a probe touches one bucket's
+    partitions instead of the full corpus."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim)
+    sig = lsh_signature_expr(vec_col, planes)
+    with_sig = emb.withColumn("bucket", F.expr(sig))
+    probe = (with_sig.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("q"),
+                     F.col("bucket").alias("qb")))
+    cand = (with_sig.filter(F.col(id_col) != query_vec_id)
+            .crossJoin(F.broadcast(probe))
+            .filter(F.col("bucket") == F.col("qb")))
+    dot = DOT.format(a=vec_col, b="q")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a="q", b="q")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return (cand.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(f"ROUND({cos}, 6)").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col)).limit(k))

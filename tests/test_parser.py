@@ -1,0 +1,105 @@
+"""Classic query-parser tests (QueryParser.jj grammar subset) — pure
+python, no Spark. Mirrors TestQueryParser's canonical assertions
+(lucene/queryparser/src/test/.../classic/TestQueryParser.java)."""
+
+import pytest
+
+from lucene_solr_spark.search.parser import QueryParseError, parse
+from lucene_solr_spark.search.query import (
+    Bool, Boost, Fuzzy, Phrase, Prefix, SpanNear, Term, TermRange, Wildcard,
+)
+
+
+def test_single_term():
+    assert parse("Hello") == Term("hello")
+
+
+def test_implicit_or():
+    assert parse("hello world") == Bool(
+        should=(Term("hello"), Term("world")))
+
+
+def test_and():
+    assert parse("a AND b") == Bool(must=(Term("a"), Term("b")))
+    assert parse("a && b") == Bool(must=(Term("a"), Term("b")))
+
+
+def test_or_keyword():
+    assert parse("a OR b") == Bool(should=(Term("a"), Term("b")))
+
+
+def test_plus_minus():
+    q = parse("+apache -jakarta lucene")
+    assert q == Bool(must=(Term("apache"),),
+                     should=(Term("lucene"),),
+                     must_not=(Term("jakarta"),))
+
+
+def test_not():
+    q = parse("lucene NOT jakarta")
+    assert q == Bool(should=(Term("lucene"),),
+                     must_not=(Term("jakarta"),))
+
+
+def test_phrase():
+    assert parse('"hello world"') == Phrase(("hello", "world"))
+
+
+def test_phrase_single_token_collapses_to_term():
+    assert parse('"hello"') == Term("hello")
+
+
+def test_phrase_slop_becomes_span():
+    assert parse('"hello world"~2') == SpanNear(("hello", "world"), 2)
+
+
+def test_grouping():
+    q = parse("(a OR b) AND c")
+    assert q == Bool(must=(Bool(should=(Term("a"), Term("b"))), Term("c")))
+
+
+def test_boost():
+    assert parse("hello^2.5") == Boost(Term("hello"), 2.5)
+    assert parse("(a b)^2") == Boost(
+        Bool(should=(Term("a"), Term("b"))), 2.0)
+
+
+def test_prefix_and_wildcard():
+    assert parse("hel*") == Prefix("hel")
+    assert parse("h?llo") == Wildcard("h?llo")
+    assert parse("he*lo") == Wildcard("he*lo")
+
+
+def test_fuzzy():
+    assert parse("roam~") == Fuzzy("roam", 2)
+    assert parse("roam~1") == Fuzzy("roam", 1)
+
+
+def test_range():
+    assert parse("[alpha TO omega]") == TermRange(
+        "alpha", "omega", include_lower=True, include_upper=True)
+    assert parse("{alpha TO omega}") == TermRange(
+        "alpha", "omega", include_lower=False, include_upper=False)
+
+
+def test_field_prefix():
+    assert parse("text:hello") == Term("hello")
+    with pytest.raises(QueryParseError):
+        parse("title:hello")
+
+
+def test_leaf_analysis_matches_index_analyzer():
+    # mixed case + punctuation runs through the simple analyzer
+    assert parse("Hello-World") == Phrase(("hello", "world"))
+    assert parse("FOO42") == Term("foo42")
+
+
+def test_empty_query_raises():
+    with pytest.raises(QueryParseError):
+        parse("   ")
+
+
+def test_and_promotes_previous_optional():
+    q = parse("a b AND c")
+    assert q == Bool(must=(Term("b"), Term("c")),
+                     should=(Term("a"),))
