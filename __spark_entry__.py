@@ -635,8 +635,8 @@ SELECT docid AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(COALESCE(SUM(CASE WHEN substr(h, 1, 1) = '0' THEN 1 ELSE 0 END),
                      0) AS BIGINT) AS n_selected,
-       md5(array_to_string(list_sort(COALESCE(
-           list(h) FILTER (WHERE substr(h, 1, 1) = '0'), [])), '|'))
+       md5(COALESCE(array_to_string(list_sort(
+           list(h) FILTER (WHERE substr(h, 1, 1) = '0')), '|'), ''))
        AS fingerprint
 FROM hh GROUP BY docid"""
 

@@ -52,9 +52,9 @@ def test_multiphrase_matches_oracle(searcher, con):
 
 
 def test_multiphrase_superset_of_exact_phrase(searcher):
-    mp = {r.doc_id for r in searcher.matching(
+    mp = {r.docid for r in searcher.matching(
         MultiPhrase((("table",), ("hash",)))).collect()}
-    ph = {r.doc_id for r in searcher.matching(
+    ph = {r.docid for r in searcher.matching(
         Phrase(("table", "hash"))).collect()}
     assert mp == ph  # single-alternative slots == exact phrase
 
@@ -88,18 +88,22 @@ def test_minhash_lsh_finds_near_dups(docs):
         assert len(lsh) >= 0.8 * len(exact)
 
 
-def test_simhash_near_dups_share_fingerprint(docs):
-    sh = textops.simhash16(docs)
-    pairs = textops.near_dup_pairs(docs, threshold=0.9)
-    j = (pairs.join(sh.select(F.col("doc_id").alias("doc_a"),
-                              F.col("simhash").alias("sa")), "doc_a")
-         .join(sh.select(F.col("doc_id").alias("doc_b"),
-                         F.col("simhash").alias("sb")), "doc_b"))
-    rows = j.collect()
-    if rows:
-        # >=90%-similar docs should mostly agree on the 16-bit simhash
-        same = sum(1 for r in rows if r.sa == r.sb)
-        assert same >= len(rows) * 0.5
+def test_simhash_near_dups_are_closer_than_random(docs):
+    sh = {r.doc_id: r.simhash for r in textops.simhash16(docs).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in
+             textops.near_dup_pairs(docs, threshold=0.8).collect()]
+
+    def ham(a, b):
+        return bin(sh[a] ^ sh[b]).count("1")
+
+    assert pairs
+    near = sum(ham(a, b) for a, b in pairs) / len(pairs)
+    ids = sorted(sh)
+    rand = [(ids[i], ids[(i * 7 + 3) % len(ids)]) for i in range(100)]
+    rand = [(a, b) for a, b in rand if a != b]
+    base = sum(ham(a, b) for a, b in rand) / len(rand)
+    # near-duplicates must be markedly closer in simhash space
+    assert near < base * 0.6
 
 
 def test_fingerprint_deterministic(docs):
