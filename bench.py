@@ -44,6 +44,15 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     n_docs = se.ix.doc_count
 
+    # packed segment store (WAND path) build, so w_* timings below are
+    # pure query latency; drop any cached store so the build is measured
+    import shutil as _sh
+    _sh.rmtree("/tmp/lucene_solr_spark_segs", ignore_errors=True)
+    t0 = time.perf_counter()
+    ss = entrymod._seg_searcher(spark, sf_dir)
+    n_segs = len(ss.six.live_segs)
+    seg_build_sec = time.perf_counter() - t0
+
     # ---- headline queries ---------------------------------------------------
     headline = [
         "q_term_common", "q_term_rare", "q_bool_and2", "q_bool_or3",
@@ -79,7 +88,7 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     timings["transcript_index_build"] = round(transcript_sec, 4)
 
-    total = round(sum(timings.values()) + build_sec, 4)
+    total = round(sum(timings.values()) + build_sec + seg_build_sec, 4)
     out = {
         "metric": "index_build_plus_headline_queries",
         "value": total,
@@ -88,6 +97,8 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": cpus,
         "index_build_sec": round(build_sec, 4),
+        "segment_build_sec": round(seg_build_sec, 4),
+        "n_segments": n_segs,
         "index_docs": n_docs,
         "index_postings": n_postings,
         "transcript_turns": n_turns,
