@@ -261,7 +261,19 @@ def _q_collection_stats(spark, sf_dir):
         F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"))
 
 
-# -- events (time-window aggregation over the stream table) -----------------
+# -- events (stream table) ---------------------------------------------------
+
+def _q_point_range(spark, sf_dir):
+    """PointRangeQuery analogue (SEARCH/PointRangeQuery.java:47): numeric
+    range over a typed column. No index structure needed — Catalyst
+    pushes the predicate into the parquet scan and min/max row-group
+    stats prune, playing the BKD tree's role (SURVEY.md §2.2)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.filter((F.col("value") >= 10.0) & (F.col("value") < 12.5))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
 
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -393,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_stats": _q_term_stats,
         "q_collection_stats": _q_collection_stats,
         "q_events_hourly": _q_events_hourly,
+        "q_point_range": _q_point_range,
         "t_token_count": _q_token_count,
         "t_quality": _q_quality,
         "t_lang_id": _q_lang_id,
@@ -499,6 +512,11 @@ WITH {ctes}
 SELECT CAST(n AS BIGINT) AS doc_count, CAST(sumdl AS BIGINT) AS sum_ttf,
        ROUND(CAST(sumdl AS DOUBLE) / n, 6) AS avgdl
 FROM st"""
+
+    out["q_point_range"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events WHERE value >= 10.0 AND value < 12.5
+GROUP BY event_type"""
 
     out["q_events_hourly"] = """
 SELECT event_type,
