@@ -73,6 +73,7 @@ class SegSpec:
     avgdl: float = 1.0
     emit_all: bool = False    # True -> all matches (scored()), no pruning
     prune: bool = True        # False -> exhaustive (CheckHits oracle mode)
+    f32: bool = False         # True -> Lucene-exact float32 arithmetic
 
     @property
     def wand_ok(self) -> bool:
@@ -93,6 +94,37 @@ def _score_f64(tf: np.ndarray, qdl: np.ndarray, w: float, k1: float,
     return (w * tf) / denom
 
 
+def _score_dispatch(spec, tf: np.ndarray, qdl: np.ndarray,
+                    w: float) -> np.ndarray:
+    """double-mode (oracle-checkable) or Lucene-exact float32 scoring.
+
+    float32 mode reproduces BM25Similarity.score (BM25Similarity.java:
+    222-235): weight - weight / (1 + freq * cache[normByte]), with the
+    256-entry normInverse cache frozen from the collection's avgdl.
+    ``qdl`` values are quantized lengths (fixpoints of SmallFloat), so
+    int_to_byte4 recovers the exact norm byte. Scores come back as
+    float64-widened float32 so downstream accumulation (float64 sums,
+    then narrowed) matches the reference's double accumulation."""
+    if not spec.f32:
+        return _score_f64(tf, qdl, w, spec.k1, spec.b, spec.avgdl)
+    from ..codecs.smallfloat import int_to_byte4_np
+    cache = _f32_cache(spec)
+    nb = int_to_byte4_np(np.asarray(qdl, dtype=np.int64))
+    from .bm25 import score32
+    return score32(tf, nb, np.float32(w), cache).astype(np.float64)
+
+
+_F32_CACHE: dict = {}
+
+
+def _f32_cache(spec):
+    key = (spec.k1, spec.b, spec.avgdl)
+    if key not in _F32_CACHE:
+        from .bm25 import norm_inverse_cache
+        _F32_CACHE[key] = norm_inverse_cache(np.float32(spec.avgdl))
+    return _F32_CACHE[key]
+
+
 def _bound(w: float, max_tf: np.ndarray, min_qdl: np.ndarray, k1: float,
            b: float, avgdl: float) -> np.ndarray:
     """Per-block upper bound: score is monotone ↑tf, ↓qdl, so
@@ -101,6 +133,20 @@ def _bound(w: float, max_tf: np.ndarray, min_qdl: np.ndarray, k1: float,
     return _score_f64(np.asarray(max_tf, dtype=np.int64),
                       np.asarray(min_qdl, dtype=np.int64), w, k1, b, avgdl)
 
+
+
+def _req_opt_combine(spec, req: np.ndarray, opt: np.ndarray) -> np.ndarray:
+    """Required + optional score combination.
+
+    float32 mode follows ReqOptSumScorer (SEARCH/ReqOptSumScorer.java:29):
+    each side is a (float)-narrowed double sum, then a float32 addition
+    combines them — narrowing BEFORE the add, unlike plain double mode
+    which sums everything in float64."""
+    if not spec.f32:
+        return req + opt
+    r32 = req.astype(np.float32)
+    o32 = opt.astype(np.float32)
+    return (r32 + o32).astype(np.float64)
 
 # ---------------------------------------------------------------------------
 # per-segment kernel
@@ -213,8 +259,7 @@ def make_kernel(spec: SegSpec):
                 return (np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.float64))
             d, t = td.decode_all()
-            return d, _score_f64(t, qdl_of(d), w, spec.k1, spec.b,
-                                 spec.avgdl)
+            return d, _score_dispatch(spec, t, qdl_of(d), w)
 
         def clause_scores(c: Clause):
             if c.kind == "term":
@@ -233,8 +278,8 @@ def make_kernel(spec: SegSpec):
                 uniq, inv = np.unique(d, return_inverse=True)
                 tf = np.zeros(uniq.size, dtype=np.int64)
                 np.add.at(tf, inv, t)
-                return uniq, _score_f64(tf, qdl_of(uniq), c.weight,
-                                        spec.k1, spec.b, spec.avgdl)
+                return uniq, _score_dispatch(spec, tf, qdl_of(uniq),
+                                             c.weight)
             if c.kind == "phrase":
                 if any(t not in tds for t in c.terms):
                     return (np.empty(0, dtype=np.int64),
@@ -242,8 +287,7 @@ def make_kernel(spec: SegSpec):
                 d, f = _phrase_freq(tds, list(c.terms))
                 if d.size == 0:
                     return d, np.empty(0, dtype=np.float64)
-                return d, _score_f64(f, qdl_of(d), c.weight, spec.k1,
-                                     spec.b, spec.avgdl)
+                return d, _score_dispatch(spec, f, qdl_of(d), c.weight)
             raise ValueError(c.kind)
 
         req = [c for c in spec.clauses if c.required]
@@ -251,6 +295,11 @@ def make_kernel(spec: SegSpec):
 
         def finalize(docids, scores):
             """filters / exclusions, then emit."""
+            if spec.f32 and scores.size:
+                # clause sums ran in float64 (exact for float32 addends);
+                # narrow like the reference's (float) cast on the summed
+                # double (DisjunctionSumScorer/ConjunctionScorer)
+                scores = scores.astype(np.float32).astype(np.float64)
             keep = np.ones(docids.size, dtype=bool)
             for t in spec.filters:
                 td = tds.get(t)
@@ -286,14 +335,16 @@ def make_kernel(spec: SegSpec):
                 for p in req_parts:
                     tot += p[1][np.searchsorted(p[0], base)]
                 nm = np.zeros(base.size, dtype=np.int64)
+                opt_acc = np.zeros(base.size, dtype=np.float64)
                 for d, s in opt_parts:
                     if d.size == 0:
                         continue
                     pos = np.searchsorted(d, base)
                     pos = np.clip(pos, 0, d.size - 1)
                     hit = d[pos] == base
-                    tot[hit] += s[pos[hit]]
+                    opt_acc[hit] += s[pos[hit]]
                     nm[hit] += 1
+                tot = _req_opt_combine(spec, tot, opt_acc)
                 if spec.msm > 0:
                     sel = nm >= spec.msm
                     base, tot = base[sel], tot[sel]
@@ -319,8 +370,14 @@ def make_kernel(spec: SegSpec):
                                        if c.terms[0] in tds]) < len(req)):
             return finalize(np.empty(0, dtype=np.int64),
                             np.empty(0, dtype=np.float64))
-        bounds = [(_bound(c.weight, td.max_tf, td.min_qdl, spec.k1,
-                          spec.b, spec.avgdl), td) for c, td in active]
+        bounds = []
+        for c, td in active:
+            b = _bound(c.weight, td.max_tf, td.min_qdl, spec.k1,
+                       spec.b, spec.avgdl)
+            if spec.f32:
+                # float32 rounding can exceed the float64 bound by ulps
+                b = b * (1.0 + 1e-5) + 1e-7
+            bounds.append((b, td))
         edges = np.unique(np.concatenate(
             [td.last for _, td in bounds]))  # cell i covers (edges[i-1], edges[i]]
         ub = np.zeros(edges.size, dtype=np.float64)
@@ -382,8 +439,7 @@ def make_kernel(spec: SegSpec):
                     parts = None
                     break
                 if d.size:
-                    s = _score_f64(t, qdl_of(d), c.weight, spec.k1,
-                                   spec.b, spec.avgdl)
+                    s = _score_dispatch(spec, t, qdl_of(d), c.weight)
                     parts.append((d, s, c.required))
                     if c.required:
                         req_sets.append(d)
@@ -396,14 +452,18 @@ def make_kernel(spec: SegSpec):
                 if base.size == 0:
                     continue
                 tot = np.zeros(base.size, dtype=np.float64)
+                opt_acc = np.zeros(base.size, dtype=np.float64)
                 nm = np.zeros(base.size, dtype=np.int64)
                 for d, s, is_req in parts:
                     pos = np.searchsorted(d, base)
                     pos = np.clip(pos, 0, max(d.size - 1, 0))
                     hit = (d.size > 0) & (d[pos] == base)
-                    tot[hit] += s[pos[hit]]
-                    if not is_req:
+                    if is_req:
+                        tot[hit] += s[pos[hit]]
+                    else:
+                        opt_acc[hit] += s[pos[hit]]
                         nm[hit] += 1
+                tot = _req_opt_combine(spec, tot, opt_acc)
                 if spec.msm > 0:
                     selm = nm >= spec.msm
                     base, tot = base[selm], tot[selm]
@@ -468,11 +528,26 @@ class SegmentSearcher:
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
     def compile(self, q: Query, k: int, emit_all: bool = False,
-                prune: bool = True) -> SegSpec:
+                prune: bool = True, f32: bool = False) -> SegSpec:
         clauses: list = []
         must_not: list = []
         filters: list = []
         msm = 0
+        n_docs = self.six.doc_count
+
+        def w_term(df: int, boost: float) -> float:
+            if f32:
+                from .bm25 import idf32
+                return float(np.float32(boost) * idf32(df, n_docs))
+            return boost * self.idf(df)
+
+        def w_phrase(dfs_list: list, boost: float) -> float:
+            if f32:
+                from .bm25 import idf32
+                # double sum of float32 idfs, narrowed (idfExplain)
+                return float(np.float32(boost) * np.float32(
+                    sum(float(idf32(d, n_docs)) for d in dfs_list)))
+            return boost * sum(self.idf(d) for d in dfs_list)
 
         def leaf(node: Query, required: bool, boost: float = 1.0):
             if isinstance(node, Boost):
@@ -487,7 +562,7 @@ class SegmentSearcher:
                     return
                 clauses.append(Clause(
                     "term", (node.term,),
-                    boost * self.idf(dfs[node.term]), required))
+                    w_term(dfs[node.term], boost), required))
                 return
             if isinstance(node, Synonym):
                 dfs = self._resolve_dfs(set(node.terms))
@@ -495,7 +570,7 @@ class SegmentSearcher:
                 if df_max == 0:
                     return
                 clauses.append(Clause("synonym", tuple(node.terms),
-                                      boost * self.idf(df_max), required))
+                                      w_term(df_max, boost), required))
                 return
             if isinstance(node, Phrase):
                 dfs = self._resolve_dfs(set(node.terms))
@@ -504,9 +579,10 @@ class SegmentSearcher:
                         clauses.append(Clause("phrase", tuple(node.terms),
                                               0.0, True))
                     return
-                idf_sum = sum(self.idf(dfs[t]) for t in node.terms)
-                clauses.append(Clause("phrase", tuple(node.terms),
-                                      boost * idf_sum, required))
+                clauses.append(Clause(
+                    "phrase", tuple(node.terms),
+                    w_phrase([dfs[t] for t in node.terms], boost),
+                    required))
                 return
             raise TypeError(
                 f"segment path does not support {type(node).__name__} "
@@ -533,7 +609,7 @@ class SegmentSearcher:
                        filters=tuple(filters), msm=msm, k=k,
                        avgdl=self.six.doc_count and
                        (self.six.sum_ttf / float(self.six.doc_count)),
-                       emit_all=emit_all, prune=prune)
+                       emit_all=emit_all, prune=prune, f32=f32)
 
     def _all_terms(self, spec: SegSpec):
         ts = set(spec.must_not) | set(spec.filters)
@@ -548,8 +624,8 @@ class SegmentSearcher:
         return pk.join(F.broadcast(nm), "seg_id")
 
     def candidates(self, q: Query, k: int, emit_all: bool = False,
-                   prune: bool = True) -> DataFrame:
-        spec = self.compile(q, k, emit_all=emit_all, prune=prune)
+                   prune: bool = True, f32: bool = False) -> DataFrame:
+        spec = self.compile(q, k, emit_all=emit_all, prune=prune, f32=f32)
         if not spec.clauses:
             return (self.six.norms.sparkSession
                     .range(0).select(F.col("id").alias("docid"),
@@ -568,6 +644,15 @@ class SegmentSearcher:
     def scored(self, q: Query) -> DataFrame:
         """All matches with scores (no pruning) — grouping/paging feed."""
         return self.candidates(q, k=0, emit_all=True, prune=False)
+
+    def topk32(self, q: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """Lucene-parity top-k over packed segments: float32 BM25 with
+        block-max WAND pruning, ties by docid ASC (HitQueue.lessThan).
+        Matches Searcher.topk32 (engine.py) bit for bit."""
+        s = self.candidates(q, k, prune=prune, f32=True)
+        return (s.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+                .select(F.col("docid").alias("doc_id"),
+                        F.col("score").cast("float").alias("score")))
 
     def count(self, q: Query) -> DataFrame:
         return (self.scored(q)

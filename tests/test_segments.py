@@ -74,6 +74,23 @@ def test_pruned_equals_exhaustive_equals_naive(spark, xs_index, seg_index,
     assert as_tuples(pruned) == as_tuples(naive)
 
 
+@pytest.mark.parametrize("qi", [0, 3, 4, 6])
+@pytest.mark.parametrize("k", [1, 10])
+def test_float32_wand_matches_naive_float32(xs_index, seg_index, qi, k):
+    """Lucene-parity mode through the WAND path: float32 scores must be
+    bit-identical to the naive scored32 pipeline (which is itself
+    pinned to BM25Similarity's float math by tests/test_lucene_parity),
+    pruned and exhaustive alike."""
+    q = QUERIES[qi]
+    naive = [(r.doc_id, r.score)
+             for r in Searcher(xs_index).topk32(q, k).collect()]
+    ss = SegmentSearcher(seg_index)
+    pruned = [(r.doc_id, r.score) for r in ss.topk32(q, k).collect()]
+    exhaustive = [(r.doc_id, r.score)
+                  for r in ss.topk32(q, k, prune=False).collect()]
+    assert pruned == exhaustive == naive
+
+
 def test_count_parity(xs_index, seg_index):
     q = Bool(should=(Term("retry"), Term("error")))
     a = Searcher(xs_index).count(q).first()["n_hits"]
