@@ -67,6 +67,18 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # p50 of the BM25 top-k search queries (the baseline's latency
+    # metric) — second run of each, so plan-compile warmup is excluded
+    lat = []
+    for name in headline:
+        if not name.startswith(("q_", "w_")):
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    query_p50 = round(lat[len(lat) // 2], 4) if lat else None
+
     # ---- north-rule corpus: synthetic transcript indexing -------------------
     # full end-to-end segment build (tokenize -> invert -> pack -> write
     # -> commit) through the production append_raw path
@@ -96,6 +108,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
+        "query_p50_sec": query_p50,
         "index_build_sec": round(build_sec, 4),
         "segment_build_sec": round(seg_build_sec, 4),
         "n_segments": n_segs,

@@ -444,6 +444,7 @@ class SegmentIndex:
     generation: int = 1
     live_segs: tuple = ()
     data_gens: dict = None  # gen -> [seg_ids] written under that gen dir
+    del_gens: tuple = ()    # generations holding delete sets
 
     def _live(self, df: DataFrame) -> DataFrame:
         if not self.live_segs:
@@ -466,6 +467,15 @@ class SegmentIndex:
     @property
     def norms(self) -> DataFrame:
         return self._data("norms")
+
+    @property
+    def deleted(self) -> DataFrame:
+        """Deleted docids (live-docs complement); empty if none."""
+        paths = [f"{self.path}/deletes/gen={g}" for g in self.del_gens
+                 if os.path.isdir(f"{self.path}/deletes/gen={g}")]
+        if not paths:
+            return self.spark.createDataFrame([], "docid LONG")
+        return self.spark.read.parquet(*paths).distinct()
 
     @property
     def term_stats(self) -> DataFrame:
@@ -553,7 +563,8 @@ def open_segments(spark: SparkSession, path: str) -> SegmentIndex:
                         generation=commit["generation"],
                         live_segs=tuple(commit.get("live_segs", ())),
                         data_gens={int(g): segs for g, segs in
-                                   commit.get("data_gens", {}).items()})
+                                   commit.get("data_gens", {}).items()},
+                        del_gens=tuple(commit.get("del_gens", ())))
 
 
 # ---------------------------------------------------------------------------

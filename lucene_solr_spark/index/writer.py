@@ -339,6 +339,50 @@ class IndexWriter:
                            data_gens=data_gens)
         return self.reader()
 
+    # -- deletes (live docs) ------------------------------------------------
+
+    def delete_docids(self, docids, lineage: str = "") -> SegmentIndex:
+        """Mark docids deleted (Lucene live-docs bitset,
+        codecs/lucene50/Lucene50LiveDocsFormat.java). Postings keep the
+        docs until a future compaction; every query path excludes them
+        at scoring time, exactly like Lucene readers consulting
+        liveDocs. Collection statistics (docCount/avgdl/idf) keep the
+        deleted docs until merge, matching Lucene's stats-ignore-deletes
+        semantics (IndexSearcher.collectionStatistics over
+        Terms.getDocCount)."""
+        st = self.commit_state()
+        gen = st["generation"] + 1
+        ids = sorted({int(d) for d in docids})
+        df = self.spark.createDataFrame(
+            [(d,) for d in ids], "docid LONG")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            self._gen_dir("deletes", gen))
+        # carry catalog/term_stats snapshots forward
+        for sub in ("catalog", "term_stats"):
+            self.spark.read.parquet(
+                f"{self.path}/{sub}/gen={st['generation']}") \
+                .write.mode("overwrite").parquet(
+                    f"{self.path}/{sub}/gen={gen}")
+        del_gens = list(st.get("del_gens", [])) + [gen]
+        st2 = dict(st)
+        st2["del_gens"] = del_gens
+        self._write_commit(st2, generation=gen,
+                           lineage=lineage or f"delete {len(ids)} docs")
+        return self.reader()
+
+    def delete_by_term(self, term: str) -> SegmentIndex:
+        """Delete every document containing ``term`` (delete-by-term,
+        INDEX/DocumentsWriterDeleteQueue.java)."""
+        from ..search.query import Term
+        from ..search.segment_searcher import SegmentSearcher
+        six = self.reader()
+        hits = [r["docid"] for r in
+                SegmentSearcher(six).scored(Term(term))
+                .select("docid").collect()]
+        if not hits:
+            return six
+        return self.delete_docids(hits, lineage=f"delete term={term!r}")
+
     def vacuum(self) -> list:
         """Delete generation data dirs whose segments are all dead."""
         st = self.commit_state()

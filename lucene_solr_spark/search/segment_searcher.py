@@ -74,6 +74,7 @@ class SegSpec:
     emit_all: bool = False    # True -> all matches (scored()), no pruning
     prune: bool = True        # False -> exhaustive (CheckHits oracle mode)
     f32: bool = False         # True -> Lucene-exact float32 arithmetic
+    deleted: object = None    # np.int64 array of deleted docids (live docs)
 
     @property
     def wand_ok(self) -> bool:
@@ -294,7 +295,10 @@ def make_kernel(spec: SegSpec):
         opt = [c for c in spec.clauses if not c.required]
 
         def finalize(docids, scores):
-            """filters / exclusions, then emit."""
+            """filters / exclusions / live-docs, then emit."""
+            if spec.deleted is not None and docids.size:
+                keep0 = ~np.isin(docids, spec.deleted)
+                docids, scores = docids[keep0], scores[keep0]
             if spec.f32 and scores.size:
                 # clause sums ran in float64 (exact for float32 addends);
                 # narrow like the reference's (float) cast on the summed
@@ -401,6 +405,9 @@ def make_kernel(spec: SegSpec):
         # docs that survive MUST_NOT / FILTER, otherwise pruning is not
         # score-safe (a doc excluded later would have inflated θ)
         excl = [tds[t].decode_all()[0] for t in spec.must_not if t in tds]
+        if spec.deleted is not None and len(spec.deleted):
+            # live docs: deleted docs must not feed theta either
+            excl.append(np.asarray(spec.deleted, dtype=np.int64))
         filt = []
         for t in spec.filters:
             if t not in tds:
@@ -511,6 +518,21 @@ class SegmentSearcher:
     def __init__(self, six: SegmentIndex):
         self.six = six
         self._df_cache: dict = {}
+        self._deleted_arr = None
+
+    def _deleted(self):
+        """Deleted docids as a sorted numpy array, fetched once per
+        searcher (liveDocs snapshot). None when the commit has no
+        deletes. At 10^12-doc scale this becomes a per-segment bitmap
+        join instead of a driver collect; the kernel contract (exclude
+        before theta) is identical."""
+        if not self.six.del_gens:
+            return None
+        if self._deleted_arr is None:
+            rows = self.six.deleted.collect()
+            self._deleted_arr = np.array(
+                sorted(r["docid"] for r in rows), dtype=np.int64)
+        return self._deleted_arr
 
     def _resolve_dfs(self, terms) -> dict:
         missing = [t for t in terms if t not in self._df_cache]
@@ -609,7 +631,8 @@ class SegmentSearcher:
                        filters=tuple(filters), msm=msm, k=k,
                        avgdl=self.six.doc_count and
                        (self.six.sum_ttf / float(self.six.doc_count)),
-                       emit_all=emit_all, prune=prune, f32=f32)
+                       emit_all=emit_all, prune=prune, f32=f32,
+                       deleted=self._deleted())
 
     def _all_terms(self, spec: SegSpec):
         ts = set(spec.must_not) | set(spec.filters)

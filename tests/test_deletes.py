@@ -1,0 +1,82 @@
+"""Live docs (deletes): query paths must exclude deleted documents
+exactly like Lucene readers consulting the live-docs bitset
+(codecs/lucene50/Lucene50LiveDocsFormat.java), while collection
+statistics keep deleted docs until merge (Lucene stats semantics)."""
+
+import pytest
+
+from lucene_solr_spark.index.segments import check_index, write_segments
+from lucene_solr_spark.index.writer import IndexWriter
+from lucene_solr_spark.search.query import Bool, Phrase, Term
+from lucene_solr_spark.search.segment_searcher import SegmentSearcher
+
+
+@pytest.fixture()
+def store(spark, xs_transcripts, tmp_path):
+    w = IndexWriter.create(spark, str(tmp_path / "ix"),
+                           docs_per_segment=128)
+    w.append_raw(xs_transcripts.drop("docid"))
+    return w
+
+
+def test_delete_docids_excluded_everywhere(store):
+    w = store
+    six = w.reader()
+    ss = SegmentSearcher(six)
+    victims = [r.doc_id for r in ss.topk(Term("ok"), 5).collect()][:3]
+    assert victims
+    six2 = w.delete_docids(victims)
+    ss2 = SegmentSearcher(six2)
+    for q in (Term("ok"), Bool(must=(Term("ok"), Term("retry"))),
+              Phrase(("ok", "the"))):
+        hits = {r.doc_id for r in ss2.topk(q, 50).collect()}
+        assert not (hits & set(victims)), q
+        # pruned == exhaustive still holds with deletes active
+        a = [(r.doc_id, r.score) for r in ss2.topk(q, 10).collect()]
+        b = [(r.doc_id, r.score)
+             for r in ss2.topk(q, 10, prune=False).collect()]
+        assert a == b
+    # count drops by exactly the deleted matches
+    n_before = ss.count(Term("ok")).first()["n_hits"]
+    n_after = ss2.count(Term("ok")).first()["n_hits"]
+    assert n_after == n_before - len(victims)
+
+
+def test_delete_by_term(store):
+    w = store
+    six = w.reader()
+    n = SegmentSearcher(six).count(Term("error")).first()["n_hits"]
+    assert n > 0
+    six2 = w.delete_by_term("error")
+    ss2 = SegmentSearcher(six2)
+    assert ss2.count(Term("error")).first()["n_hits"] == 0
+    # stats keep deleted docs until merge (Lucene semantics)
+    assert six2.doc_count == six.doc_count
+
+
+def test_deletes_survive_merge_and_commit_roundtrip(store, spark):
+    from lucene_solr_spark.index.segments import open_segments
+    w = store
+    ss = SegmentSearcher(w.reader())
+    victims = [r.doc_id for r in ss.topk(Term("retry"), 3).collect()]
+    w.delete_docids(victims)
+    w.maybe_merge(segs_per_tier=2, max_merge_at_once=4,
+                  floor_bytes=1 << 30)
+    six = open_segments(spark, w.path)
+    assert check_index(six).count() == 0
+    hits = {r.doc_id
+            for r in SegmentSearcher(six).topk(Term("retry"), 50).collect()}
+    assert not (hits & set(victims))
+
+
+def test_scores_of_survivors_unchanged(store):
+    """Deleting docs must not change other docs' scores (stats are
+    frozen until merge)."""
+    w = store
+    ss = SegmentSearcher(w.reader())
+    before = [(r.doc_id, r.score) for r in ss.topk(Term("ok"), 20).collect()]
+    victims = [before[0][0], before[2][0]]
+    ss2 = SegmentSearcher(w.delete_docids(victims))
+    after = [(r.doc_id, r.score) for r in ss2.topk(Term("ok"), 18).collect()]
+    expect = [x for x in before if x[0] not in victims][:18]
+    assert after == expect
