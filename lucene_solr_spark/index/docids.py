@@ -46,7 +46,11 @@ def assign_docids(df: DataFrame, order_cols: list[str],
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG")
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    return (d.withColumn("_rn", F.row_number().over(w) - 1)
-            .join(F.broadcast(off_df), "_pid")
-            .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
-            .drop("_pid", "_rn", "_off"))
+    out = (d.withColumn("_rn", F.row_number().over(w) - 1)
+           .join(F.broadcast(off_df), "_pid")
+           .withColumn("docid", (F.col("_off") + F.col("_rn")).cast("long"))
+           .drop("_pid", "_rn", "_off"))
+    # the persisted staging table must outlive downstream consumption;
+    # callers that loop over appends can release it via this handle
+    out._docids_staging = d
+    return out

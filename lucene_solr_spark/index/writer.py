@@ -152,7 +152,11 @@ class IndexWriter:
         build_norms_direct(ids, dps, text_col=text_col, base_docid=base,
                            seg_id_base=seg_base) \
             .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
-        return self._publish(st, gen, lineage)
+        out = self._publish(st, gen, lineage)
+        staging = getattr(ids, "_docids_staging", None)
+        if staging is not None:
+            staging.unpersist()
+        return out
 
     def append_index(self, ix: InvertedIndex,
                      lineage: str = "") -> SegmentIndex:

@@ -644,7 +644,10 @@ class SegmentSearcher:
         terms = self._all_terms(spec)
         pk = self.six.packed.filter(F.col("term").isin(terms))
         nm = self.six.norms.select("seg_id", "docid_min", "qdl_blob")
-        return pk.join(F.broadcast(nm), "seg_id")
+        # no broadcast hint: at bench scale AQE broadcasts this anyway;
+        # at 10^12 docs the norms table is terabytes and must co-locate
+        # by seg_id through a shuffle join instead
+        return pk.join(nm, "seg_id")
 
     def candidates(self, q: Query, k: int, emit_all: bool = False,
                    prune: bool = True, f32: bool = False) -> DataFrame:

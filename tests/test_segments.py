@@ -98,6 +98,18 @@ def test_count_parity(xs_index, seg_index):
     assert a == b > 0
 
 
+def test_hot_term_rows_bounded_by_segment_size(seg_index):
+    """Skew: the hottest term (df ~30% of docs — 'ok' is injected hot
+    by the generator) must never concentrate into a posting row larger
+    than one segment's share. Doc-range segmentation IS the salting
+    (SURVEY.md §4.2): at 10^12 docs a stopword splits across ~docid/dps
+    bounded rows, each independently scoreable."""
+    rows = (seg_index.packed.filter(F.col("term") == "ok")
+            .select("seg_id", "df").collect())
+    assert len(rows) > 1  # hot term spread across segments
+    assert all(r["df"] <= seg_index.docs_per_segment for r in rows)
+
+
 def test_term_pruning_reads_only_query_terms(seg_index):
     """The packed scan must push the term filter down to Parquet."""
     plan = (seg_index.packed.filter(F.col("term") == "ok")
