@@ -181,6 +181,21 @@ def _q_facet_lang(spark, sf_dir):
             .groupBy("lang").agg(F.count("*").cast("long").alias("n")))
 
 
+def _q_facet_pivot(spark, sf_dir):
+    """Hierarchical (pivot) facets — Solr's PivotFacetProcessor over
+    (lang, source) realized as GROUP BY ROLLUP (SURVEY.md §2.4): one
+    pass produces per-(lang,source) counts, per-lang subtotals, and the
+    grand total."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    return (se.ix.source.join(m, "docid")
+            .rollup("lang", "source")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                    F.coalesce("source", F.lit("(all)")).alias("source"),
+                    "n"))
+
+
 def _q_grouped_topk(spark, sf_dir):
     se = _searcher(spark, sf_dir)
     sc = se.scored(Term(_GROUP_TERM)).withColumn("score", F.round("score", 6))
@@ -396,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({
         "q_facet_source": _q_facet_source,
         "q_facet_lang": _q_facet_lang,
+        "q_facet_pivot": _q_facet_pivot,
         "q_grouped_topk": _q_grouped_topk,
         "q_field_stats": _q_field_stats,
         "q_distinct_sources": _q_distinct_sources,
@@ -448,6 +464,14 @@ SELECT d.lang AS lang, COUNT(*) AS n FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT docid FROM postings
                    WHERE term IN ('dup', 'vector'))
 GROUP BY d.lang"""
+
+    out["q_facet_pivot"] = f"""
+WITH {ctes}
+SELECT COALESCE(d.lang, '(all)') AS lang,
+       COALESCE(d.source, '(all)') AS source, COUNT(*) AS n
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_FACET_TERM}')
+GROUP BY ROLLUP (d.lang, d.source)"""
 
     out["q_grouped_topk"] = f"""
 WITH {ctes},

@@ -116,6 +116,14 @@ class TermInSet:
 
 @dataclass(frozen=True)
 class Fuzzy:
+    """Documented divergence from the reference: Lucene's FuzzyQuery
+    uses Damerau-Levenshtein (transpositions count as ONE edit,
+    SEARCH/FuzzyQuery.java:56 transpositions=true default); both our
+    backends use classic Levenshtein (Spark/DuckDB builtins), so a pure
+    transposition costs 2 edits. Engine and oracle agree with each
+    other; term sets can differ from Lucene for transposed pairs at the
+    edit boundary."""
+
     term: str
     max_edits: int = 2
 
