@@ -122,6 +122,15 @@ COUNT_SPECS: dict[str, Query] = {
     "q_count_and3": Bool(must=(Term("hash"), Term("scan"), Term("sort"))),
 }
 
+# end-to-end classic-syntax queries (parser -> AST -> both backends)
+from lucene_solr_spark.search.parser import parse as parse_query  # noqa: E402
+
+PARSED_SPECS: dict[str, str] = {
+    "p_classic_mix": '+join merge -slow "table hash"',
+    "p_classic_bool": "(dup OR vector) AND window",
+    "p_classic_wild": 'spa* fuzz~1 "slow batch"~4',
+}
+
 _FACET_TERM = "dup"
 _GROUP_TERM = "join"
 _STATS_TERM = "vector"
@@ -151,6 +160,14 @@ def _mk_wand(name: str):
 
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _seg_searcher(spark, sf_dir).topk(ast, k)
+    return f
+
+
+def _mk_parsed(name: str):
+    ast = parse_query(PARSED_SPECS[name])
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).topk(ast, 10)
     return f
 
 
@@ -408,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mk_count(name)
     for name in WAND_SPECS:
         out[f"w_{name[2:]}"] = _mk_wand(name)
+    for name in PARSED_SPECS:
+        out[name] = _mk_parsed(name)
     out.update({
         "q_facet_source": _q_facet_source,
         "q_facet_lang": _q_facet_lang,
@@ -451,6 +470,8 @@ def oracle_sql() -> dict[str, str]:
     for name in WAND_SPECS:
         ast, k = SEARCH_SPECS[name]
         out[f"w_{name[2:]}"] = ob.topk_sql(ast, k)
+    for name, qtext in PARSED_SPECS.items():
+        out[name] = ob.topk_sql(parse_query(qtext), 10)
 
     out["q_facet_source"] = f"""
 WITH {ctes}

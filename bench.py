@@ -91,6 +91,17 @@ def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "10000"))
     tr = gen_transcripts(spark, n_convs).persist()
     n_turns = tr.count()  # corpus gen not timed
+    # untimed warm-up across the whole python-worker pool: the first
+    # kernel call per reused worker pays the virtualized first-touch
+    # page-fault cost (~15x a warm call); steady-state throughput is
+    # the metric (same methodology as tools/scaling_bench.py)
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    wtr = gen_transcripts(spark, 2000, seed=7).persist()
+    wtr.count()
+    IndexWriter.create(spark, warm_dir, docs_per_segment=512) \
+        .append_raw(wtr, lineage="warmup")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    wtr.unpersist()
     out_dir = tempfile.mkdtemp(prefix="bench_segs_")
     t0 = time.perf_counter()
     w = IndexWriter.create(spark, out_dir, docs_per_segment=4096)
