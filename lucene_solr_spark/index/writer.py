@@ -248,14 +248,36 @@ class IndexWriter:
             self.merge_segments(pick)
             n += 1
 
-    def merge_segments(self, seg_ids: list) -> SegmentIndex:
-        """Bulk-merge docid-adjacent segments into one new segment."""
+    def merge_segments(self, seg_ids: list,
+                       expunge: bool = False) -> SegmentIndex:
+        """Bulk-merge docid-adjacent segments into one new segment.
+
+        ``expunge=True`` drops deleted documents while merging (Lucene
+        merges always do; SegmentMerger skips non-live docs —
+        INDEX/SegmentMerger.java:97-180): postings are decoded,
+        filtered, and re-encoded; collection statistics and the global
+        term-stats snapshot are updated to the surviving corpus; the
+        expunged docids leave the delete set."""
         st = self.commit_state()
         six = self.reader()
         seg_ids = sorted(seg_ids)
         new_id = st["next_seg_id"]
         gen = st["generation"] + 1
         pk = six.packed.filter(F.col("seg_id").isin(seg_ids))
+
+        deleted_arr = None
+        if expunge and six.del_gens:
+            import numpy as np
+            all_del = np.array(
+                sorted(r["docid"] for r in six.deleted.collect()),
+                dtype=np.int64)
+            if all_del.size:
+                deleted_arr = all_del
+        if deleted_arr is not None:
+            nm_src = six.norms.filter(F.col("seg_id").isin(seg_ids)) \
+                .select("seg_id", F.col("docid_min").alias("nlo"),
+                        F.col("qdl_blob").alias("qblob"))
+            pk = _expunge_packed(pk.join(nm_src, "seg_id"), deleted_arr)
         # concatenation order must be docid order; seg_id order diverges
         # from it once merged segments (fresh, higher ids) re-merge, so
         # sort by the catalog's docid_min
@@ -292,6 +314,7 @@ class IndexWriter:
          .write.mode("overwrite").parquet(self._gen_dir("postings", gen)))
 
         nm = six.norms.filter(F.col("seg_id").isin(seg_ids))
+        _del_for_norms = deleted_arr
 
         def _merge_norms(it):
             import numpy as np
@@ -313,34 +336,98 @@ class IndexWriter:
             for s0, b, q in spans:
                 nb[s0 - lo:s0 - lo + b.size] = b
                 qb[s0 - lo:s0 - lo + q.size] = q
+            n_docs = int(sum(r["n_docs"] for r in rows))
+            if _del_for_norms is not None:
+                sel = _del_for_norms[(_del_for_norms >= lo)
+                                     & (_del_for_norms < hi)]
+                was_live = nb[sel - lo] != 0
+                nb[sel - lo] = 0
+                qb[sel - lo] = 0
+                n_docs -= int(was_live.sum())
             yield pd.DataFrame({
                 "seg_id": [new_id], "docid_min": [lo],
-                "n_docs": [int(sum(r["n_docs"] for r in rows))],
+                "n_docs": [n_docs],
                 "norm_blob": [nb.tobytes()], "qdl_blob": [qb.tobytes()]})
 
         (nm.repartition(1).mapInPandas(_merge_norms, nm.schema)
          .write.mode("overwrite").parquet(self._gen_dir("norms", gen)))
 
         live = sorted((set(st["live_segs"]) - set(seg_ids)) | {new_id})
-        lineage = f"merge({','.join(map(str, seg_ids))})"
+        lineage = f"merge({','.join(map(str, seg_ids))})" + \
+            (" expunge" if deleted_arr is not None else "")
         pk_new = self.spark.read.parquet(self._gen_dir("postings", gen))
         nm_new = self.spark.read.parquet(self._gen_dir("norms", gen))
-        cat = (self.spark.read.parquet(
+        cat_old = self.spark.read.parquet(
             f"{self.path}/catalog/gen={st['generation']}")
-            .filter(~F.col("seg_id").isin(seg_ids))
-            .unionByName(catalog_from_packed(pk_new, nm_new, lineage)))
+        cat_new_rows = catalog_from_packed(pk_new, nm_new, lineage)
+        cat = (cat_old.filter(~F.col("seg_id").isin(seg_ids))
+               .unionByName(cat_new_rows))
         cat.write.mode("overwrite").parquet(f"{self.path}/catalog/gen={gen}")
-        # term stats unchanged by merge — snapshot carries forward
-        self.spark.read.parquet(
-            f"{self.path}/term_stats/gen={st['generation']}") \
-            .write.mode("overwrite").parquet(
+
+        ts_prev = self.spark.read.parquet(
+            f"{self.path}/term_stats/gen={st['generation']}")
+        doc_count, sum_ttf = st["doc_count"], st["sum_ttf"]
+        if deleted_arr is None:
+            # bulk merge changes no statistics — snapshot carries forward
+            ts_prev.write.mode("overwrite").parquet(
                 f"{self.path}/term_stats/gen={gen}")
+        else:
+            # surviving-corpus stats: subtract the merged range's old
+            # per-term contributions, add the expunged ones back
+            old_range = (six.packed.filter(F.col("seg_id").isin(seg_ids))
+                         .select("term", "df", "ttf"))
+            delta = (old_range.groupBy("term")
+                     .agg(F.sum("df").alias("odf"),
+                          F.sum("ttf").alias("ottf")))
+            new_range = (pk_new.select("term", "df", "ttf")
+                         .groupBy("term")
+                         .agg(F.sum("df").alias("ndf"),
+                              F.sum("ttf").alias("nttf")))
+            ts = (ts_prev.join(delta, "term", "left")
+                  .join(new_range, "term", "left")
+                  .select("term",
+                          (F.col("df") - F.coalesce("odf", F.lit(0))
+                           + F.coalesce("ndf", F.lit(0)))
+                          .cast("long").alias("df"),
+                          (F.col("ttf") - F.coalesce("ottf", F.lit(0))
+                           + F.coalesce("nttf", F.lit(0)))
+                          .cast("long").alias("ttf"))
+                  .filter(F.col("df") > 0))
+            ts.write.mode("overwrite").parquet(
+                f"{self.path}/term_stats/gen={gen}")
+            olds = cat_old.filter(F.col("seg_id").isin(seg_ids)).agg(
+                F.sum("n_docs"), F.sum("n_tokens")).first()
+            news = cat_new_rows.agg(
+                F.sum("n_docs"), F.sum("n_tokens")).first()
+            doc_count -= int(olds[0]) - int(news[0])
+            sum_ttf -= int(olds[1]) - int(news[1])
 
         data_gens = dict(st.get("data_gens", {}))
         data_gens[gen] = [new_id]
-        self._write_commit(st, generation=gen, next_seg_id=new_id + 1,
-                           live_segs=live, lineage=lineage,
-                           data_gens=data_gens)
+        updates = dict(generation=gen, next_seg_id=new_id + 1,
+                       live_segs=live, lineage=lineage,
+                       data_gens=data_gens, doc_count=doc_count,
+                       sum_ttf=sum_ttf)
+        st2 = dict(st)
+        if deleted_arr is not None:
+            # expunged ids leave the delete set (they are gone from the
+            # postings); ids outside the merged range stay deleted
+            rng_rows = nm_new.select("docid_min", "n_docs").first()
+            lo = int(rng_rows["docid_min"])
+            import numpy as np
+            blob = nm_new.select("norm_blob").first()["norm_blob"]
+            hi = lo + len(blob)
+            remaining = [int(d) for d in deleted_arr
+                         if not (lo <= d < hi)]
+            if remaining:
+                self.spark.createDataFrame(
+                    [(d,) for d in remaining], "docid LONG") \
+                    .coalesce(1).write.mode("overwrite").parquet(
+                        self._gen_dir("deletes", gen))
+                st2["del_gens"] = [gen]
+            else:
+                st2["del_gens"] = []
+        self._write_commit(st2, **updates)
         return self.reader()
 
     # -- deletes (live docs) ------------------------------------------------
@@ -416,6 +503,69 @@ class IndexWriter:
         if removed:
             self._write_commit(st, data_gens=data_gens)
         return removed
+
+
+def _expunge_packed(pk_with_norms: DataFrame, deleted_arr) -> DataFrame:
+    """Decode-filter-reencode packed posting rows, dropping deleted
+    docids (the live-docs filter of SegmentMerger's mergeTerms). Input
+    rows carry their segment's ``nlo`` (docid_min) and ``qblob``
+    (qdl forward blob) so surviving docs keep exact impact metadata."""
+    import numpy as np
+
+    from .segments import PACKED_SCHEMA
+
+    def fn(it):
+        import pandas as pd
+
+        from ..codecs import blocks as blk
+        for pdf in it:
+            out = {c.name: [] for c in PACKED_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                d, t = blk.decode_all(row.doc_blocks, row.tf_blocks,
+                                      row.skip_n_docs)
+                keep = ~np.isin(d, deleted_arr)
+                if not keep.any():
+                    continue
+                if keep.all():
+                    # untouched row passes through byte-identical
+                    for c in PACKED_SCHEMA.fields:
+                        out[c.name].append(getattr(row, c.name))
+                    continue
+                pos = np.concatenate([
+                    blk.decode_pos_block(
+                        row.pos_blocks[i],
+                        t[sum(row.skip_n_docs[:i]):
+                          sum(row.skip_n_docs[:i + 1])])
+                    for i in range(len(row.pos_blocks))]) \
+                    if len(row.pos_blocks) else np.empty(0, dtype=np.int64)
+                bounds = np.concatenate(([0], np.cumsum(t)))
+                d2, t2 = d[keep], t[keep]
+                pos2 = np.concatenate([
+                    pos[bounds[i]:bounds[i + 1]]
+                    for i in np.flatnonzero(keep)]) \
+                    if pos.size else np.empty(0, dtype=np.int64)
+                qblob = np.frombuffer(row.qblob, dtype=np.int32)
+                qdl2 = qblob[d2 - int(row.nlo)].astype(np.int64)
+                enc = blk.encode_postings(d2, t2, pos2, qdl2)
+                out["seg_id"].append(row.seg_id)
+                out["term"].append(row.term)
+                out["df"].append(int(d2.size))
+                out["ttf"].append(int(t2.sum()))
+                out["doc_blocks"].append(enc["doc_blocks"])
+                out["tf_blocks"].append(enc["tf_blocks"])
+                out["pos_blocks"].append(enc["pos_blocks"])
+                out["skip_last_docid"].append(
+                    enc["skip_last_docid"].tolist())
+                out["skip_n_docs"].append(enc["skip_n_docs"].tolist())
+                out["skip_max_tf"].append(enc["skip_max_tf"].tolist())
+                out["skip_min_qdl"].append(enc["skip_min_qdl"].tolist())
+                out["packed_bytes"].append(
+                    sum(len(x) for x in enc["doc_blocks"])
+                    + sum(len(x) for x in enc["tf_blocks"])
+                    + sum(len(x) for x in enc["pos_blocks"]))
+            yield pd.DataFrame(out)
+
+    return pk_with_norms.mapInPandas(fn, PACKED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

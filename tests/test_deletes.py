@@ -4,6 +4,7 @@ exactly like Lucene readers consulting the live-docs bitset
 statistics keep deleted docs until merge (Lucene stats semantics)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.segments import check_index, write_segments
 from lucene_solr_spark.index.writer import IndexWriter
@@ -67,6 +68,39 @@ def test_deletes_survive_merge_and_commit_roundtrip(store, spark):
     hits = {r.doc_id
             for r in SegmentSearcher(six).topk(Term("retry"), 50).collect()}
     assert not (hits & set(victims))
+
+
+def test_expunge_merge_drops_docs_and_updates_stats(store, spark,
+                                                    xs_transcripts):
+    """expunge=True merges like Lucene's SegmentMerger: deleted docs
+    leave the postings, collection/term statistics move to the
+    surviving corpus, and results equal a fresh index of the survivors
+    (same docids)."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.engine import Searcher
+    w = store
+    six = w.reader()
+    ss = SegmentSearcher(six)
+    victims = [r.doc_id for r in ss.topk(Term("ok"), 4).collect()]
+    w.delete_docids(victims)
+    six2 = w.merge_segments(list(w.reader().live_segs), expunge=True)
+    assert six2.doc_count == six.doc_count - len(victims)
+    assert not six2.del_gens  # all deletions expunged
+    assert check_index(six2).count() == 0
+    # no posting references a victim anymore
+    ss2 = SegmentSearcher(six2)
+    hits = {r.doc_id for r in ss2.topk(Term("ok"), 1000).collect()}
+    assert not (hits & set(victims))
+    # reference: fresh naive index over the survivors with the SAME
+    # docids — scores (which now use survivor stats) must match
+    survivors = xs_transcripts.filter(~F.col("docid").isin(victims))
+    ref = Searcher(build_index(survivors, docid_col="docid",
+                               cache=False))
+    for q in (Term("ok"), Bool(must=(Term("ok"), Term("retry"))),
+              Phrase(("ok", "the"))):
+        a = [(r.doc_id, r.score) for r in ref.topk(q, 10).collect()]
+        b = [(r.doc_id, r.score) for r in ss2.topk(q, 10).collect()]
+        assert a == b, q
 
 
 def test_scores_of_survivors_unchanged(store):
