@@ -387,6 +387,21 @@ class Searcher:
 
         if isinstance(q, Term):
             return term32(q.term)
+        if isinstance(q, Synonym):
+            # pseudo-term: freq = sum of tfs, idf from max df
+            # (SynonymQuery.java:203-219)
+            dfs = self._resolve_dfs(set(q.terms))
+            df_max = max(dfs.values(), default=0)
+            if df_max == 0:
+                return self._empty_scored32()
+            w = float(idf32(df_max, ix.doc_count))
+            base = (ix.postings.filter(F.col("term").isin(list(q.terms)))
+                    .groupBy("docid").agg(F.sum("tf").alias("tf"))
+                    .join(ix.docs.select("docid", "norm_byte"), "docid"))
+            return base.select(
+                "docid",
+                udf(F.col("tf"), F.col("norm_byte"),
+                    F.lit(w).cast("float")).alias("score"))
         if isinstance(q, Boost):
             if isinstance(q.query, Term):
                 return term32(q.query.term, q.boost)

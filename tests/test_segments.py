@@ -74,7 +74,7 @@ def test_pruned_equals_exhaustive_equals_naive(spark, xs_index, seg_index,
     assert as_tuples(pruned) == as_tuples(naive)
 
 
-@pytest.mark.parametrize("qi", [0, 3, 4, 6])
+@pytest.mark.parametrize("qi", [0, 3, 4, 6, 9])
 @pytest.mark.parametrize("k", [1, 10])
 def test_float32_wand_matches_naive_float32(xs_index, seg_index, qi, k):
     """Lucene-parity mode through the WAND path: float32 scores must be
