@@ -59,6 +59,13 @@ def wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher.maxClauseCount (IndexSearcher.java:91)
+
+
+class TooManyClauses(ValueError):
+    pass
+
+
 class Searcher:
     def __init__(self, ix: InvertedIndex):
         self.ix = ix
@@ -241,6 +248,11 @@ class Searcher:
                 .select("docid"))
 
     def _scored_bool(self, q: Bool) -> DataFrame:
+        n_clauses = (len(q.must) + len(q.should) + len(q.must_not)
+                     + len(q.filter))
+        if n_clauses > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"{n_clauses} clauses > maxClauseCount {MAX_CLAUSE_COUNT}")
         musts = [self.scored(m) for m in q.must]
         base = None
         if musts:
@@ -333,6 +345,46 @@ class Searcher:
     def count(self, q: Query) -> DataFrame:
         """TotalHitCountCollector analogue."""
         return self.matching(q).agg(F.count("*").cast("long").alias("n_hits"))
+
+    # -- explanations (Weight.explain / CheckHits.verifyExplanation) ---------
+
+    def explain(self, q: Query, docid: int) -> dict:
+        """Score breakdown for one document (Explanation tree analogue,
+        SEARCH/Weight.java explain). Self-consistency contract: the
+        returned ``value`` equals the scored() value for the doc
+        (CheckHits.verifyExplanation, CheckHits.java:330)."""
+        row = (self.scored(q).filter(F.col("docid") == docid)
+               .select("score").first())
+        value = float(row["score"]) if row is not None else 0.0
+        node = {"value": value, "matched": row is not None,
+                "description": type(q).__name__}
+        if isinstance(q, Term):
+            dfs = self._resolve_dfs({q.term})
+            tf_row = (self.ix.postings
+                      .filter((F.col("term") == q.term)
+                              & (F.col("docid") == docid))
+                      .select("tf").first())
+            dl_row = (self.ix.docs.filter(F.col("docid") == docid)
+                      .select("qdl").first())
+            node["details"] = {
+                "term": q.term,
+                "df": dfs[q.term],
+                "idf": self.idf(dfs[q.term]) if dfs[q.term] else 0.0,
+                "tf": int(tf_row["tf"]) if tf_row else 0,
+                "qdl": int(dl_row["qdl"]) if dl_row else None,
+                "avgdl": self.ix.avgdl,
+                "formula": "idf * tf / (tf + k1*((1-b) + b*qdl/avgdl))",
+            }
+        elif isinstance(q, Bool):
+            node["details"] = {
+                "must": [self.explain(m, docid) for m in q.must],
+                "should": [self.explain(s1, docid) for s1 in q.should],
+                "must_not_matched": [
+                    bool(self.matching(x)
+                         .filter(F.col("docid") == docid).first())
+                    for x in q.must_not],
+            }
+        return node
 
     # -- Lucene float32 bit-parity mode --------------------------------------
 

@@ -161,3 +161,33 @@ def test_highlight_snippet_contains_term(spark, searcher):
     rows = (top.join(src, "doc_id")
             .select("doc_id", F.expr(snip).alias("snippet")).collect())
     assert rows and all("window" in r.snippet.lower() for r in rows)
+
+
+def test_explain_self_consistency(searcher):
+    """CheckHits.verifyExplanation: explanation value == scored value,
+    and leaf details recompose to it."""
+    from lucene_solr_spark.search.query import Bool, Term
+    top = searcher.topk(Term("dup"), 3).collect()
+    for r in top:
+        ex = searcher.explain(Term("dup"), r.doc_id)
+        assert ex["matched"]
+        assert round(ex["value"], 6) == r.score
+        d = ex["details"]
+        recomputed = (d["idf"] * d["tf"]
+                      / (d["tf"] + 1.2 * ((1 - 0.75)
+                                          + 0.75 * d["qdl"] / d["avgdl"])))
+        assert abs(recomputed - ex["value"]) < 1e-9
+    q = Bool(must=(Term("join"),), should=(Term("dup"),))
+    hit = searcher.topk(q, 1).first()
+    ex = searcher.explain(q, hit.doc_id)
+    parts = sum(c["value"] for c in ex["details"]["must"]) + \
+        sum(c["value"] for c in ex["details"]["should"] if c["matched"])
+    assert abs(parts - ex["value"]) < 1e-9
+
+
+def test_too_many_clauses(searcher):
+    from lucene_solr_spark.search.engine import TooManyClauses
+    from lucene_solr_spark.search.query import Bool, Term
+    big = Bool(should=tuple(Term(f"t{i}") for i in range(1025)))
+    with pytest.raises(TooManyClauses):
+        searcher.scored(big)
