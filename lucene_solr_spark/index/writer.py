@@ -235,9 +235,12 @@ class IndexWriter:
     def maybe_merge(self, segs_per_tier: int = 10,
                     max_merge_at_once: int = 10,
                     floor_bytes: int = 2 << 20,
-                    max_merged_bytes: int = 5 << 30) -> int:
+                    max_merged_bytes: int = 5 << 30,
+                    expunge: bool = False) -> int:
         """Run the tiered policy until no merge qualifies; returns the
-        number of merges executed."""
+        number of merges executed. ``expunge=True`` drops deleted docs
+        in every merge (Lucene merges always do; the default keeps the
+        zero-decode bulk fast path)."""
         n = 0
         while True:
             cat = [r.asDict() for r in self.reader().catalog.collect()]
@@ -245,7 +248,7 @@ class IndexWriter:
                               floor_bytes, max_merged_bytes)
             if not pick:
                 return n
-            self.merge_segments(pick)
+            self.merge_segments(pick, expunge=expunge)
             n += 1
 
     def merge_segments(self, seg_ids: list,
