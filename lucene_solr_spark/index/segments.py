@@ -477,6 +477,29 @@ class SegmentIndex:
             return self.spark.createDataFrame([], "docid LONG")
         return self.spark.read.parquet(*paths).distinct()
 
+    def deleted_by_segment(self) -> DataFrame:
+        """(seg_id, del_ids array<long>) — each segment's deleted docids.
+
+        The scale-safe live-docs shape (Lucene's per-segment bitset,
+        codecs/lucene50/Lucene50LiveDocsFormat.java): the delete set is
+        range-joined to the catalog's contiguous docid ranges
+        executor-side and co-partitions with the postings by seg_id, so
+        no delete ever travels through the driver. The window runs over
+        the catalog (one row per segment — metadata scale)."""
+        from pyspark.sql.window import Window
+        rng = (self.catalog.select("seg_id", "docid_min")
+               .withColumn("docid_hi",
+                           F.lead("docid_min")
+                           .over(Window.orderBy("docid_min"))))
+        j = self.deleted.join(
+            F.broadcast(rng),
+            (F.col("docid") >= F.col("docid_min"))
+            & (F.col("docid_hi").isNull()
+               | (F.col("docid") < F.col("docid_hi"))))
+        return (j.groupBy("seg_id")
+                .agg(F.sort_array(F.collect_list("docid"))
+                     .alias("del_ids")))
+
     @property
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(
@@ -510,7 +533,21 @@ def catalog_from_packed(pk: DataFrame, norms: DataFrame,
             F.sum("packed_bytes").cast("long").alias("packed_bytes"))
     nm = norms.select("seg_id", "docid_min",
                       F.col("n_docs").alias("n_docs"))
-    return (cat.join(nm, "seg_id")
+    # LEFT join FROM norms: every built segment has a norms row, but a
+    # segment whose docs are all token-less emits no postings — it must
+    # still be cataloged (zero-filled term metrics) or doc_count
+    # under-counts and the next append reuses its docid range
+    return (nm.join(cat, "seg_id", "left")
+            .select("seg_id",
+                    F.coalesce("n_terms", F.lit(0)).cast("long")
+                    .alias("n_terms"),
+                    F.coalesce("n_postings", F.lit(0)).cast("long")
+                    .alias("n_postings"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("packed_bytes", F.lit(0)).cast("long")
+                    .alias("packed_bytes"),
+                    "docid_min", "n_docs")
             .withColumn("lineage", F.lit(lineage))
             .withColumn("build_ts", F.lit(int(time.time()))))
 

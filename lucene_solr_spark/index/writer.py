@@ -109,21 +109,35 @@ class IndexWriter:
 
     def append(self, batch: DataFrame, text_col: str = "text",
                order_cols: list | None = None, analyzer: str = "simple",
-               lineage: str = "") -> SegmentIndex:
-        """Index a new document batch (docids continue from doc_count)."""
+               lineage: str = "",
+               extra_commit: dict | None = None) -> SegmentIndex:
+        """Index a new document batch (docids continue from doc_count).
+
+        ``extra_commit`` keys land in the SAME atomic commit.json swap
+        as the generation bump — streaming callers stamp their batch id
+        here so replay-dedup survives a crash between append and stamp
+        (exactly-once; cf. Solr UpdateLog replay, UpdateLog.java:96)."""
         st = self.commit_state()
         order_cols = order_cols or ["conv_id", "turn_idx"]
         with_ids = assign_docids(batch, order_cols)
+        # capture the persisted staging handle BEFORE any withColumn —
+        # derived DataFrames don't carry the attribute forward
+        staging = getattr(with_ids, "_docids_staging", None)
         if st["doc_count"]:
             with_ids = with_ids.withColumn(
                 "docid", F.col("docid") + st["doc_count"])
         ix = build_index(with_ids, text_col=text_col, docid_col="docid",
                          analyzer=analyzer, cache=False)
-        return self.append_index(ix, lineage=lineage)
+        out = self.append_index(ix, lineage=lineage,
+                                extra_commit=extra_commit)
+        if staging is not None:
+            staging.unpersist()
+        return out
 
     def append_raw(self, batch: DataFrame, text_col: str = "text",
                    order_cols: list | None = None,
-                   lineage: str = "") -> SegmentIndex:
+                   lineage: str = "",
+                   extra_commit: dict | None = None) -> SegmentIndex:
         """The hot build path: raw docs -> segments with ONE data shuffle.
 
         Unlike append()/append_index() (which materialize the exploded
@@ -142,6 +156,9 @@ class IndexWriter:
         order_cols = order_cols or ["conv_id", "turn_idx"]
 
         ids = assign_docids(batch, order_cols)
+        # capture the persisted staging handle BEFORE any withColumn —
+        # derived DataFrames don't carry the attribute forward
+        staging = getattr(ids, "_docids_staging", None)
         if base:
             ids = ids.withColumn("docid", F.col("docid") + base)
 
@@ -152,14 +169,14 @@ class IndexWriter:
         build_norms_direct(ids, dps, text_col=text_col, base_docid=base,
                            seg_id_base=seg_base) \
             .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
-        out = self._publish(st, gen, lineage)
-        staging = getattr(ids, "_docids_staging", None)
+        out = self._publish(st, gen, lineage,
+                            extra_commit=extra_commit)
         if staging is not None:
             staging.unpersist()
         return out
 
-    def append_index(self, ix: InvertedIndex,
-                     lineage: str = "") -> SegmentIndex:
+    def append_index(self, ix: InvertedIndex, lineage: str = "",
+                     extra_commit: dict | None = None) -> SegmentIndex:
         """Publish an already-built InvertedIndex whose docids start at
         the current commit's doc_count (segment-publish step)."""
         st = self.commit_state()
@@ -180,16 +197,20 @@ class IndexWriter:
             .write.mode("overwrite").parquet(self._gen_dir("postings", gen))
         build_norms(ix.docs, dps, base_docid=base, seg_id_base=seg_base) \
             .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
-        out = self._publish(st, gen, lineage)
+        out = self._publish(st, gen, lineage, extra_commit=extra_commit)
         if own_cache:
             ix.postings.unpersist()
             ix.docs.unpersist()
         return out
 
-    def _publish(self, st: dict, gen: int, lineage: str) -> SegmentIndex:
+    def _publish(self, st: dict, gen: int, lineage: str,
+                 extra_commit: dict | None = None) -> SegmentIndex:
         """Catalog/term_stats snapshots + atomic commit swap for the
         segments just written under gen's data dirs (scalar-column jobs
-        only — blob columns never leave disk)."""
+        only — blob columns never leave disk). ``extra_commit`` keys
+        ride the same atomic swap (exactly-once stream stamps)."""
+        if extra_commit:
+            st = {**st, **extra_commit}
         nm_new = self.spark.read.parquet(self._gen_dir("norms", gen))
         pk_new = self.spark.read.parquet(self._gen_dir("postings", gen))
         cat_add = catalog_from_packed(pk_new, nm_new, lineage).persist()

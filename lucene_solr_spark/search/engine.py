@@ -37,9 +37,10 @@ from pyspark.sql import functions as F
 from ..index.builder import InvertedIndex
 from .bm25 import score_sql
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, MultiPhrase,
-    Phrase, Prefix, Query, Regexp, SpanNear, Synonym, Term, TermInSet,
-    TermRange, Wildcard, collect_terms,
+    Bool, Boost, ConstantScore, DisMax, FieldExists, Fuzzy, MatchAll,
+    MultiPhrase, Phrase, Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr,
+    Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
+    transposition_variants,
 )
 
 
@@ -64,6 +65,47 @@ MAX_CLAUSE_COUNT = 1024  # IndexSearcher.maxClauseCount (IndexSearcher.java:91)
 
 class TooManyClauses(ValueError):
     pass
+
+
+def term_predicate(q: Query):
+    """Column predicate over a ``term`` column for multi-term queries
+    (the term-dictionary scan of MultiTermQuery.rewrite,
+    SEARCH/MultiTermQuery.java:66) — shared by the naive engine and the
+    segment searcher's driver-side expansion. None for non-multi-term
+    nodes."""
+    t = F.col("term")
+    if isinstance(q, Prefix):
+        return t.like(_like_escape(q.prefix) + "%")
+    if isinstance(q, Wildcard):
+        return t.like(wildcard_to_like(q.pattern))
+    if isinstance(q, TermRange):
+        lo = t >= q.lower if q.include_lower else t > q.lower
+        hi = t <= q.upper if q.include_upper else t < q.upper
+        return lo & hi
+    if isinstance(q, TermInSet):
+        return t.isin(list(q.terms))
+    if isinstance(q, Fuzzy):
+        # Damerau-Levenshtein via transposition-variant expansion
+        # (FuzzyQuery.java:56, transpositions=true default) — see the
+        # Fuzzy docstring in query.py for exactness bounds
+        pred = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
+        if q.transpositions and q.max_edits >= 1:
+            singles = transposition_variants(q.term)
+            for v in singles:
+                pred = pred | (F.levenshtein(t, F.lit(v))
+                               <= q.max_edits - 1)
+            if q.max_edits >= 2:
+                doubles = sorted({d for v in singles
+                                  for d in transposition_variants(v)}
+                                 - {q.term, *singles})
+                if doubles:
+                    pred = pred | t.isin(doubles)
+        return pred
+    if isinstance(q, Regexp):
+        # full-term anchored like Lucene's automaton match
+        # (RegexpQuery.java:48); unanchored rlike is substring search
+        return t.rlike("^(?:" + q.pattern + ")$")
+    return None
 
 
 class Searcher:
@@ -98,7 +140,11 @@ class Searcher:
         return df.join(self.ix.docs.select("docid", "qdl"), "docid")
 
     def scored(self, q: Query) -> DataFrame:
-        """(docid long, score double) — one row per matching doc."""
+        """(docid long, score double) — one row per matching doc.
+
+        The tree is canonicalized first (query.rewrite — the
+        BooleanQuery.rewrite / IndexSearcher.rewrite fixpoint)."""
+        q = rewrite(q)
         ix = self.ix
         if isinstance(q, Term):
             dfs = self._resolve_dfs({q.term})
@@ -128,8 +174,9 @@ class Searcher:
         if isinstance(q, MultiPhrase):
             return self._scored_multiphrase(q)
 
-        if isinstance(q, SpanNear):
-            # spans score under the constant-score rewrite (see query.py)
+        if isinstance(q, (SpanNear, SpanOr, SpanNot, FieldExists)):
+            # spans / field-exists score under the constant-score rewrite
+            # (see query.py)
             return self.scored(ConstantScore(q, 1.0))
 
         if isinstance(q, Bool):
@@ -172,6 +219,24 @@ class Searcher:
                 .filter(F.lit(False))
                 .select("docid", F.lit(0.0).cast("double").alias("score")))
 
+    def _sloppy_udf(self, slop: int):
+        """Vectorized UDF: per-doc position arrays -> exact sloppy freq
+        (SloppyPhraseMatcher traversal + order-independent rational
+        accumulation — see sloppy.py). Runs only on docs that already
+        passed the docid intersection (TwoPhaseIterator shape)."""
+        import pandas as pd
+
+        from .sloppy import sloppy_freq_f64, sloppy_match_lengths
+
+        def f(*cols):
+            out = []
+            for row in zip(*cols):
+                mls = sloppy_match_lengths(list(row), slop)
+                out.append(sloppy_freq_f64(mls, slop))
+            return pd.Series(out, dtype="float64")
+
+        return F.pandas_udf(f, "double")
+
     def _scored_phrase(self, q: Phrase) -> DataFrame:
         terms = list(q.terms)
         dfs = self._resolve_dfs(set(terms))
@@ -186,11 +251,25 @@ class Searcher:
             p = (self.ix.postings.filter(F.col("term") == t)
                  .select("docid", F.col("positions").alias(f"pos{i}")))
             joined = p if joined is None else joined.join(p, "docid")
-        conds = " AND ".join(
-            f"array_contains(pos{i}, x + {i})" for i in range(1, len(terms)))
-        freq = f"size(filter(pos0, x -> {conds}))" if conds else "size(pos0)"
-        out = (joined.select("docid", F.expr(freq).cast("long").alias("tf"))
-               .filter(F.col("tf") > 0))
+        if q.slop > 0:
+            if len(set(terms)) != len(terms):
+                raise TypeError("sloppy phrase requires distinct terms "
+                                "(no-repeats case)")
+            udf = self._sloppy_udf(q.slop)
+            out = (joined.select(
+                "docid",
+                udf(*[F.col(f"pos{i}") for i in range(len(terms))])
+                .alias("tf"))
+                .filter(F.col("tf") > 0))
+        else:
+            conds = " AND ".join(
+                f"array_contains(pos{i}, x + {i})"
+                for i in range(1, len(terms)))
+            freq = (f"size(filter(pos0, x -> {conds}))" if conds
+                    else "size(pos0)")
+            out = (joined.select("docid",
+                                 F.expr(freq).cast("long").alias("tf"))
+                   .filter(F.col("tf") > 0))
         return (self._with_qdl(out)
                 .select("docid",
                         self._score_expr("tf", idf_sum).alias("score")))
@@ -296,25 +375,11 @@ class Searcher:
     # -- non-scoring match sets ---------------------------------------------
 
     def _term_pred(self, q: Query):
-        t = F.col("term")
-        if isinstance(q, Prefix):
-            return t.like(_like_escape(q.prefix) + "%")
-        if isinstance(q, Wildcard):
-            return t.like(wildcard_to_like(q.pattern))
-        if isinstance(q, TermRange):
-            lo = t >= q.lower if q.include_lower else t > q.lower
-            hi = t <= q.upper if q.include_upper else t < q.upper
-            return lo & hi
-        if isinstance(q, TermInSet):
-            return t.isin(list(q.terms))
-        if isinstance(q, Fuzzy):
-            return F.levenshtein(t, F.lit(q.term)) <= q.max_edits
-        if isinstance(q, Regexp):
-            return t.rlike(q.pattern)
-        return None
+        return term_predicate(q)
 
     def matching(self, q: Query) -> DataFrame:
         """(docid) distinct — FILTER / MUST_NOT / constant-score contexts."""
+        q = rewrite(q)
         pred = self._term_pred(q)
         if pred is not None:
             return (self.ix.postings.filter(pred)
@@ -324,9 +389,73 @@ class Searcher:
                     .select("docid"))
         if isinstance(q, SpanNear):
             return self._matching_span(q)
+        if isinstance(q, SpanOr):
+            # SpanOrQuery: union of clause match sets
+            parts = [self.matching(c) for c in q.clauses]
+            return reduce(DataFrame.unionAll, parts).distinct()
+        if isinstance(q, SpanNot):
+            # SpanNotQuery (pre/post=0): docs with an include span that
+            # does not share a start position with any exclude span.
+            # Position-granular realization: exclude docs where every
+            # include start is covered — here simplified to doc
+            # granularity minus docs whose include matches are all
+            # excluded; with pre/post=0 and distinct-term spans, doc
+            # has a surviving span iff it matches include and NOT
+            # (every include start == an exclude start) — realized as
+            # include minus (include ∩ exclude-all) via position sets
+            return self._matching_span_not(q)
+        if isinstance(q, FieldExists):
+            # DocValuesFieldExistsQuery: stored column non-null
+            return (self.ix.source
+                    .filter(F.col(q.field).isNotNull())
+                    .select("docid"))
         if isinstance(q, MatchAll):
             return self.ix.docs.select("docid")
         return self.scored(q).select("docid")
+
+    def _span_starts(self, q: Query) -> DataFrame | None:
+        """(docid, starts array<long>) of span start positions, or None
+        when the node is not a span primitive. Used by SpanNot."""
+        if isinstance(q, Term):
+            return (self.ix.postings.filter(F.col("term") == q.term)
+                    .select("docid", F.col("positions").alias("starts")))
+        if isinstance(q, SpanNear):
+            dfs = self._resolve_dfs(set(q.terms))
+            if any(dfs[t] == 0 for t in q.terms):
+                return (self.ix.docs.select("docid").filter(F.lit(False))
+                        .select("docid",
+                                F.expr("array()").alias("starts")))
+            joined = None
+            for i, t in enumerate(q.terms):
+                p = (self.ix.postings.filter(F.col("term") == t)
+                     .select("docid", F.col("positions").alias(f"pos{i}")))
+                joined = p if joined is None else joined.join(p, "docid")
+            k = len(q.terms)
+            if k == 1:
+                return joined.select(
+                    "docid", F.col("pos0").alias("starts"))
+            inner = (f"a{k - 1} > a{k - 2} AND "
+                     f"a{k - 1} - a0 - {k - 1} <= {q.slop}")
+            expr = f"exists(pos{k - 1}, a{k - 1} -> {inner})"
+            for i in range(k - 2, 0, -1):
+                expr = f"exists(pos{i}, a{i} -> a{i} > a{i - 1} AND {expr})"
+            return joined.select(
+                "docid",
+                F.expr(f"filter(pos0, a0 -> {expr})").alias("starts"))
+        return None
+
+    def _matching_span_not(self, q: SpanNot) -> DataFrame:
+        inc = self._span_starts(q.include)
+        exc = self._span_starts(q.exclude)
+        if inc is None or exc is None:
+            raise TypeError("SpanNot needs span primitives "
+                            "(Term / SpanNear)")
+        j = inc.join(exc.select("docid",
+                                F.col("starts").alias("xstarts")),
+                     "docid", "left")
+        surv = ("size(filter(starts, s -> xstarts IS NULL OR "
+                "NOT array_contains(xstarts, s))) > 0")
+        return j.filter(F.expr(surv)).select("docid")
 
     # -- top-k ----------------------------------------------------------------
 
@@ -420,6 +549,7 @@ class Searcher:
 
         from .bm25 import idf32
 
+        q = rewrite(q)
         udf = self._score32_udf()
         ix = self.ix
 
@@ -476,15 +606,35 @@ class Searcher:
                 p = (ix.postings.filter(F.col("term") == t)
                      .select("docid", F.col("positions").alias(f"pos{i}")))
                 joined = p if joined is None else joined.join(p, "docid")
-            conds = " AND ".join(
-                f"array_contains(pos{i}, x + {i})"
-                for i in range(1, len(q.terms)))
-            freq = (f"size(filter(pos0, x -> {conds}))" if conds
-                    else "size(pos0)")
-            out = (joined.select("docid",
-                                 F.expr(freq).cast("long").alias("tf"))
-                   .filter(F.col("tf") > 0)
-                   .join(ix.docs.select("docid", "norm_byte"), "docid"))
+            if q.slop > 0:
+                import pandas as pd
+
+                from .sloppy import sloppy_freq_f32, sloppy_match_lengths
+                slop = q.slop
+
+                def f32freq(*cols):
+                    return pd.Series(
+                        [float(sloppy_freq_f32(
+                            sloppy_match_lengths(list(row), slop)))
+                         for row in zip(*cols)], dtype="float64")
+
+                out = (joined.select(
+                    "docid",
+                    F.pandas_udf(f32freq, "double")(
+                        *[F.col(f"pos{i}")
+                          for i in range(len(q.terms))]).alias("tf"))
+                    .filter(F.col("tf") > 0)
+                    .join(ix.docs.select("docid", "norm_byte"), "docid"))
+            else:
+                conds = " AND ".join(
+                    f"array_contains(pos{i}, x + {i})"
+                    for i in range(1, len(q.terms)))
+                freq = (f"size(filter(pos0, x -> {conds}))" if conds
+                        else "size(pos0)")
+                out = (joined.select("docid",
+                                     F.expr(freq).cast("long").alias("tf"))
+                       .filter(F.col("tf") > 0)
+                       .join(ix.docs.select("docid", "norm_byte"), "docid"))
             return out.select(
                 "docid", udf(F.col("tf"), F.col("norm_byte"),
                              F.lit(idf_d).cast("float")).alias("score"))

@@ -20,10 +20,12 @@ from ..codecs.smallfloat import qdl_sql
 from .bm25 import idf_sql, score_sql
 from .engine import _like_escape, wildcard_to_like
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, MultiPhrase,
-    Phrase, Prefix, Query, Regexp, SpanNear, Synonym, Term, TermInSet,
-    TermRange, Wildcard,
+    Bool, Boost, ConstantScore, DisMax, FieldExists, Fuzzy, MatchAll,
+    MultiPhrase, Phrase, Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr,
+    Synonym, Term, TermInSet, TermRange, Wildcard, rewrite,
+    transposition_variants,
 )
+from .sloppy import freq_denominator
 
 
 def _q(s: str) -> str:
@@ -102,12 +104,14 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
                 f"JOIN docs d ON d.docid = g.docid")
 
         if isinstance(q, Phrase):
+            if q.slop > 0:
+                return self._scored_phrase_sloppy(q)
             return self._scored_phrase(q)
 
         if isinstance(q, MultiPhrase):
             return self._scored_multiphrase(q)
 
-        if isinstance(q, SpanNear):
+        if isinstance(q, (SpanNear, SpanOr, SpanNot, FieldExists)):
             return self.scored(ConstantScore(q, 1.0))
 
         if isinstance(q, Bool):
@@ -158,6 +162,63 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             f"SELECT p0.docid, CAST({freq} AS BIGINT) AS tf "
             f"FROM {' '.join(joins)} WHERE p0.term = {_q(terms[0])}) f "
             f"JOIN docs d ON d.docid = f.docid WHERE f.tf > 0")
+
+    def _scored_phrase_sloppy(self, q: Phrase) -> str:
+        """Two-term sloppy phrase: the recursive-CTE mirror of
+        search/sloppy.py chain_match_lengths_2 (derived from
+        SloppyPhraseMatcher.nextMatch, SloppyPhraseMatcher.java:163-195).
+        tag 0 = current target in the term-0 list; each step hops to the
+        least opposite-list position strictly greater than the current
+        target; match length = target minus the greatest advancing-list
+        position <= target (inclusive). freq = (Σ D//(1+ml)) / D with
+        D = lcm(1..slop+1) — an exact integer sum, so it is
+        order-independent and bit-identical to the engine's python
+        matcher."""
+        if len(q.terms) != 2:
+            raise TypeError(
+                "oracle sloppy phrase supports exactly 2 terms "
+                "(engine/kernel support any arity via the python matcher)")
+        t0, t1 = q.terms
+        slop, d = q.slop, freq_denominator(q.slop)
+        idf_parts = (f"({self.term_idf_sql(t0)}) + "
+                     f"({self.term_idf_sql(t1)})")
+        sc = score_sql("f.tf", "dd.qdl", f"({idf_parts})", self.avgdl_sql)
+        nb = "list_min(list_filter(pb, y -> y > t))"
+        na = "list_min(list_filter(pa, y -> y > t))"
+        return f"""
+WITH RECURSIVE spl AS (
+  SELECT a.docid, a.positions AS pa,
+         list_transform(b.positions, x -> x - 1) AS pb
+  FROM postings a JOIN postings b ON b.docid = a.docid
+  WHERE a.term = {_q(t0)} AND b.term = {_q(t1)}
+),
+schain AS (
+  SELECT docid, pa, pb,
+         CASE WHEN pa[1] > pb[1] THEN 0 ELSE 1 END AS tag,
+         CASE WHEN pa[1] > pb[1] THEN pa[1] ELSE pb[1] END AS t,
+         CASE WHEN pa[1] > pb[1]
+              THEN pa[1] - list_max(list_filter(pb, y -> y <= pa[1]))
+              ELSE pb[1] - list_max(list_filter(pa, y -> y <= pb[1]))
+         END AS ml
+  FROM spl
+  UNION ALL
+  SELECT docid, pa, pb, 1 - tag,
+         CASE WHEN tag = 0 THEN {nb} ELSE {na} END,
+         CASE WHEN tag = 0
+              THEN {nb} - list_max(list_filter(pa, z -> z <= {nb}))
+              ELSE {na} - list_max(list_filter(pb, z -> z <= {na}))
+         END
+  FROM schain
+  WHERE (CASE WHEN tag = 0 THEN {nb} ELSE {na} END) IS NOT NULL
+),
+sfreq AS (
+  SELECT docid,
+         CAST(SUM(CASE WHEN ml <= {slop} THEN {d} // (1 + ml)
+                       ELSE 0 END) AS DOUBLE) / {d} AS tf
+  FROM schain GROUP BY docid
+)
+SELECT f.docid, {sc} AS score
+FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
 
     def _scored_multiphrase(self, q: MultiPhrase) -> str:
         all_terms = [t for slot in q.slots for t in slot]
@@ -271,9 +332,23 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
         if isinstance(q, TermInSet):
             return f"term IN ({', '.join(_q(t) for t in q.terms)})"
         if isinstance(q, Fuzzy):
-            return f"levenshtein(term, {_q(q.term)}) <= {q.max_edits}"
+            # same Damerau expansion as engine._term_pred (query.py Fuzzy)
+            parts = [f"levenshtein(term, {_q(q.term)}) <= {q.max_edits}"]
+            if q.transpositions and q.max_edits >= 1:
+                singles = transposition_variants(q.term)
+                for v in singles:
+                    parts.append(
+                        f"levenshtein(term, {_q(v)}) <= {q.max_edits - 1}")
+                if q.max_edits >= 2:
+                    doubles = sorted({d for v in singles
+                                      for d in transposition_variants(v)}
+                                     - {q.term, *singles})
+                    if doubles:
+                        ins = ", ".join(_q(d) for d in doubles)
+                        parts.append(f"term IN ({ins})")
+            return "(" + " OR ".join(parts) + ")"
         if isinstance(q, Regexp):
-            return f"regexp_matches(term, {_q('^' + q.pattern + '$')})"
+            return f"regexp_matches(term, {_q('^(?:' + q.pattern + ')$')})"
         return None
 
     def matching(self, q: Query) -> str:
@@ -285,13 +360,62 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
                     f"WHERE term = {_q(q.term)}")
         if isinstance(q, SpanNear):
             return self._matching_span(q)
+        if isinstance(q, SpanOr):
+            parts = " UNION ".join(
+                f"SELECT docid FROM ({self.matching(c)}) so{i}"
+                for i, c in enumerate(q.clauses))
+            return parts
+        if isinstance(q, SpanNot):
+            return self._matching_span_not(q)
+        if isinstance(q, FieldExists):
+            return (f"SELECT {self.id_col} AS docid FROM {self.table} "
+                    f"WHERE {q.field} IS NOT NULL")
         if isinstance(q, MatchAll):
             return "SELECT docid FROM docs"
         return f"SELECT docid FROM ({self.scored(q)}) s"
 
+    def _span_starts_sql(self, q: Query) -> str:
+        """(docid, starts LIST) of span start positions — SpanNot feed.
+        Mirrors engine._span_starts."""
+        if isinstance(q, Term):
+            return (f"SELECT docid, positions AS starts FROM postings "
+                    f"WHERE term = {_q(q.term)}")
+        if isinstance(q, SpanNear):
+            k = len(q.terms)
+            if k == 1:
+                return self._span_starts_sql(Term(q.terms[0]))
+            joins = [f"(SELECT docid, positions AS pos0 FROM postings "
+                     f"WHERE term = {_q(q.terms[0])}) s0"]
+            for i in range(1, k):
+                joins.append(
+                    f"JOIN (SELECT docid, positions AS pos{i} FROM postings "
+                    f"WHERE term = {_q(q.terms[i])}) s{i} "
+                    f"ON s{i}.docid = s0.docid")
+            inner = (f"a{k - 1} > a{k - 2} AND "
+                     f"a{k - 1} - a0 - {k - 1} <= {q.slop}")
+            expr = (f"len(list_filter(s{k - 1}.pos{k - 1}, "
+                    f"a{k - 1} -> {inner})) > 0")
+            for i in range(k - 2, 0, -1):
+                expr = (f"len(list_filter(s{i}.pos{i}, a{i} -> "
+                        f"a{i} > a{i - 1} AND {expr})) > 0")
+            return (f"SELECT s0.docid, "
+                    f"list_filter(s0.pos0, a0 -> {expr}) AS starts "
+                    f"FROM {' '.join(joins)}")
+        raise TypeError("SpanNot needs span primitives (Term / SpanNear)")
+
+    def _matching_span_not(self, q: SpanNot) -> str:
+        inc = self._span_starts_sql(q.include)
+        exc = self._span_starts_sql(q.exclude)
+        return (
+            f"SELECT i.docid FROM ({inc}) i "
+            f"LEFT JOIN ({exc}) x ON x.docid = i.docid "
+            f"WHERE len(list_filter(i.starts, s -> x.starts IS NULL OR "
+            f"NOT list_contains(x.starts, s))) > 0")
+
     # -- entry points ------------------------------------------------------------
 
     def topk_sql(self, q: Query, k: int = 10, round_digits: int = 6) -> str:
+        q = rewrite(q)
         return (
             f"WITH {self.base_ctes()} "
             f"SELECT docid AS doc_id, ROUND(score, {round_digits}) AS score "
@@ -300,6 +424,7 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             f"LIMIT {k}")
 
     def count_sql(self, q: Query) -> str:
+        q = rewrite(q)
         return (
             f"WITH {self.base_ctes()} "
             f"SELECT COUNT(*) AS n_hits "

@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(r"""
     \s*(
         \(|\)|
         \[[^\]]*\]|\{[^}]*\}|            # ranges
-        "(?:[^"\\]|\\.)*"(?:~\d+)?|      # quoted phrase (+ slop)
+        "(?:[^"\\]|\\.)*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|  # quoted (+slop+boost)
         \|\||&&|!|\+|-|
         [^\s()\[\]{}+!]+                 # bare term-ish chunk
     )""", re.VERBOSE)
@@ -165,23 +165,37 @@ class _Parser:
             if field != self.default_field:
                 raise QueryParseError(f"unknown field {field!r}")
             t = rest
-        # quoted phrase (optionally ~slop)
+        # quoted phrase (optionally ~slop and/or ^boost)
         if t.startswith('"'):
-            slop = 0
+            slop, boost = 0, None
             body = t
-            sm = re.search(r'"~(\d+)$', t)
+            bm = re.search(r'\^(\d+(?:\.\d+)?)$', body)
+            if bm:
+                boost = float(bm.group(1))
+                body = body[: bm.start()]
+            sm = re.search(r'"~(\d+)$', body)
             if sm:
                 slop = int(sm.group(1))
-                body = t[: sm.start() + 1]
+                body = body[: sm.start() + 1]
             text = body[1:-1].replace('\\"', '"')
             terms = simple_tokenize(text)
             if not terms:
                 return None
             if len(terms) == 1:
-                return Term(terms[0])
-            if slop:
-                return SpanNear(tuple(terms), slop)
-            return Phrase(tuple(terms))
+                node: Query = Term(terms[0])
+            elif slop:
+                # scored sloppy PhraseQuery ("a b"~n —
+                # QueryParserBase.getFieldQuery slop handling;
+                # SloppyPhraseMatcher semantics) when terms are
+                # distinct; repeated terms fall back to the ordered
+                # SpanNear filter (no-repeats matcher limitation)
+                if len(set(terms)) == len(terms):
+                    node = Phrase(tuple(terms), slop)
+                else:
+                    node = SpanNear(tuple(terms), slop)
+            else:
+                node = Phrase(tuple(terms))
+            return Boost(node, boost) if boost is not None else node
         # range
         rm = _RANGE_RE.match(t)
         if rm:

@@ -35,9 +35,9 @@ from dataclasses import dataclass, field
 from typing import Tuple, Union
 
 Query = Union[
-    "Term", "Bool", "Phrase", "MultiPhrase", "SpanNear", "Synonym", "Prefix",
-    "Wildcard", "TermRange", "TermInSet", "Fuzzy", "Regexp", "DisMax",
-    "Boost", "ConstantScore", "MatchAll",
+    "Term", "Bool", "Phrase", "MultiPhrase", "SpanNear", "SpanOr", "SpanNot",
+    "Synonym", "Prefix", "Wildcard", "TermRange", "TermInSet", "Fuzzy",
+    "Regexp", "DisMax", "Boost", "ConstantScore", "MatchAll", "FieldExists",
 ]
 
 
@@ -57,6 +57,14 @@ class Bool:
 
 @dataclass(frozen=True)
 class Phrase:
+    """PhraseQuery. ``slop=0`` = exact (ExactPhraseMatcher.java:36);
+    ``slop>0`` = sloppy (SloppyPhraseMatcher.java:56): freq is the sum of
+    1/(1+matchLength) over the matches found by the advance-least-
+    position traversal, and the doc is scored by BM25 on that (float)
+    freq. Both backends implement the reference's no-repeats traversal
+    exactly (terms must be distinct); see engine._sloppy_* / the
+    segment kernel's matcher."""
+
     terms: Tuple[str, ...]
     slop: int = 0
 
@@ -116,16 +124,34 @@ class TermInSet:
 
 @dataclass(frozen=True)
 class Fuzzy:
-    """Documented divergence from the reference: Lucene's FuzzyQuery
-    uses Damerau-Levenshtein (transpositions count as ONE edit,
-    SEARCH/FuzzyQuery.java:56 transpositions=true default); both our
-    backends use classic Levenshtein (Spark/DuckDB builtins), so a pure
-    transposition costs 2 edits. Engine and oracle agree with each
-    other; term sets can differ from Lucene for transposed pairs at the
-    edit boundary."""
+    """FuzzyQuery with transpositions=true (Damerau-Levenshtein,
+    SEARCH/FuzzyQuery.java:56 default). Neither Spark nor DuckDB has a
+    Damerau builtin, so both backends share the same expansion: a term
+    matches iff classic levenshtein <= max_edits, OR it is within
+    max_edits-1 classic edits of a single-adjacent-transposition
+    variant of the query term, OR (max_edits >= 2) equals a
+    double-transposition variant. Exact for max_edits <= 1; for
+    max_edits = 2 it covers every edit sequence normalizable to
+    transpositions-first (a superset of OSA restricted distance, subset
+    of unrestricted Damerau) — engine and oracle always agree because
+    the predicate text is shared. ``transpositions=False`` reproduces
+    classic Levenshtein (FuzzyQuery(..., transpositions=false))."""
 
     term: str
     max_edits: int = 2
+    transpositions: bool = True
+
+
+def transposition_variants(term: str) -> Tuple[str, ...]:
+    """Distinct single-adjacent-transposition variants of ``term``
+    (excluding ``term`` itself)."""
+    out: list = []
+    for i in range(len(term) - 1):
+        if term[i] != term[i + 1]:
+            v = term[:i] + term[i + 1] + term[i] + term[i + 2:]
+            if v != term and v not in out:
+                out.append(v)
+    return tuple(out)
 
 
 @dataclass(frozen=True)
@@ -156,6 +182,92 @@ class MatchAll:
     pass
 
 
+@dataclass(frozen=True)
+class SpanOr:
+    """Union of span sub-clauses (SpanOrQuery, lucene/core/src/java/org/
+    apache/lucene/search/spans/SpanOrQuery.java): a doc matches when any
+    clause's spans match. Clauses are SpanNear trees or plain term
+    tuples; used in constant-score / filter contexts like SpanNear."""
+
+    clauses: Tuple[Query, ...]
+
+
+@dataclass(frozen=True)
+class SpanNot:
+    """Spans of ``include`` that do not overlap a span of ``exclude``
+    (SpanNotQuery, spans/SpanNotQuery.java, pre/post = 0): here realized
+    at position granularity — an include match survives unless an
+    exclude match occupies an overlapping position window."""
+
+    include: Query
+    exclude: Query
+
+
+@dataclass(frozen=True)
+class FieldExists:
+    """Field-present filter (SEARCH/DocValuesFieldExistsQuery.java /
+    NormsFieldExistsQuery): matches every doc whose stored column is
+    non-null. Constant-score."""
+
+    field: str
+
+
+def rewrite(q: Query) -> Query:
+    """Query-tree canonicalization to fixpoint — the engine-side
+    analogue of BooleanQuery.rewrite (SEARCH/BooleanQuery.java:235-430)
+    + IndexSearcher.rewrite (IndexSearcher.java:757-764):
+
+    - single-clause unwrap (one MUST or one SHOULD, nothing else);
+    - duplicate SHOULD clauses fold into Boost(clause, n) when
+      minimumNumberShouldMatch == 0 (scores are identical: n equal
+      float64 addends == n * x exactly in IEEE754);
+    - FILTER clauses duplicating a MUST are dropped;
+    - MatchAll FILTER clauses are dropped when another positive clause
+      constrains the match set;
+    - Boost(1.0) unwraps, nested Boosts multiply
+      (BoostQuery.rewrite);
+    - single-clause DisMax unwraps (DisjunctionMaxQuery.rewrite).
+
+    Semantics-preserving: both backends may run the rewritten or the
+    raw tree and produce identical rows/scores.
+    """
+    if isinstance(q, Bool):
+        must = tuple(rewrite(c) for c in q.must)
+        should = tuple(rewrite(c) for c in q.should)
+        must_not = tuple(rewrite(c) for c in q.must_not)
+        filt = tuple(rewrite(c) for c in q.filter)
+        filt = tuple(f for f in filt if f not in must)
+        if must or should:
+            filt = tuple(f for f in filt if not isinstance(f, MatchAll))
+        if q.minimum_should_match == 0 and len(set(should)) < len(should):
+            counts: dict = {}
+            for s in should:
+                counts[s] = counts.get(s, 0) + 1
+            should = tuple(s if n == 1 else rewrite(Boost(s, float(n)))
+                           for s, n in counts.items())
+        if len(must) == 1 and not (should or must_not or filt):
+            return must[0]
+        if (len(should) == 1 and not (must or must_not or filt)
+                and q.minimum_should_match <= 1):
+            return should[0]
+        return Bool(must, should, must_not, filt, q.minimum_should_match)
+    if isinstance(q, Boost):
+        sub = rewrite(q.query)
+        if q.boost == 1.0:
+            return sub
+        if isinstance(sub, Boost):
+            return Boost(sub.query, sub.boost * q.boost)
+        return Boost(sub, q.boost)
+    if isinstance(q, DisMax):
+        cl = tuple(rewrite(c) for c in q.clauses)
+        if len(cl) == 1:
+            return cl[0]
+        return DisMax(cl, q.tiebreak)
+    if isinstance(q, ConstantScore):
+        return ConstantScore(rewrite(q.query), q.score)
+    return q
+
+
 def collect_terms(q: Query) -> set:
     """All literal terms referenced by the tree (for stats resolution)."""
     if isinstance(q, Term):
@@ -169,11 +281,13 @@ def collect_terms(q: Query) -> set:
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
             out |= collect_terms(sub)
         return out
-    if isinstance(q, DisMax):
+    if isinstance(q, (DisMax, SpanOr)):
         out = set()
         for sub in q.clauses:
             out |= collect_terms(sub)
         return out
+    if isinstance(q, SpanNot):
+        return collect_terms(q.include) | collect_terms(q.exclude)
     if isinstance(q, (Boost, ConstantScore)):
         return collect_terms(q.query)
     return set()

@@ -42,8 +42,9 @@ from .. import B, K1
 from ..codecs import blocks as blk
 from ..index.segments import SegmentIndex
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, MatchAll, Phrase, Query, Synonym,
-    Term,
+    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, MultiPhrase,
+    Phrase, Prefix, Query, Regexp, SpanNear, Synonym, Term, TermInSet,
+    TermRange, Wildcard, rewrite,
 )
 
 OUT_SCHEMA = "docid long, score double"
@@ -55,18 +56,23 @@ OUT_SCHEMA = "docid long, score double"
 
 @dataclass
 class Clause:
-    kind: str                 # 'term' | 'synonym' | 'phrase'
-    terms: tuple              # analyzed terms
+    kind: str   # 'term' | 'synonym' | 'phrase' | 'multiphrase'
+    #           | 'constant' (any-of term set, fixed score)
+    #           | 'spannear' (ordered proximity, fixed score)
+    terms: tuple              # analyzed terms; multiphrase: tuple of tuples
     weight: float             # idf (double), boost-multiplied
     required: bool            # MUST vs SHOULD
+    slop: int = 0             # phrase/spannear: proximity budget
 
 
 @dataclass
 class SegSpec:
     clauses: list
-    must_not: tuple = ()      # plain terms to exclude
-    filters: tuple = ()       # plain terms that must match (non-scoring)
+    must_not: tuple = ()      # plain terms to exclude (any-of union)
+    filters: tuple = ()       # tuple of any-of term sets (each must match)
     msm: int = 0              # minimum SHOULD clauses to match
+    combine: str = "sum"      # 'sum' (Bool) | 'dismax' (DisjunctionMax)
+    tiebreak: float = 0.0     # dismax only
     k: int = 10
     k1: float = K1
     b: float = B
@@ -74,7 +80,8 @@ class SegSpec:
     emit_all: bool = False    # True -> all matches (scored()), no pruning
     prune: bool = True        # False -> exhaustive (CheckHits oracle mode)
     f32: bool = False         # True -> Lucene-exact float32 arithmetic
-    deleted: object = None    # np.int64 array of deleted docids (live docs)
+    has_deletes: bool = False  # commit carries live-docs; kernel reads the
+    # per-segment del_ids column of its input frame (never a driver array)
 
     @property
     def wand_ok(self) -> bool:
@@ -209,33 +216,161 @@ def _sum_scores(parts):
     return uniq, tot, cnt
 
 
-def _phrase_freq(tds: list, terms: list) -> tuple:
-    """Exact phrase matcher (SEARCH/ExactPhraseMatcher.java:36): docids
-    common to all terms, freq = #positions p in term0 with p+i in termi."""
-    views = [tds[t].all_positions() for t in terms]
+def _common_docs(views: list) -> np.ndarray:
     common = views[0][0]
     for v in views[1:]:
         common = common[np.isin(common, v[0])]
+    return common
+
+
+def _flat_positions(view, common: np.ndarray):
+    """(doc-index-in-common repeated per position, flat positions) for
+    the docs of ``common`` inside one term's all_positions() view."""
+    d, t, offs, pos = view
+    ix = np.searchsorted(d, common)
+    tfs = t[ix]
+    rep = np.repeat(np.arange(common.size, dtype=np.int64), tfs)
+    # gather each doc's positions slice, fully vectorized
+    starts = offs[ix]
+    total = int(tfs.sum())
+    gidx = (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(tfs) - tfs, tfs)
+            + np.repeat(starts, tfs))
+    return rep, pos[gidx]
+
+
+def _phrase_freq(tds: list, terms: list) -> tuple:
+    """Exact phrase matcher (SEARCH/ExactPhraseMatcher.java:36): docids
+    common to all terms, freq = #positions p in term0 with p+i in termi.
+    Vectorized: per-term (doc, position) pairs become composite int64
+    keys (doc-index * M + position); slot i's check is one np.isin of
+    key0 + i against slot i's keys — no per-doc python loop."""
+    views = [tds[t].all_positions() for t in terms]
+    common = _common_docs(views)
     if common.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    out_d, out_f = [], []
+    flat = [_flat_positions(v, common) for v in views]
+    m = np.int64(max(int(f[1].max(initial=0)) for f in flat)
+                 + len(terms) + 2)
+    rep0, pos0 = flat[0]
+    key0 = rep0 * m + pos0
+    keep = np.ones(key0.size, dtype=bool)
+    for i in range(1, len(terms)):
+        repi, posi = flat[i]
+        keep &= np.isin(key0 + i, repi * m + posi)
+    freq = np.bincount(rep0[keep], minlength=common.size)
+    sel = freq > 0
+    return common[sel], freq[sel].astype(np.int64)
+
+
+def _sloppy_phrase_freq(tds: list, terms: list, slop: int,
+                        f32: bool) -> tuple:
+    """Sloppy phrase freq per doc: exact SloppyPhraseMatcher traversal
+    (sloppy.py) over the intersected docs. Float frequencies: rational
+    double accumulation in double mode, chain-order float32 in f32
+    parity mode (PhraseScorer.java:76-78)."""
+    from .sloppy import (
+        sloppy_freq_f32, sloppy_freq_f64, sloppy_match_lengths,
+    )
+    views = [tds[t].all_positions() for t in terms]
+    common = _common_docs(views)
+    if common.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     idxs = [np.searchsorted(v[0], common) for v in views]
-    for j, doc in enumerate(common):
-        v0 = views[0]
-        i0 = idxs[0][j]
-        cand = v0[3][v0[2][i0]:v0[2][i0 + 1]]
-        for off in range(1, len(terms)):
-            v = views[off]
-            ii = idxs[off][j]
-            plist = v[3][v[2][ii]:v[2][ii + 1]]
-            cand = cand[np.isin(cand + off, plist)]
-            if cand.size == 0:
-                break
-        if cand.size:
-            out_d.append(int(doc))
-            out_f.append(int(cand.size))
+    out_d, out_f = [], []
+    for j in range(common.size):
+        pls = []
+        for v, ix in zip(views, idxs):
+            i = ix[j]
+            pls.append(v[3][v[2][i]:v[2][i + 1]])
+        mls = sloppy_match_lengths(pls, slop)
+        if not mls:
+            continue
+        out_d.append(int(common[j]))
+        out_f.append(float(sloppy_freq_f32(mls)) if f32
+                     else sloppy_freq_f64(mls, slop))
     return (np.array(out_d, dtype=np.int64),
-            np.array(out_f, dtype=np.int64))
+            np.array(out_f, dtype=np.float64))
+
+
+def _flat_union(views: list, common: np.ndarray, m: np.int64) -> np.ndarray:
+    """Distinct (doc-index-in-common, position) composite keys for the
+    union of several terms' position lists, restricted to ``common``
+    docs (MultiPhraseQuery's UnionPostingsEnum)."""
+    keys = []
+    for v in views:
+        d, t, offs, pos = v
+        sel = np.isin(d, common)
+        if not sel.any():
+            continue
+        ix = np.flatnonzero(sel)
+        tfs = t[ix]
+        rep = np.repeat(np.searchsorted(common, d[ix]), tfs)
+        total = int(tfs.sum())
+        gidx = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(tfs) - tfs, tfs)
+                + np.repeat(offs[ix], tfs))
+        keys.append(rep * m + pos[gidx])
+    if not keys:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(keys))
+
+
+def _multiphrase_freq(tds: dict, slots: tuple) -> tuple:
+    """MultiPhraseQuery freq (SEARCH/MultiPhraseQuery.java:56): per doc,
+    the number of start positions p with SOME alternative of slot i at
+    p+i for every i. Slot postings are term-unions; same composite-key
+    vectorization as _phrase_freq."""
+    slot_views = []
+    for slot in slots:
+        vs = [tds[t].all_positions() for t in slot if t in tds]
+        if not vs:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        slot_views.append(vs)
+    common = None
+    for vs in slot_views:
+        docs = np.unique(np.concatenate([v[0] for v in vs]))
+        common = docs if common is None else common[np.isin(common, docs)]
+    if common.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    maxpos = max(int(v[3].max(initial=0)) for vs in slot_views for v in vs)
+    m = np.int64(maxpos + len(slots) + 2)
+    key0 = _flat_union(slot_views[0], common, m)
+    keep = np.ones(key0.size, dtype=bool)
+    for i in range(1, len(slots)):
+        keep &= np.isin(key0 + i, _flat_union(slot_views[i], common, m))
+    rep0 = key0[keep] // m
+    freq = np.bincount(rep0, minlength=common.size)
+    sel = freq > 0
+    return common[sel], freq[sel].astype(np.int64)
+
+
+def _spannear_docs(tds: dict, terms: tuple, slop: int) -> np.ndarray:
+    """Docids containing an ordered span p_1 < ... < p_k with
+    p_k - p_1 - (k-1) <= slop (SpanNearQuery in_order=true). Greedy
+    minimal chain per start position, vectorized with doc-major
+    composite keys and searchsorted."""
+    views = [tds[t].all_positions() for t in terms]
+    common = _common_docs(views)
+    if common.size == 0:
+        return common
+    maxpos = max(int(v[3].max(initial=0)) for v in views)
+    m = np.int64(maxpos + 2)
+    rep0, p0 = _flat_positions(views[0], common)
+    cur = p0.copy()
+    alive = np.ones(p0.size, dtype=bool)
+    for i in range(1, len(terms)):
+        repi, pi = _flat_positions(views[i], common)
+        keyi = repi * m + pi
+        idx = np.searchsorted(keyi, rep0 * m + cur, side="right")
+        ok = idx < keyi.size
+        idxc = np.clip(idx, 0, max(keyi.size - 1, 0))
+        ok &= (keyi[idxc] // m) == rep0
+        alive &= ok
+        cur = np.where(alive, keyi[idxc] % m, cur)
+    match = alive & (cur - p0 - (len(terms) - 1) <= slop)
+    return common[np.unique(rep0[match])]
 
 
 def make_kernel(spec: SegSpec):
@@ -248,8 +383,16 @@ def make_kernel(spec: SegSpec):
         _tune_allocator()
         qdl_blob = np.frombuffer(pdf["qdl_blob"].iloc[0], dtype=np.int32)
         docid_min = int(pdf["docid_min"].iloc[0])
+        # per-segment live docs: the delete set arrives co-partitioned
+        # in the input frame (seg-local array), never via the driver
+        deleted = None
+        if spec.has_deletes and "del_ids" in pdf.columns:
+            dv = pdf["del_ids"].iloc[0]
+            if dv is not None and len(dv):
+                deleted = np.asarray(dv, dtype=np.int64)
         tds = {row.term: _TermData(row)
-               for row in pdf.itertuples(index=False)}
+               for row in pdf.itertuples(index=False)
+               if row.term is not None}
 
         def qdl_of(docids: np.ndarray) -> np.ndarray:
             return qdl_blob[docids - docid_min].astype(np.int64)
@@ -285,7 +428,11 @@ def make_kernel(spec: SegSpec):
                 if any(t not in tds for t in c.terms):
                     return (np.empty(0, dtype=np.int64),
                             np.empty(0, dtype=np.float64))
-                d, f = _phrase_freq(tds, list(c.terms))
+                if c.slop > 0:
+                    d, f = _sloppy_phrase_freq(tds, list(c.terms),
+                                               c.slop, spec.f32)
+                else:
+                    d, f = _phrase_freq(tds, list(c.terms))
                 if d.size == 0:
                     return d, np.empty(0, dtype=np.float64)
                 return d, _score_dispatch(spec, f, qdl_of(d), c.weight)
@@ -296,8 +443,8 @@ def make_kernel(spec: SegSpec):
 
         def finalize(docids, scores):
             """filters / exclusions / live-docs, then emit."""
-            if spec.deleted is not None and docids.size:
-                keep0 = ~np.isin(docids, spec.deleted)
+            if deleted is not None and docids.size:
+                keep0 = ~np.isin(docids, deleted)
                 docids, scores = docids[keep0], scores[keep0]
             if spec.f32 and scores.size:
                 # clause sums ran in float64 (exact for float32 addends);
@@ -317,8 +464,12 @@ def make_kernel(spec: SegSpec):
                     keep &= ~np.isin(docids, td.decode_all()[0])
             docids, scores = docids[keep], scores[keep]
             if not spec.emit_all and docids.size > spec.k:
-                # per-segment top-k, ties by docid ASC (HitQueue.lessThan)
-                order = np.lexsort((docids, -scores))[:spec.k]
+                # per-segment top-k with the FINAL ordering key:
+                # round(score, 6) DESC, docid ASC (HitQueue.lessThan +
+                # the engine/oracle rounding convention) — selecting by
+                # unrounded score can differ at the k boundary for docs
+                # within <1e-6 of each other
+                order = np.lexsort((docids, -np.round(scores, 6)))[:spec.k]
                 docids, scores = docids[order], scores[order]
             return pd.DataFrame({"docid": docids, "score": scores})
 
@@ -405,9 +556,9 @@ def make_kernel(spec: SegSpec):
         # docs that survive MUST_NOT / FILTER, otherwise pruning is not
         # score-safe (a doc excluded later would have inflated θ)
         excl = [tds[t].decode_all()[0] for t in spec.must_not if t in tds]
-        if spec.deleted is not None and len(spec.deleted):
+        if deleted is not None:
             # live docs: deleted docs must not feed theta either
-            excl.append(np.asarray(spec.deleted, dtype=np.int64))
+            excl.append(deleted)
         filt = []
         for t in spec.filters:
             if t not in tds:
@@ -494,9 +645,13 @@ def make_kernel(spec: SegSpec):
             pool_s = np.concatenate([kth_pool_s, totv])
             pool_d = np.concatenate([kth_pool_d, uniq])
             if pool_s.size > spec.k:
-                keep = np.lexsort((pool_d, -pool_s))[:spec.k]
+                # selection key = round(score, 6) / docid ASC, matching
+                # the final ordering; θ backs off by the max rounding
+                # error (5e-7) so a pruned doc can never round UP into
+                # the kth rounded score — score-safe
+                keep = np.lexsort((pool_d, -np.round(pool_s, 6)))[:spec.k]
                 pool_s, pool_d = pool_s[keep], pool_d[keep]
-                theta = float(pool_s.min())
+                theta = float(np.round(pool_s, 6).min()) - 5.0000001e-07
             kth_pool_s, kth_pool_d = pool_s, pool_d
         if not cand_d:
             return finalize(np.empty(0, dtype=np.int64),
@@ -518,21 +673,18 @@ class SegmentSearcher:
     def __init__(self, six: SegmentIndex):
         self.six = six
         self._df_cache: dict = {}
-        self._deleted_arr = None
+        self._del_df = None
 
-    def _deleted(self):
-        """Deleted docids as a sorted numpy array, fetched once per
-        searcher (liveDocs snapshot). None when the commit has no
-        deletes. At 10^12-doc scale this becomes a per-segment bitmap
-        join instead of a driver collect; the kernel contract (exclude
-        before theta) is identical."""
+    def _deleted_df(self):
+        """(seg_id, del_ids) live-docs DataFrame, joined into the kernel
+        input frame by seg_id (Lucene's per-segment liveDocs bitset) —
+        deletes never travel through the driver. None when the commit
+        has no deletes."""
         if not self.six.del_gens:
             return None
-        if self._deleted_arr is None:
-            rows = self.six.deleted.collect()
-            self._deleted_arr = np.array(
-                sorted(r["docid"] for r in rows), dtype=np.int64)
-        return self._deleted_arr
+        if self._del_df is None:
+            self._del_df = self.six.deleted_by_segment().persist()
+        return self._del_df
 
     def _resolve_dfs(self, terms) -> dict:
         missing = [t for t in terms if t not in self._df_cache]
@@ -551,6 +703,7 @@ class SegmentSearcher:
 
     def compile(self, q: Query, k: int, emit_all: bool = False,
                 prune: bool = True, f32: bool = False) -> SegSpec:
+        q = rewrite(q)
         clauses: list = []
         must_not: list = []
         filters: list = []
@@ -595,16 +748,18 @@ class SegmentSearcher:
                                       w_term(df_max, boost), required))
                 return
             if isinstance(node, Phrase):
+                if node.slop > 0 and len(set(node.terms)) != len(node.terms):
+                    raise TypeError("sloppy phrase requires distinct terms")
                 dfs = self._resolve_dfs(set(node.terms))
                 if any(dfs[t] == 0 for t in node.terms):
                     if required:
                         clauses.append(Clause("phrase", tuple(node.terms),
-                                              0.0, True))
+                                              0.0, True, node.slop))
                     return
                 clauses.append(Clause(
                     "phrase", tuple(node.terms),
                     w_phrase([dfs[t] for t in node.terms], boost),
-                    required))
+                    required, node.slop))
                 return
             raise TypeError(
                 f"segment path does not support {type(node).__name__} "
@@ -632,7 +787,7 @@ class SegmentSearcher:
                        avgdl=self.six.doc_count and
                        (self.six.sum_ttf / float(self.six.doc_count)),
                        emit_all=emit_all, prune=prune, f32=f32,
-                       deleted=self._deleted())
+                       has_deletes=bool(self.six.del_gens))
 
     def _all_terms(self, spec: SegSpec):
         ts = set(spec.must_not) | set(spec.filters)
@@ -647,7 +802,12 @@ class SegmentSearcher:
         # no broadcast hint: at bench scale AQE broadcasts this anyway;
         # at 10^12 docs the norms table is terabytes and must co-locate
         # by seg_id through a shuffle join instead
-        return pk.join(nm, "seg_id")
+        out = pk.join(nm, "seg_id")
+        if spec.has_deletes:
+            # live docs co-partitioned by seg_id (left: most segments
+            # have no deletes)
+            out = out.join(self._deleted_df(), "seg_id", "left")
+        return out
 
     def candidates(self, q: Query, k: int, emit_all: bool = False,
                    prune: bool = True, f32: bool = False) -> DataFrame:

@@ -13,9 +13,12 @@ micro-batch is one "flush" producing new segments through the same
 IndexWriter used for bulk builds; the commit.json generation swap is
 the soft-commit, and Spark's checkpoint + our ``last_stream_batch``
 watermark make replays exactly-once: a restarted query re-offers the
-last in-flight batch (at-least-once), the writer skips batch ids it
-already committed, and orphan partitions from a crashed append are
-dropped before the retry writes (IndexWriter._drop_orphans).
+last in-flight batch (at-least-once), the writer skips batch ids whose
+stamp is in the commit — the stamp travels in the SAME atomic
+commit.json swap as the generation bump (``extra_commit``), so no
+crash point can commit docs without the stamp. Orphan gen directories
+from a crashed append are overwritten by the retry (mode=overwrite)
+and reaped by ``IndexWriter.vacuum``.
 
 After each append, an optional tiered-merge pass keeps the segment
 count bounded (ConcurrentMergeScheduler analogue — here it runs
@@ -56,10 +59,13 @@ class StreamingIndexer:
             return  # replayed batch already committed — exactly-once
         if batch_df.isEmpty():
             return
+        # the batch-id stamp rides the SAME atomic commit.json swap as
+        # the generation bump (IndexWriter._publish extra_commit), so a
+        # crash can never commit the docs without the stamp — a replayed
+        # batch is either fully absent or fully committed+stamped
         self.writer.append(batch_df, order_cols=self.order_cols,
-                           lineage=f"stream batch {batch_id}")
-        # stamp the batch id into the fresh commit
-        self._patch_commit_extra({"last_stream_batch": int(batch_id)})
+                           lineage=f"stream batch {batch_id}",
+                           extra_commit={"last_stream_batch": int(batch_id)})
         self._batches_since_merge += 1
         if self.merge_every and self._batches_since_merge >= self.merge_every:
             self.writer.maybe_merge(**self.merge_kwargs)

@@ -89,13 +89,19 @@ def lsh_signature_expr(vec_col: str, planes: list) -> str:
 
 def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
                     n_planes: int = 6, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """ANN via random-hyperplane LSH: exact cosine re-rank restricted
     to the probe's bucket (approximate — may differ from exact top-k;
     deterministic given the fixed hyperplanes). At scale the bucket
-    column is a partition key, so a probe touches one bucket's
-    partitions instead of the full corpus."""
-    dim = len(emb.select(vec_col).first()[0])
+    column is a partition key (see ``partition_by_bucket``), so a probe
+    touches one bucket's partitions instead of the full corpus.
+
+    Pass ``dim`` explicitly (it is part of the table contract); the
+    schema-probe fallback costs one driver round-trip and exists only
+    for ad-hoc exploration."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim)
     sig = lsh_signature_expr(vec_col, planes)
     with_sig = emb.withColumn("bucket", F.expr(sig))
@@ -113,3 +119,46 @@ def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
         F.col(id_col).cast("long").alias(id_col),
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col)).limit(k))
+
+
+def partition_by_bucket(emb: DataFrame, n_planes: int, dim: int,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Materialization helper for the 10^9+-vector layout: add the LSH
+    ``bucket`` column and hash-partition on it, so bucket-restricted
+    probes and pair generation shuffle once at write time and every
+    probe afterwards is partition-pruned (write with
+    ``.write.partitionBy('bucket')`` for directory-level pruning)."""
+    planes = hyperplanes(n_planes, dim)
+    return (emb.withColumn("bucket",
+                           F.expr(lsh_signature_expr(vec_col, planes)))
+            .repartition("bucket"))
+
+
+def cosine_pairs_lsh(emb: DataFrame, top_n: int = 20, n_planes: int = 6,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs with LSH candidate generation —
+    the 100 TB path: vectors pair only within their hyperplane bucket
+    (an equi-join on the bucket key, candidates ~ O(near-dups)), then
+    exact cosine re-ranks the candidates. Same output contract as the
+    brute-force ``cosine_pairs`` restricted to same-bucket pairs;
+    recall vs brute force is probabilistic in the plane count
+    (tests/test_newops.py pins it on the fixture corpora)."""
+    planes = hyperplanes(n_planes, dim)
+    sig = lsh_signature_expr(vec_col, planes)
+    wb = emb.select(F.col(id_col), F.col(vec_col),
+                    F.expr(sig).alias("bucket"))
+    a = wb.select(F.col(id_col).alias("vec_a"),
+                  F.col(vec_col).alias("ea"), "bucket")
+    b = wb.select(F.col(id_col).alias("vec_b"),
+                  F.col(vec_col).alias("eb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    dot = DOT.format(a="ea", b="eb")
+    na = DOT.format(a="ea", b="ea")
+    nb = DOT.format(a="eb", b="eb")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return (cand.select(
+        F.col("vec_a").cast("long"), F.col("vec_b").cast("long"),
+        F.expr(f"ROUND({cos}, 6)").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top_n))

@@ -49,8 +49,12 @@ def test_phrase_single_token_collapses_to_term():
     assert parse('"hello"') == Term("hello")
 
 
-def test_phrase_slop_becomes_span():
-    assert parse('"hello world"~2') == SpanNear(("hello", "world"), 2)
+def test_phrase_slop_becomes_scored_sloppy_phrase():
+    # "a b"~n is a scored PhraseQuery with slop in the reference
+    # (QueryParserBase.getFieldQuery); SpanNear remains the fallback for
+    # repeated terms (no-repeats matcher limitation)
+    assert parse('"hello world"~2') == Phrase(("hello", "world"), 2)
+    assert parse('"ho my my"~2') == SpanNear(("ho", "my", "my"), 2)
 
 
 def test_grouping():
