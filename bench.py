@@ -56,10 +56,16 @@ def main() -> None:
     # ---- headline queries ---------------------------------------------------
     headline = [
         "q_term_common", "q_term_rare", "q_bool_and2", "q_bool_or3",
-        "q_bool_mixed", "q_phrase2", "q_synonym", "q_dismax", "q_prefix",
-        "q_match_all", "q_grouped_topk", "q_facet_source",
+        "q_bool_mixed", "q_phrase2", "q_phrase_sloppy", "q_synonym",
+        "q_dismax", "q_prefix", "q_match_all", "q_grouped_topk",
+        "q_facet_source",
         "w_term_common", "w_bool_or3", "w_bool_mixed", "w_phrase2",
-        "t_near_dup", "t_quality", "t_dedup_exact", "v_ann_cosine",
+        "w_dismax",
+        # flagship dedup is the banded MinHash-LSH plan (candidate
+        # generation ~ O(near-dups)); the all-pairs shingle join
+        # (t_near_dup) stays registered as its verification oracle only
+        "t_minhash_lsh", "t_quality", "t_dedup_exact",
+        "v_ann_cosine", "v_embed_lsh",
     ]
     qs = entrymod.queries()
     for name in headline:

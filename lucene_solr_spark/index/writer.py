@@ -292,11 +292,13 @@ class IndexWriter:
         deleted_arr = None
         if expunge and six.del_gens:
             import numpy as np
-            all_del = np.array(
-                sorted(r["docid"] for r in six.deleted.collect()),
-                dtype=np.int64)
-            if all_del.size:
-                deleted_arr = all_del
+            # only the merged segments' deletes are needed — bounded by
+            # the merge's own size cap, never the global delete set
+            rows = (six.deleted_by_segment()
+                    .filter(F.col("seg_id").isin(seg_ids)).collect())
+            ids = sorted(d for r in rows for d in r["del_ids"])
+            if ids:
+                deleted_arr = np.array(ids, dtype=np.int64)
         if deleted_arr is not None:
             nm_src = six.norms.filter(F.col("seg_id").isin(seg_ids)) \
                 .select("seg_id", F.col("docid_min").alias("nlo"),
@@ -435,19 +437,18 @@ class IndexWriter:
         st2 = dict(st)
         if deleted_arr is not None:
             # expunged ids leave the delete set (they are gone from the
-            # postings); ids outside the merged range stay deleted
+            # postings); ids outside the merged range stay deleted —
+            # computed as a distributed filter, never a driver pass over
+            # the global delete set
             rng_rows = nm_new.select("docid_min", "n_docs").first()
             lo = int(rng_rows["docid_min"])
-            import numpy as np
             blob = nm_new.select("norm_blob").first()["norm_blob"]
             hi = lo + len(blob)
-            remaining = [int(d) for d in deleted_arr
-                         if not (lo <= d < hi)]
-            if remaining:
-                self.spark.createDataFrame(
-                    [(d,) for d in remaining], "docid LONG") \
-                    .coalesce(1).write.mode("overwrite").parquet(
-                        self._gen_dir("deletes", gen))
+            remaining = six.deleted.filter(
+                (F.col("docid") < lo) | (F.col("docid") >= hi))
+            if remaining.limit(1).count():
+                remaining.coalesce(1).write.mode("overwrite").parquet(
+                    self._gen_dir("deletes", gen))
                 st2["del_gens"] = [gen]
             else:
                 st2["del_gens"] = []

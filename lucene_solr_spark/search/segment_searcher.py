@@ -216,6 +216,22 @@ def _sum_scores(parts):
     return uniq, tot, cnt
 
 
+def _combine_disjunction(spec, parts):
+    """Combine SHOULD-clause parts per spec.combine: 'sum' =
+    DisjunctionSumScorer; 'dismax' = DisjunctionMaxQuery
+    (max + tiebreak * (sum - max), DisjunctionMaxQuery.java:45)."""
+    uniq, tot, cnt = _sum_scores(parts)
+    if spec.combine != "dismax":
+        return uniq, tot, cnt
+    mx = np.full(uniq.size, -np.inf)
+    d = np.concatenate([p[0] for p in parts])
+    s = np.concatenate([p[1] for p in parts])
+    inv = np.searchsorted(uniq, d)
+    np.maximum.at(mx, inv, s)
+    tb = float(spec.tiebreak)
+    return uniq, mx + tb * (tot - mx), cnt
+
+
 def _common_docs(views: list) -> np.ndarray:
     common = views[0][0]
     for v in views[1:]:
@@ -436,6 +452,31 @@ def make_kernel(spec: SegSpec):
                 if d.size == 0:
                     return d, np.empty(0, dtype=np.float64)
                 return d, _score_dispatch(spec, f, qdl_of(d), c.weight)
+            if c.kind == "multiphrase":
+                if any(all(t not in tds for t in slot) for slot in c.terms):
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+                d, f = _multiphrase_freq(tds, c.terms)
+                if d.size == 0:
+                    return d, np.empty(0, dtype=np.float64)
+                return d, _score_dispatch(spec, f, qdl_of(d), c.weight)
+            if c.kind == "constant":
+                # expanded multi-term under the constant-score rewrite
+                # (MultiTermQueryConstantScoreWrapper): any-of match,
+                # fixed score c.weight
+                parts = [tds[t].decode_all()[0] for t in c.terms
+                         if t in tds]
+                if not parts:
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+                uniq = np.unique(np.concatenate(parts))
+                return uniq, np.full(uniq.size, c.weight, dtype=np.float64)
+            if c.kind == "spannear":
+                if any(t not in tds for t in c.terms):
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
+                d = _spannear_docs(tds, c.terms, c.slop)
+                return d, np.full(d.size, c.weight, dtype=np.float64)
             raise ValueError(c.kind)
 
         req = [c for c in spec.clauses if c.required]
@@ -452,12 +493,14 @@ def make_kernel(spec: SegSpec):
                 # double (DisjunctionSumScorer/ConjunctionScorer)
                 scores = scores.astype(np.float32).astype(np.float64)
             keep = np.ones(docids.size, dtype=bool)
-            for t in spec.filters:
-                td = tds.get(t)
-                if td is None:
+            for tset in spec.filters:
+                # each filter = any-of term set (multi-term FILTER
+                # clauses expand to their matching dictionary terms)
+                parts = [tds[t].decode_all()[0] for t in tset if t in tds]
+                if not parts:
                     keep[:] = False
                     break
-                keep &= np.isin(docids, td.decode_all()[0])
+                keep &= np.isin(docids, np.concatenate(parts))
             for t in spec.must_not:
                 td = tds.get(t)
                 if td is not None:
@@ -509,7 +552,7 @@ def make_kernel(spec: SegSpec):
             if not parts:
                 return finalize(np.empty(0, dtype=np.int64),
                                 np.empty(0, dtype=np.float64))
-            uniq, tot, cnt = _sum_scores(parts)
+            uniq, tot, cnt = _combine_disjunction(spec, parts)
             msm = max(spec.msm, 1)
             sel = cnt >= msm
             return finalize(uniq[sel], tot[sel])
@@ -560,11 +603,12 @@ def make_kernel(spec: SegSpec):
             # live docs: deleted docs must not feed theta either
             excl.append(deleted)
         filt = []
-        for t in spec.filters:
-            if t not in tds:
+        for tset in spec.filters:
+            parts = [tds[t].decode_all()[0] for t in tset if t in tds]
+            if not parts:
                 return finalize(np.empty(0, dtype=np.int64),
                                 np.empty(0, dtype=np.float64))
-            filt.append(tds[t].decode_all()[0])
+            filt.append(np.unique(np.concatenate(parts)))
         cand_d: list = []
         cand_s: list = []
         theta = -np.inf
@@ -627,8 +671,8 @@ def make_kernel(spec: SegSpec):
                     base, tot = base[selm], tot[selm]
                 uniq, totv = base, tot
             else:
-                uniq, totv, cnt = _sum_scores(
-                    [(d, s) for d, s, _ in parts])
+                uniq, totv, cnt = _combine_disjunction(
+                    spec, [(d, s) for d, s, _ in parts])
                 msm = max(spec.msm, 1)
                 selm = cnt >= msm
                 uniq, totv = uniq[selm], totv[selm]
@@ -701,6 +745,24 @@ class SegmentSearcher:
         n = self.six.doc_count
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
+    def _expand_terms(self, q: Query) -> tuple:
+        """Driver-side term-dictionary expansion for multi-term queries
+        (MultiTermQuery.rewrite / ScoringRewrite): one filtered scan of
+        the tiny term_stats table, capped at maxClauseCount. Returns the
+        matching dictionary terms."""
+        from .engine import MAX_CLAUSE_COUNT, TooManyClauses, term_predicate
+        pred = term_predicate(q)
+        if pred is None:
+            raise TypeError(f"not a multi-term query: {type(q).__name__}")
+        rows = (self.six.term_stats.filter(pred)
+                .select("term").limit(MAX_CLAUSE_COUNT + 1).collect())
+        if len(rows) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"{type(q).__name__} expands past {MAX_CLAUSE_COUNT}")
+        return tuple(sorted(r["term"] for r in rows))
+
+    MULTI_TERM = (Prefix, Wildcard, TermRange, TermInSet, Fuzzy, Regexp)
+
     def compile(self, q: Query, k: int, emit_all: bool = False,
                 prune: bool = True, f32: bool = False) -> SegSpec:
         q = rewrite(q)
@@ -708,6 +770,8 @@ class SegmentSearcher:
         must_not: list = []
         filters: list = []
         msm = 0
+        combine = "sum"
+        tiebreak = 0.0
         n_docs = self.six.doc_count
 
         def w_term(df: int, boost: float) -> float:
@@ -761,9 +825,65 @@ class SegmentSearcher:
                     w_phrase([dfs[t] for t in node.terms], boost),
                     required, node.slop))
                 return
+            if isinstance(node, MultiPhrase):
+                if any(len(set(slot)) != len(slot) for slot in node.slots):
+                    raise TypeError("multiphrase slots need distinct terms")
+                all_terms = [t for slot in node.slots for t in slot]
+                dfs = self._resolve_dfs(set(all_terms))
+                if any(all(dfs[t] == 0 for t in slot)
+                       for slot in node.slots):
+                    if required:
+                        clauses.append(Clause("multiphrase",
+                                              tuple(node.slots), 0.0, True))
+                    return
+                clauses.append(Clause(
+                    "multiphrase", tuple(node.slots),
+                    w_phrase([dfs[t] for t in all_terms if dfs[t] > 0],
+                             boost),
+                    required))
+                return
+            if isinstance(node, SpanNear):
+                # constant-score span (the engine's rewrite): weight =
+                # boost * 1.0
+                clauses.append(Clause("spannear", tuple(node.terms),
+                                      boost, required, node.slop))
+                return
+            if isinstance(node, ConstantScore):
+                inner = node.query
+                if isinstance(inner, Term):
+                    clauses.append(Clause("constant", (inner.term,),
+                                          boost * node.score, required))
+                    return
+                if isinstance(inner, self.MULTI_TERM):
+                    clauses.append(Clause(
+                        "constant", self._expand_terms(inner),
+                        boost * node.score, required))
+                    return
+                if isinstance(inner, SpanNear):
+                    clauses.append(Clause(
+                        "spannear", tuple(inner.terms),
+                        boost * node.score, required, inner.slop))
+                    return
+                raise TypeError("segment path ConstantScore supports "
+                                "Term / multi-term / SpanNear")
+            if isinstance(node, self.MULTI_TERM):
+                # constant-score rewrite
+                # (MultiTermQueryConstantScoreWrapper)
+                clauses.append(Clause("constant",
+                                      self._expand_terms(node),
+                                      boost, required))
+                return
             raise TypeError(
                 f"segment path does not support {type(node).__name__} "
                 f"in scoring position")
+
+        def neg_terms(x: Query) -> list:
+            if isinstance(x, Term):
+                return [x.term]
+            if isinstance(x, self.MULTI_TERM):
+                return list(self._expand_terms(x))
+            raise TypeError(
+                "segment path MUST_NOT/FILTER needs Term or multi-term")
 
         if isinstance(q, Bool):
             msm = q.minimum_should_match
@@ -772,27 +892,37 @@ class SegmentSearcher:
             for s in q.should:
                 leaf(s, False)
             for x in q.must_not:
-                if not isinstance(x, Term):
-                    raise TypeError("segment path MUST_NOT needs Term")
-                must_not.append(x.term)
+                must_not.extend(neg_terms(x))
             for ft in q.filter:
-                if not isinstance(ft, Term):
-                    raise TypeError("segment path FILTER needs Term")
-                filters.append(ft.term)
+                filters.append(tuple(neg_terms(ft)))
+        elif isinstance(q, DisMax):
+            # DisjunctionMaxQuery.java:45 — per-doc combine is
+            # max + tiebreak * (sum - max); the WAND cell bound Σ clause
+            # maxima still upper-bounds it for tiebreak <= 1
+            combine, tiebreak = "dismax", float(q.tiebreak)
+            for c in q.clauses:
+                leaf(c, False)
         else:
             leaf(q, True)
 
         return SegSpec(clauses=clauses, must_not=tuple(must_not),
-                       filters=tuple(filters), msm=msm, k=k,
+                       filters=tuple(filters), msm=msm,
+                       combine=combine, tiebreak=tiebreak, k=k,
                        avgdl=self.six.doc_count and
                        (self.six.sum_ttf / float(self.six.doc_count)),
                        emit_all=emit_all, prune=prune, f32=f32,
                        has_deletes=bool(self.six.del_gens))
 
     def _all_terms(self, spec: SegSpec):
-        ts = set(spec.must_not) | set(spec.filters)
+        ts = set(spec.must_not)
+        for tset in spec.filters:
+            ts |= set(tset)
         for c in spec.clauses:
-            ts |= set(c.terms)
+            if c.kind == "multiphrase":
+                for slot in c.terms:
+                    ts |= set(slot)
+            else:
+                ts |= set(c.terms)
         return sorted(ts)
 
     def _segment_frame(self, spec: SegSpec) -> DataFrame:

@@ -5,6 +5,7 @@ segment kernel == direct SloppyPhraseMatcher port)."""
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import build_index
 from lucene_solr_spark.search.engine import Searcher
@@ -265,6 +266,130 @@ def test_sloppy_phrase_f32_parity(spark, tmp_path_factory):
     ker = [(r.doc_id, float(r.score))
            for r in ss.topk32(q, 10).collect()]
     assert eng == ker
+
+
+# ---------------------------------------------------------------------------
+# widened WAND-path AST coverage (dismax / multiphrase / multi-term /
+# spans on the packed-segment kernel)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def seg_pair(spark, tmp_path_factory):
+    from lucene_solr_spark.index.writer import IndexWriter
+    from lucene_solr_spark.search.segment_searcher import SegmentSearcher
+    out = str(tmp_path_factory.mktemp("segs_wide"))
+    df = spark.createDataFrame(
+        RICH_DOCS, "doc_id long, text string, lang string, source string")
+    w = IndexWriter.create(spark, out, docs_per_segment=2)
+    w.append_raw(df, order_cols=["doc_id"], lineage="wide test")
+    return Searcher(build_index(df)), SegmentSearcher(w.reader())
+
+
+def _cmp_paths(se, ss, q, k=10):
+    eng = [(r.doc_id, r.score) for r in se.topk(q, k).collect()]
+    ker = [(r.doc_id, r.score) for r in ss.topk(q, k).collect()]
+    assert eng == ker, (q, eng, ker)
+    return eng
+
+
+def test_kernel_dismax(seg_pair):
+    se, ss = seg_pair
+    from lucene_solr_spark.search.query import DisMax
+    hits = _cmp_paths(se, ss, DisMax((Term("merge"), Term("skill")), 0.3))
+    assert hits
+    _cmp_paths(se, ss, DisMax((Term("merge"), Term("stack")), 0.0))
+
+
+def test_kernel_multiphrase(seg_pair):
+    se, ss = seg_pair
+    from lucene_solr_spark.search.query import MultiPhrase
+    hits = _cmp_paths(
+        se, ss, MultiPhrase(((("skill", "sock"), ("stack", "merge")))))
+    assert hits
+
+
+def test_kernel_multi_term_expansion(seg_pair):
+    se, ss = seg_pair
+    from lucene_solr_spark.search.query import Prefix, Wildcard
+    assert _cmp_paths(se, ss, Prefix("s"))
+    assert _cmp_paths(se, ss, Wildcard("s?a*"))
+    assert _cmp_paths(se, ss, Fuzzy("merge", 1))
+    assert _cmp_paths(se, ss, Regexp("s.*k"))
+
+
+def test_kernel_spannear_scoring_position(seg_pair):
+    se, ss = seg_pair
+    hits = _cmp_paths(se, ss, SpanNear(("a", "b"), 2))
+    assert hits
+
+
+def test_kernel_multi_term_in_filter_and_not(seg_pair):
+    se, ss = seg_pair
+    from lucene_solr_spark.search.query import Prefix
+    q = Bool(must=(Term("merge"),), filter=(Prefix("st"),),
+             must_not=(Prefix("soc"),))
+    _cmp_paths(se, ss, q)
+
+
+def test_kernel_dismax_inside_bool_still_engine_only(seg_pair):
+    _, ss = seg_pair
+    from lucene_solr_spark.search.query import DisMax
+    # a single-MUST Bool rewrites to the bare DisMax (supported);
+    # DisMax nested beside another clause stays engine-only
+    q = Bool(must=(DisMax((Term("a"), Term("b")), 0.1), Term("merge")))
+    with pytest.raises(TypeError):
+        ss.compile(q, 10)
+
+
+# ---------------------------------------------------------------------------
+# rich-vocabulary oracle sweep: the driver fixtures have a 31-term
+# vocabulary that masks multi-term-query bugs (VERDICT r1); this runs
+# engine-vs-DuckDB on the ~10k-term Zipf transcript corpus
+# (datagen.transcripts, FIXTURES.md §1) for every multi-term operator
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def zipf(spark, tmp_path_factory):
+    from lucene_solr_spark.datagen.transcripts import gen_transcripts
+    from lucene_solr_spark.index.docids import assign_docids
+    p = str(tmp_path_factory.mktemp("zipf") / "documents.parquet")
+    df = assign_docids(gen_transcripts(spark, 60), ["conv_id", "turn_idx"])
+    (df.select(F.col("docid").alias("doc_id"), "text")
+       .coalesce(1).write.mode("overwrite").parquet(p))
+    docs = spark.read.parquet(p)
+    se = Searcher(build_index(docs))
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{p}/*.parquet'")
+    n_vocab = se.ix.term_stats.count()
+    assert n_vocab > 1000, n_vocab   # genuinely rich vocabulary
+    return se, con
+
+
+def test_rich_vocab_multi_term_oracle_sweep(zipf):
+    se, con = zipf
+    from lucene_solr_spark.search.query import (
+        Prefix, TermInSet, TermRange, Wildcard,
+    )
+    for q in (
+        Prefix("w1"), Prefix("w99"),
+        Wildcard("w1?3*"), Wildcard("w*7"),
+        Regexp("w1.2"), Regexp("w[0-9]*7"), Regexp("ok|w12"),
+        Fuzzy("w123", 1), Fuzzy("w1234", 2), Fuzzy("retyr", 1),
+        TermRange("w100", "w120"), TermInSet(("w1", "w17", "retry")),
+    ):
+        _cmp(se, con, q)
+
+
+def test_rich_vocab_phrase_and_bool_oracle(zipf):
+    se, con = zipf
+    for q in (
+        Bool(should=(Term("ok"), Term("retry"), Term("w3"))),
+        Bool(must=(Term("the"),), should=(Term("error"),),
+             must_not=(Term("w9"),)),
+        Phrase(("ok", "the"), 3),
+        SpanNear(("retry", "error"), 4),
+    ):
+        _cmp(se, con, q)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""Driver-contract verification: run every queries() entry vs its
+oracle_sql() through DuckDB at a given sf dir, mirroring the grading
+driver (rows + schema-name + value comparison with round(6) sorting).
+
+Usage: python tools/verify_contract.py [sf_dir] [name_filter...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r))
+        vals = []
+        for c in sorted(d):
+            v = d[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == 0:
+                    v = 0.0
+            vals.append((c, repr(v)))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main():
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from '{p}'")
+
+    import __spark_entry__ as em
+    r = em.entry(spark)
+    n = len(r.collect())
+    print(f"entry(): {n} rows, schema={[f.name for f in r.schema.fields]}")
+
+    qs, osql = em.queries(), em.oracle_sql()
+    n_pass = n_fail = n_nooracle = 0
+    fails = []
+    for i, name in enumerate(qs):
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, SF)
+            scols = [f.name for f in sdf.schema.fields]
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            n_fail += 1
+            fails.append(name)
+            print(f"[{i}] {name}: SPARK ERROR {type(e).__name__}: {e}")
+            continue
+        if name not in osql:
+            n_nooracle += 1
+            print(f"[{i}] {name}: rows={len(srows)} (no oracle)")
+            continue
+        try:
+            cur = con.execute(osql[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            n_fail += 1
+            fails.append(name)
+            print(f"[{i}] {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            continue
+        ok_rows = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_vals = ok_rows and ok_schema and \
+            canon(srows, scols) == canon(orows, ocols)
+        dt = time.perf_counter() - t0
+        if ok_vals:
+            n_pass += 1
+            print(f"[{i}] {name}: OK rows={len(srows)} ({dt:.2f}s)")
+        else:
+            n_fail += 1
+            fails.append(name)
+            print(f"[{i}] {name}: MISMATCH rows {len(srows)}/{len(orows)} "
+                  f"schema {scols} vs {ocols}")
+            if ok_rows and ok_schema:
+                a = canon(srows, scols)
+                b = canon(orows, ocols)
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diff:
+                    print(f"    spark={x}\n    duck ={y}")
+    print(f"\nPASS {n_pass}  FAIL {n_fail}  NO-ORACLE {n_nooracle}")
+    if fails:
+        print("failed:", " ".join(fails))
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
