@@ -47,7 +47,11 @@ from ..codecs import blocks as blk
 from .builder import InvertedIndex
 
 # bump when the on-disk layout changes (readers must not open older stores)
-FORMAT_VERSION = 2
+# v3: unified per-generation ``segments/gen=N`` dir — posting rows and the
+# per-segment norms row (term IS NULL) share one parquet table, so one
+# shuffle + one write produces a whole segment (parquet column pruning
+# keeps the two row kinds' blob columns independent at read time)
+FORMAT_VERSION = 3
 
 PACKED_SCHEMA = StructType([
     StructField("seg_id", IntegerType()),
@@ -63,6 +67,17 @@ PACKED_SCHEMA = StructType([
     StructField("skip_min_qdl", ArrayType(LongType())),
     StructField("packed_bytes", LongType()),
 ])
+
+# unified segment-data schema: PACKED columns + the norms forward-index
+# columns; a posting row leaves the norm columns NULL, the one norms row
+# per segment has term IS NULL and leaves the posting columns NULL
+SEGDATA_SCHEMA = StructType(
+    PACKED_SCHEMA.fields + [
+        StructField("docid_min", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("norm_blob", BinaryType()),
+        StructField("qdl_blob", BinaryType()),
+    ])
 
 
 def _pack_rows(it):
@@ -226,7 +241,7 @@ def _invert_kernel_arrow():
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from ..codecs.smallfloat import quantize_length_np
+        from ..codecs.smallfloat import int_to_byte4_np, quantize_length_np
 
         _tune_allocator()
         seg_id = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
@@ -242,7 +257,7 @@ def _invert_kernel_arrow():
         offsets = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(dl, out=offsets[1:])
 
-        out = {c.name: [] for c in PACKED_SCHEMA.fields}
+        out = {c.name: [] for c in SEGDATA_SCHEMA.fields}
         if n_tok:
             # ---- materialize lowercased token bytes (ragged gather) ---
             lens = tok_ends - tok_starts
@@ -306,6 +321,31 @@ def _invert_kernel_arrow():
                     sum(len(x) for x in enc["doc_blocks"])
                     + sum(len(x) for x in enc["tf_blocks"])
                     + sum(len(x) for x in enc["pos_blocks"]))
+            n_posting_rows = len(uniq_py)
+        else:
+            n_posting_rows = 0
+        for cname in ("docid_min", "n_docs", "norm_blob", "qdl_blob"):
+            out[cname].extend([None] * n_posting_rows)
+        # the per-segment norms row (term IS NULL): forward norm/qdl
+        # blobs from the SAME tokenization pass — one shuffle + one
+        # write produces the whole segment (was a second full pass)
+        lo = int(docids.min()) if docids.size else 0
+        span = (int(docids.max()) - lo + 1) if docids.size else 0
+        nb_arr = np.zeros(span, dtype=np.uint8)
+        qb_arr = np.zeros(span, dtype=np.int32)
+        if docids.size:
+            nb_arr[docids - lo] = int_to_byte4_np(dl).astype(np.uint8)
+            qb_arr[docids - lo] = qdl.astype(np.int32)
+        out["seg_id"].append(seg_id)
+        out["term"].append(None)
+        for cname in ("df", "ttf", "doc_blocks", "tf_blocks", "pos_blocks",
+                      "skip_last_docid", "skip_n_docs", "skip_max_tf",
+                      "skip_min_qdl", "packed_bytes"):
+            out[cname].append(None)
+        out["docid_min"].append(lo)
+        out["n_docs"].append(int(docids.size))
+        out["norm_blob"].append(nb_arr.tobytes())
+        out["qdl_blob"].append(qb_arr.tobytes())
         return pa.Table.from_pydict(
             out, schema=pa.schema([
                 ("seg_id", pa.int32()), ("term", pa.string()),
@@ -318,65 +358,50 @@ def _invert_kernel_arrow():
                 ("skip_max_tf", pa.list_(pa.int64())),
                 ("skip_min_qdl", pa.list_(pa.int64())),
                 ("packed_bytes", pa.int64()),
+                ("docid_min", pa.int64()), ("n_docs", pa.int64()),
+                ("norm_blob", pa.binary()), ("qdl_blob", pa.binary()),
             ]))
 
     return kernel
 
 
-def build_packed_direct(docs_raw: DataFrame, docs_per_segment: int,
-                        text_col: str = "text", base_docid: int = 0,
-                        seg_id_base: int = 0) -> DataFrame:
-    """(docid, text) -> packed posting rows, one shuffle total (raw text
-    to segment builders). The hot 100 TB path."""
+def build_segments_direct(docs_raw: DataFrame, docs_per_segment: int,
+                          text_col: str = "text", base_docid: int = 0,
+                          seg_id_base: int = 0) -> DataFrame:
+    """(docid, text) -> unified segment rows (packed postings + the
+    per-segment norms row) in ONE shuffle and one kernel pass over the
+    raw text. The hot 100 TB path: shuffled bytes = corpus size, and the
+    tokenization/invert work happens exactly once (the v2 layout ran a
+    second full pass just for norms)."""
     d = docs_raw.select(
         F.col("docid").cast("long").alias("docid"),
         F.col(text_col).alias("text"),
         _seg_expr(docs_per_segment, base_docid, seg_id_base).alias("seg_id"))
     return d.groupBy("seg_id").applyInArrow(
-        _invert_kernel_arrow(), PACKED_SCHEMA)
+        _invert_kernel_arrow(), SEGDATA_SCHEMA)
 
 
-def build_norms_direct(docs_raw: DataFrame, docs_per_segment: int,
-                       text_col: str = "text", base_docid: int = 0,
-                       seg_id_base: int = 0) -> DataFrame:
-    """(docid, text) -> per-segment norm/qdl blobs via the byte
-    tokenizer (count-only; no token materialization)."""
-
-    def kernel(key, tbl):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from ..codecs.smallfloat import int_to_byte4_np, quantize_length_np
-
-        _tune_allocator()
-        seg_id = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
-        order = pc.sort_indices(tbl["docid"])
-        tbl = tbl.take(order)
-        docids = tbl["docid"].to_numpy()
-        _, toffs, _, _, tok_doc = _byte_tokenize(tbl["text"])
-        n_docs = len(toffs) - 1
-        dl = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
-        lo = int(docids.min())
-        span = int(docids.max()) - lo + 1
-        nb_arr = np.zeros(span, dtype=np.uint8)
-        nb_arr[docids - lo] = int_to_byte4_np(dl).astype(np.uint8)
-        qb = np.zeros(span, dtype=np.int32)
-        qb[docids - lo] = quantize_length_np(dl).astype(np.int32)
-        return pa.Table.from_pydict({
-            "seg_id": [seg_id], "docid_min": [lo],
-            "n_docs": [int(n_docs)],
-            "norm_blob": [nb_arr.tobytes()],
-            "qdl_blob": [qb.tobytes()],
-        }, schema=pa.schema([
-            ("seg_id", pa.int32()), ("docid_min", pa.int64()),
-            ("n_docs", pa.int64()), ("norm_blob", pa.binary()),
-            ("qdl_blob", pa.binary())]))
-
-    d = docs_raw.select(
-        F.col("docid").cast("long").alias("docid"),
-        F.col(text_col).alias("text"),
-        _seg_expr(docs_per_segment, base_docid, seg_id_base).alias("seg_id"))
-    return d.groupBy("seg_id").applyInArrow(kernel, NORMS_SCHEMA)
+def unify_segment_frames(pk: DataFrame, norms: DataFrame) -> DataFrame:
+    """Union separately-built packed and norms frames into the unified
+    SEGDATA layout (exploded-build and merge paths)."""
+    pk_u = pk
+    for name, typ in (("docid_min", "long"), ("n_docs", "long"),
+                      ("norm_blob", "binary"), ("qdl_blob", "binary")):
+        pk_u = pk_u.withColumn(name, F.lit(None).cast(typ))
+    nm_u = norms.select(
+        "seg_id", F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("long").alias("ttf"),
+        F.lit(None).cast("array<binary>").alias("doc_blocks"),
+        F.lit(None).cast("array<binary>").alias("tf_blocks"),
+        F.lit(None).cast("array<binary>").alias("pos_blocks"),
+        F.lit(None).cast("array<long>").alias("skip_last_docid"),
+        F.lit(None).cast("array<int>").alias("skip_n_docs"),
+        F.lit(None).cast("array<long>").alias("skip_max_tf"),
+        F.lit(None).cast("array<long>").alias("skip_min_qdl"),
+        F.lit(None).cast("long").alias("packed_bytes"),
+        "docid_min", "n_docs", "norm_blob", "qdl_blob")
+    return pk_u.unionByName(nm_u)
 
 
 NORMS_SCHEMA = StructType([
@@ -451,22 +476,27 @@ class SegmentIndex:
             return df
         return df.filter(F.col("seg_id").isin(list(self.live_segs)))
 
-    def _data(self, sub: str) -> DataFrame:
+    def _data(self) -> DataFrame:
         gens = sorted(self.data_gens or {})
-        paths = [f"{self.path}/{sub}/gen={g}" for g in gens
-                 if os.path.isdir(f"{self.path}/{sub}/gen={g}")]
+        paths = [f"{self.path}/segments/gen={g}" for g in gens
+                 if os.path.isdir(f"{self.path}/segments/gen={g}")]
         if not paths:
-            schema = PACKED_SCHEMA if sub == "postings" else NORMS_SCHEMA
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], SEGDATA_SCHEMA)
         return self._live(self.spark.read.parquet(*paths))
 
     @property
     def packed(self) -> DataFrame:
-        return self._data("postings")
+        """Posting rows of the unified store (term IS NOT NULL); parquet
+        column pruning keeps the norms blobs on disk."""
+        return self._data().filter(F.col("term").isNotNull()) \
+            .select(*[f.name for f in PACKED_SCHEMA.fields])
 
     @property
     def norms(self) -> DataFrame:
-        return self._data("norms")
+        """Per-segment norms rows (term IS NULL)."""
+        return self._data().filter(F.col("term").isNull()) \
+            .select("seg_id", "docid_min", "n_docs", "norm_blob",
+                    "qdl_blob")
 
     @property
     def deleted(self) -> DataFrame:

@@ -8,7 +8,8 @@ TieredMergePolicy -> commit; INDEX/SegmentInfos.java generations):
   the commit's doc_count (insertion-ordered like Lucene docIDs), build
   packed segments + norms for the batch with ONE data shuffle, and
   write them into fresh per-generation directories
-  (``postings/gen=N``, ``norms/gen=N``) — plain parquet appends, no
+  (``segments/gen=N`` — unified posting rows + the per-segment norms
+  row from ONE kernel pass) — plain parquet appends, no
   dynamic-partition write, no sort (the build kernel already emits
   rows segment-grouped and term-sorted, so parquet row-group min/max
   stats prune term lookups for free). The commit.json swap is atomic;
@@ -40,8 +41,9 @@ from pyspark.sql import functions as F
 from .builder import InvertedIndex, build_index
 from .docids import assign_docids
 from .segments import (
-    SegmentIndex, build_norms, build_norms_direct, build_packed_direct,
-    build_packed_postings, catalog_from_packed, read_commit, write_commit,
+    SegmentIndex, build_norms, build_packed_postings,
+    build_segments_direct, catalog_from_packed, read_commit,
+    unify_segment_frames, write_commit,
 )
 
 _COMMIT_KEYS = {"generation", "doc_count", "sum_ttf", "docs_per_segment",
@@ -162,13 +164,11 @@ class IndexWriter:
         if base:
             ids = ids.withColumn("docid", F.col("docid") + base)
 
-        # mode=overwrite clears the orphan gen dir of a crashed attempt
-        build_packed_direct(ids, dps, text_col=text_col, base_docid=base,
-                            seg_id_base=seg_base) \
-            .write.mode("overwrite").parquet(self._gen_dir("postings", gen))
-        build_norms_direct(ids, dps, text_col=text_col, base_docid=base,
-                           seg_id_base=seg_base) \
-            .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
+        # mode=overwrite clears the orphan gen dir of a crashed attempt;
+        # ONE kernel pass emits postings + norms into one unified dir
+        build_segments_direct(ids, dps, text_col=text_col, base_docid=base,
+                              seg_id_base=seg_base) \
+            .write.mode("overwrite").parquet(self._gen_dir("segments", gen))
         out = self._publish(st, gen, lineage,
                             extra_commit=extra_commit)
         if staging is not None:
@@ -191,12 +191,13 @@ class IndexWriter:
         if own_cache:
             ix.postings.persist()
             ix.docs.persist()
-        build_packed_postings(ix.postings, ix.docs, dps, base_docid=base,
-                              seg_id_base=seg_base) \
-            .sortWithinPartitions("seg_id", "term") \
-            .write.mode("overwrite").parquet(self._gen_dir("postings", gen))
-        build_norms(ix.docs, dps, base_docid=base, seg_id_base=seg_base) \
-            .write.mode("overwrite").parquet(self._gen_dir("norms", gen))
+        pk = build_packed_postings(ix.postings, ix.docs, dps,
+                                   base_docid=base, seg_id_base=seg_base) \
+            .sortWithinPartitions("seg_id", "term")
+        nm = build_norms(ix.docs, dps, base_docid=base,
+                         seg_id_base=seg_base)
+        unify_segment_frames(pk, nm) \
+            .write.mode("overwrite").parquet(self._gen_dir("segments", gen))
         out = self._publish(st, gen, lineage, extra_commit=extra_commit)
         if own_cache:
             ix.postings.unpersist()
@@ -211,8 +212,11 @@ class IndexWriter:
         ride the same atomic swap (exactly-once stream stamps)."""
         if extra_commit:
             st = {**st, **extra_commit}
-        nm_new = self.spark.read.parquet(self._gen_dir("norms", gen))
-        pk_new = self.spark.read.parquet(self._gen_dir("postings", gen))
+        seg_new = self.spark.read.parquet(self._gen_dir("segments", gen))
+        pk_new = seg_new.filter(F.col("term").isNotNull())
+        nm_new = seg_new.filter(F.col("term").isNull()) \
+            .select("seg_id", "docid_min", "n_docs", "norm_blob",
+                    "qdl_blob")
         cat_add = catalog_from_packed(pk_new, nm_new, lineage).persist()
         cat_rows = cat_add.collect()
         new_segs = [r["seg_id"] for r in cat_rows]
@@ -336,9 +340,6 @@ class IndexWriter:
                       F.flatten("pl.skip_min_qdl").alias("skip_min_qdl"),
                       F.aggregate("pl.packed_bytes", F.lit(0).cast("long"),
                                   lambda a, x: a + x).alias("packed_bytes")))
-        (merged.sortWithinPartitions("term")
-         .write.mode("overwrite").parquet(self._gen_dir("postings", gen)))
-
         nm = six.norms.filter(F.col("seg_id").isin(seg_ids))
         _del_for_norms = deleted_arr
 
@@ -375,14 +376,19 @@ class IndexWriter:
                 "n_docs": [n_docs],
                 "norm_blob": [nb.tobytes()], "qdl_blob": [qb.tobytes()]})
 
-        (nm.repartition(1).mapInPandas(_merge_norms, nm.schema)
-         .write.mode("overwrite").parquet(self._gen_dir("norms", gen)))
+        merged_norms = nm.repartition(1).mapInPandas(_merge_norms, nm.schema)
+        unify_segment_frames(merged.sortWithinPartitions("term"),
+                             merged_norms) \
+            .write.mode("overwrite").parquet(self._gen_dir("segments", gen))
 
         live = sorted((set(st["live_segs"]) - set(seg_ids)) | {new_id})
         lineage = f"merge({','.join(map(str, seg_ids))})" + \
             (" expunge" if deleted_arr is not None else "")
-        pk_new = self.spark.read.parquet(self._gen_dir("postings", gen))
-        nm_new = self.spark.read.parquet(self._gen_dir("norms", gen))
+        seg_new = self.spark.read.parquet(self._gen_dir("segments", gen))
+        pk_new = seg_new.filter(F.col("term").isNotNull())
+        nm_new = seg_new.filter(F.col("term").isNull()) \
+            .select("seg_id", "docid_min", "n_docs", "norm_blob",
+                    "qdl_blob")
         cat_old = self.spark.read.parquet(
             f"{self.path}/catalog/gen={st['generation']}")
         cat_new_rows = catalog_from_packed(pk_new, nm_new, lineage)
@@ -508,7 +514,7 @@ class IndexWriter:
         removed = []
         for g in sorted(data_gens):
             if not set(data_gens[g]) & live:
-                for sub in ("postings", "norms"):
+                for sub in ("segments",):
                     d = self._gen_dir(sub, g)
                     if os.path.isdir(d):
                         shutil.rmtree(d)
@@ -516,7 +522,7 @@ class IndexWriter:
                 del data_gens[g]
         # also drop stale uncommitted gen dirs (crashed attempts)
         committed = set(data_gens)
-        for sub in ("postings", "norms"):
+        for sub in ("segments",):
             root = os.path.join(self.path, sub)
             if not os.path.isdir(root):
                 continue

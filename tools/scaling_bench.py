@@ -118,10 +118,10 @@ def run_level(cpus: int, convs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", default="1:4,8:32")
-    ap.add_argument("--convs-small", type=int, default=30000)
-    ap.add_argument("--convs-large", type=int, default=100000)
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--pairs", default="1:4,2:8")
+    ap.add_argument("--convs-small", type=int, default=60000)
+    ap.add_argument("--convs-large", type=int, default=120000)
+    ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()
 
     probe = _run_py(PROBE, [], timeout=600)
@@ -129,7 +129,7 @@ def main() -> None:
     results = []
     for pair in args.pairs.split(","):
         n, n4 = (int(x) for x in pair.split(":"))
-        convs = args.convs_small if n4 <= 8 else args.convs_large
+        convs = args.convs_small if n4 <= 4 else args.convs_large
         best = {}
         for cpus in (n, n4):
             runs = [run_level(cpus, convs) for _ in range(args.repeat)]
