@@ -166,3 +166,43 @@ def standard_tokenize_udf():
             })
 
     return _tok
+
+
+# --------------------------------------------------------------------------
+# english analyzer (EnglishAnalyzer-lite): simple tokenize + stop filter
+# (position gaps preserved) + Porter stem — the analysis-common
+# extension-point slice (analysis/common .../en/EnglishAnalyzer.java:
+# StandardTokenizer + LowerCase + StopFilter + PorterStemFilter; the
+# possessive filter is a no-op for the alnum tokenizer)
+# --------------------------------------------------------------------------
+
+def english_analyze(text: str) -> tuple:
+    """Pure-python english pipeline: (terms, positions)."""
+    from .filters import porter_stem, stop_filter
+    toks = simple_tokenize(text)
+    toks, pos = stop_filter(toks, list(range(len(toks))))
+    return [porter_stem(t) for t in toks], pos
+
+
+def english_analyze_udf():
+    """Vectorized pandas UDF of the english pipeline, same struct shape
+    as the standard analyzer (terms + positions with stop-word gaps)."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    ret = StructType([
+        StructField("terms", ArrayType(StringType())),
+        StructField("positions", ArrayType(IntegerType())),
+    ])
+
+    @F.pandas_udf(ret)
+    def _tok(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for chunk in s:
+            out = chunk.map(english_analyze)
+            yield pd.DataFrame({
+                "terms": out.map(lambda t: t[0]),
+                "positions": out.map(lambda t: t[1]),
+            })
+
+    return _tok

@@ -1,0 +1,184 @@
+"""Token filters: Porter stemmer, stop filter, shingle filter.
+
+The extension-point slice of Lucene's analysis-common module
+(SURVEY.md §2.8 "extended analyzers ... pluggable UDF slots"):
+
+- ``porter_stem`` — the classic Porter (1980) algorithm, the same one
+  behind PorterStemFilter (lucene/analysis/common/src/java/org/apache/
+  lucene/analysis/en/PorterStemFilter.java; Lucene's PorterStemmer.java
+  is a mechanical translation of the published algorithm). Implemented
+  from the published rule set, steps 1a-5b.
+- ``stop_filter`` — drop stop words but PRESERVE position gaps
+  (ANA/StopFilter.java:28 increments posIncr across removed tokens).
+- ``shingles_of`` — word n-gram ShingleFilter analogue
+  (analysis/common .../shingle/ShingleFilter.java).
+
+All are plain-python token-stream functions designed to be composed
+inside an analyzer pandas UDF (analysis/analyzers.py english pipeline)
+— Arrow-batched, never per-row Python in the Spark plan.
+"""
+
+from __future__ import annotations
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences in [C](VC){m}[V]."""
+    forms = []
+    for i in range(len(stem)):
+        forms.append("c" if _is_cons(stem, i) else "v")
+    s = "".join(forms)
+    m = 0
+    i = 0
+    # skip initial consonants
+    while i < len(s) and s[i] == "c":
+        i += 1
+    while i < len(s):
+        while i < len(s) and s[i] == "v":
+            i += 1
+        if i >= len(s):
+            break
+        m += 1
+        while i < len(s) and s[i] == "c":
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+def porter_stem(word: str) -> str:
+    """Porter (1980) stemming algorithm, steps 1a-5b."""
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"),
+                     ("enci", "ence"), ("anci", "ance"), ("izer", "ize"),
+                     ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+                     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+                     ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+                     ("iveness", "ive"), ("fulness", "ful"),
+                     ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                     ("ness", "")):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+                "ive", "ize"):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" \
+                and _measure(w[:-3]) > 1:
+            w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _ends_double_cons(w) and w.endswith("l") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+# a compact English stop set (Lucene's EnglishAnalyzer.ENGLISH_STOP_WORDS_SET
+# — analysis/common .../en/EnglishAnalyzer.java; the classic 33-word list)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+    .split())
+
+
+def stop_filter(tokens: list, positions: list,
+                stop_set=ENGLISH_STOP_WORDS) -> tuple:
+    """Drop stop words, PRESERVING original positions — downstream
+    phrase queries see the same position gaps Lucene's StopFilter
+    produces via posIncr accumulation (ANA/StopFilter.java:28)."""
+    out_t, out_p = [], []
+    for t, p in zip(tokens, positions):
+        if t not in stop_set:
+            out_t.append(t)
+            out_p.append(p)
+    return out_t, out_p
+
+
+def shingles_of(tokens: list, n: int = 2, sep: str = " ") -> list:
+    """Word n-gram shingles (ShingleFilter analogue, output-only form)."""
+    if len(tokens) < n:
+        return []
+    return [sep.join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]

@@ -85,8 +85,12 @@ def build_index(
             F.col(docid_col).cast("long").alias("docid"),
             simple_tokens_col(text_col).alias("tokens"),
         )
-    elif analyzer == "standard":
-        tok = standard_tokenize_udf()
+    elif analyzer in ("standard", "english"):
+        if analyzer == "standard":
+            tok = standard_tokenize_udf()
+        else:
+            from ..analysis.analyzers import english_analyze_udf
+            tok = english_analyze_udf()
         tokens = df.select(
             F.col(docid_col).cast("long").alias("docid"),
             tok(F.col(text_col)).alias("ts"),

@@ -109,8 +109,12 @@ def term_predicate(q: Query):
 
 
 class Searcher:
-    def __init__(self, ix: InvertedIndex):
+    def __init__(self, ix: InvertedIndex, query_cache=None):
+        """``query_cache``: optional search.cache.LRUQueryCache — caches
+        filter-context match sets per query node (LRUQueryCache.java:90
+        with UsageTrackingQueryCachingPolicy-style admission)."""
         self.ix = ix
+        self.query_cache = query_cache
         self._df_cache: dict[str, int] = {}
 
     # -- statistics (createWeight analogue) --------------------------------
@@ -380,6 +384,12 @@ class Searcher:
     def matching(self, q: Query) -> DataFrame:
         """(docid) distinct — FILTER / MUST_NOT / constant-score contexts."""
         q = rewrite(q)
+        if self.query_cache is not None:
+            return self.query_cache.get_or_compute(
+                q, lambda: self._matching_uncached(q))
+        return self._matching_uncached(q)
+
+    def _matching_uncached(self, q: Query) -> DataFrame:
         pred = self._term_pred(q)
         if pred is not None:
             return (self.ix.postings.filter(pred)

@@ -342,6 +342,51 @@ def test_kernel_dismax_inside_bool_still_engine_only(seg_pair):
 
 
 # ---------------------------------------------------------------------------
+# LRU query cache (LRUQueryCache.java:90 + usage-tracking admission)
+# ---------------------------------------------------------------------------
+
+def test_query_cache_admission_and_eviction(spark):
+    from lucene_solr_spark.search.cache import LRUQueryCache
+    from lucene_solr_spark.search.query import Prefix
+    df = spark.createDataFrame(
+        RICH_DOCS, "doc_id long, text string, lang string, source string")
+    cache = LRUQueryCache(max_entries=2, min_frequency=2)
+    se = Searcher(build_index(df), query_cache=cache)
+    q = Prefix("st")
+    base = sorted(r.docid for r in se.matching(q).collect())
+    # first use: counted but NOT persisted (usage-tracking admission)
+    assert len(cache._cache) == 0 and cache.misses == 1
+    m2 = se.matching(q)
+    assert sorted(r.docid for r in m2.collect()) == base
+    assert q in cache._cache          # second use: admitted + persisted
+    assert m2.storageLevel.useMemory
+    m3 = se.matching(q)
+    assert cache.hits == 1
+    assert sorted(r.docid for r in m3.collect()) == base
+    # fill past capacity: LRU entry is evicted and unpersisted
+    for other in (Prefix("so"), Prefix("me")):
+        se.matching(other)
+        se.matching(other)
+    assert len(cache._cache) == 2
+    assert q not in cache._cache
+    assert not m2.storageLevel.useMemory
+    cache.clear()
+
+
+def test_query_cache_results_identical(rich):
+    from lucene_solr_spark.search.cache import LRUQueryCache
+    se, con = rich
+    cached = Searcher(se.ix, query_cache=LRUQueryCache(min_frequency=1))
+    q = Bool(must=(Term("merge"),), filter=(Term("stack"),),
+             must_not=(Term("sock"),))
+    a = [(r.doc_id, r.score) for r in se.topk(q, 10).collect()]
+    for _ in range(2):
+        b = [(r.doc_id, r.score) for r in cached.topk(q, 10).collect()]
+        assert a == b
+    cached.query_cache.clear()
+
+
+# ---------------------------------------------------------------------------
 # rich-vocabulary oracle sweep: the driver fixtures have a 31-term
 # vocabulary that masks multi-term-query bugs (VERDICT r1); this runs
 # engine-vs-DuckDB on the ~10k-term Zipf transcript corpus

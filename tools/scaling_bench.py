@@ -189,6 +189,17 @@ def main() -> None:
         "not this host's page-fault ceiling. The small-N pair (least",
         "bus contention) is therefore the more faithful stand-in.",
         "",
+        "Round-2 change attacking the gap: the v3 unified segment store",
+        "(index/segments.py) emits postings AND norms from ONE kernel",
+        "pass — one shuffle, one tokenization, one parquet write per",
+        "append (v2 ran a second full pass for norms). That halves the",
+        "job's memory streaming, which is exactly the resource this",
+        "host stops scaling first. Host variance is real and bimodal",
+        "(the same fresh-JVM worker measured 12.2k and 37.3k turns/s",
+        "at local[8] within one hour); best-of-repeats in fresh JVMs is",
+        "the only honest estimator here, and each pair's two levels run",
+        "back-to-back to sit in the same host regime.",
+        "",
         "## Headline bench",
         "",
         "`python bench.py` prints one JSON line with index-build",
