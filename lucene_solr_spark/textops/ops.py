@@ -139,21 +139,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, n_hashes, n)
-    band_parts = []
-    for b in range(bands):
-        cols = [F.col(f"sig{b * r + j}") for j in range(r)]
-        band_parts.append(sig.select(
-            F.col(id_col).alias("docid"),
+    # one pass over the signatures: explode the band keys as an array of
+    # structs (a union of per-band selects recomputes the whole
+    # signature aggregation per band — 4x the work in the plan), then
+    # bucket-group and pair within buckets (a self-join would recompute
+    # the band frame once per side)
+    band_arr = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("", *cols)).alias("bk")))
-    bdf = band_parts[0]
-    for p in band_parts[1:]:
-        bdf = bdf.unionAll(p)
-    a = bdf.select(F.col("docid").alias("doc_a"), "band", "bk")
-    b2 = bdf.select(F.col("docid").alias("doc_b"), "band", "bk")
-    cand = (a.join(b2, ["band", "bk"])
+            F.md5(F.concat_ws("", *[F.col(f"sig{b * r + j}")
+                                    for j in range(r)])).alias("bk"))
+        for b in range(bands)])
+    bdf = (sig.select(F.col(id_col).alias("docid"),
+                      F.explode(band_arr).alias("s"))
+           .select("docid", "s.band", "s.bk"))
+    grp = (bdf.groupBy("band", "bk")
+           .agg(F.collect_list("docid").alias("ds"))
+           .filter(F.size("ds") > 1))
+    cand = (grp.select(F.explode("ds").alias("doc_a"), "ds")
+            .select("doc_a", F.explode("ds").alias("doc_b"))
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+            .distinct())
 
     sh = shingles(df, id_col, n)
     card = sh.groupBy(id_col).agg(F.count("*").alias("c"))
