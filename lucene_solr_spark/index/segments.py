@@ -263,9 +263,14 @@ def _invert_kernel_arrow():
             lens = tok_ends - tok_starts
             tb_off = np.zeros(n_tok + 1, dtype=np.int64)
             np.cumsum(lens, out=tb_off[1:])
-            gidx = (np.arange(int(tb_off[-1]), dtype=np.int64)
-                    - np.repeat(tb_off[:-1], lens)
-                    + np.repeat(tok_starts, lens))
+            # int32 gather: a segment's text is far below 2 GB, and the
+            # index array is the kernel's largest transient (8 bytes per
+            # token byte at int64) — halving it halves the memory
+            # streaming of the gather on this bandwidth-bound host
+            lens32 = lens.astype(np.int32)
+            gidx = (np.arange(int(tb_off[-1]), dtype=np.int32)
+                    - np.repeat(tb_off[:-1].astype(np.int32), lens32)
+                    + np.repeat(tok_starts.astype(np.int32), lens32))
             tok_bytes = _LOWER[raw[gidx]]
             flat = pa.Array.from_buffers(
                 pa.large_utf8(), n_tok,

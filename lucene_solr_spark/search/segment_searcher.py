@@ -63,13 +63,49 @@ class Clause:
     weight: float             # idf (double), boost-multiplied
     required: bool            # MUST vs SHOULD
     slop: int = 0             # phrase/spannear: proximity budget
+    pred: object = None       # constant only: multi-term query NODE when
+    # the dictionary expansion passes maxClauseCount — the scan pushes
+    # the Spark predicate, the kernel re-applies it python-side (the
+    # constant-score rewrite never enumerates;
+    # MultiTermQueryConstantScoreWrapper builds the bitset directly)
+
+
+def py_term_matcher(q):
+    """Python-side term predicate mirroring engine.term_predicate — used
+    by the kernel for non-enumerated multi-term clauses."""
+    import re as _re
+
+    from .query import (
+        Prefix as _P, Regexp as _R, TermInSet as _S, TermRange as _TR,
+        Wildcard as _W,
+    )
+    if isinstance(q, _P):
+        p = q.prefix
+        return lambda t: t.startswith(p)
+    if isinstance(q, _W):
+        rx = "".join(".*" if c == "*" else "." if c == "?"
+                     else _re.escape(c) for c in q.pattern)
+        cre = _re.compile(f"(?:{rx})\\Z")
+        return lambda t: cre.match(t) is not None
+    if isinstance(q, _R):
+        cre = _re.compile(f"(?:{q.pattern})\\Z")
+        return lambda t: cre.match(t) is not None
+    if isinstance(q, _TR):
+        lo, hi, il, iu = q.lower, q.upper, q.include_lower, q.include_upper
+        return lambda t: ((t >= lo if il else t > lo)
+                          and (t <= hi if iu else t < hi))
+    if isinstance(q, _S):
+        s = set(q.terms)
+        return lambda t: t in s
+    return None
 
 
 @dataclass
 class SegSpec:
     clauses: list
     must_not: tuple = ()      # plain terms to exclude (any-of union)
-    filters: tuple = ()       # tuple of any-of term sets (each must match)
+    must_not_preds: tuple = ()  # non-enumerated multi-term exclusions
+    filters: tuple = ()       # tuple of (any-of term set, pred-or-None)
     msm: int = 0              # minimum SHOULD clauses to match
     combine: str = "sum"      # 'sum' (Bool) | 'dismax' (DisjunctionMax)
     tiebreak: float = 0.0     # dismax only
@@ -461,11 +497,17 @@ def make_kernel(spec: SegSpec):
                     return d, np.empty(0, dtype=np.float64)
                 return d, _score_dispatch(spec, f, qdl_of(d), c.weight)
             if c.kind == "constant":
-                # expanded multi-term under the constant-score rewrite
+                # multi-term under the constant-score rewrite
                 # (MultiTermQueryConstantScoreWrapper): any-of match,
-                # fixed score c.weight
-                parts = [tds[t].decode_all()[0] for t in c.terms
-                         if t in tds]
+                # fixed score c.weight; non-enumerated clauses re-apply
+                # the dictionary predicate python-side over this
+                # segment's (already scan-filtered) terms
+                if c.pred is not None:
+                    match = py_term_matcher(c.pred)
+                    names = [t for t in tds if match(t)]
+                else:
+                    names = [t for t in c.terms if t in tds]
+                parts = [tds[t].decode_all()[0] for t in names]
                 if not parts:
                     return (np.empty(0, dtype=np.int64),
                             np.empty(0, dtype=np.float64))
@@ -493,10 +535,16 @@ def make_kernel(spec: SegSpec):
                 # double (DisjunctionSumScorer/ConjunctionScorer)
                 scores = scores.astype(np.float32).astype(np.float64)
             keep = np.ones(docids.size, dtype=bool)
-            for tset in spec.filters:
+            for tset, fpred in spec.filters:
                 # each filter = any-of term set (multi-term FILTER
-                # clauses expand to their matching dictionary terms)
-                parts = [tds[t].decode_all()[0] for t in tset if t in tds]
+                # clauses expand to their matching dictionary terms, or
+                # carry the predicate when past maxClauseCount)
+                if fpred is not None:
+                    match = py_term_matcher(fpred)
+                    names = [t for t in tds if match(t)]
+                else:
+                    names = [t for t in tset if t in tds]
+                parts = [tds[t].decode_all()[0] for t in names]
                 if not parts:
                     keep[:] = False
                     break
@@ -505,6 +553,11 @@ def make_kernel(spec: SegSpec):
                 td = tds.get(t)
                 if td is not None:
                     keep &= ~np.isin(docids, td.decode_all()[0])
+            for xpred in spec.must_not_preds:
+                match = py_term_matcher(xpred)
+                for t in tds:
+                    if match(t):
+                        keep &= ~np.isin(docids, tds[t].decode_all()[0])
             docids, scores = docids[keep], scores[keep]
             if not spec.emit_all and docids.size > spec.k:
                 # per-segment top-k with the FINAL ordering key:
@@ -599,12 +652,20 @@ def make_kernel(spec: SegSpec):
         # docs that survive MUST_NOT / FILTER, otherwise pruning is not
         # score-safe (a doc excluded later would have inflated θ)
         excl = [tds[t].decode_all()[0] for t in spec.must_not if t in tds]
+        for xpred in spec.must_not_preds:
+            match = py_term_matcher(xpred)
+            excl.extend(tds[t].decode_all()[0] for t in tds if match(t))
         if deleted is not None:
             # live docs: deleted docs must not feed theta either
             excl.append(deleted)
         filt = []
-        for tset in spec.filters:
-            parts = [tds[t].decode_all()[0] for t in tset if t in tds]
+        for tset, fpred in spec.filters:
+            if fpred is not None:
+                match = py_term_matcher(fpred)
+                names = [t for t in tds if match(t)]
+            else:
+                names = [t for t in tset if t in tds]
+            parts = [tds[t].decode_all()[0] for t in names]
             if not parts:
                 return finalize(np.empty(0, dtype=np.int64),
                                 np.empty(0, dtype=np.float64))
@@ -761,6 +822,21 @@ class SegmentSearcher:
                 f"{type(q).__name__} expands past {MAX_CLAUSE_COUNT}")
         return tuple(sorted(r["term"] for r in rows))
 
+    def _expand_or_pred(self, q: Query) -> tuple:
+        """(terms, pred): enumerate the dictionary terms when the set is
+        small; past maxClauseCount fall back to shipping the predicate
+        itself (the constant-score rewrite never enumerates — the
+        scan pushes the Spark predicate and the kernel re-applies it
+        python-side). Fuzzy stays enumerated (its neighborhood is
+        edit-bounded; Lucene's TopTermsRewrite caps it the same way)."""
+        from .engine import TooManyClauses
+        try:
+            return self._expand_terms(q), None
+        except TooManyClauses:
+            if py_term_matcher(q) is None:
+                raise
+            return (), q
+
     MULTI_TERM = (Prefix, Wildcard, TermRange, TermInSet, Fuzzy, Regexp)
 
     def compile(self, q: Query, k: int, emit_all: bool = False,
@@ -855,9 +931,10 @@ class SegmentSearcher:
                                           boost * node.score, required))
                     return
                 if isinstance(inner, self.MULTI_TERM):
+                    ts, pr = self._expand_or_pred(inner)
                     clauses.append(Clause(
-                        "constant", self._expand_terms(inner),
-                        boost * node.score, required))
+                        "constant", ts, boost * node.score, required,
+                        pred=pr))
                     return
                 if isinstance(inner, SpanNear):
                     clauses.append(Clause(
@@ -869,19 +946,21 @@ class SegmentSearcher:
             if isinstance(node, self.MULTI_TERM):
                 # constant-score rewrite
                 # (MultiTermQueryConstantScoreWrapper)
-                clauses.append(Clause("constant",
-                                      self._expand_terms(node),
-                                      boost, required))
+                ts, pr = self._expand_or_pred(node)
+                clauses.append(Clause("constant", ts, boost, required,
+                                      pred=pr))
                 return
             raise TypeError(
                 f"segment path does not support {type(node).__name__} "
                 f"in scoring position")
 
-        def neg_terms(x: Query) -> list:
+        must_not_preds: list = []
+
+        def neg_terms(x: Query) -> tuple:
             if isinstance(x, Term):
-                return [x.term]
+                return (x.term,), None
             if isinstance(x, self.MULTI_TERM):
-                return list(self._expand_terms(x))
+                return self._expand_or_pred(x)
             raise TypeError(
                 "segment path MUST_NOT/FILTER needs Term or multi-term")
 
@@ -892,9 +971,13 @@ class SegmentSearcher:
             for s in q.should:
                 leaf(s, False)
             for x in q.must_not:
-                must_not.extend(neg_terms(x))
+                ts, pr = neg_terms(x)
+                must_not.extend(ts)
+                if pr is not None:
+                    must_not_preds.append(pr)
             for ft in q.filter:
-                filters.append(tuple(neg_terms(ft)))
+                ts, pr = neg_terms(ft)
+                filters.append((tuple(ts), pr))
         elif isinstance(q, DisMax):
             # DisjunctionMaxQuery.java:45 — per-doc combine is
             # max + tiebreak * (sum - max); the WAND cell bound Σ clause
@@ -906,6 +989,7 @@ class SegmentSearcher:
             leaf(q, True)
 
         return SegSpec(clauses=clauses, must_not=tuple(must_not),
+                       must_not_preds=tuple(must_not_preds),
                        filters=tuple(filters), msm=msm,
                        combine=combine, tiebreak=tiebreak, k=k,
                        avgdl=self.six.doc_count and
@@ -915,7 +999,7 @@ class SegmentSearcher:
 
     def _all_terms(self, spec: SegSpec):
         ts = set(spec.must_not)
-        for tset in spec.filters:
+        for tset, _ in spec.filters:
             ts |= set(tset)
         for c in spec.clauses:
             if c.kind == "multiphrase":
@@ -925,9 +1009,23 @@ class SegmentSearcher:
                 ts |= set(c.terms)
         return sorted(ts)
 
+    def _all_preds(self, spec: SegSpec):
+        """Non-enumerated multi-term query nodes riding the spec."""
+        out = [c.pred for c in spec.clauses
+               if c.kind == "constant" and c.pred is not None]
+        out += [pr for _, pr in spec.filters if pr is not None]
+        out += list(spec.must_not_preds)
+        return out
+
     def _segment_frame(self, spec: SegSpec) -> DataFrame:
+        from .engine import term_predicate
         terms = self._all_terms(spec)
-        pk = self.six.packed.filter(F.col("term").isin(terms))
+        cond = F.col("term").isin(terms)
+        for node in self._all_preds(spec):
+            # the dictionary predicate pushes into the parquet scan
+            # (LIKE/range prune on term-sorted row groups)
+            cond = cond | term_predicate(node)
+        pk = self.six.packed.filter(cond)
         nm = self.six.norms.select("seg_id", "docid_min", "qdl_blob")
         # no broadcast hint: at bench scale AQE broadcasts this anyway;
         # at 10^12 docs the norms table is terabytes and must co-locate

@@ -12,12 +12,16 @@ from lucene_solr_spark.index.builder import build_index
 from lucene_solr_spark.index.docids import assign_docids
 from lucene_solr_spark.index.segments import write_segments
 from lucene_solr_spark.search.engine import Searcher
-from lucene_solr_spark.search.query import Bool, Phrase, Synonym, Term
+from lucene_solr_spark.search.query import (
+    Bool, DisMax, MultiPhrase, Phrase, Prefix, SpanNear, Synonym, Term,
+)
 from lucene_solr_spark.search.segment_searcher import SegmentSearcher
 
 
 def _random_query(rng, vocab):
-    kind = rng.choice(["term", "or", "and", "mixed", "phrase", "synonym"])
+    kind = rng.choice(["term", "or", "and", "mixed", "phrase", "synonym",
+                       "dismax", "multiphrase", "sloppy", "prefix",
+                       "spannear"])
     t = lambda: Term(rng.choice(vocab))  # noqa: E731
     if kind == "term":
         return t()
@@ -33,6 +37,23 @@ def _random_query(rng, vocab):
                     must_not=(t(),))
     if kind == "phrase":
         return Phrase((rng.choice(vocab), rng.choice(vocab)))
+    if kind == "dismax":
+        n = rng.randint(2, 4)
+        return DisMax(tuple(t() for _ in range(n)),
+                      rng.choice([0.0, 0.3, 1.0]))
+    if kind == "multiphrase":
+        s0 = tuple({rng.choice(vocab) for _ in range(2)})
+        s1 = tuple({rng.choice(vocab) for _ in range(2)})
+        return MultiPhrase((s0, s1))
+    if kind == "sloppy":
+        a = rng.choice(vocab)
+        b = rng.choice([v for v in vocab if v != a])
+        return Phrase((a, b), rng.randint(1, 4))
+    if kind == "prefix":
+        return Prefix(rng.choice(vocab)[:2])
+    if kind == "spannear":
+        a, b = rng.choice(vocab), rng.choice(vocab)
+        return SpanNear((a, b), rng.randint(0, 3))
     return Synonym(tuple({rng.choice(vocab) for _ in range(3)}))
 
 
