@@ -246,6 +246,27 @@ def _q_grouped_topk(spark, sf_dir):
             .select("lang", F.col("docid").alias("doc_id"), "score", "rn"))
 
 
+def _q_grouped_groups(spark, sf_dir):
+    """Two-pass grouping (FirstPassGroupingCollector.java +
+    GroupingSearch, lucene/grouping): pass 1 selects the top-3 groups
+    by their best doc's score (ties: group key ASC); pass 2 returns the
+    top-2 docs within each selected group."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_GROUP_TERM)).withColumn(
+        "score", F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", "source"), "docid")
+    g = (j.groupBy("source").agg(F.max("score").alias("best"))
+         .orderBy(F.desc("best"), F.asc("source")).limit(3)
+         .select("source"))
+    w = Window.partitionBy("source").orderBy(F.desc("score"),
+                                             F.asc("docid"))
+    return (j.join(g, "source")
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= 2)
+            .select("source", F.col("docid").alias("doc_id"),
+                    "score", "rn"))
+
+
 def _q_field_stats(spark, sf_dir):
     se = _searcher(spark, sf_dir)
     m = se.matching(Term(_STATS_TERM))
@@ -555,7 +576,7 @@ WINDOW_ORDER = [
     "q_fuzzy", "q_regexp", "p_classic_wild",
     # core search re-greens
     "q_term_common", "q_bool_or3", "q_bool_mixed", "q_bool_msm2",
-    "q_bool_filter", "q_req_opt", "q_phrase2", "q_multiphrase",
+    "q_bool_filter", "q_req_opt", "q_phrase2", "q_grouped_groups",
     "q_synonym", "q_dismax", "q_prefix",
 ]
 
@@ -576,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_pivot": _q_facet_pivot,
         "q_facet_range": _q_facet_range,
         "q_grouped_topk": _q_grouped_topk,
+        "q_grouped_groups": _q_grouped_groups,
         "q_field_stats": _q_field_stats,
         "q_distinct_sources": _q_distinct_sources,
         "q_search_after": _q_search_after,
@@ -657,6 +679,22 @@ SELECT lang, doc_id, score, rn FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
               ORDER BY sc.score DESC, sc.docid ASC) AS INT) AS rn
   FROM sc JOIN documents d ON d.doc_id = sc.docid) t
+WHERE rn <= 2"""
+
+    out["q_grouped_groups"] = f"""
+WITH {ctes},
+sc AS (SELECT docid, ROUND(score, 6) AS score
+       FROM ({ob.scored(Term(_GROUP_TERM))}) s),
+jj AS (SELECT sc.docid, sc.score, d.source
+       FROM sc JOIN documents d ON d.doc_id = sc.docid),
+tg AS (SELECT source FROM (
+         SELECT source, MAX(score) AS best FROM jj GROUP BY source)
+       ORDER BY best DESC, source ASC LIMIT 3)
+SELECT source, doc_id, score, rn FROM (
+  SELECT jj.source, jj.docid AS doc_id, jj.score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY jj.source
+              ORDER BY jj.score DESC, jj.docid ASC) AS INT) AS rn
+  FROM jj WHERE jj.source IN (SELECT source FROM tg)) t
 WHERE rn <= 2"""
 
     out["q_field_stats"] = f"""
