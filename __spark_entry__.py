@@ -246,6 +246,40 @@ def _q_grouped_topk(spark, sf_dir):
             .select("lang", F.col("docid").alias("doc_id"), "score", "rn"))
 
 
+_MLT_DOC = 7
+_MLT_TERMS = 6
+
+
+def _q_mlt(spark, sf_dir):
+    """MoreLikeThis (lucene/queries/src/java/org/apache/lucene/queries/
+    mlt/MoreLikeThis.java): rank the source doc's terms by
+    tf * idf (retrieveInterestingTerms), keep the top N, and run them
+    as a scored disjunction excluding the source doc. The interesting-
+    term selection and the per-term idf are computed IN-PLAN from the
+    same integer stats on both backends (no driver round-trip), so the
+    oracle match is exact."""
+    from lucene_solr_spark.search.bm25 import idf_sql, score_sql
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    n = ix.doc_count
+    weight = f"tf * {idf_sql('df', str(n))}"
+    mt = (ix.postings.filter(F.col("docid") == _MLT_DOC)
+          .join(ix.term_stats.select("term", "df"), "term")
+          .select("term", "df", F.expr(weight).alias("w"))
+          .orderBy(F.desc("w"), F.asc("term")).limit(_MLT_TERMS)
+          .select("term", "df"))
+    sc = score_sql("tf", "qdl", idf_sql("df", str(n)), ix.avgdl_sql)
+    scored = (ix.postings.filter(F.col("docid") != _MLT_DOC)
+              .join(F.broadcast(mt), "term")
+              .join(ix.docs.select("docid", "qdl"), "docid")
+              .groupBy("docid")
+              .agg(F.sum(F.expr(sc)).alias("score")))
+    return (scored.select("docid",
+                          F.round(F.col("score"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
 def _q_grouped_groups(spark, sf_dir):
     """Two-pass grouping (FirstPassGroupingCollector.java +
     GroupingSearch, lucene/grouping): pass 1 selects the top-3 groups
@@ -577,7 +611,7 @@ WINDOW_ORDER = [
     # core search re-greens
     "q_term_common", "q_bool_or3", "q_bool_mixed", "q_bool_msm2",
     "q_bool_filter", "q_req_opt", "q_phrase2", "q_grouped_groups",
-    "q_synonym", "q_dismax", "q_prefix",
+    "q_synonym", "q_mlt", "q_prefix",
 ]
 
 
@@ -598,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_range": _q_facet_range,
         "q_grouped_topk": _q_grouped_topk,
         "q_grouped_groups": _q_grouped_groups,
+        "q_mlt": _q_mlt,
         "q_field_stats": _q_field_stats,
         "q_distinct_sources": _q_distinct_sources,
         "q_search_after": _q_search_after,
@@ -680,6 +715,27 @@ SELECT lang, doc_id, score, rn FROM (
               ORDER BY sc.score DESC, sc.docid ASC) AS INT) AS rn
   FROM sc JOIN documents d ON d.doc_id = sc.docid) t
 WHERE rn <= 2"""
+
+    from lucene_solr_spark.search.bm25 import idf_sql as _idf
+    _mlt_idf = _idf("df", "(SELECT n FROM st)")
+    from lucene_solr_spark.search.bm25 import score_sql as _score_sql
+    _sc_txt = _score_sql("p.tf", "d.qdl", "(" + _idf("mt.df",
+                         "(SELECT n FROM st)") + ")", ob.avgdl_sql)
+    out["q_mlt"] = f"""
+WITH {ctes},
+mt AS (SELECT p.term, ts.df
+       FROM postings p JOIN ts ON ts.term = p.term
+       WHERE p.docid = {_MLT_DOC}
+       ORDER BY p.tf * ({_mlt_idf}) DESC, p.term ASC
+       LIMIT {_MLT_TERMS}),
+sc AS (SELECT p.docid, SUM({_sc_txt}) AS score
+       FROM postings p
+       JOIN mt ON mt.term = p.term
+       JOIN docs d ON d.docid = p.docid
+       WHERE p.docid != {_MLT_DOC}
+       GROUP BY p.docid)
+SELECT docid AS doc_id, ROUND(score, 6) AS score FROM sc
+ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10"""
 
     out["q_grouped_groups"] = f"""
 WITH {ctes},
