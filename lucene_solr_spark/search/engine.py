@@ -648,6 +648,32 @@ class Searcher:
             return out.select(
                 "docid", udf(F.col("tf"), F.col("norm_byte"),
                              F.lit(idf_d).cast("float")).alias("score"))
+        if isinstance(q, DisMax):
+            # DisjunctionMaxScorer (SEARCH/DisjunctionMaxScorer.java):
+            # float max; the other clauses' float scores sum in DOUBLE;
+            # result = (float)(max + tieBreak * otherSum). f32 clause
+            # values are exact in f64, so MAX/SUM below reproduce the
+            # reference bit-for-bit (tieBreak narrowed to float32 first)
+            parts = [self.scored32(c) for c in q.clauses]
+            u = reduce(DataFrame.unionAll, parts)
+            tb = float(np.float32(q.tiebreak))
+            agg = u.groupBy("docid").agg(
+                F.expr("MAX(CAST(score AS DOUBLE))").alias("mx"),
+                F.expr("SUM(CAST(score AS DOUBLE))").alias("sm"))
+            return agg.select(
+                "docid",
+                F.expr(f"CAST(mx + CAST({tb!r} AS DOUBLE) * (sm - mx) "
+                       f"AS FLOAT)").alias("score"))
+        if isinstance(q, (Prefix, Wildcard, TermRange, TermInSet, Fuzzy,
+                          Regexp, SpanNear, SpanOr, SpanNot, FieldExists)):
+            # constant-score rewrite: every matching doc scores 1.0f
+            return self.matching(q).select(
+                "docid", F.lit(1.0).cast("float").alias("score"))
+        if isinstance(q, ConstantScore):
+            return self.matching(q.query).select(
+                "docid",
+                F.lit(float(np.float32(q.score))).cast("float")
+                .alias("score"))
         if isinstance(q, Bool):
             musts = [self.scored32(m) for m in q.must]
             base = None

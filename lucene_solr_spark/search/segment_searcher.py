@@ -982,7 +982,12 @@ class SegmentSearcher:
             # DisjunctionMaxQuery.java:45 — per-doc combine is
             # max + tiebreak * (sum - max); the WAND cell bound Σ clause
             # maxima still upper-bounds it for tiebreak <= 1
-            combine, tiebreak = "dismax", float(q.tiebreak)
+            combine = "dismax"
+            # f32 parity: the reference stores tieBreakerMultiplier as a
+            # float (DisjunctionMaxQuery.java), widened to double in the
+            # scorer's (float)(max + tb * otherSum)
+            tiebreak = (float(np.float32(q.tiebreak)) if f32
+                        else float(q.tiebreak))
             for c in q.clauses:
                 leaf(c, False)
         else:

@@ -260,12 +260,16 @@ def test_sloppy_phrase_f32_parity(spark, tmp_path_factory):
     w.append_raw(df, order_cols=["doc_id"], lineage="sloppy f32")
     ss = SegmentSearcher(w.reader())
     se = Searcher(build_index(df))
-    q = Phrase(("a", "b"), 2)
-    eng = [(r.doc_id, float(r.score))
-           for r in se.topk32(q, 10).collect()]
-    ker = [(r.doc_id, float(r.score))
-           for r in ss.topk32(q, 10).collect()]
-    assert eng == ker
+    from lucene_solr_spark.search.query import DisMax, Prefix
+    for q in (Phrase(("a", "b"), 2),
+              DisMax((Term("merge"), Term("skill")), 0.3),
+              DisMax((Term("merge"), Term("stack")), 0.0),
+              Prefix("st")):
+        eng = [(r.doc_id, float(r.score))
+               for r in se.topk32(q, 10).collect()]
+        ker = [(r.doc_id, float(r.score))
+               for r in ss.topk32(q, 10).collect()]
+        assert eng == ker, (q, eng, ker)
 
 
 # ---------------------------------------------------------------------------
