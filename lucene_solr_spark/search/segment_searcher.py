@@ -1076,3 +1076,44 @@ class SegmentSearcher:
     def count(self, q: Query) -> DataFrame:
         return (self.scored(q)
                 .agg(F.count("*").cast("long").alias("n_hits")))
+
+    def topk_by_docid(self, q: Query, k: int = 10) -> DataFrame:
+        """Early-terminated index-order top-k (TopFieldCollector's
+        canEarlyTerminate path when the query Sort equals the index
+        sort, TopFieldCollector.java:200): segments hold contiguous
+        docid ranges in index order (catalog ``docid_min``), so the
+        first k matches by docid need only a PREFIX of segments.
+        Segments are probed in docid order with geometric widening
+        (1, 2, 4, ... segments per probe — <= log2(S) probes even when
+        the query is sparse); every unvisited segment's docids are all
+        larger than the visited ones, so collection stops the moment k
+        hits exist. Each probe is a pushed-filter scan of only the
+        probed seg_ids; per probe at most k rows reach the driver (the
+        same k-row materialization TopDocs itself implies). Scores are
+        not computed (trackScores=false shape): the kernel runs in
+        emit-all mode and the docid column alone is kept."""
+        spec = self.compile(q, k, emit_all=True, prune=False)
+        spark = self.six.norms.sparkSession
+        out_schema = "doc_id long"
+        if not spec.clauses:
+            return spark.createDataFrame([], out_schema)
+        cat = sorted(
+            (r.docid_min, r.seg_id)
+            for r in self.six.catalog.select("seg_id", "docid_min")
+            .collect()
+            if r.seg_id in self.six.live_segs)
+        frame = self._segment_frame(spec)
+        taken: list = []
+        i, width = 0, 1
+        while i < len(cat) and len(taken) < k:
+            batch = [seg for _, seg in cat[i:i + width]]
+            i += width
+            width *= 2
+            hits = (frame.filter(F.col("seg_id").isin(batch))
+                    .groupBy("seg_id")
+                    .applyInPandas(make_kernel(spec), OUT_SCHEMA)
+                    .orderBy("docid").limit(k - len(taken))
+                    .collect())
+            taken.extend(int(r.docid) for r in hits)
+        rows = [(d,) for d in sorted(taken)[:k]]
+        return spark.createDataFrame(rows, out_schema)

@@ -162,3 +162,72 @@ def cosine_pairs_lsh(emb: DataFrame, top_n: int = 20, n_planes: int = 6,
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(top_n))
+
+
+def ivf_assign(emb: DataFrame, stride: int = 37, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization (the IVF-Flat index-build step): assign
+    every vector to its nearest centroid by cosine.
+
+    The coarse codebook is deterministic — every ``stride``-th vector by
+    id is a centroid — so the engine and the SQL oracle build the exact
+    same structure with no training RNG. At 10^9+ vectors the centroid
+    set stays small (n/stride with a cap in practice), so assignment is
+    a broadcast nested-loop scored in whole-stage codegen plus ONE
+    window shuffle keyed by vec_id; the materialized layout partitions
+    by ``cent_id`` the same way ``partition_by_bucket`` does for LSH,
+    making a probe touch only ``nprobe`` posting lists.
+
+    Ties and float noise are handled the engine's standard way: cosine
+    ROUND(,6) DESC then cent_id ASC (same rule in the oracle).
+    """
+    cents = (emb.filter((F.col(id_col) % stride) == 0)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cv")))
+    dot = DOT.format(a=vec_col, b="cv")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nc = DOT.format(a="cv", b="cv")
+    ccos = f"ROUND(({dot}) / (sqrt({na}) * sqrt({nc})), 6)"
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select(id_col, vec_col, "cent_id",
+                      F.expr(ccos).alias("ccos")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"),
+                                           F.asc("cent_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "cent_id"))
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+             stride: int = 37, nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat ANN search: probe the ``nprobe`` nearest centroids to
+    the query, exact-cosine re-rank only the vectors assigned to those
+    cells (candidates ~ nprobe/n_cells of the corpus instead of all of
+    it). Approximate by construction; deterministic given the stride
+    codebook, so the DuckDB oracle reproduces it bit-for-bit."""
+    asg = ivf_assign(emb, stride, id_col, vec_col)
+    cents = (emb.filter((F.col(id_col) % stride) == 0)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cv")))
+    q = (emb.filter(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("qv")))
+    dot = DOT.format(a="cv", b="qv")
+    nc = DOT.format(a="cv", b="cv")
+    nq = DOT.format(a="qv", b="qv")
+    qcos = f"ROUND(({dot}) / (sqrt({nc}) * sqrt({nq})), 6)"
+    probe = (cents.crossJoin(F.broadcast(q))
+             .select("cent_id", F.expr(qcos).alias("qcos"))
+             .orderBy(F.desc("qcos"), F.asc("cent_id")).limit(nprobe)
+             .select("cent_id"))
+    cand = (asg.join(F.broadcast(probe), "cent_id")
+            .filter(F.col(id_col) != query_vec_id)
+            .crossJoin(F.broadcast(q)))
+    dot = DOT.format(a=vec_col, b="qv")
+    na = DOT.format(a=vec_col, b=vec_col)
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nq}))"
+    return (cand.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(f"ROUND({cos}, 6)").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col)).limit(k))

@@ -1,0 +1,183 @@
+"""Late round-2 operators: DirectSpellChecker-style spellcheck,
+per-doc term vectors, multi-passage highlighting, IVF-Flat ANN —
+structural checks plus engine-vs-oracle parity on real testdata.
+(The full driver-contract parity for these runs in
+tools/verify_contract.py; these tests pin the algorithmic laws.)"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+# -- spellcheck -------------------------------------------------------------
+
+def test_spell_dist_transposition_is_one(spark):
+    """'srot' -> 'sort' is classic-levenshtein 2 but Damerau 1; the
+    shared expression must report 1 (DirectSpellChecker uses the
+    transposition-aware LuceneLevenshteinDistance)."""
+    from __spark_entry__ import _spell_dist_sql
+    d = _spell_dist_sql("srot", col="t")
+    row = spark.sql(
+        f"SELECT CAST({d} AS INT) AS dist FROM VALUES ('sort') AS v(t)"
+    ).collect()
+    assert row[0].dist == 1
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT CAST({d} AS INT) FROM (VALUES ('sort')) v(t)"
+    ).fetchone()[0] == 1
+
+
+def test_spellcheck_ranks_distance_then_df(spark):
+    from __spark_entry__ import _q_spellcheck
+    rows = _q_spellcheck(spark, SF).collect()
+    assert len(rows) >= 2
+    assert rows[0].term == "sort" and rows[0].dist == 1
+    # ordering law: dist ASC, then df DESC, then term ASC
+    keys = [(r.dist, -r.df, r.term) for r in rows]
+    assert keys == sorted(keys)
+
+
+# -- term vectors -----------------------------------------------------------
+
+def test_term_vectors_match_reanalysis(spark, docs):
+    """The term vector read from postings equals re-analyzing the
+    stored text (TermVectorsReader contract: same analyzer, same
+    positions)."""
+    from __spark_entry__ import _TV_DOC, _q_term_vectors
+    tv = {r.term: (r.tf, list(r.positions))
+          for r in _q_term_vectors(spark, SF).collect()}
+    text = docs.filter(F.col("doc_id") == _TV_DOC).collect()[0].text
+    import re
+    toks = [t.lower() for t in re.findall(r"[A-Za-z0-9]+", text)]
+    expect = {}
+    for i, t in enumerate(toks):
+        expect.setdefault(t, []).append(i)
+    assert tv == {t: (len(ps), ps) for t, ps in expect.items()}
+
+
+# -- multi-passage highlighting --------------------------------------------
+
+def test_highlight_best_passage_law(spark, docs):
+    """Every returned (doc, passage, score): score equals the number of
+    query-term occurrences whose position FLOOR(pos/8) == passage, and
+    no other passage in that doc beats (score DESC, passage ASC)."""
+    from __spark_entry__ import _HLB_TERMS, _HLB_W, _q_highlight_best
+    rows = _q_highlight_best(spark, SF).collect()
+    assert rows, "fixture terms must occur in the corpus"
+    import re
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        toks = [t.lower() for t in
+                re.findall(r"[A-Za-z0-9]+", texts[r.doc_id])]
+        per_passage = {}
+        for i, t in enumerate(toks):
+            if t in _HLB_TERMS:
+                p = i // _HLB_W
+                per_passage[p] = per_passage.get(p, 0) + 1
+        best = min(per_passage.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r.passage, r.p_score) == (best[0], best[1])
+
+
+# -- IVF-Flat ANN -----------------------------------------------------------
+
+def test_ivf_assign_is_nearest_centroid(emb):
+    """Spot-check: each vector's assigned cell is its argmax-cosine
+    centroid (ROUND(,6) DESC, cent_id ASC tie rule)."""
+    from lucene_solr_spark.vector.ann import cosine_topk, ivf_assign
+    asg = {r.vec_id: r.cent_id
+           for r in ivf_assign(emb, stride=37).collect()}
+    cents = sorted(asg.values())
+    assert set(cents) <= {r.vec_id for r in
+                          emb.filter("vec_id % 37 = 0").collect()}
+    # verify one non-centroid vector's assignment exhaustively
+    import numpy as np
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cids = sorted({c for c in asg.values()} |
+                  {v for v in vecs if v % 37 == 0})
+    for probe in [1, 2, 3]:
+        v = vecs[probe]
+        best = min(
+            ((-round(float(v @ vecs[c]) /
+                     (np.linalg.norm(v) * np.linalg.norm(vecs[c])), 6), c)
+             for c in cids))
+        assert asg[probe] == best[1]
+
+
+def test_ivf_topk_scores_are_exact_cosines(emb):
+    """IVF returns a subset of the corpus scored identically to the
+    brute-force kernel (approximation affects WHICH vectors, never
+    their scores)."""
+    from lucene_solr_spark.vector.ann import cosine_topk, ivf_topk
+    exact_all = {r.vec_id: r.cos
+                 for r in cosine_topk(emb, 0, 10 ** 6).collect()}
+    ivf = [(r.vec_id, r.cos) for r in ivf_topk(emb, 0, 10).collect()]
+    assert len(ivf) == 10
+    for vid, cos in ivf:
+        assert abs(exact_all[vid] - cos) < 1e-9
+    # scores descend with vec_id tie-break
+    keys = [(-cos, vid) for vid, cos in ivf]
+    assert keys == sorted(keys)
+
+
+def test_ivf_probe_widening_monotone_recall(emb):
+    """Probing more cells can only improve (or keep) recall of the
+    exact top-10 — the IVF contract that makes nprobe a knob."""
+    from lucene_solr_spark.vector.ann import cosine_topk, ivf_topk
+    exact = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    rec = []
+    for nprobe in (1, 2, 14):
+        got = {r.vec_id
+               for r in ivf_topk(emb, 0, 10, nprobe=nprobe).collect()}
+        rec.append(len(got & exact))
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] == 10  # probing every cell == brute force
+
+
+# -- function score + join -------------------------------------------------
+
+def test_function_score_multiplies_bm25(spark, docs):
+    """FunctionScoreQuery law: combined score == bm25 * ln(1+n_chars)
+    per doc, and ranking follows the combined score."""
+    from __spark_entry__ import _FS_TERM, _q_function_score, _searcher
+    from lucene_solr_spark.search.query import Term
+    import math
+    se = _searcher(spark, SF)
+    base = {r.docid: r.score
+            for r in se.scored(Term(_FS_TERM)).collect()}
+    chars = {r.doc_id: r.n_chars for r in docs.collect()}
+    rows = _q_function_score(spark, SF).collect()
+    assert rows
+    for r in rows:
+        expect = round(base[r.doc_id] * math.log(1.0 + chars[r.doc_id]), 6)
+        assert abs(r.score - expect) < 1e-9
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_join_field_is_semi_join(spark):
+    """JoinUtil ScoreMode.None law: result = scored to-docs whose id
+    appears in the from-side key set; never multiplies rows."""
+    from __spark_entry__ import _JOIN_TERM, _q_join_field, _searcher
+    from lucene_solr_spark.search.query import Term
+    from pyspark.sql import functions as F
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .filter(F.col("event_type") == "error"))
+    keys = {r.user_id for r in ev.collect()}
+    rows = _q_join_field(spark, SF).collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= keys

@@ -116,3 +116,34 @@ def test_term_pruning_reads_only_query_terms(seg_index):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [" in plan
     assert "term" in plan.split("PushedFilters")[1][:120]
+
+
+def test_topk_by_docid_early_termination(seg_index, xs_index):
+    """Early-terminated index-order collector == full scan's first-k
+    matches by docid, for hot, mid, and absent terms and k spanning
+    less / more than one segment (docs_per_segment=128)."""
+    ss = SegmentSearcher(seg_index)
+    se = Searcher(xs_index)
+    for term in ("ok", "w1", "zzzzabsent"):
+        full = sorted(r.docid for r in se.matching(Term(term)).collect())
+        for k in (5, 200):
+            got = [r.doc_id for r in
+                   ss.topk_by_docid(Term(term), k).collect()]
+            assert got == full[:k], (term, k)
+
+
+def test_topk_by_docid_respects_deletes(spark, tmp_path):
+    from lucene_solr_spark.index.writer import IndexWriter
+    from lucene_solr_spark.datagen.transcripts import gen_transcripts
+    w = IndexWriter.create(spark, str(tmp_path / "ix"),
+                           docs_per_segment=64)
+    w.append_raw(gen_transcripts(spark, 20))
+    first = [r.doc_id for r in
+             SegmentSearcher(w.reader())
+             .topk_by_docid(Term("the"), 5).collect()]
+    w.delete_docids(first[:2])
+    after = [r.doc_id for r in
+             SegmentSearcher(w.reader())
+             .topk_by_docid(Term("the"), 5).collect()]
+    assert after[0] not in first[:2]
+    assert after[:3] == first[2:5]
