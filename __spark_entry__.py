@@ -564,6 +564,38 @@ def _q_join_field(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+# Deterministic synthetic geo overlay: the fixture tables carry no
+# coordinates, so both engines derive the SAME (lat, lon) from doc_id
+# (documented synthetic columns, like the multimodal fake decoder).
+_GEO_LAT = "((d.doc_id * 7919) % 18000) / 100.0 - 90.0"
+_GEO_LON = "((d.doc_id * 104729) % 36000) / 100.0 - 180.0"
+_GEO_KM = 3000.0
+
+
+def _haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Shared engine/oracle SQL: great-circle distance in km (the
+    haversine SloppyMath.haversinMeters uses, geo/SloppyMath.java:40,
+    exact trig instead of its table approximation)."""
+    return (f"(6371.0088 * 2 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))")
+
+
+def _q_geo_distance(spark, sf_dir):
+    """LatLonPoint.newDistanceQuery (document/LatLonPoint.java:282) /
+    Solr geofilt+geodist: docs within R km of a query point, nearest
+    first. The distance predicate and sort run in whole-stage codegen;
+    at scale the lat/lon columns are BKD-style min/max-pruned parquet
+    columns (same pushdown story as q_point_range)."""
+    d = _documents(spark, sf_dir).alias("d")
+    dist = _haversine_km("0.0", "0.0", _GEO_LAT, _GEO_LON)
+    return (d.select(F.col("doc_id"),
+                     F.expr(f"ROUND({dist}, 6)").alias("dist_km"))
+            .filter(F.col("dist_km") < _GEO_KM)
+            .orderBy(F.asc("dist_km"), F.asc("doc_id")).limit(10))
+
+
 _EARLY_TERM = "merge"
 _EARLY_K = 25
 
@@ -756,9 +788,10 @@ WINDOW_ORDER = [
     # added later in round 2 (no prior oracle rows)
     "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
     "q_sort_early", "q_function_score", "q_join_field",
+    "q_geo_distance",
     # core search re-greens (pushed-out entries are unchanged since
     # their green r1 rows; rotation documented in COVERAGE.md)
-    "q_grouped_groups", "q_synonym", "q_mlt", "q_prefix",
+    "q_grouped_groups", "q_mlt", "q_prefix",
 ]
 
 
@@ -816,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_early": _q_sort_early,
         "q_function_score": _q_function_score,
         "q_join_field": _q_join_field,
+        "q_geo_distance": _q_geo_distance,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -1284,6 +1318,13 @@ SELECT docid AS doc_id, ROUND(score, 6) AS score
 FROM sc
 WHERE docid IN (SELECT user_id FROM events WHERE event_type = 'error')
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10"""
+
+    _geo_d = _haversine_km("0.0", "0.0", _GEO_LAT, _GEO_LON)
+    out["q_geo_distance"] = f"""
+SELECT d.doc_id, ROUND({_geo_d}, 6) AS dist_km
+FROM documents d
+WHERE ROUND({_geo_d}, 6) < {_GEO_KM}
+ORDER BY dist_km ASC, d.doc_id ASC LIMIT 10"""
 
     out["q_sort_early"] = f"""
 WITH {ctes}

@@ -492,6 +492,35 @@ class IndexWriter:
                            lineage=lineage or f"delete {len(ids)} docs")
         return self.reader()
 
+    def update_by_term(self, term: str, batch, text_col: str = "text",
+                       order_cols: list | None = None,
+                       lineage: str = "") -> SegmentIndex:
+        """IndexWriter.updateDocument(Term, doc) analogue
+        (INDEX/IndexWriter.java updateDocument: an atomic
+        delete-by-term + addDocuments): every live doc matching
+        ``term`` is marked deleted and the replacement batch is
+        indexed, both riding ONE commit.json swap — no reader
+        generation can observe the delete without the add or vice
+        versa. The old-doc resolution and the delete-set write are
+        fully distributed (no driver materialization of hit lists,
+        unlike the convenience delete_by_term)."""
+        from ..search.query import Term as _Term
+        from ..search.segment_searcher import SegmentSearcher
+        st = self.commit_state()
+        gen = st["generation"] + 1
+        del_gens = list(st.get("del_gens", []))
+        if st["doc_count"]:
+            hits = (SegmentSearcher(self.reader())
+                    .scored(_Term(term)).select("docid"))
+            if hits.limit(1).count():
+                hits.coalesce(1).write.mode("overwrite").parquet(
+                    self._gen_dir("deletes", gen))
+                del_gens = del_gens + [gen]
+        return self.append_raw(
+            batch, text_col=text_col, order_cols=order_cols,
+            lineage=lineage or f"update term={term!r}",
+            extra_commit={"del_gens": del_gens})
+
     def delete_by_term(self, term: str) -> SegmentIndex:
         """Delete every document containing ``term`` (delete-by-term,
         INDEX/DocumentsWriterDeleteQueue.java)."""

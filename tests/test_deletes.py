@@ -114,3 +114,42 @@ def test_scores_of_survivors_unchanged(store):
     after = [(r.doc_id, r.score) for r in ss2.topk(Term("ok"), 18).collect()]
     expect = [x for x in before if x[0] not in victims][:18]
     assert after == expect
+
+
+def test_update_by_term_is_atomic_upsert(store, spark):
+    """updateDocument(Term, doc): one commit deletes every live doc
+    matching the term AND adds the replacement batch; searches see the
+    new docs, never the old ones, and exactly one generation elapsed."""
+    w = store
+    six = w.reader()
+    gen0 = w.commit_state()["generation"]
+    n0 = six.doc_count
+    old_hits = SegmentSearcher(six).count(Term("error")).first()["n_hits"]
+    assert old_hits > 0
+    repl = spark.createDataFrame(
+        [("cX", i, "user", f"fresh replacement erratum w{i}", "", None)
+         for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    six2 = w.update_by_term("error", repl)
+    assert w.commit_state()["generation"] == gen0 + 1  # ONE commit
+    ss2 = SegmentSearcher(six2)
+    # every old 'error' doc is gone; replacements are searchable
+    assert ss2.count(Term("error")).first()["n_hits"] == 0
+    assert ss2.count(Term("erratum")).first()["n_hits"] == 4
+    fresh = ss2.topk(Term("replacement"), 10).collect()
+    assert {r.doc_id for r in fresh} == set(range(n0, n0 + 4))
+
+
+def test_update_by_term_on_absent_term_is_plain_append(store, spark):
+    w = store
+    n0 = w.reader().doc_count
+    repl = spark.createDataFrame(
+        [("cY", 0, "user", "brandnewterm only", "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    six2 = w.update_by_term("zzzzabsent", repl)
+    assert six2.doc_count == n0 + 1
+    assert not w.commit_state().get("del_gens")
+    assert SegmentSearcher(six2).count(
+        Term("brandnewterm")).first()["n_hits"] == 1

@@ -181,3 +181,26 @@ def test_join_field_is_semi_join(spark):
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
     assert set(ids) <= keys
+
+
+# -- geo distance -----------------------------------------------------------
+
+def test_geo_distance_haversine_law(spark):
+    """Every returned row: dist_km equals an independent numpy
+    haversine of the derived coordinates, all under the radius, sorted
+    nearest-first."""
+    import numpy as np
+    from __spark_entry__ import _GEO_KM, _q_geo_distance
+    rows = _q_geo_distance(spark, SF).collect()
+    assert rows
+    for r in rows:
+        lat = ((r.doc_id * 7919) % 18000) / 100.0 - 90.0
+        lon = ((r.doc_id * 104729) % 36000) / 100.0 - 180.0
+        la, lo = np.radians(lat), np.radians(lon)
+        d = 6371.0088 * 2 * np.arcsin(np.sqrt(
+            np.sin(la / 2) ** 2 + np.cos(0.0) * np.cos(la)
+            * np.sin(lo / 2) ** 2))
+        assert abs(r.dist_km - round(float(d), 6)) < 1e-6
+        assert r.dist_km < _GEO_KM
+    keys = [(r.dist_km, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
