@@ -23,6 +23,7 @@ from lucene_solr_spark.index.segments import SegmentIndex, write_segments
 from lucene_solr_spark.search.engine import Searcher
 from lucene_solr_spark.search.oracle import OracleBuilder
 from lucene_solr_spark.search.segment_searcher import SegmentSearcher
+from lucene_solr_spark.search.similarities import SIMILARITIES
 from lucene_solr_spark.search.query import (
     Bool, Boost, DisMax, FieldExists, Fuzzy, MatchAll, MultiPhrase, Phrase,
     Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr, Synonym, Term,
@@ -163,6 +164,30 @@ def _mk_search(name: str):
 
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _searcher(spark, sf_dir).topk(ast, k)
+    return f
+
+
+# pluggable similarities on the naive path (IndexSearcher.setSimilarity;
+# SEARCH/similarities/{ClassicSimilarity,LMDirichletSimilarity,
+# BooleanSimilarity}.java) — the WAND path stays BM25-only because
+# block-max impacts are precomputed for one similarity at index time
+SIM_SPECS: dict[str, tuple[Query, int, str]] = {
+    "q_sim_classic": (Bool(should=(Term("dup"), Term("vector"),
+                                   Term("window"))), 10, "classic"),
+    "q_sim_lmdirichlet": (Bool(must=(Term("join"),),
+                               should=(Term("merge"),)), 10,
+                          "lmdirichlet"),
+    "q_sim_boolean": (Bool(should=(Boost(Term("dup"), 2.0), Term("join"),
+                                   Term("window"))), 10, "boolean"),
+}
+
+
+def _mk_sim_search(name: str):
+    ast, k, simname = SIM_SPECS[name]
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ix = _searcher(spark, sf_dir).ix
+        return Searcher(ix, similarity=SIMILARITIES[simname]()).topk(ast, k)
     return f
 
 
@@ -781,7 +806,6 @@ WINDOW_ORDER = [
     "q_span_unordered", "q_field_exists", "q_sort_by_field",
     "q_block_join", "q_facet_range", "q_suggest", "t_token_bpe",
     "m_frame_sample", "v_embed_lsh", "w_phrase_sloppy", "w_dismax",
-    "w_multiphrase", "w_prefix",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_fuzzy", "q_regexp", "p_classic_wild",
@@ -789,10 +813,15 @@ WINDOW_ORDER = [
     "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
     "q_sort_early", "q_function_score", "q_join_field",
     "q_geo_distance",
-    # core search re-greens (pushed-out entries are unchanged since
-    # their green r1 rows; rotation documented in COVERAGE.md)
-    "q_grouped_groups", "q_mlt", "q_prefix",
+    # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
+    "q_sim_classic", "q_sim_lmdirichlet", "q_sim_boolean",
+    # late round-2 ops with no prior rows
+    "q_grouped_groups", "q_mlt",
 ]
+# Rotated out of the 50-entry window for the similarity entries above
+# (rotation documented in COVERAGE.md): q_prefix (green r1, unchanged),
+# w_multiphrase / w_prefix (kernel==naive==oracle proven by the
+# randomized CheckHits pytest sweep; naive counterparts green in r1).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -805,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"w_{name[2:]}"] = _mk_wand(name)
     for name in PARSED_SPECS:
         out[name] = _mk_parsed(name)
+    for name in SIM_SPECS:
+        out[name] = _mk_sim_search(name)
     out.update({
         "q_facet_source": _q_facet_source,
         "q_facet_lang": _q_facet_lang,
@@ -871,6 +902,11 @@ def oracle_sql() -> dict[str, str]:
         out[f"w_{name[2:]}"] = ob.topk_sql(ast, k)
     for name, qtext in PARSED_SPECS.items():
         out[name] = ob.topk_sql(parse_query(qtext), 10)
+    for name, (ast, k, simname) in SIM_SPECS.items():
+        sim_ob = OracleBuilder(table="documents", id_col="doc_id",
+                               text_col="text",
+                               similarity=SIMILARITIES[simname]())
+        out[name] = sim_ob.topk_sql(ast, k)
 
     out["q_facet_source"] = f"""
 WITH {ctes}

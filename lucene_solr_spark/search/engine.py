@@ -109,26 +109,70 @@ def term_predicate(q: Query):
 
 
 class Searcher:
-    def __init__(self, ix: InvertedIndex, query_cache=None):
+    def __init__(self, ix: InvertedIndex, query_cache=None,
+                 similarity=None):
         """``query_cache``: optional search.cache.LRUQueryCache — caches
         filter-context match sets per query node (LRUQueryCache.java:90
-        with UsageTrackingQueryCachingPolicy-style admission)."""
+        with UsageTrackingQueryCachingPolicy-style admission).
+
+        ``similarity``: optional non-default similarity from
+        search.similarities (IndexSearcher.setSimilarity analogue,
+        SEARCH/IndexSearcher.java).  ``None`` keeps the built-in BM25
+        path; a similarity instance reroutes Term/Synonym/Phrase/
+        MultiPhrase clause scoring through its portable-SQL formula
+        (the same text the DuckDB oracle evaluates)."""
         self.ix = ix
         self.query_cache = query_cache
-        self._df_cache: dict[str, int] = {}
+        self.sim = similarity
+        self._stats_cache: dict[str, tuple[int, int]] = {}
 
     # -- statistics (createWeight analogue) --------------------------------
 
-    def _resolve_dfs(self, terms: set) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._df_cache]
+    def _resolve_stats(self, terms: set) -> dict[str, tuple[int, int]]:
+        """(df, ttf) per term, frozen at compile time like
+        IndexSearcher.createWeight's TermStatistics."""
+        missing = [t for t in terms if t not in self._stats_cache]
         if missing:
             rows = (self.ix.term_stats
                     .filter(F.col("term").isin(missing))
-                    .select("term", "df").collect())
-            found = {r["term"]: int(r["df"]) for r in rows}
+                    .select("term", "df", "ttf").collect())
+            found = {r["term"]: (int(r["df"]), int(r["ttf"]))
+                     for r in rows}
             for t in missing:
-                self._df_cache[t] = found.get(t, 0)
-        return {t: self._df_cache[t] for t in terms}
+                self._stats_cache[t] = found.get(t, (0, 0))
+        return {t: self._stats_cache[t] for t in terms}
+
+    def _resolve_dfs(self, terms: set) -> dict[str, int]:
+        return {t: st[0] for t, st in self._resolve_stats(terms).items()}
+
+    def common_terms(self, terms: tuple, max_term_frequency: float = 0.01,
+                     low_msm: int = 0) -> Query:
+        """CommonTermsQuery.buildQuery
+        (lucene/queries/src/java/org/apache/lucene/queries/
+        CommonTermsQuery.java:158-219): terms are classified by actual
+        docFreq at compile time — high-frequency if
+        ``df > ceil(maxTermFrequency * maxDoc)`` (or ``df > cutoff``
+        when the cutoff is an absolute count >= 1) — then composed as
+        ``MUST(low-freq SHOULD bool) + SHOULD(high-freq bool)``; with
+        no low-frequency terms the high group becomes a plain
+        conjunction.  Absent terms classify low (termStates == null
+        branch, CommonTermsQuery.java:164-166).  Returns the rewritten
+        Bool AST; run it with topk()/count() as usual."""
+        st = self._resolve_stats(set(terms))
+        n = self.ix.doc_count
+        if max_term_frequency >= 1.0:
+            cutoff = float(max_term_frequency)
+        else:
+            cutoff = math.ceil(max_term_frequency * float(n))
+        low = tuple(Term(t) for t in terms if st[t][0] <= cutoff)
+        high = tuple(Term(t) for t in terms if st[t][0] > cutoff)
+        if not low:
+            # all-high fallback: conjunction (CommonTermsQuery.java:189-197)
+            return Bool(must=high)
+        low_bool = Bool(should=low, minimum_should_match=low_msm)
+        if not high:
+            return low_bool
+        return Bool(must=(low_bool,), should=(Bool(should=high),))
 
     def idf(self, df: int) -> float:
         n = self.ix.doc_count
@@ -139,6 +183,22 @@ class Searcher:
     def _score_expr(self, tf_expr: str, idf_value: float) -> F.Column:
         return F.expr(
             score_sql(tf_expr, "qdl", repr(idf_value), self.ix.avgdl_sql))
+
+    def _clause_score(self, tf_expr: str,
+                      term_stats: list[tuple[int, int]]) -> F.Column:
+        """Similarity-dispatched clause score over frozen per-term
+        (df, ttf) stats.  Default (BM25) keeps the historical summed-idf
+        literal; a pluggable similarity emits its own formula with the
+        per-term weights inlined as python-double literals
+        (MultiSimilarity.MultiSimScorer shape for multi-term clauses,
+        MultiSimilarity.java:66-72)."""
+        if self.sim is None:
+            idf_sum = sum(self.idf(df) for df, _ in term_stats)
+            return self._score_expr(tf_expr, idf_sum)
+        ws = [self.sim.weight(df, ttf, self.ix.doc_count, self.ix.sum_ttf)
+              for df, ttf in term_stats]
+        return F.expr(self.sim.doc_score_sql(
+            tf_expr, "qdl", [repr(w) for w in ws], self.ix.avgdl_sql))
 
     def _with_qdl(self, df: DataFrame) -> DataFrame:
         return df.join(self.ix.docs.select("docid", "qdl"), "docid")
@@ -151,25 +211,27 @@ class Searcher:
         q = rewrite(q)
         ix = self.ix
         if isinstance(q, Term):
-            dfs = self._resolve_dfs({q.term})
-            if dfs[q.term] == 0:
+            st = self._resolve_stats({q.term})
+            if st[q.term][0] == 0:
                 return self._empty_scored()
             base = ix.postings.filter(F.col("term") == q.term)
             return (self._with_qdl(base.select("docid", "tf"))
                     .select("docid",
-                            self._score_expr("tf", self.idf(dfs[q.term]))
+                            self._clause_score("tf", [st[q.term]])
                             .alias("score")))
 
         if isinstance(q, Synonym):
-            dfs = self._resolve_dfs(set(q.terms))
-            df_max = max(dfs.values(), default=0)
+            st = self._resolve_stats(set(q.terms))
+            # pseudo-term stats: df = max, ttf = sum (SynonymQuery.java:55)
+            df_max = max((df for df, _ in st.values()), default=0)
+            ttf_sum = sum(ttf for _, ttf in st.values())
             if df_max == 0:
                 return self._empty_scored()
             base = (ix.postings.filter(F.col("term").isin(list(q.terms)))
                     .groupBy("docid").agg(F.sum("tf").alias("tf")))
             return (self._with_qdl(base)
                     .select("docid",
-                            self._score_expr("tf", self.idf(df_max))
+                            self._clause_score("tf", [(df_max, ttf_sum)])
                             .alias("score")))
 
         if isinstance(q, Phrase):
@@ -243,13 +305,13 @@ class Searcher:
 
     def _scored_phrase(self, q: Phrase) -> DataFrame:
         terms = list(q.terms)
-        dfs = self._resolve_dfs(set(terms))
-        if any(dfs[t] == 0 for t in terms):
+        st = self._resolve_stats(set(terms))
+        if any(st[t][0] == 0 for t in terms):
             return self._empty_scored()
-        # idf contributions summed in double over per-term idfs
-        # (BM25Similarity.idfExplain(termStats[]) — double sum of floats;
-        # in double mode the narrowing is a no-op)
-        idf_sum = sum(self.idf(dfs[t]) for t in terms)
+        # per-term stats combined by the similarity: BM25 sums idfs in
+        # double (BM25Similarity.idfExplain(termStats[])); pluggable
+        # similarities follow MultiSimScorer (one addend per term)
+        stats_list = [st[t] for t in terms]
         joined = None
         for i, t in enumerate(terms):
             p = (self.ix.postings.filter(F.col("term") == t)
@@ -276,15 +338,17 @@ class Searcher:
                    .filter(F.col("tf") > 0))
         return (self._with_qdl(out)
                 .select("docid",
-                        self._score_expr("tf", idf_sum).alias("score")))
+                        self._clause_score("tf", stats_list)
+                        .alias("score")))
 
     def _scored_multiphrase(self, q: MultiPhrase) -> DataFrame:
         all_terms = [t for slot in q.slots for t in slot]
-        dfs = self._resolve_dfs(set(all_terms))
+        st = self._resolve_stats(set(all_terms))
         # a slot with NO indexed alternative can never match
-        if any(all(dfs[t] == 0 for t in slot) for slot in q.slots):
+        if any(all(st[t][0] == 0 for t in slot) for slot in q.slots):
             return self._empty_scored()
-        idf_sum = sum(self.idf(dfs[t]) for t in all_terms if dfs[t] > 0)
+        # df=0 alternatives contribute no stats (engine skips them)
+        stats_list = [st[t] for t in all_terms if st[t][0] > 0]
         joined = None
         for i, slot in enumerate(q.slots):
             # union the alternatives' position lists (UnionPostingsEnum)
@@ -303,7 +367,8 @@ class Searcher:
                .filter(F.col("tf") > 0))
         return (self._with_qdl(out)
                 .select("docid",
-                        self._score_expr("tf", idf_sum).alias("score")))
+                        self._clause_score("tf", stats_list)
+                        .alias("score")))
 
     def _span_near_expr(self, q: SpanNear) -> str:
         """Nested-lambda EXISTS over per-term position arrays pos0..posk:

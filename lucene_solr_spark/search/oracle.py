@@ -36,10 +36,16 @@ class OracleBuilder:
     """Builds DuckDB SQL over a registered view of the corpus table."""
 
     def __init__(self, table: str = "documents", id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text", similarity=None):
+        """``similarity``: optional non-default similarity from
+        search.similarities; ``None`` keeps the historical BM25 SQL.
+        A similarity reroutes Term/Synonym/Phrase scoring through its
+        formula text (the same text the Spark engine evaluates), with
+        per-term constants computed as SQL over the ts/st CTEs."""
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
+        self.sim = similarity
 
     # -- shared CTE prolog ---------------------------------------------------
 
@@ -80,13 +86,31 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
         df = f"(SELECT df FROM ts WHERE term = {_q(term)})"
         return idf_sql(df, self.n_sql)
 
+    def _term_weight_sql(self, term: str) -> str:
+        """Similarity weight constant for one term, as SQL over ts/st —
+        the oracle mirror of Searcher._clause_score's python-double
+        literal (same IEEE-754 double graph)."""
+        df = f"(SELECT df FROM ts WHERE term = {_q(term)})"
+        ttf = f"(SELECT ttf FROM ts WHERE term = {_q(term)})"
+        return self.sim.weight_sql(df, ttf, self.n_sql,
+                                   "(SELECT sumdl FROM st)")
+
+    def _sim_score_sql(self, tf_expr: str, qdl_expr: str,
+                       terms: list[str]) -> str:
+        return self.sim.doc_score_sql(
+            tf_expr, qdl_expr,
+            [self._term_weight_sql(t) for t in terms], self.avgdl_sql)
+
     # -- scored fragments ----------------------------------------------------
 
     def scored(self, q: Query) -> str:
         """SQL producing (docid, score) — embeddable subquery body."""
         if isinstance(q, Term):
-            sc = score_sql("p.tf", "d.qdl", self.term_idf_sql(q.term),
-                           self.avgdl_sql)
+            if self.sim is not None:
+                sc = self._sim_score_sql("p.tf", "d.qdl", [q.term])
+            else:
+                sc = score_sql("p.tf", "d.qdl", self.term_idf_sql(q.term),
+                               self.avgdl_sql)
             return (f"SELECT p.docid, {sc} AS score "
                     f"FROM postings p JOIN docs d ON d.docid = p.docid "
                     f"WHERE p.term = {_q(q.term)}")
@@ -95,8 +119,17 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             terms = ", ".join(_q(t) for t in q.terms)
             df = ("(SELECT COALESCE(MAX(df), 0) FROM ts "
                   f"WHERE term IN ({terms}))")
-            sc = score_sql("g.tf", "d.qdl", idf_sql(df, self.n_sql),
-                           self.avgdl_sql)
+            if self.sim is not None:
+                # pseudo-term stats: df = max, ttf = sum (SynonymQuery.java:55)
+                ttf = ("(SELECT COALESCE(SUM(ttf), 0) FROM ts "
+                       f"WHERE term IN ({terms}))")
+                w = self.sim.weight_sql(df, ttf, self.n_sql,
+                                        "(SELECT sumdl FROM st)")
+                sc = self.sim.doc_score_sql("g.tf", "d.qdl", [w],
+                                            self.avgdl_sql)
+            else:
+                sc = score_sql("g.tf", "d.qdl", idf_sql(df, self.n_sql),
+                               self.avgdl_sql)
             return (
                 f"SELECT g.docid, {sc} AS score FROM ("
                 f"SELECT docid, SUM(tf) AS tf FROM postings "
@@ -156,7 +189,14 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             for i in range(1, len(terms)))
         freq = (f"len(list_filter(p0.positions, x -> {conds}))"
                 if conds else "len(p0.positions)")
-        sc = score_sql("f.tf", "d.qdl", f"({idf_parts})", self.avgdl_sql)
+        if self.sim is not None:
+            # per-term weights in term order (MultiSimScorer shape);
+            # a df=0 term yields no postings rows, so the weight SQL is
+            # never evaluated on a NULL df
+            sc = self._sim_score_sql("f.tf", "d.qdl", terms)
+        else:
+            sc = score_sql("f.tf", "d.qdl", f"({idf_parts})",
+                           self.avgdl_sql)
         return (
             f"SELECT f.docid, {sc} AS score FROM ("
             f"SELECT p0.docid, CAST({freq} AS BIGINT) AS tf "
@@ -178,6 +218,9 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             raise TypeError(
                 "oracle sloppy phrase supports exactly 2 terms "
                 "(engine/kernel support any arity via the python matcher)")
+        if self.sim is not None:
+            raise TypeError("oracle sloppy phrase is BM25-only "
+                            "(engine supports any similarity)")
         t0, t1 = q.terms
         slop, d = q.slop, freq_denominator(q.slop)
         idf_parts = (f"({self.term_idf_sql(t0)}) + "
@@ -221,6 +264,9 @@ SELECT f.docid, {sc} AS score
 FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
 
     def _scored_multiphrase(self, q: MultiPhrase) -> str:
+        if self.sim is not None:
+            raise TypeError("oracle multiphrase is BM25-only "
+                            "(engine supports any similarity)")
         all_terms = [t for slot in q.slots for t in slot]
         # idf sum over alternatives that exist in the index (engine skips
         # df=0 alternatives identically)
@@ -422,6 +468,56 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
             f"FROM ({self.scored(q)}) fin "
             f"ORDER BY ROUND(score, {round_digits}) DESC, docid ASC "
             f"LIMIT {k}")
+
+    def common_terms_topk_sql(self, terms: tuple,
+                              max_term_frequency: float = 0.01,
+                              k: int = 10, round_digits: int = 6) -> str:
+        """Standalone SQL mirror of Searcher.common_terms + topk
+        (CommonTermsQuery.java:158-219).  The df classification runs
+        inside SQL (the oracle cannot freeze stats at compile time), so
+        both backends classify from the same corpus: high-frequency iff
+        df > ceil(maxTermFrequency * N).  Matching: >= 1 low-freq term
+        when any low-freq (incl. absent) query terms exist, else ALL
+        high-freq terms (the conjunction fallback).  Score: sum of the
+        matched terms' BM25 scores (the optional high clause adds score
+        only, exactly like the engine's req-opt composition)."""
+        tl = ", ".join(_q(t) for t in terms)
+        if max_term_frequency >= 1.0:
+            cut = repr(float(max_term_frequency))
+        else:
+            cut = (f"CEIL({max_term_frequency!r} * "
+                   f"CAST({self.n_sql} AS DOUBLE))")
+        sc = score_sql("p.tf", "d.qdl", idf_sql("c.df", self.n_sql),
+                       self.avgdl_sql)
+        return f"""
+WITH {self.base_ctes()},
+cls AS (
+  SELECT term, df, CAST(df AS DOUBLE) > {cut} AS is_high
+  FROM ts WHERE term IN ({tl})
+),
+qstat AS (
+  SELECT {len(terms)} - COUNT(CASE WHEN is_high THEN 1 END) AS nlowq,
+         COUNT(CASE WHEN is_high THEN 1 END) AS nhighq
+  FROM cls
+),
+csc AS (
+  SELECT p.docid, c.is_high, {sc} AS s
+  FROM postings p JOIN cls c ON c.term = p.term
+  JOIN docs d ON d.docid = p.docid
+),
+cagg AS (
+  SELECT docid,
+         SUM(CASE WHEN NOT is_high THEN 1 ELSE 0 END) AS nlow,
+         SUM(CASE WHEN is_high THEN 1 ELSE 0 END) AS nhigh,
+         SUM(s) AS score
+  FROM csc GROUP BY docid
+)
+SELECT docid AS doc_id, ROUND(score, {round_digits}) AS score
+FROM cagg, qstat
+WHERE (qstat.nlowq > 0 AND cagg.nlow >= 1)
+   OR (qstat.nlowq = 0 AND cagg.nhigh = qstat.nhighq)
+ORDER BY ROUND(score, {round_digits}) DESC, docid ASC
+LIMIT {k}"""
 
     def count_sql(self, q: Query) -> str:
         q = rewrite(q)

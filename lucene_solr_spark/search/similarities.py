@@ -1,0 +1,168 @@
+"""Pluggable similarities (the reference's Similarity extension point).
+
+Lucene ships ~18 similarities under
+lucene/core/src/java/org/apache/lucene/search/similarities/ (SURVEY.md
+§2.8: "v1 ships BM25 only").  This module adds the three most-used
+non-BM25 ones on the naive (double-SQL, oracle-checkable) path:
+
+* ``ClassicSimilarity`` — the TF-IDF practical scoring function
+  (ClassicSimilarity.java:39-62, TFIDFSimilarity.java:557-565):
+  ``score = boost * idf * sqrt(tf) * 1/sqrt(dl)`` with
+  ``idf = ln((docCount+1)/(docFreq+1)) + 1`` and
+  ``lengthNorm = 1/sqrt(numTerms)`` decoded from the norm byte.
+* ``LMDirichletSimilarity`` — Dirichlet-smoothed query-likelihood LM
+  (LMDirichletSimilarity.java:73-78, collection model
+  LMSimilarity.java:154-156):
+  ``score = max(0, boost * (ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))))``
+  with ``p = (ttf+1)/(sumTotalTermFreq+1)`` and mu = 2000.
+* ``BooleanSimilarity`` — score == query boost, tf/norms ignored
+  (BooleanSimilarity.java:47-60).
+
+Design: each similarity is a *formula-text generator*.  The doc-
+dependent part of the score is one SQL string evaluated by BOTH Spark
+(``F.expr``, whole-stage codegen) and the DuckDB oracle, so the two
+backends execute the same IEEE-754 double graph and ``round(score, 6)``
+value-hashes agree — the same contract bm25.score_sql already uses.
+Per-term constants ("weights") are supplied by the caller either as
+Python-double literals (the engine, mirroring
+IndexSearcher.createWeight freezing stats at compile time) or as SQL
+sub-expressions over the ts/st CTEs (the oracle); both compute the
+identical double value.
+
+Multi-term scoring (phrase / multi-phrase) follows
+SimilarityBase.scorer -> MultiSimilarity.MultiSimScorer
+(MultiSimilarity.java:66-72): the per-term scores at the shared
+(phrase) freq are summed.  For BM25 and TF-IDF the score is linear in
+the weight, so this reduces to the summed-idf form the engine already
+emits; LMDirichlet is non-linear and keeps one clamped addend per term.
+
+The packed-segment WAND path stays BM25-only: block-max impacts are
+precomputed for one similarity at index time, exactly as Lucene's
+impacts are (codecs/CompetitiveImpactAccumulator.java) — a different
+Similarity means TOP_SCORES pruning is unavailable and the exhaustive
+(naive) path is the correct executor.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .bm25 import score_sql
+
+
+def _sum_weights(weight_exprs: list[str]) -> str:
+    return " + ".join(f"({w})" for w in weight_exprs)
+
+
+class BM25Similarity:
+    """Default similarity (BM25Similarity.java:222-235); reproduces the
+    exact formula text the engine/oracle emitted before similarities
+    became pluggable, so existing oracle rows are byte-stable."""
+
+    name = "bm25"
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        """Engine-side per-term constant: idf (BM25Similarity.java:70-72)."""
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        """Oracle-side SQL computing the same constant."""
+        return (f"ln(1e0 + (({n_sql}) - ({df_sql}) + 0.5) / "
+                f"(({df_sql}) + 0.5))")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        return score_sql(tf_expr, qdl_expr, _sum_weights(weight_exprs),
+                         avgdl_sql)
+
+
+class ClassicSimilarity:
+    """TF-IDF (ClassicSimilarity.java:39-62; scoring loop
+    TFIDFSimilarity.java:557-565: queryWeight * tf(freq) * normTable[b]).
+
+    Linear in the weight, so phrase scoring uses the summed-idf form
+    (TFIDFSimilarity builds one scorer whose idf explanation is the sum
+    over terms)."""
+
+    name = "classic"
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        # idf = ln((docCount+1)/(docFreq+1)) + 1  (ClassicSimilarity.java:62)
+        return math.log((n + 1.0) / (df + 1.0)) + 1.0
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return (f"(ln((CAST({n_sql} AS DOUBLE) + 1e0) / "
+                f"(CAST({df_sql} AS DOUBLE) + 1e0)) + 1e0)")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        # tf(freq)=sqrt(freq) (ClassicSimilarity.java:46);
+        # lengthNorm=1/sqrt(dl) (ClassicSimilarity.java:39-41) with dl
+        # the quantized decoded length (qdl), mirroring normTable.
+        w = _sum_weights(weight_exprs)
+        return (f"(({w}) * sqrt(CAST({tf_expr} AS DOUBLE)) / "
+                f"sqrt(CAST({qdl_expr} AS DOUBLE)))")
+
+
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed LM (LMDirichletSimilarity.java:73-78).
+
+    Per-term: score = ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), clamped at 0
+    (the reference's ``score > 0.0d ? score : 0.0d``), with collection
+    probability p = (ttf+1)/(numberOfFieldTokens+1)
+    (LMSimilarity.java:154-156).  The per-term constant is mu*p.
+    Non-linear in the constant, so multi-term scoring keeps one clamped
+    addend per term (MultiSimilarity.java:66-72)."""
+
+    name = "lmdirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        return self.mu * ((ttf + 1.0) / (sum_ttf + 1.0))
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return (f"({self.mu!r} * ((CAST({ttf_sql} AS DOUBLE) + 1e0) / "
+                f"(CAST({sumttf_sql} AS DOUBLE) + 1e0)))")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        parts = []
+        for w in weight_exprs:
+            p = (f"(ln(1e0 + CAST({tf_expr} AS DOUBLE) / ({w})) + "
+                 f"ln({self.mu!r} / (CAST({qdl_expr} AS DOUBLE) + "
+                 f"{self.mu!r})))")
+            parts.append(f"(CASE WHEN {p} > 0e0 THEN {p} ELSE 0e0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+
+class BooleanSimilarity:
+    """Score == boost; tf, norms and collection stats are ignored
+    (BooleanSimilarity.java:47-60).  Clause combination still follows
+    the Bool/DisMax operators, so a SHOULD of k matching terms scores
+    k * boost exactly as DisjunctionSumScorer over BooleanWeight does."""
+
+    name = "boolean"
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        return 1.0
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return "1e0"
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        return f"CAST({_sum_weights(weight_exprs)} AS DOUBLE)"
+
+
+SIMILARITIES = {
+    "bm25": BM25Similarity,
+    "classic": ClassicSimilarity,
+    "lmdirichlet": LMDirichletSimilarity,
+    "boolean": BooleanSimilarity,
+}
