@@ -261,6 +261,67 @@ def _q_facet_pivot(spark, sf_dir):
                     "n"))
 
 
+_CTERMS = ("the", "merge", "dup")   # the/merge high-df, dup low at 0.3
+_CTERMS_MAXTF = 0.3
+
+
+def _q_common_terms(spark, sf_dir):
+    """CommonTermsQuery (lucene/queries/src/java/org/apache/lucene/
+    queries/CommonTermsQuery.java:158-219): df-classified rewrite —
+    low-freq terms required, high-freq terms optional-score-only."""
+    se = _searcher(spark, sf_dir)
+    return se.topk(se.common_terms(_CTERMS, _CTERMS_MAXTF), 10)
+
+
+def _q_collapse(spark, sf_dir):
+    """Solr field collapsing + expand counts (CollapsingQParserPlugin,
+    solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java;
+    ExpandComponent, solr/core/src/java/org/apache/solr/handler/
+    component/ExpandComponent.java): one head doc per lang group (max
+    score, docid-asc ties) plus the count of collapsed group members."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_GROUP_TERM)).withColumn("score",
+                                                 F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", "lang"), "docid")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"),
+                                           F.asc("docid"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_expand",
+                        (F.count("*").over(Window.partitionBy("lang"))
+                         - 1).cast("long"))
+            .filter(F.col("rn") == 1)
+            .select("lang", F.col("docid").alias("doc_id"), "score",
+                    "n_expand")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(5))
+
+
+def _q_facet_json(spark, sf_dir):
+    """Solr JSON Facet API nested buckets (solr/core/src/java/org/
+    apache/solr/search/facet/FacetField.java): lang buckets with a
+    per-bucket stat (avg token length) and a nested top-2-sources
+    sub-facet, flattened to one row per (lang, source) leaf."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    j = (m.join(se.ix.source.select(
+            "docid", "lang",
+            F.coalesce("source", F.lit("(none)")).alias("source")),
+            "docid")
+         .join(se.ix.docs.select("docid", "dl"), "docid"))
+    lang_agg = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lang_n"),
+        F.round(F.avg("dl"), 6).alias("avg_dl"))
+    src_agg = j.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("source_n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("source_n"),
+                                           F.asc("source"))
+    top_src = (src_agg
+               .withColumn("rn", F.row_number().over(w).cast("int"))
+               .filter(F.col("rn") <= 2))
+    return (lang_agg.join(top_src, "lang")
+            .select("lang", "lang_n", "avg_dl", "source", "source_n",
+                    "rn"))
+
+
 def _q_grouped_topk(spark, sf_dir):
     se = _searcher(spark, sf_dir)
     sc = se.scored(Term(_GROUP_TERM)).withColumn("score", F.round("score", 6))
@@ -800,12 +861,12 @@ WINDOW_ORDER = [
     "q_events_hourly", "q_point_range", "t_token_count", "t_quality",
     "t_lang_id", "t_dedup_exact", "t_near_dup", "t_minhash_sig",
     "t_minhash_lsh", "t_simhash", "t_fingerprint", "q_highlight",
-    "m_blob_meta", "v_ann_cosine", "v_embed_pairs", "v_ann_lsh",
+    "m_blob_meta", "v_ann_cosine", "v_ann_lsh",
     # new in round 2
     "q_phrase_sloppy", "q_fuzzy_tr", "q_span_or", "q_span_not",
     "q_span_unordered", "q_field_exists", "q_sort_by_field",
     "q_block_join", "q_facet_range", "q_suggest", "t_token_bpe",
-    "m_frame_sample", "v_embed_lsh", "w_phrase_sloppy", "w_dismax",
+    "m_frame_sample", "v_embed_lsh", "w_phrase_sloppy",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_fuzzy", "q_regexp", "p_classic_wild",
@@ -815,13 +876,19 @@ WINDOW_ORDER = [
     "q_geo_distance",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
     "q_sim_classic", "q_sim_lmdirichlet", "q_sim_boolean",
+    # CommonTermsQuery / Solr collapse+expand / JSON facet API
+    "q_common_terms", "q_collapse", "q_facet_json",
     # late round-2 ops with no prior rows
-    "q_grouped_groups", "q_mlt",
+    "q_mlt",
 ]
-# Rotated out of the 50-entry window for the similarity entries above
-# (rotation documented in COVERAGE.md): q_prefix (green r1, unchanged),
-# w_multiphrase / w_prefix (kernel==naive==oracle proven by the
-# randomized CheckHits pytest sweep; naive counterparts green in r1).
+# Rotated out of the 50-entry window for the entries above (rotation
+# documented in COVERAGE.md): q_prefix (green r1, unchanged),
+# w_multiphrase / w_prefix / w_dismax (kernel==naive==oracle proven by
+# the randomized CheckHits pytest sweep; naive counterparts green in
+# r1), v_embed_pairs (demoted to verification-only oracle for the
+# banded v_embed_lsh, which keeps its row; recall test in pytest),
+# q_grouped_groups (sibling q_grouped_topk green r1; the two-pass
+# top-groups selection is pytest-covered).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -881,6 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_function_score": _q_function_score,
         "q_join_field": _q_join_field,
         "q_geo_distance": _q_geo_distance,
+        "q_common_terms": _q_common_terms,
+        "q_collapse": _q_collapse,
+        "q_facet_json": _q_facet_json,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -1367,6 +1437,42 @@ WITH {ctes}
 SELECT docid AS doc_id FROM postings
 WHERE term = '{_EARLY_TERM}'
 ORDER BY docid LIMIT {_EARLY_K}"""
+
+    out["q_common_terms"] = ob.common_terms_topk_sql(
+        _CTERMS, _CTERMS_MAXTF, 10)
+
+    out["q_collapse"] = f"""
+WITH {ctes},
+csc AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term(_GROUP_TERM))}) s),
+cj AS (SELECT dd.lang, c.docid, c.score FROM csc c
+       JOIN documents dd ON dd.doc_id = c.docid),
+ch AS (SELECT lang, docid, score,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY score DESC, docid ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY lang) - 1 AS n_expand
+       FROM cj)
+SELECT lang, docid AS doc_id, score, CAST(n_expand AS BIGINT) AS n_expand
+FROM ch WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 5"""
+
+    out["q_facet_json"] = f"""
+WITH {ctes},
+fm AS (SELECT DISTINCT docid FROM postings WHERE term = '{_FACET_TERM}'),
+fj AS (SELECT d.docid, dd.lang, COALESCE(dd.source, '(none)') AS source,
+              d.dl
+       FROM docs d JOIN fm ON fm.docid = d.docid
+       JOIN documents dd ON dd.doc_id = d.docid),
+fla AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_n,
+               ROUND(AVG(dl), 6) AS avg_dl FROM fj GROUP BY lang),
+fsa AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS source_n
+        FROM fj GROUP BY lang, source),
+fts AS (SELECT lang, source, source_n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY source_n DESC, source ASC) AS INT) AS rn
+        FROM fsa)
+SELECT la.lang, la.lang_n, la.avg_dl, t.source, t.source_n, t.rn
+FROM fla la JOIN fts t ON t.lang = la.lang WHERE t.rn <= 2"""
 
     _sd = _spell_dist_sql(_SPELL_Q)
     out["q_spellcheck"] = f"""
