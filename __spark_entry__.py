@@ -152,6 +152,18 @@ PARSED_SPECS: dict[str, str] = {
     "p_classic_wild": 'spa* fuzz~1 "slow batch"~4',
 }
 
+# eDisMax (ExtendedDismaxQParser.java): qf aliasing across the analyzed
+# text field + a StrField (lang -> FieldTerm), dismax tiebreak,
+# conditional mm spec (SolrPluginUtils.calculateMinShouldMatch), and a
+# whole-query pf phrase boost. AST built once; both backends evaluate it.
+from lucene_solr_spark.search.edismax import edismax as _edismax  # noqa: E402
+
+EDISMAX_SPECS: dict[str, Query] = {
+    "p_edismax": _edismax(
+        "join merge window dup", qf={"text": 1.0, "lang": 2.0},
+        tie=0.1, mm="2<75%", pf={"text": 3.0}),
+}
+
 _FACET_TERM = "dup"
 _GROUP_TERM = "join"
 _STATS_TERM = "vector"
@@ -213,6 +225,14 @@ def _mk_wand(name: str):
 
 def _mk_parsed(name: str):
     ast = parse_query(PARSED_SPECS[name])
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).topk(ast, 10)
+    return f
+
+
+def _mk_edismax(name: str):
+    ast = EDISMAX_SPECS[name]
 
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _searcher(spark, sf_dir).topk(ast, 10)
@@ -875,9 +895,9 @@ WINDOW_ORDER = [
     "q_sort_early", "q_function_score", "q_join_field",
     "q_geo_distance",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
-    "q_sim_classic", "q_sim_lmdirichlet", "q_sim_boolean",
-    # CommonTermsQuery / Solr collapse+expand / JSON facet API
-    "q_common_terms", "q_collapse", "q_facet_json",
+    "q_sim_classic", "q_sim_lmdirichlet",
+    # CommonTermsQuery / Solr collapse+expand / JSON facet API / eDisMax
+    "q_common_terms", "q_collapse", "q_facet_json", "p_edismax",
     # late round-2 ops with no prior rows
     "q_mlt",
 ]
@@ -888,7 +908,9 @@ WINDOW_ORDER = [
 # r1), v_embed_pairs (demoted to verification-only oracle for the
 # banded v_embed_lsh, which keeps its row; recall test in pytest),
 # q_grouped_groups (sibling q_grouped_topk green r1; the two-pass
-# top-groups selection is pytest-covered).
+# top-groups selection is pytest-covered), q_sim_boolean (simplest of
+# the three pluggable similarities; engine==oracle parity is
+# pytest-covered and the two sibling similarities keep their rows).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -901,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"w_{name[2:]}"] = _mk_wand(name)
     for name in PARSED_SPECS:
         out[name] = _mk_parsed(name)
+    for name in EDISMAX_SPECS:
+        out[name] = _mk_edismax(name)
     for name in SIM_SPECS:
         out[name] = _mk_sim_search(name)
     out.update({
@@ -972,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         out[f"w_{name[2:]}"] = ob.topk_sql(ast, k)
     for name, qtext in PARSED_SPECS.items():
         out[name] = ob.topk_sql(parse_query(qtext), 10)
+    for name, east in EDISMAX_SPECS.items():
+        out[name] = ob.topk_sql(east, 10)
     for name, (ast, k, simname) in SIM_SPECS.items():
         sim_ob = OracleBuilder(table="documents", id_col="doc_id",
                                text_col="text",

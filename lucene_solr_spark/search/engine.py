@@ -34,10 +34,12 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import K1
 from ..index.builder import InvertedIndex
-from .bm25 import score_sql
+from .bm25 import idf_sql, score_sql
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, FieldExists, Fuzzy, MatchAll,
+    Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
+    MatchAll,
     MultiPhrase, Phrase, Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
     transposition_variants,
@@ -145,6 +147,16 @@ class Searcher:
     def _resolve_dfs(self, terms: set) -> dict[str, int]:
         return {t: st[0] for t, st in self._resolve_stats(terms).items()}
 
+    def _field_df(self, fld: str, value: str) -> int:
+        """docFreq of an exact stored-field value (FieldTerm stats),
+        frozen per (field, value) like _resolve_stats."""
+        key = (fld, value)
+        cache = self.__dict__.setdefault("_field_df_cache", {})
+        if key not in cache:
+            cache[key] = int(self.ix.source
+                             .filter(F.col(fld) == value).count())
+        return cache[key]
+
     def common_terms(self, terms: tuple, max_term_frequency: float = 0.01,
                      low_msm: int = 0) -> Query:
         """CommonTermsQuery.buildQuery
@@ -244,6 +256,23 @@ class Searcher:
             # spans / field-exists score under the constant-score rewrite
             # (see query.py)
             return self.scored(ConstantScore(q, 1.0))
+
+        if isinstance(q, FieldTerm):
+            # StrField term query (query.FieldTerm): per-doc constant
+            # idf / (1 + k1); df/N frozen at compile time like
+            # createWeight's TermStatistics. Same SQL expression text
+            # as the oracle -> identical IEEE754 double graph.
+            df = self._field_df(q.field, q.value)
+            if df == 0:
+                return self._empty_scored()
+            # CAST to DOUBLE: with bare int literals Spark types the
+            # formula's 0.5 constants as DECIMAL and decimal division
+            # rounds at scale 6 (5.5/3.5 -> 1.571429), a ~1e-6 score
+            # error the oracle (double math) doesn't make.
+            sc = (f"({idf_sql(f'CAST({df} AS DOUBLE)', f'CAST({ix.doc_count} AS DOUBLE)')})"
+                  f" / (1e0 + {K1!r})")
+            return (ix.source.filter(F.col(q.field) == q.value)
+                    .select("docid", F.expr(sc).alias("score")))
 
         if isinstance(q, Bool):
             return self._scored_bool(q)
@@ -483,6 +512,10 @@ class Searcher:
             # DocValuesFieldExistsQuery: stored column non-null
             return (self.ix.source
                     .filter(F.col(q.field).isNotNull())
+                    .select("docid"))
+        if isinstance(q, FieldTerm):
+            return (self.ix.source
+                    .filter(F.col(q.field) == q.value)
                     .select("docid"))
         if isinstance(q, MatchAll):
             return self.ix.docs.select("docid")

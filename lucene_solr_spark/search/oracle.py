@@ -16,11 +16,13 @@ values agree to <= 1 ulp and round(score, 6) hashes equal.
 
 from __future__ import annotations
 
+from .. import K1
 from ..codecs.smallfloat import qdl_sql
 from .bm25 import idf_sql, score_sql
 from .engine import _like_escape, wildcard_to_like
 from .query import (
-    Bool, Boost, ConstantScore, DisMax, FieldExists, Fuzzy, MatchAll,
+    Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
+    MatchAll,
     MultiPhrase, Phrase, Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, rewrite,
     transposition_variants,
@@ -146,6 +148,17 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
 
         if isinstance(q, (SpanNear, SpanOr, SpanNot, FieldExists)):
             return self.scored(ConstantScore(q, 1.0))
+
+        if isinstance(q, FieldTerm):
+            # StrField term query (query.FieldTerm): idf / (1 + k1) per
+            # matching doc; df/N from the stored column. Same formula
+            # text as the engine's F.expr.
+            df = (f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM {self.table} "
+                  f"WHERE {q.field} = {_q(q.value)})")
+            sc = (f"({idf_sql(df, f'CAST({self.n_sql} AS DOUBLE)')})"
+                  f" / (1e0 + {K1!r})")
+            return (f"SELECT {self.id_col} AS docid, {sc} AS score "
+                    f"FROM {self.table} WHERE {q.field} = {_q(q.value)}")
 
         if isinstance(q, Bool):
             return self._scored_bool(q)
@@ -416,6 +429,9 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
         if isinstance(q, FieldExists):
             return (f"SELECT {self.id_col} AS docid FROM {self.table} "
                     f"WHERE {q.field} IS NOT NULL")
+        if isinstance(q, FieldTerm):
+            return (f"SELECT {self.id_col} AS docid FROM {self.table} "
+                    f"WHERE {q.field} = {_q(q.value)}")
         if isinstance(q, MatchAll):
             return "SELECT docid FROM docs"
         return f"SELECT docid FROM ({self.scored(q)}) s"

@@ -38,6 +38,7 @@ Query = Union[
     "Term", "Bool", "Phrase", "MultiPhrase", "SpanNear", "SpanOr", "SpanNot",
     "Synonym", "Prefix", "Wildcard", "TermRange", "TermInSet", "Fuzzy",
     "Regexp", "DisMax", "Boost", "ConstantScore", "MatchAll", "FieldExists",
+    "FieldTerm",
 ]
 
 
@@ -210,6 +211,23 @@ class FieldExists:
     non-null. Constant-score."""
 
     field: str
+
+
+@dataclass(frozen=True)
+class FieldTerm:
+    """Exact-match TermQuery on a non-tokenized stored field — the
+    analogue of a term query against a Solr ``StrField``
+    (solr/core/src/java/org/apache/solr/schema/StrField.java: single
+    raw token per value, ``omitNorms=true`` / ``omitTermFreqAndPositions``
+    by default).  With freqs and norms omitted the BM25 scorer sees
+    tf = 1 and a unit length factor, so the score collapses to the
+    constant  idf / (1 + k1)  per matching doc (BM25Similarity.java
+    score with freq=1, norm factor 1); Boost wraps multiply as usual.
+    Collection statistics come from the stored column itself
+    (df = docs with field == value, N = doc_count)."""
+
+    field: str
+    value: str
 
 
 def rewrite(q: Query) -> Query:
