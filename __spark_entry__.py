@@ -503,6 +503,48 @@ def _q_suggest(spark, sf_dir):
             .orderBy(F.desc("weight"), F.asc("term")).limit(10))
 
 
+def _q_terms_enum(spark, sf_dir):
+    """Solr TermsComponent (solr/core/src/java/org/apache/solr/handler/
+    component/TermsComponent.java): enumerate the term dictionary
+    between terms.lower/terms.upper with terms.mincount, sorted by
+    count (df DESC, then index order) — the /terms handler's default
+    response shape."""
+    se = _searcher(spark, sf_dir)
+    return (se.ix.term_stats
+            .filter((F.col("term") >= "m") & (F.col("term") < "q")
+                    & (F.col("df") >= 5))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(15))
+
+
+_INTERVAL_SPECS = [
+    # Solr interval facet syntax: intervals may overlap; each doc is
+    # counted in EVERY interval that contains it.
+    ("[0,150]", "n_chars >= 0 AND n_chars <= 150"),
+    ("(100,300]", "n_chars > 100 AND n_chars <= 300"),
+    ("(200,*)", "n_chars > 200"),
+]
+
+
+def _q_facet_interval(spark, sf_dir):
+    """Solr interval facets (solr/core/src/java/org/apache/solr/request/
+    IntervalFacets.java): per-interval doc counts over the matching doc
+    set, overlapping intervals allowed, zero-count intervals kept.
+    One scan: a scalar aggregate of conditional sums, unpivoted with
+    stack() — no per-interval rescan, no shuffle beyond the partial/
+    final aggregate."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    src = se.ix.source.join(m, "docid")
+    aggs = [F.coalesce(F.sum(F.expr(cond).cast("long")), F.lit(0))
+            .alias(f"c{i}") for i, (_, cond) in enumerate(_INTERVAL_SPECS)]
+    stack = ", ".join(f"'{lbl}', c{i}"
+                      for i, (lbl, _) in enumerate(_INTERVAL_SPECS))
+    return (src.agg(*aggs)
+            .selectExpr(f"stack({len(_INTERVAL_SPECS)}, {stack}) "
+                        "AS (interval, n)"))
+
+
 def _q_norms_table(spark, sf_dir):
     """The docs/norms side table itself (dl + SmallFloat-encoded byte)."""
     se = _searcher(spark, sf_dir)
@@ -942,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_by_field": _q_sort_by_field,
         "q_block_join": _q_block_join,
         "q_suggest": _q_suggest,
+        "q_terms_enum": _q_terms_enum,
+        "q_facet_interval": _q_facet_interval,
         "q_norms_table": _q_norms_table,
         "q_term_stats": _q_term_stats,
         "q_collection_stats": _q_collection_stats,
@@ -1136,6 +1180,23 @@ WITH {ctes}
 SELECT term, CAST(ttf AS BIGINT) AS weight FROM ts
 WHERE term LIKE 's%'
 ORDER BY weight DESC, term ASC LIMIT 10"""
+
+    out["q_terms_enum"] = f"""
+WITH {ctes}
+SELECT term, CAST(df AS BIGINT) AS df FROM ts
+WHERE term >= 'm' AND term < 'q' AND df >= 5
+ORDER BY df DESC, term ASC LIMIT 15"""
+
+    _iv_rows = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS interval, "
+        f"CAST(COUNT(*) FILTER (WHERE {cond}) AS BIGINT) AS n FROM m"
+        for lbl, cond in _INTERVAL_SPECS)
+    out["q_facet_interval"] = f"""
+WITH {ctes},
+m AS (SELECT d.n_chars FROM documents d
+      WHERE d.doc_id IN (SELECT docid FROM postings
+                         WHERE term = '{_FACET_TERM}'))
+{_iv_rows}"""
 
     from lucene_solr_spark.codecs.smallfloat import norm_byte_sql, qdl_sql
     out["q_norms_table"] = f"""

@@ -204,3 +204,54 @@ def test_geo_distance_haversine_law(spark):
         assert r.dist_km < _GEO_KM
     keys = [(r.dist_km, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+# -- TermsComponent ---------------------------------------------------------
+
+def test_terms_enum_bounds_and_order(spark):
+    """TermsComponent law (TermsComponent.java, sort=count): every
+    term in [lower, upper) with df >= mincount, ordered df DESC then
+    term ASC, df equal to the true distinct-doc count."""
+    from __spark_entry__ import _q_terms_enum, _searcher
+    se = _searcher(spark, SF)
+    truth = {r.term: r.df for r in se.ix.term_stats.collect()}
+    rows = _q_terms_enum(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert "m" <= r.term < "q" and r.df >= 5
+        assert r.df == truth[r.term]
+    keys = [(-r.df, r.term) for r in rows]
+    assert keys == sorted(keys)
+    # nothing eligible was dropped (limit not hit at this sf)
+    eligible = {t for t, df in truth.items()
+                if "m" <= t < "q" and df >= 5}
+    if len(eligible) <= 15:
+        assert {r.term for r in rows} == eligible
+
+
+# -- interval facets --------------------------------------------------------
+
+def test_facet_interval_overlap_law(spark, docs):
+    """IntervalFacets law: a doc is counted in EVERY interval that
+    contains it (intervals overlap), zero-count intervals kept."""
+    from __spark_entry__ import (
+        _FACET_TERM, _INTERVAL_SPECS, _q_facet_interval, _searcher,
+    )
+    se = _searcher(spark, SF)
+    match = {r.docid for r in
+             se.matching(__import__(
+                 'lucene_solr_spark.search.query',
+                 fromlist=['Term']).Term(_FACET_TERM)).collect()}
+    chars = {r.docid: r.n_chars for r in se.ix.source
+             .select("docid", "n_chars").collect()}
+    rows = {r.interval: r.n for r in _q_facet_interval(spark, SF).collect()}
+    assert set(rows) == {lbl for lbl, _ in _INTERVAL_SPECS}
+    def inside(lbl, v):
+        return {"[0,150]": 0 <= v <= 150,
+                "(100,300]": 100 < v <= 300,
+                "(200,*)": v > 200}[lbl]
+    for lbl, _ in _INTERVAL_SPECS:
+        assert rows[lbl] == sum(
+            1 for d in match if inside(lbl, chars[d]))
+    # overlap sanity: totals exceed the matching-doc count iff overlap
+    assert sum(rows.values()) >= len(match)
