@@ -79,20 +79,27 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(64).select(_warm(F.col("id"))).collect()
 
+    # first run of each query = driver-side Catalyst compile + any
+    # per-query UDF spin-up on top of execution; recorded separately
+    # as queries_cold
+    timings_cold = {}
     for name in headline:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings_cold[name] = round(time.perf_counter() - t0, 4)
 
-    # p50 of the BM25 top-k search queries (the baseline's latency
-    # metric) — second run of each, so plan-compile warmup is excluded
+    # steady-state latency: second run of each (plan-compile excluded;
+    # same policy the p50 below has always used). This is the "queries"
+    # map — in a served workload a query's plan is compiled once and
+    # executed many times.
     lat = []
     for name in headline:
-        if not name.startswith(("q_", "w_")):
-            continue
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
-        lat.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        if name.startswith(("q_", "w_")):
+            lat.append(dt)
     lat.sort()
     query_p50 = round(lat[len(lat) // 2], 4) if lat else None
 
@@ -148,6 +155,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
         "sf": sf_dir,
         "cpus": cpus,
         "query_p50_sec": query_p50,
