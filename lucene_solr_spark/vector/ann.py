@@ -174,9 +174,10 @@ def ivf_assign(emb: DataFrame, stride: int = 37, id_col: str = "vec_id",
     same structure with no training RNG. At 10^9+ vectors the centroid
     set stays small (n/stride with a cap in practice), so assignment is
     a broadcast nested-loop scored in whole-stage codegen plus ONE
-    window shuffle keyed by vec_id; the materialized layout partitions
-    by ``cent_id`` the same way ``partition_by_bucket`` does for LSH,
-    making a probe touch only ``nprobe`` posting lists.
+    partial/final max_by aggregate keyed by vec_id (map-side combine —
+    only per-partition winners are exchanged); the materialized layout
+    partitions by ``cent_id`` the same way ``partition_by_bucket`` does
+    for LSH, making a probe touch only ``nprobe`` posting lists.
 
     Ties and float noise are handled the engine's standard way: cosine
     ROUND(,6) DESC then cent_id ASC (same rule in the oracle).
