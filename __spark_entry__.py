@@ -464,15 +464,19 @@ def _q_sort_by_field(spark, sf_dir):
 
 
 def _q_block_join(spark, sf_dir):
-    """Scored parent/child block join (ToParentBlockJoinQuery.java:72,
-    ScoreMode.Max): parent = source group, child query scored by BM25,
-    parent score = max child score; top-5 parents."""
+    """Scored parent/child block join (ToParentBlockJoinQuery.java:72):
+    parent = source group, child query scored by BM25; all three
+    ScoreModes reported per parent (join/ScoreMode.java — Max drives
+    the ranking, Total = sum of child scores, Avg = mean); top-5
+    parents."""
     se = _searcher(spark, sf_dir)
     sc = se.scored(Term(_FACET_TERM)).withColumn(
         "score", F.round("score", 6))
     j = sc.join(se.ix.source.select("docid", "source"), "docid")
     return (j.groupBy("source")
             .agg(F.round(F.max("score"), 6).alias("score"),
+                 F.round(F.sum("score"), 6).alias("score_total"),
+                 F.round(F.avg("score"), 6).alias("score_avg"),
                  F.count("*").cast("long").alias("n_children"))
             .orderBy(F.desc("score"), F.asc("source")).limit(5))
 
@@ -902,6 +906,276 @@ def _q_blob_meta(spark, sf_dir):
         F.expr(f"CAST(64 + {b1} % 129 AS INT)").alias("fake_height"))
 
 
+# -- round-2b surfaces: streaming expressions, relatedness, elevation,
+#    child block join, percentiles, LTR, repetition, dup clusters ------------
+
+_STREAM_ROLLUP_EXPR = (
+    'rollup('
+    '  innerJoin('
+    '    search(documents, q="text:join", fl="doc_id,lang,n_chars",'
+    '           sort="doc_id asc"),'
+    '    search(events, q="event_type:error", fl="user_id,value",'
+    '           sort="user_id asc"),'
+    '    on="doc_id=user_id"),'
+    '  over="lang", count(*), sum(value), max(n_chars))')
+
+_STREAM_SETOPS_EXPR = (
+    'complement('
+    '  search(documents, q="text:merge", fl="doc_id", sort="doc_id asc"),'
+    '  search(documents, q="text:join", fl="doc_id", sort="doc_id asc"),'
+    '  on="doc_id")')
+
+
+def _stream_eval(spark, sf_dir, expr_text):
+    """Evaluate a Solr streaming expression (search/streams.py) with
+    the engine's Searcher supplying full-text q matching."""
+    from lucene_solr_spark.search.streams import StreamEvaluator
+    se = _searcher(spark, sf_dir)
+
+    def text_search(coll, qtext):
+        return (se.matching(parse_query(qtext))
+                .select(F.col("docid").alias("doc_id")))
+
+    ev = StreamEvaluator(
+        {"documents": _documents(spark, sf_dir),
+         "events": spark.read.parquet(f"{sf_dir}/events.parquet")},
+        text_search=text_search)
+    return ev.eval(expr_text)
+
+
+def _q_stream_rollup(spark, sf_dir):
+    """Composed Solr streaming expression (StreamExpressionParser.java:
+    46; InnerJoinStream/RollupStream): full-text search joined to an
+    event search, rolled up per lang. Every decorator compiles to the
+    equivalent distributed Catalyst operator (search/streams.py)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_ROLLUP_EXPR)
+    return out.select("lang", "count",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      F.col("max_n_chars").cast("long")
+                      .alias("max_n_chars"))
+
+
+def _q_stream_setops(spark, sf_dir):
+    """ComplementStream (solrj/io/stream/ComplementStream.java): ids
+    matching 'merge' with the 'join' matches anti-joined away."""
+    return (_stream_eval(spark, sf_dir, _STREAM_SETOPS_EXPR)
+            .select(F.col("doc_id").cast("long")))
+
+
+_SIG_FG_TERM = "join"
+_SIG_MIN_FG = 3
+
+from lucene_solr_spark.search.relatedness import relatedness_sql  # noqa: E402
+
+
+def _q_sig_terms(spark, sf_dir):
+    """Significant terms: relatedness() skew between a foreground doc
+    set (docs matching '{join}') and the whole collection, per term —
+    the exact computeRelatedness z-sigmoid blend + roundTo5Digits of
+    RelatednessAgg.java:473-495. Everything runs in-plan: fg_size is a
+    1-row aggregate cross-joined in, never collected."""
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    m = se.matching(Term(_SIG_FG_TERM))
+    fg = (ix.postings.join(m, "docid")
+          .groupBy("term").agg(F.count("*").cast("long").alias("fg_count")))
+    fgn = m.agg(F.count("*").cast("long").alias("fg_size"))
+    rel = relatedness_sql("fg_count", "fg_size", "df", str(ix.doc_count))
+    return (fg.crossJoin(fgn)
+            .join(ix.term_stats.select("term", "df"), "term")
+            .filter(F.col("fg_count") >= _SIG_MIN_FG)
+            .select("term", "fg_count", F.col("df").alias("bg_count"),
+                    F.expr(rel).alias("relatedness"))
+            .orderBy(F.desc("relatedness"), F.desc("fg_count"),
+                     F.desc("bg_count"), F.asc("term"))
+            .limit(10))
+
+
+_ELEV_TERM = "merge"
+_ELEV_IDS = (17, 3)       # config order: rank 0, rank 1
+_ELEV_EXCLUDE = (25,)
+
+
+def _q_elevate(spark, sf_dir):
+    """QueryElevationComponent (solr/core/src/java/org/apache/solr/
+    handler/component/QueryElevationComponent.java): editorially pinned
+    ids come first in config-file order (even when they don't match the
+    query — the component ORs the ids into the main query), excluded
+    ids are removed, organic hits follow in score order."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_ELEV_TERM)).select(
+        "docid", F.round("score", 6).alias("score"))
+    rows = [(int(d), r) for r, d in enumerate(_ELEV_IDS)]
+    elev = spark.createDataFrame(rows, "docid long, er int")
+    out = (sc.join(F.broadcast(elev), "docid", "full_outer")
+           .select("docid",
+                   F.coalesce("score", F.lit(0.0)).alias("score"),
+                   F.coalesce("er", F.lit(2)).alias("er"))
+           .filter(~F.col("docid").isin(list(_ELEV_EXCLUDE))))
+    return (out.select(F.col("docid").alias("doc_id"),
+                       (F.col("er") < 2).alias("elevated"), "score")
+            .orderBy(F.asc("er"), F.desc("score"), F.asc("doc_id"))
+            .limit(10))
+
+
+def _q_block_join_children(spark, sf_dir):
+    """ToChildBlockJoinQuery (lucene/join/src/java/org/apache/lucene/
+    search/join/ToChildBlockJoinQuery.java:207 — childScore =
+    parentScore): parents (source groups) scored by their best child's
+    BM25 hit, every child of a matching parent returned carrying the
+    parent's score."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_FACET_TERM)).withColumn(
+        "score", F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", "source"), "docid")
+    parents = (j.groupBy("source")
+               .agg(F.round(F.max("score"), 6).alias("parent_score")))
+    kids = se.ix.source.select(F.col("docid").alias("doc_id"), "source")
+    return (kids.join(parents, "source")
+            .select("doc_id", "source", F.col("parent_score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+_PCT_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
+def _q_stats_percentiles(spark, sf_dir):
+    """StatsComponent percentiles (solr/core/src/java/org/apache/solr/
+    handler/component/StatsValuesFactory.java percentiles= param): exact
+    linear-interpolation percentiles of a stored numeric field over the
+    matching doc set. Solr estimates with t-digest at scale; here exact
+    `percentile` at test scale, `percentile_approx` being the
+    documented 100 TB swap-in."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_STATS_TERM))
+    probs = ", ".join(str(p) for p in _PCT_PROBS)
+    pct = F.expr(f"percentile(n_chars, array({probs}))")
+    return (se.ix.source.join(m, "docid")
+            .agg(F.count("*").cast("long").alias("n"),
+                 pct.alias("p"))
+            .select("n",
+                    F.round(F.col("p")[0], 6).alias("p25"),
+                    F.round(F.col("p")[1], 6).alias("p50"),
+                    F.round(F.col("p")[2], 6).alias("p75"),
+                    F.round(F.col("p")[3], 6).alias("p95")))
+
+
+_LTR_W = (0.6, 0.3, 0.1)   # model weights: bm25, ln-length, lang==en
+_LTR_FIRST_K = 50
+
+
+def _q_ltr(spark, sf_dir):
+    """Learning-to-rank rerank (solr/contrib/ltr: LinearModel.java:29 —
+    score = dot(weights, features); features are the OriginalScore /
+    field-value shapes of solr/contrib/ltr/src/java/org/apache/solr/ltr/
+    feature/{OriginalScoreFeature,FieldValueFeature}.java): first-pass
+    BM25 top-50 candidates re-scored in-plan by a linear model over
+    (bm25, ln(1+n_chars), lang=='en')."""
+    se = _searcher(spark, sf_dir)
+    ast = Bool(should=(Term("merge"), Term("join")))
+    first = (se.scored(ast)
+             .select("docid", F.round("score", 6).alias("f_bm25"))
+             .orderBy(F.desc("f_bm25"), F.asc("docid"))
+             .limit(_LTR_FIRST_K))
+    j = first.join(se.ix.source.select("docid", "n_chars", "lang"),
+                   "docid")
+    w0, w1, w2 = _LTR_W
+    ltr = (F.lit(w0) * F.col("f_bm25")
+           + F.lit(w1) * F.log(F.lit(1.0) + F.col("n_chars"))
+           + F.lit(w2) * F.when(F.col("lang") == "en", 1.0).otherwise(0.0))
+    return (j.select(F.col("docid").alias("doc_id"), "f_bm25",
+                     F.round(ltr, 6).alias("ltr_score"))
+            .orderBy(F.desc("ltr_score"), F.asc("doc_id")).limit(10))
+
+
+def _q_repetition(spark, sf_dir):
+    return textops.repetition_signals(_documents(spark, sf_dir))
+
+
+def _q_dup_clusters(spark, sf_dir):
+    return textops.dup_clusters(_documents(spark, sf_dir), threshold=0.8)
+
+
+def _q_sample_strat(spark, sf_dir):
+    return textops.sample_stratified(_documents(spark, sf_dir))
+
+
+_RTG_IDS = (3, 17, 999999999)   # last id absent: RTG returns found docs
+
+
+def _q_rtg(spark, sf_dir):
+    """RealTimeGet shape (solr/core/src/java/org/apache/solr/handler/
+    component/RealTimeGetComponent.java): stored fields by id list. The
+    In(doc_id,...) predicate is pushed into the parquet scan (the
+    tlog/uncommitted-segment side of RTG is IndexWriter's NRT
+    generation commits, test_writer_merge.py)."""
+    d = _documents(spark, sf_dir)
+    return (d.filter(F.col("doc_id").isin(list(_RTG_IDS)))
+            .select("doc_id", "lang", "source",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
+# a misspelling NOT in the corpus whose Soundex key (J500) equals
+# 'join' — the match is genuinely phonetic, not string identity
+_PHON_WORD = "joyn"
+
+from lucene_solr_spark.analysis.filters import soundex_sql  # noqa: E402
+
+
+def _q_phonetic(spark, sf_dir):
+    """Phonetic matching (Solr PhoneticFilterFactory wrapping
+    commons-codec Soundex; analysis/filters.py soundex_sql): dictionary
+    terms sharing the query word's Soundex key, ranked df DESC /
+    term ASC — the phonetic-field match Solr builds at index time, run
+    here as a term-dictionary scan under constant-score rewrite."""
+    se = _searcher(spark, sf_dir)
+    key = F.expr(soundex_sql(f"'{_PHON_WORD}'", "spark"))
+    return (se.ix.term_stats
+            .withColumn("skey", F.expr(soundex_sql("term", "spark")))
+            .filter(F.col("skey") == key)
+            .select("term", "skey", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(10))
+
+
+_SPANFIRST_TERM = "window"
+_SPANFIRST_END = 5
+
+
+def _q_span_first(spark, sf_dir):
+    """SpanFirstQuery (lucene/core/src/java/org/apache/lucene/search/
+    spans/SpanFirstQuery.java:40): spans ending within the first N
+    positions — for a term span, first occurrence position + 1 <= N."""
+    se = _searcher(spark, sf_dir)
+    return (se.ix.postings.filter(F.col("term") == _SPANFIRST_TERM)
+            .select(F.col("docid").alias("doc_id"),
+                    F.array_min("positions").cast("int").alias("first_pos"))
+            .filter(F.col("first_pos") + 1 <= _SPANFIRST_END)
+            .orderBy("doc_id").limit(20))
+
+
+_FT_CONTEXT = "hash"
+
+
+def _q_suggest_freetext(spark, sf_dir):
+    """FreeTextSuggester (lucene/suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/FreeTextSuggester.java:125 — an n-gram
+    language model over the corpus): next-word completions for a
+    context word ranked by bigram frequency. The bigram counting is the
+    suggester's offline build step (Lucene builds an FST the same way);
+    the position join runs on the postings the index already has — no
+    re-tokenization."""
+    se = _searcher(spark, sf_dir)
+    a = (se.ix.postings.filter(F.col("term") == _FT_CONTEXT)
+         .select("docid", F.explode("positions").alias("pos")))
+    b = (se.ix.postings
+         .select(F.col("term").alias("next_term"), "docid",
+                 F.explode("positions").alias("pos2")))
+    j = a.join(b, (a.docid == b.docid) & (b.pos2 == a.pos + 1))
+    return (j.groupBy("next_term")
+            .agg(F.count("*").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("next_term")).limit(10))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -920,15 +1194,15 @@ def entry(spark: SparkSession) -> DataFrame:
 WINDOW_ORDER = [
     # r1-unchecked
     "q_norms_table", "q_term_stats", "q_collection_stats",
-    "q_events_hourly", "q_point_range", "t_token_count", "t_quality",
+    "q_point_range", "t_token_count", "t_quality",
     "t_lang_id", "t_dedup_exact", "t_near_dup", "t_minhash_sig",
-    "t_minhash_lsh", "t_simhash", "t_fingerprint", "q_highlight",
-    "m_blob_meta", "v_ann_cosine", "v_ann_lsh",
+    "t_minhash_lsh", "t_simhash", "t_fingerprint",
+    "v_ann_lsh",
     # new in round 2
     "q_phrase_sloppy", "q_fuzzy_tr", "q_span_or", "q_span_not",
-    "q_span_unordered", "q_field_exists", "q_sort_by_field",
-    "q_block_join", "q_facet_range", "q_suggest", "t_token_bpe",
-    "m_frame_sample", "v_embed_lsh", "w_phrase_sloppy",
+    "q_field_exists", "q_sort_by_field",
+    "q_block_join", "q_facet_range", "q_suggest",
+    "m_frame_sample", "v_embed_lsh",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_fuzzy", "q_regexp", "p_classic_wild",
@@ -937,22 +1211,39 @@ WINDOW_ORDER = [
     "q_sort_early", "q_function_score", "q_join_field",
     "q_geo_distance",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
-    "q_sim_classic", "q_sim_lmdirichlet",
+    "q_sim_classic",
     # CommonTermsQuery / Solr collapse+expand / JSON facet API / eDisMax
     "q_common_terms", "q_collapse", "q_facet_json", "p_edismax",
     # late round-2 ops with no prior rows
     "q_mlt",
+    # round-2b surfaces (streaming expressions, relatedness,
+    # elevation, child block join, percentiles, LTR, repetition
+    # quality, dup-cluster connected components)
+    "s_stream_rollup", "q_sig_terms", "q_elevate",
+    "q_block_join_children", "q_stats_percentiles", "q_ltr",
+    "t_repetition", "t_dup_clusters",
 ]
 # Rotated out of the 50-entry window for the entries above (rotation
 # documented in COVERAGE.md): q_prefix (green r1, unchanged),
-# w_multiphrase / w_prefix / w_dismax (kernel==naive==oracle proven by
-# the randomized CheckHits pytest sweep; naive counterparts green in
-# r1), v_embed_pairs (demoted to verification-only oracle for the
-# banded v_embed_lsh, which keeps its row; recall test in pytest),
-# q_grouped_groups (sibling q_grouped_topk green r1; the two-pass
-# top-groups selection is pytest-covered), q_sim_boolean (simplest of
-# the three pluggable similarities; engine==oracle parity is
-# pytest-covered and the two sibling similarities keep their rows).
+# w_multiphrase / w_prefix / w_dismax / w_phrase_sloppy
+# (kernel==naive==oracle proven by the randomized CheckHits pytest
+# sweep; naive counterparts keep rows), v_embed_pairs (demoted to
+# verification-only oracle for the banded v_embed_lsh, which keeps its
+# row; recall test in pytest), q_grouped_groups (sibling
+# q_grouped_topk green r1), q_sim_boolean / q_sim_lmdirichlet
+# (simplest similarities; law+parity pytest; q_sim_classic keeps its
+# row), q_span_unordered (pure composition of SpanOr over two
+# SpanNears, each with its own row), q_events_hourly (plain
+# date_trunc groupBy, no engine machinery; q_point_range keeps the
+# events-table row), t_token_bpe (regexp-count sibling of
+# t_token_count, which keeps its row), v_ann_cosine (the brute-force
+# baseline every pytest recall test compares LSH/IVF against),
+# m_blob_meta (md5/length metadata sibling of m_frame_sample, which
+# keeps the mapInPandas row), q_highlight (first-occurrence snippet;
+# q_highlight_best keeps the positions-based passage row). ALL
+# rotated-out entries remain registered with oracle SQL and are
+# verified by tools/verify_contract.py (the driver's own compare) at
+# sf0.001/0.01/0.1 on every commit.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1019,6 +1310,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_common_terms": _q_common_terms,
         "q_collapse": _q_collapse,
         "q_facet_json": _q_facet_json,
+        "s_stream_rollup": _q_stream_rollup,
+        "s_stream_setops": _q_stream_setops,
+        "q_sig_terms": _q_sig_terms,
+        "q_elevate": _q_elevate,
+        "q_block_join_children": _q_block_join_children,
+        "q_stats_percentiles": _q_stats_percentiles,
+        "q_ltr": _q_ltr,
+        "t_repetition": _q_repetition,
+        "t_dup_clusters": _q_dup_clusters,
+        "t_sample_strat": _q_sample_strat,
+        "q_rtg": _q_rtg,
+        "q_phonetic": _q_phonetic,
+        "q_span_first": _q_span_first,
+        "q_suggest_freetext": _q_suggest_freetext,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -1163,6 +1468,8 @@ WITH {ctes},
 sc AS (SELECT docid, ROUND(score, 6) AS score
        FROM ({ob.scored(Term(_FACET_TERM))}) s)
 SELECT d.source, ROUND(MAX(sc.score), 6) AS score,
+       ROUND(SUM(sc.score), 6) AS score_total,
+       ROUND(AVG(sc.score), 6) AS score_avg,
        COUNT(*) AS n_children
 FROM sc JOIN documents d ON d.doc_id = sc.docid
 GROUP BY d.source
@@ -1591,6 +1898,185 @@ best AS (SELECT docid, passage, p_score FROM (
 SELECT docid AS doc_id, passage, CAST(p_score AS BIGINT) AS p_score
 FROM best
 ORDER BY p_score DESC, docid ASC LIMIT 10"""
+
+    out["s_stream_rollup"] = f"""
+WITH {ctes},
+sm AS (SELECT DISTINCT docid FROM postings WHERE term = 'join'),
+sl AS (SELECT d.doc_id, d.lang, d.n_chars
+       FROM documents d JOIN sm ON sm.docid = d.doc_id),
+sr AS (SELECT user_id AS doc_id, value FROM events
+       WHERE event_type = 'error'),
+sj AS (SELECT sl.lang, sl.n_chars, sr.value
+       FROM sl JOIN sr ON sr.doc_id = sl.doc_id)
+SELECT lang, COUNT(*) AS "count", ROUND(SUM(value), 6) AS sum_value,
+       CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+FROM sj GROUP BY lang"""
+
+    out["s_stream_setops"] = f"""
+WITH {ctes}
+SELECT DISTINCT docid AS doc_id FROM postings WHERE term = 'merge'
+  AND docid NOT IN (SELECT docid FROM postings WHERE term = 'join')"""
+
+    _rel = relatedness_sql("fg_count", "(SELECT fg_size FROM fgn)",
+                           "bg_count", "(SELECT n FROM st)")
+    out["q_sig_terms"] = f"""
+WITH {ctes},
+fgm AS (SELECT DISTINCT docid FROM postings WHERE term = '{_SIG_FG_TERM}'),
+fgn AS (SELECT CAST(COUNT(*) AS BIGINT) AS fg_size FROM fgm),
+fgc AS (SELECT p.term, CAST(COUNT(*) AS BIGINT) AS fg_count
+        FROM postings p JOIN fgm ON fgm.docid = p.docid
+        GROUP BY p.term),
+rel AS (SELECT f.term, f.fg_count, CAST(ts.df AS BIGINT) AS bg_count,
+               {_rel} AS relatedness
+        FROM fgc f JOIN ts ON ts.term = f.term
+        WHERE f.fg_count >= {_SIG_MIN_FG})
+SELECT term, fg_count, bg_count, relatedness FROM rel
+ORDER BY relatedness DESC, fg_count DESC, bg_count DESC, term ASC
+LIMIT 10"""
+
+    _ev_vals = ", ".join(f"({d}, {r})" for r, d in enumerate(_ELEV_IDS))
+    _ev_excl = ", ".join(str(d) for d in _ELEV_EXCLUDE)
+    out["q_elevate"] = f"""
+WITH {ctes},
+esc AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term(_ELEV_TERM))}) s),
+ev(docid, er) AS (VALUES {_ev_vals}),
+eu AS (SELECT COALESCE(esc.docid, ev.docid) AS doc_id,
+              COALESCE(esc.score, 0.0) AS score,
+              COALESCE(ev.er, 2) AS er
+       FROM esc FULL OUTER JOIN ev ON ev.docid = esc.docid)
+SELECT doc_id, er < 2 AS elevated, score FROM eu
+WHERE doc_id NOT IN ({_ev_excl})
+ORDER BY er ASC, score DESC, doc_id ASC LIMIT 10"""
+
+    out["q_block_join_children"] = f"""
+WITH {ctes},
+bsc AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term(_FACET_TERM))}) s),
+par AS (SELECT d.source, ROUND(MAX(bsc.score), 6) AS parent_score
+        FROM bsc JOIN documents d ON d.doc_id = bsc.docid
+        GROUP BY d.source)
+SELECT d.doc_id, d.source, par.parent_score AS score
+FROM documents d JOIN par ON par.source = d.source
+ORDER BY score DESC, d.doc_id ASC LIMIT 10"""
+
+    _pq = ", ".join(
+        f"ROUND(quantile_cont(d.n_chars, {p}), 6) AS p{int(p * 100)}"
+        for p in _PCT_PROBS)
+    out["q_stats_percentiles"] = f"""
+WITH {ctes}
+SELECT CAST(COUNT(*) AS BIGINT) AS n, {_pq}
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_STATS_TERM}')"""
+
+    _w0, _w1, _w2 = _LTR_W
+    _ltr_sql = (f"{_w0!r} * f_bm25 + {_w1!r} * ln(1.0 + d.n_chars) + "
+                f"{_w2!r} * (CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END)")
+    _ltr_ast = Bool(should=(Term("merge"), Term("join")))
+    out["q_ltr"] = f"""
+WITH {ctes},
+fp AS (SELECT docid, ROUND(score, 6) AS f_bm25
+       FROM ({ob.scored(_ltr_ast)}) s
+       ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT {_LTR_FIRST_K})
+SELECT fp.docid AS doc_id, fp.f_bm25,
+       ROUND({_ltr_sql}, 6) AS ltr_score
+FROM fp JOIN documents d ON d.doc_id = fp.docid
+ORDER BY ROUND({_ltr_sql}, 6) DESC, fp.docid ASC LIMIT 10"""
+
+    out["t_repetition"] = f"""
+WITH {ctes},
+bt AS (SELECT docid, len(tokens) AS n_tokens,
+              len(list_distinct(tokens)) AS n_distinct,
+              CASE WHEN len(tokens) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(range(1, len(tokens)),
+                        i -> tokens[i] || ' ' || tokens[i + 1]) END
+              AS bigrams
+       FROM toks),
+bgx AS (SELECT docid, unnest(bigrams) AS bg FROM bt),
+bgc AS (SELECT docid, bg, COUNT(*) AS c FROM bgx GROUP BY 1, 2),
+bga AS (SELECT docid, MAX(c) AS max_bg, SUM(c) AS n_bg
+        FROM bgc GROUP BY docid)
+SELECT bt.docid AS doc_id, CAST(bt.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN bt.n_tokens = 0 THEN 0.0
+             ELSE 1.0 - CAST(bt.n_distinct AS DOUBLE) / bt.n_tokens END, 6)
+       AS dup_tok_ratio,
+       ROUND(CASE WHEN bga.n_bg IS NULL OR bga.n_bg = 0 THEN 0.0
+             ELSE CAST(bga.max_bg AS DOUBLE) / bga.n_bg END, 6)
+       AS top_bigram_frac,
+       (ROUND(CASE WHEN bt.n_tokens = 0 THEN 0.0
+              ELSE 1.0 - CAST(bt.n_distinct AS DOUBLE) / bt.n_tokens END, 6)
+        <= 0.5
+        AND
+        ROUND(CASE WHEN bga.n_bg IS NULL OR bga.n_bg = 0 THEN 0.0
+              ELSE CAST(bga.max_bg AS DOUBLE) / bga.n_bg END, 6)
+        <= 0.2) AS gopher_ok
+FROM bt LEFT JOIN bga ON bga.docid = bt.docid"""
+
+    out["t_dup_clusters"] = f"""
+WITH RECURSIVE {ctes},
+{_sh_cte},
+sig AS (SELECT docid, {sig_cols} FROM sh GROUP BY docid),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.docid AS doc_a, b.docid AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bk = b.bk AND a.docid < b.docid),
+card AS (SELECT docid, COUNT(*) AS c FROM sh GROUP BY docid),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.docid = c.doc_a
+          JOIN sh b ON b.docid = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+dpairs AS (SELECT i.doc_a, i.doc_b
+           FROM inter i JOIN card ca ON ca.docid = i.doc_a
+           JOIN card cb ON cb.docid = i.doc_b
+           WHERE CAST(i.inter AS DOUBLE) / (ca.c + cb.c - i.inter)
+                 >= 0.8),
+dedges AS (SELECT doc_a AS a, doc_b AS b FROM dpairs
+           UNION SELECT doc_b, doc_a FROM dpairs),
+reach(v, l) AS (
+  SELECT DISTINCT a AS v, a AS l FROM dedges
+  UNION
+  SELECT e.b AS v, r.l AS l FROM reach r JOIN dedges e ON e.a = r.v)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster,
+       MIN(l) = v AS is_rep
+FROM reach GROUP BY v"""
+
+    out["t_sample_strat"] = """
+SELECT doc_id, lang AS stratum,
+       CAST(strpos('0123456789abcdef',
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT)
+       AS bucket
+FROM documents
+WHERE strpos('0123456789abcdef',
+      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 3"""
+
+    _rtg_in = ", ".join(str(i) for i in _RTG_IDS)
+    out["q_rtg"] = f"""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id IN ({_rtg_in})"""
+
+    _sdx_term = soundex_sql("term", "duckdb")
+    _sdx_q = soundex_sql(f"'{_PHON_WORD}'", "duckdb")
+    out["q_phonetic"] = f"""
+WITH {ctes}
+SELECT term, {_sdx_term} AS skey, CAST(df AS BIGINT) AS df
+FROM ts WHERE {_sdx_term} = {_sdx_q}
+ORDER BY df DESC, term ASC LIMIT 10"""
+
+    out["q_span_first"] = f"""
+WITH {ctes}
+SELECT docid AS doc_id, CAST(MIN(pos) AS INT) AS first_pos
+FROM px WHERE term = '{_SPANFIRST_TERM}'
+GROUP BY docid HAVING MIN(pos) + 1 <= {_SPANFIRST_END}
+ORDER BY doc_id LIMIT 20"""
+
+    out["q_suggest_freetext"] = f"""
+WITH {ctes}
+SELECT b.term AS next_term, COUNT(*) AS freq
+FROM px a JOIN px b ON b.docid = a.docid AND b.pos = a.pos + 1
+WHERE a.term = '{_FT_CONTEXT}'
+GROUP BY b.term
+ORDER BY freq DESC, next_term ASC LIMIT 10"""
 
     out["v_ann_ivf"] = f"""
 WITH ee AS (SELECT vec_id, unnest(embedding) AS v,

@@ -67,6 +67,11 @@ def main() -> None:
         "t_minhash_lsh", "t_quality", "t_dedup_exact",
         "v_ann_cosine", "v_embed_lsh", "v_ann_ivf",
         "q_spellcheck", "q_sort_early",
+        # round-2b: dup-cluster connected components (the end-to-end
+        # dedup flagship: LSH pairs -> components), repetition quality,
+        # a composed streaming expression, relatedness significant terms
+        "t_dup_clusters", "t_repetition", "s_stream_rollup",
+        "q_sig_terms",
     ]
     qs = entrymod.queries()
 

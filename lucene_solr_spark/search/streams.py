@@ -1,0 +1,304 @@
+"""Solr streaming expressions -> Spark DataFrame plans.
+
+The reference's streaming-expression language (solr/solrj/src/java/org/
+apache/solr/client/solrj/io/stream/expr/StreamExpressionParser.java;
+stream decorators in solr/solrj/src/java/org/apache/solr/client/solrj/
+io/stream/{CloudSolrStream,InnerJoinStream,RollupStream,MergeStream,
+UniqueStream,RankStream,SelectStream,IntersectStream,ComplementStream,
+SortStream,HavingStream}.java) composes relational operators over
+sorted tuple streams. Here every decorator compiles to the equivalent
+Catalyst operator, so the "stream" is a DataFrame plan and the sorted
+-merge machinery Solr hand-rolls (worker collapsing, partitionKeys)
+becomes Spark's shuffle:
+
+| expression            | reference stream class        | Spark plan |
+|-----------------------|-------------------------------|------------|
+| search(coll, q, fl, sort) | CloudSolrStream/SearchStream | filtered scan / match-set join |
+| innerJoin(l, r, on=)  | InnerJoinStream (sorted merge)| equi join  |
+| hashJoin(l, r, on=)   | HashJoinStream (hash right)   | broadcast equi join |
+| leftOuterJoin(l, r)   | LeftOuterJoinStream           | left join  |
+| rollup(s, over=, aggs)| RollupStream (sorted groups)  | groupBy.agg (partial+final) |
+| unique(s, over=)      | UniqueStream                  | distinct over key projection |
+| top(s, n=, sort=)     | RankStream (size-n heap)      | orderBy.limit (TakeOrderedAndProject) |
+| merge(a, b, on=)      | MergeStream (k-way merge)     | unionByName + sort |
+| select(s, a as b, ...)| SelectStream                  | select/alias |
+| intersect(a, b, on=)  | IntersectStream               | left_semi join |
+| complement(a, b, on=) | ComplementStream              | left_anti join |
+| sort(s, by=)          | SortStream (full re-sort)     | orderBy    |
+| having(s, cond)       | HavingStream (gt/lt/eq/...)   | filter     |
+
+Scale notes: Solr executes these on a single aggregator node pulling
+sorted shards (worker collapse is opt-in via parallel()); every mapping
+above is instead a distributed shuffle plan, so rollup/join scale with
+executors and small right sides broadcast (hashJoin). Sort specs on
+search() become orderBy rather than an index-sort contract — Catalyst
+is free to drop the sort when a downstream operator re-shuffles (same
+freedom Solr's optimizer takes when re-sorting for partitionKeys).
+
+Expression grammar (StreamExpressionParser.java:46 shape):
+  expr   := name '(' arg (',' arg)* ')'
+  arg    := expr | ident '=' value | value
+  value  := '"' chars '"' | bare-token (no top-level ',' or parens)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StreamExpr:
+    name: str
+    args: list = field(default_factory=list)      # positional: StreamExpr|str
+    params: dict = field(default_factory=dict)    # key=value (str -> str)
+
+
+_NAME_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (outside parens and double quotes)."""
+    parts, depth, inq, cur = [], 0, False, []
+    for ch in s:
+        if inq:
+            cur.append(ch)
+            if ch == '"':
+                inq = False
+            continue
+        if ch == '"':
+            inq = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return v[1:-1]
+    return v
+
+
+_PARAM_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.*)$", re.S)
+
+
+def parse_stream(text: str) -> StreamExpr:
+    """Parse one streaming expression (recursive descent, whole-string)."""
+    m = _NAME_RE.match(text)
+    if not m:
+        raise ValueError(f"not a stream expression: {text[:40]!r}")
+    body = text.strip()
+    if not body.endswith(")"):
+        raise ValueError(f"unbalanced expression: {text[:40]!r}")
+    inner = body[m.end():-1]
+    node = StreamExpr(m.group(1))
+    for part in _split_top(inner):
+        if _NAME_RE.match(part):
+            node.args.append(parse_stream(part))
+            continue
+        pm = _PARAM_RE.match(part)
+        # key=value only when the value isn't itself a nested expression
+        if pm and not _NAME_RE.match(pm.group(1)):
+            node.params[pm.group(1)] = _unquote(pm.group(2))
+        else:
+            node.args.append(_unquote(part))
+    return node
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = ("count", "sum", "min", "max", "avg")
+# nested expressions that are operator arguments, not tuple sources
+_NON_STREAM_FNS = set(_AGG_FNS) | {"gt", "lt", "eq", "gteq", "lteq"}
+
+
+def _sort_cols(spec: str):
+    cols = []
+    for piece in spec.split(","):
+        piece = piece.strip()
+        if not piece:
+            continue
+        toks = piece.split()
+        name = toks[0]
+        desc = len(toks) > 1 and toks[1].lower() == "desc"
+        cols.append(F.col(name).desc() if desc else F.col(name).asc())
+    return cols
+
+
+def _agg_col(e: StreamExpr):
+    """count(*) / sum(f) / min(f) / max(f) / avg(f) -> named agg column.
+
+    Names follow RollupStream's metric identifiers (count(*), sum(f))
+    flattened to SQL-safe aliases: count, sum_f, min_f, max_f, avg_f.
+    Counts and integer sums stay BIGINT; avg is a double.
+    """
+    fn = e.name
+    arg = e.args[0] if e.args else "*"
+    if fn == "count":
+        return F.count("*").cast("long").alias("count")
+    col = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fn](arg)
+    return col.alias(f"{fn}_{arg}")
+
+
+class StreamEvaluator:
+    """Evaluates a parsed streaming expression against named collections.
+
+    ``collections``: name -> DataFrame (stored-fields view).
+    ``text_search``: optional callable (collection, query_text) ->
+    DataFrame of matching ids, used for full-text ``q`` on an analyzed
+    field (the engine's Searcher.matching plugged in by the caller);
+    plain ``field:value`` predicates become pushed column filters.
+    """
+
+    def __init__(self, collections: dict[str, DataFrame],
+                 text_search=None):
+        self.collections = collections
+        self.text_search = text_search
+
+    # -- q handling ----------------------------------------------------------
+
+    def _apply_q(self, coll: str, df: DataFrame, q: str) -> DataFrame:
+        q = q.strip()
+        if not q or q == "*:*":
+            return df
+        fld, _, rhs = q.partition(":")
+        fld, rhs = fld.strip(), rhs.strip().strip('"')
+        if fld == "text" and self.text_search is not None:
+            ids = self.text_search(coll, rhs)
+            key = ids.columns[0]
+            return df.join(ids, df[df.columns[0]] == ids[key],
+                           "left_semi") if key not in df.columns \
+                else df.join(ids, key, "left_semi")
+        if re.match(r"^\[.* TO .*\]$", rhs):
+            lo, hi = rhs[1:-1].split(" TO ")
+            c = F.col(fld)
+            cond = None
+            if lo.strip() != "*":
+                cond = c >= float(lo)
+            if hi.strip() != "*":
+                hc = c <= float(hi)
+                cond = hc if cond is None else (cond & hc)
+            return df if cond is None else df.filter(cond)
+        return df.filter(F.col(fld) == rhs)
+
+    # -- combinators ---------------------------------------------------------
+
+    def eval(self, e) -> DataFrame:
+        if isinstance(e, str):
+            e = parse_stream(e)
+        fn = getattr(self, f"_s_{e.name}", None)
+        if fn is None:
+            raise ValueError(f"unknown stream function {e.name!r}")
+        return fn(e)
+
+    def _streams(self, e: StreamExpr) -> list[DataFrame]:
+        return [self.eval(a) for a in e.args if isinstance(a, StreamExpr)
+                and a.name not in _NON_STREAM_FNS]
+
+    def _s_search(self, e: StreamExpr) -> DataFrame:
+        coll = e.args[0]
+        df = self.collections[coll]
+        df = self._apply_q(coll, df, e.params.get("q", "*:*"))
+        if "fl" in e.params:
+            df = df.select(*[c.strip()
+                             for c in e.params["fl"].split(",")])
+        if "sort" in e.params:
+            df = df.orderBy(*_sort_cols(e.params["sort"]))
+        return df
+
+    def _s_innerJoin(self, e: StreamExpr, how: str = "inner",
+                     broadcast_right: bool = False) -> DataFrame:
+        left, right = self._streams(e)
+        on = e.params["on"]
+        lk, _, rk = on.partition("=")
+        lk, rk = lk.strip(), rk.strip() or lk.strip()
+        if rk != lk:
+            right = right.withColumnRenamed(rk, lk)
+        if broadcast_right:
+            right = F.broadcast(right)
+        return left.join(right, lk, how)
+
+    def _s_hashJoin(self, e: StreamExpr) -> DataFrame:
+        return self._s_innerJoin(e, broadcast_right=True)
+
+    def _s_leftOuterJoin(self, e: StreamExpr) -> DataFrame:
+        return self._s_innerJoin(e, how="left")
+
+    def _s_rollup(self, e: StreamExpr) -> DataFrame:
+        (src,) = self._streams(e)
+        over = [c.strip() for c in e.params["over"].split(",")]
+        aggs = [_agg_col(a) for a in e.args
+                if isinstance(a, StreamExpr) and a.name in _AGG_FNS]
+        return src.groupBy(*over).agg(*aggs)
+
+    def _s_unique(self, e: StreamExpr) -> DataFrame:
+        (src,) = self._streams(e)
+        over = [c.strip() for c in e.params["over"].split(",")]
+        return src.select(*over).distinct()
+
+    def _s_top(self, e: StreamExpr) -> DataFrame:
+        (src,) = self._streams(e)
+        n = int(e.params["n"])
+        return src.orderBy(*_sort_cols(e.params["sort"])).limit(n)
+
+    def _s_merge(self, e: StreamExpr) -> DataFrame:
+        a, b = self._streams(e)
+        return a.unionByName(b).orderBy(*_sort_cols(e.params["on"]))
+
+    def _s_select(self, e: StreamExpr) -> DataFrame:
+        src = None
+        cols = []
+        for a in e.args:
+            if isinstance(a, StreamExpr):
+                src = self.eval(a)
+            else:
+                m = re.match(r"^(\S+)\s+as\s+(\S+)$", a)
+                cols.append(F.col(m.group(1)).alias(m.group(2)) if m
+                            else F.col(a))
+        return src.select(*cols)
+
+    def _s_intersect(self, e: StreamExpr) -> DataFrame:
+        a, b = self._streams(e)
+        return a.join(b.select(e.params["on"]).distinct(),
+                      e.params["on"], "left_semi")
+
+    def _s_complement(self, e: StreamExpr) -> DataFrame:
+        a, b = self._streams(e)
+        return a.join(b.select(e.params["on"]).distinct(),
+                      e.params["on"], "left_anti")
+
+    def _s_sort(self, e: StreamExpr) -> DataFrame:
+        (src,) = self._streams(e)
+        return src.orderBy(*_sort_cols(e.params["by"]))
+
+    def _s_having(self, e: StreamExpr) -> DataFrame:
+        (src,) = self._streams(e)
+        conds = [a for a in e.args if isinstance(a, StreamExpr)
+                 and a.name in ("gt", "lt", "eq", "gteq", "lteq")]
+        ops = {"gt": ">", "lt": "<", "eq": "=", "gteq": ">=", "lteq": "<="}
+        out = src
+        for c in conds:
+            out = out.filter(F.expr(
+                f"{c.args[0]} {ops[c.name]} {c.args[1]}"))
+        return out

@@ -250,3 +250,120 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3,
                 f"CAST(inter AS DOUBLE) / (ca + cb - inter) >= {threshold!r}"))
             .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
                     "inter", "jaccard"))
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1 repetition
+    filters): per-doc duplicate-token ratio and the fraction of the
+    text covered by the single most frequent bigram.
+
+    - dup_tok_ratio = 1 - distinct_tokens / tokens      (0 when empty)
+    - top_bigram_frac = max bigram count / total bigrams (0 when < 2
+      tokens) — Gopher's "fraction of characters in the most common
+      n-gram" computed over token counts (the tokenizer is the index's
+      own, so the signal is consistent with search).
+    - gopher_ok = dup_tok_ratio <= 0.5 AND top_bigram_frac <= 0.2 (the
+      paper's 2-gram threshold family; documented deterministic toy
+      thresholds).
+
+    Scale shape: one (doc, bigram) partial-agg shuffle + one per-doc
+    agg — no self-joins, no Python. Ties in the max-count bigram never
+    matter because only the count feeds the fraction.
+    """
+    t = with_tokens(df).select(
+        F.col(id_col),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(tokens)) AS BIGINT)")
+        .alias("n_distinct"),
+        F.expr("CASE WHEN size(tokens) < 2 THEN array() "
+               "ELSE transform(sequence(0, size(tokens) - 2), "
+               "i -> concat(tokens[i], ' ', tokens[i + 1])) END")
+        .alias("bigrams"))
+    bg = (t.select(id_col, F.explode("bigrams").alias("bg"))
+          .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+          .groupBy(id_col).agg(F.max("c").cast("long").alias("max_bg"),
+                               F.sum("c").cast("long").alias("n_bg")))
+    out = (t.select(id_col, "n_tokens", "n_distinct")
+           .join(bg, id_col, "left")
+           .select(
+               F.col(id_col),
+               "n_tokens",
+               F.expr("ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+                      "1.0 - CAST(n_distinct AS DOUBLE) / n_tokens END, 6)")
+               .alias("dup_tok_ratio"),
+               F.expr("ROUND(CASE WHEN n_bg IS NULL OR n_bg = 0 THEN 0.0 "
+                      "ELSE CAST(max_bg AS DOUBLE) / n_bg END, 6)")
+               .alias("top_bigram_frac")))
+    return out.withColumn(
+        "gopher_ok",
+        (F.col("dup_tok_ratio") <= 0.5) & (F.col("top_bigram_frac") <= 0.2))
+
+
+def dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                 threshold: float = 0.8, max_iter: int = 12) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-
+    LSH pair graph, labels = min doc_id per component.
+
+    Algorithm: iterative min-label propagation (the dataframe form of
+    the classic hash-to-min / large-star step, Kiveris et al. 2014
+    "Connected Components in MapReduce and Beyond"): every round each
+    node takes the min label among itself and its neighbors; converges
+    in O(component diameter) rounds — near-dup components are cliques
+    or near-cliques, so 2-3 rounds in practice, bounded by max_iter.
+
+    Scale shape: per round one edge-label equi-join + one min groupBy;
+    lineage is cut with localCheckpoint per round (at cluster scale use
+    a checkpoint dir). The convergence probe is a count() — one tiny
+    job per round, never a collect of labels. Only docs with at least
+    one near-dup edge appear (singletons are the identity clusters).
+
+    Output: (doc_id, cluster, is_rep) with cluster = component min id.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, threshold=threshold)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.distinct().persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "lbl"))
+        new = (labels.union(prop)
+               .groupBy("id").agg(F.min("lbl").alias("lbl")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").cast("long").alias(id_col),
+        F.col("lbl").cast("long").alias("cluster"),
+        (F.col("id") == F.col("lbl")).alias("is_rep"))
+
+
+def sample_stratified(df: DataFrame, id_col: str = "doc_id",
+                      strata_col: str = "lang",
+                      keep_buckets: int = 3) -> DataFrame:
+    """Deterministic stratified sampling: hash doc ids into 16 buckets
+    (first hex nibble of md5 of the id rendered as a string — portable
+    bit-identically across engines) and keep buckets < keep_buckets in
+    every stratum (keep rate = keep_buckets/16).
+
+    This is the reproducible scan-speed sampling a training pipeline
+    uses instead of rand(): re-running at any scale or partitioning
+    selects the same rows, and the per-stratum keep rate is uniform.
+    """
+    bucket = (f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 1),"
+              f" 16, 10) AS INT)")
+    return (df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        F.expr(bucket).alias("bucket"))
+        .filter(F.col("bucket") < keep_buckets))
