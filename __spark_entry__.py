@@ -1176,6 +1176,97 @@ def _q_suggest_freetext(spark, sf_dir):
             .orderBy(F.desc("freq"), F.asc("next_term")).limit(10))
 
 
+_DS_BASE = "the"
+_DS_LANG = "en"
+_DS_SOURCE = "src4"
+
+
+def _q_drill_sideways(spark, sf_dir):
+    """DrillSideways (lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:66): with drill-downs lang=en AND source=src4
+    over a base query, each dimension's facet counts are computed with
+    ITS OWN drill-down removed (so the UI can show the sibling values
+    you could switch to) — lang counts over base AND source filter,
+    source counts over base AND lang filter. One match-set join, two
+    conditional aggregations, unioned."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_DS_BASE))
+    j = m.join(se.ix.source.select("docid", "lang", "source"), "docid")
+    lang_side = (j.filter(F.col("source") == _DS_SOURCE)
+                 .groupBy(F.col("lang").alias("value"))
+                 .agg(F.count("*").cast("long").alias("n"))
+                 .select(F.lit("lang").alias("dim"), "value", "n"))
+    src_side = (j.filter(F.col("lang") == _DS_LANG)
+                .groupBy(F.col("source").alias("value"))
+                .agg(F.count("*").cast("long").alias("n"))
+                .select(F.lit("source").alias("dim"), "value", "n"))
+    return lang_side.unionByName(src_side)
+
+
+_HM_CELL = 30.0   # degrees per grid cell
+
+
+def _q_facet_heatmap(spark, sf_dir):
+    """Solr heatmap faceting (facet.heatmap, solr/core/src/java/org/
+    apache/solr/handler/component/SpatialHeatmapFacets.java over the
+    spatial-extras PrefixTree heatmap): per-grid-cell doc counts over
+    the matching set — groupBy on the quantized cell, partial+final
+    aggregate, no spatial library needed for a rectangular grid."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_DS_BASE))
+    d = _documents(spark, sf_dir).alias("d").join(
+        m.withColumnRenamed("docid", "doc_id"), "doc_id")
+    gx = f"CAST(FLOOR((({_GEO_LON}) + 180.0) / {_HM_CELL}) AS INT)"
+    gy = f"CAST(FLOOR((({_GEO_LAT}) + 90.0) / {_HM_CELL}) AS INT)"
+    return (d.groupBy(F.expr(gx).alias("grid_x"),
+                      F.expr(gy).alias("grid_y"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+MONITOR_QUERIES = None  # built lazily (import-order)
+
+
+def _monitor_queries():
+    global MONITOR_QUERIES
+    if MONITOR_QUERIES is None:
+        from lucene_solr_spark.search.monitor import MonitorQuery
+        MONITOR_QUERIES = [
+            MonitorQuery("alert_join_merge", ("join", "merge")),
+            MonitorQuery("alert_dup", ("dup",)),
+            MonitorQuery("alert_scan_not_slow", ("scan",), ("slow",)),
+            MonitorQuery("alert_hash_sort_batch", ("hash", "sort",
+                                                   "batch")),
+        ]
+    return MONITOR_QUERIES
+
+
+def _q_monitor(spark, sf_dir):
+    """Reverse search / percolator (lucene/monitor Monitor.java:69,
+    TermFilteredPresearcher): four registered alert queries matched
+    against the document batch; returns every (query_id, doc_id) hit.
+    search/monitor.py — broadcast presearcher join + one (doc, query)
+    aggregation."""
+    from lucene_solr_spark.search.monitor import match_batch
+    return match_batch(_documents(spark, sf_dir), _monitor_queries())
+
+
+_EXPORT_TERM = "dup"
+
+
+def _q_export(spark, sf_dir):
+    """Solr /export handler (solr/core/src/java/org/apache/solr/
+    handler/export/ExportWriter.java): the FULL sorted result set of a
+    query streamed out (no top-k) — sort-by-docvalues over the match
+    set; in Spark a global sort the shuffle service streams, writable
+    to any sink."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_EXPORT_TERM))
+    return (se.ix.source.join(m, "docid")
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1324,6 +1415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phonetic": _q_phonetic,
         "q_span_first": _q_span_first,
         "q_suggest_freetext": _q_suggest_freetext,
+        "q_drill_sideways": _q_drill_sideways,
+        "q_facet_heatmap": _q_facet_heatmap,
+        "q_monitor": _q_monitor,
+        "q_export": _q_export,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -2077,6 +2172,47 @@ FROM px a JOIN px b ON b.docid = a.docid AND b.pos = a.pos + 1
 WHERE a.term = '{_FT_CONTEXT}'
 GROUP BY b.term
 ORDER BY freq DESC, next_term ASC LIMIT 10"""
+
+    out["q_drill_sideways"] = f"""
+WITH {ctes},
+dm AS (SELECT d.doc_id, d.lang, d.source FROM documents d
+       WHERE d.doc_id IN (SELECT docid FROM postings
+                          WHERE term = '{_DS_BASE}'))
+SELECT 'lang' AS dim, lang AS value, COUNT(*) AS n
+FROM dm WHERE source = '{_DS_SOURCE}' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, COUNT(*) AS n
+FROM dm WHERE lang = '{_DS_LANG}' GROUP BY source"""
+
+    _hm_gx = (f"CAST(FLOOR((({_GEO_LON}) + 180.0) / {_HM_CELL}) AS INT)")
+    _hm_gy = (f"CAST(FLOOR((({_GEO_LAT}) + 90.0) / {_HM_CELL}) AS INT)")
+    out["q_facet_heatmap"] = f"""
+WITH {ctes}
+SELECT {_hm_gx} AS grid_x, {_hm_gy} AS grid_y, COUNT(*) AS n
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_DS_BASE}')
+GROUP BY 1, 2"""
+
+    _mon_parts = []
+    for q in _monitor_queries():
+        conds = [f"docid IN (SELECT docid FROM postings WHERE term = '{t}')"
+                 for t in q.must]
+        conds += [f"docid NOT IN (SELECT docid FROM postings "
+                  f"WHERE term = '{t}')" for t in q.must_not]
+        _mon_parts.append(
+            f"SELECT '{q.query_id}' AS query_id, docid AS doc_id "
+            f"FROM docs WHERE " + " AND ".join(conds))
+    _mon_sql = "\nUNION ALL\n".join(_mon_parts)
+    out["q_monitor"] = f"""
+WITH {ctes}
+{_mon_sql}"""
+
+    out["q_export"] = f"""
+WITH {ctes}
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_EXPORT_TERM}')
+ORDER BY n_chars DESC, doc_id ASC"""
 
     out["v_ann_ivf"] = f"""
 WITH ee AS (SELECT vec_id, unnest(embedding) AS v,

@@ -267,10 +267,24 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       paper's 2-gram threshold family; documented deterministic toy
       thresholds).
 
-    Scale shape: one (doc, bigram) partial-agg shuffle + one per-doc
-    agg — no self-joins, no Python. Ties in the max-count bigram never
-    matter because only the count feeds the fraction.
+    Scale shape: ZERO shuffles — the max-bigram count is a per-row
+    run-length pass over the doc's sorted bigram array (array_sort +
+    aggregate(), all whole-stage codegen), so the op runs at scan
+    speed and is embarrassingly parallel. Ties in the max-count bigram
+    never matter because only the count feeds the fraction.
     """
+    # single-pass run-length max over the sorted bigram array:
+    # acc = (prev value, current run, best run)
+    max_run = (
+        "aggregate(array_sort(bigrams), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+        "'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+        "'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, "
+        "1L))), "
+        "acc -> acc.best)")
     t = with_tokens(df).select(
         F.col(id_col),
         F.size("tokens").cast("long").alias("n_tokens"),
@@ -280,21 +294,15 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                "ELSE transform(sequence(0, size(tokens) - 2), "
                "i -> concat(tokens[i], ' ', tokens[i + 1])) END")
         .alias("bigrams"))
-    bg = (t.select(id_col, F.explode("bigrams").alias("bg"))
-          .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
-          .groupBy(id_col).agg(F.max("c").cast("long").alias("max_bg"),
-                               F.sum("c").cast("long").alias("n_bg")))
-    out = (t.select(id_col, "n_tokens", "n_distinct")
-           .join(bg, id_col, "left")
-           .select(
-               F.col(id_col),
-               "n_tokens",
-               F.expr("ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
-                      "1.0 - CAST(n_distinct AS DOUBLE) / n_tokens END, 6)")
-               .alias("dup_tok_ratio"),
-               F.expr("ROUND(CASE WHEN n_bg IS NULL OR n_bg = 0 THEN 0.0 "
-                      "ELSE CAST(max_bg AS DOUBLE) / n_bg END, 6)")
-               .alias("top_bigram_frac")))
+    out = t.select(
+        F.col(id_col),
+        "n_tokens",
+        F.expr("ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+               "1.0 - CAST(n_distinct AS DOUBLE) / n_tokens END, 6)")
+        .alias("dup_tok_ratio"),
+        F.expr(f"ROUND(CASE WHEN size(bigrams) = 0 THEN 0.0 "
+               f"ELSE CAST(({max_run}) AS DOUBLE) / size(bigrams) END, 6)")
+        .alias("top_bigram_frac"))
     return out.withColumn(
         "gopher_ok",
         (F.col("dup_tok_ratio") <= 0.5) & (F.col("top_bigram_frac") <= 0.2))

@@ -280,3 +280,67 @@ def test_soundex_spark_duckdb_dialects_agree(spark):
         dk = con.execute(
             "SELECT " + soundex_sql(f"'{w}'", "duckdb")).fetchone()[0]
         assert sp[w] == dk
+
+
+# ---------------------------------------------------------------------------
+# monitor / percolator
+# ---------------------------------------------------------------------------
+
+def test_monitor_match_batch(spark):
+    from lucene_solr_spark.search.monitor import MonitorQuery, match_batch
+    docs = spark.createDataFrame(
+        [(1, "the quick join and merge job"),
+         (2, "join only here"),
+         (3, "scan this table"),
+         (4, "scan slow table"),
+         (5, "merge Join MERGE case test")],
+        "doc_id long, text string")
+    qs = [
+        MonitorQuery("jm", ("join", "merge")),
+        MonitorQuery("scan_ok", ("scan",), ("slow",)),
+        MonitorQuery("absent", ("zzznope",)),
+    ]
+    got = sorted((r["query_id"], r["doc_id"])
+                 for r in match_batch(docs, qs).collect())
+    assert got == [("jm", 1), ("jm", 5), ("scan_ok", 3)]
+
+
+def test_monitor_requires_queries(spark):
+    from lucene_solr_spark.search.monitor import match_batch
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        match_batch(docs, [])
+
+
+def test_monitor_presearcher_broadcasts(spark):
+    from lucene_solr_spark.search.monitor import MonitorQuery, match_batch
+    docs = spark.createDataFrame(
+        [(1, "join merge")], "doc_id long, text string")
+    out = match_batch(docs, [MonitorQuery("q", ("join",))])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# drill sideways law: each dim's counts exclude its own drill-down
+# ---------------------------------------------------------------------------
+
+def test_drill_sideways_law(spark, monkeypatch):
+    import __spark_entry__ as em
+    # tiny corpus where the law is hand-checkable
+    docs = spark.createDataFrame(
+        [(0, "the a", "en", "s1", 5), (1, "the b", "en", "s2", 5),
+         (2, "the c", "de", "s1", 5), (3, "the d", "de", "s2", 5),
+         (4, "nope", "en", "s1", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(em, "_documents", lambda s, d: docs)
+    em._SE.pop("mem", None), em._IX.pop("mem", None)
+    monkeypatch.setattr(em, "_DS_LANG", "en")
+    monkeypatch.setattr(em, "_DS_SOURCE", "s1")
+    rows = {(r["dim"], r["value"]): r["n"]
+            for r in em._q_drill_sideways(spark, "mem").collect()}
+    # lang counts over base AND source=s1 (doc 4 doesn't match base)
+    assert rows[("lang", "en")] == 1 and rows[("lang", "de")] == 1
+    # source counts over base AND lang=en
+    assert rows[("source", "s1")] == 1 and rows[("source", "s2")] == 1
+    em._SE.pop("mem", None), em._IX.pop("mem", None)
