@@ -1267,6 +1267,63 @@ def _q_export(spark, sf_dir):
             .orderBy(F.desc("n_chars"), F.asc("doc_id")))
 
 
+_ANALYSIS_TEXT = "The QUICK-brown fox, v2.0 (and dup!) joins tables"
+
+
+def _q_analysis(spark, sf_dir):
+    """Solr /analysis handler shape (solr/core/src/java/org/apache/
+    solr/handler/FieldAnalysisRequestHandler.java): run a literal text
+    through the index's analysis chain and return the token stream as
+    (position, term) rows — the debugging surface users hit first when
+    a query doesn't match."""
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    d = spark.createDataFrame([(_ANALYSIS_TEXT,)], "text string")
+    return (d.select(F.posexplode(simple_tokens_col("text"))
+                     .alias("pos", "term"))
+            .select(F.col("pos").cast("int"), "term"))
+
+
+_TFQ_TERM = "dup"
+
+
+def _q_func_termfreq(spark, sf_dir):
+    """termfreq() function query (queries/function/valuesource/
+    TermFreqValueSource.java:38): score = raw term frequency — the
+    simplest ValueSource, read straight off the postings."""
+    se = _searcher(spark, sf_dir)
+    return (se.ix.postings.filter(F.col("term") == _TFQ_TERM)
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("tf").cast("long").alias("tf"))
+            .orderBy(F.desc("tf"), F.asc("doc_id")).limit(10))
+
+
+# PII-ish surface detectors (portable Java-regex + RE2 subset:
+# no lookaheads, no backreferences)
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+_PII_URL = "https?://[^ ]+"
+_PII_NUM = "[0-9]{6,}"
+
+
+def _q_pii(spark, sf_dir):
+    """PII / boilerplate surface counts per doc (the scan-speed detector
+    pass a training pipeline runs before redaction): emails, URLs, long
+    digit runs — regexp counts in whole-stage codegen, no Python."""
+    d = _documents(spark, sf_dir)
+
+    def cnt(pat):
+        return F.expr(f"CAST(size(regexp_extract_all(text, '{pat}', 0)) "
+                      f"AS BIGINT)")
+    out = d.select(
+        F.col("doc_id"),
+        cnt(_PII_EMAIL).alias("n_emails"),
+        cnt(_PII_URL).alias("n_urls"),
+        cnt(_PII_NUM).alias("n_long_nums"))
+    return out.withColumn(
+        "pii_free",
+        (F.col("n_emails") == 0) & (F.col("n_urls") == 0)
+        & (F.col("n_long_nums") == 0))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1419,6 +1476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_heatmap": _q_facet_heatmap,
         "q_monitor": _q_monitor,
         "q_export": _q_export,
+        "q_analysis": _q_analysis,
+        "q_func_termfreq": _q_func_termfreq,
+        "t_pii": _q_pii,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -2213,6 +2273,33 @@ SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_EXPORT_TERM}')
 ORDER BY n_chars DESC, doc_id ASC"""
+
+    _an_lit = _ANALYSIS_TEXT.replace("'", "''")
+    out["q_analysis"] = f"""
+WITH at AS (SELECT list_transform(
+    regexp_extract_all('{_an_lit}', '[A-Za-z0-9]+', 0),
+    t -> lower(t)) AS tokens)
+SELECT CAST(generate_subscripts(tokens, 1) - 1 AS INT) AS pos,
+       unnest(tokens) AS term
+FROM at"""
+
+    out["q_func_termfreq"] = f"""
+WITH {ctes}
+SELECT docid AS doc_id, CAST(tf AS BIGINT) AS tf
+FROM postings WHERE term = '{_TFQ_TERM}'
+ORDER BY tf DESC, doc_id ASC LIMIT 10"""
+
+    out["t_pii"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS BIGINT)
+    AS n_long_nums,
+  (len(regexp_extract_all(text, '{_PII_EMAIL}')) = 0
+   AND len(regexp_extract_all(text, '{_PII_URL}')) = 0
+   AND len(regexp_extract_all(text, '{_PII_NUM}')) = 0) AS pii_free
+FROM documents"""
 
     out["v_ann_ivf"] = f"""
 WITH ee AS (SELECT vec_id, unnest(embedding) AS v,
