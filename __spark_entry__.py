@@ -1324,6 +1324,20 @@ def _q_pii(spark, sf_dir):
         & (F.col("n_long_nums") == 0))
 
 
+_PACK_LEN = 64
+_PACK_VOCAB = 32768
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """LM-pretraining sequence packing (textops.pack_sequences): the
+    corpus tokenized, id-mapped, concatenated in stable doc order and
+    chunked into fixed-length training sequences; per-sequence counts +
+    an exact content checksum. The global token index is the docids.py
+    2-pass prefix-sum — no global sort or window."""
+    return textops.pack_sequences(_documents(spark, sf_dir),
+                                  seq_len=_PACK_LEN, vocab=_PACK_VOCAB)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -1479,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_analysis": _q_analysis,
         "q_func_termfreq": _q_func_termfreq,
         "t_pii": _q_pii,
+        "t_pack_sequences": _q_pack_sequences,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -2300,6 +2315,34 @@ SELECT doc_id,
    AND len(regexp_extract_all(text, '{_PII_URL}')) = 0
    AND len(regexp_extract_all(text, '{_PII_NUM}')) = 0) AS pii_free
 FROM documents"""
+
+    # value of the first 6 hex nibbles of md5 (portable integer hex parse)
+    _nib = ("(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1)"
+            " * {m}")
+    _hex6 = "(" + " + ".join(
+        _nib.format(k=k, m=16 ** (6 - k)) for k in range(1, 7)) + ")"
+    from lucene_solr_spark.textops.ops import BPE_PAT as _BPE
+    out["t_pack_sequences"] = f"""
+WITH pbt AS (SELECT doc_id,
+                    regexp_extract_all(text, '{_BPE}', 0) AS toks
+             FROM documents),
+poff AS (SELECT doc_id, toks,
+                COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS doc_off
+         FROM pbt),
+pex AS (SELECT doc_id,
+               doc_off + generate_subscripts(toks, 1) - 1 AS gidx,
+               unnest(toks) AS tok
+        FROM poff),
+ptid AS (SELECT doc_id, gidx, {_hex6} % {_PACK_VOCAB} AS tok_id
+         FROM pex)
+SELECT CAST(FLOOR(gidx / {_PACK_LEN}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_id * ((gidx % {_PACK_LEN}) + 1)) % 1000000007
+            AS BIGINT) AS checksum
+FROM ptid GROUP BY 1"""
 
     out["v_ann_ivf"] = f"""
 WITH ee AS (SELECT vec_id, unnest(embedding) AS v,

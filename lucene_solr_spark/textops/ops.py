@@ -375,3 +375,81 @@ def sample_stratified(df: DataFrame, id_col: str = "doc_id",
         F.col(strata_col).alias("stratum"),
         F.expr(bucket).alias("bucket"))
         .filter(F.col("bucket") < keep_buckets))
+
+
+# BPE-ish pre-tokenizer split: letter runs / digit runs / punct runs
+# (GPT-2-style byte-pair pre-split; no lookaheads -> Java regex + RE2)
+BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", seq_len: int = 64,
+                   vocab: int = 32768,
+                   num_partitions: int | None = None) -> DataFrame:
+    """LM-pretraining sequence packing: tokenize every document, map
+    tokens to ids, concatenate the whole corpus in stable doc order,
+    and chunk into fixed-length training sequences (the packing step
+    between a cleaned corpus and a pretraining dataloader).
+
+    - token ids: value of the first 6 hex nibbles of md5(token) mod
+      ``vocab`` — a deterministic stand-in for a BPE vocabulary lookup
+      that both engines compute bit-identically;
+    - the global token index uses the SAME 2-pass weighted-prefix-sum
+      pattern as docid assignment (index/docids.py): range-repartition
+      by doc order, per-partition token sums collected (P rows —
+      metadata scale, never data scale), broadcast offsets, partition-
+      local running sum. No global window, no global sort;
+    - output is per-sequence metadata: seq_id, token count (== seq_len
+      except the tail), distinct docs spanned, and an exact integer
+      checksum sum(tok_id * (pos_in_seq + 1)) mod 1e9+7 so the oracle
+      can verify the full packed content without shipping it.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    t = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all({text_col}, '{BPE_PAT}', 0)")
+        .alias("toks"))
+    # localCheckpoint (eager): the offsets job below and the caller's
+    # eventual execution of the returned plan MUST see the SAME range
+    # partitioning — a plain persist() unpersisted before the caller
+    # collects would let repartitionByRange re-sample different bounds
+    # on recompute, silently colliding global indexes (the docids.py
+    # staging caveat). The checkpoint pins the partitioning and is
+    # reclaimed by GC when the returned frame is dropped.
+    d = (t.repartitionByRange(n, F.col(id_col))
+         .withColumn("_pid", F.spark_partition_id())
+         .withColumn("n_toks", F.size("toks").cast("long"))
+         .localCheckpoint(eager=True))
+    sums = sorted((r["_pid"], r["s"]) for r in
+                  d.groupBy("_pid").agg(F.sum("n_toks").alias("s"))
+                  .collect())
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off LONG")
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ex = (d.join(F.broadcast(off_df), "_pid")
+          .withColumn("doc_off",
+                      F.col("_off")
+                      + F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+          .select(id_col, "doc_off",
+                  F.posexplode("toks").alias("pos", "tok")))
+    gidx = F.col("doc_off") + F.col("pos")
+    tok_id = F.expr(
+        f"CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) "
+        f"% {vocab}")
+    out = (ex.select(
+        F.floor(gidx / seq_len).cast("long").alias("seq_id"),
+        F.col(id_col),
+        ((gidx % seq_len) + 1).alias("mult"),
+        tok_id.alias("tok_id"))
+        .groupBy("seq_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.countDistinct(id_col).cast("long").alias("n_docs"),
+             (F.sum(F.col("tok_id") * F.col("mult"))
+              % F.lit(1000000007)).cast("long").alias("checksum")))
+    return out

@@ -344,3 +344,39 @@ def test_drill_sideways_law(spark, monkeypatch):
     # source counts over base AND lang=en
     assert rows[("source", "s1")] == 1 and rows[("source", "s2")] == 1
     em._SE.pop("mem", None), em._IX.pop("mem", None)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_shape_and_invariance(spark):
+    from lucene_solr_spark.textops.ops import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} has words w{i} x{i} y{i} z{i}!") for i in range(40)],
+        "doc_id long, text string")
+    out = pack_sequences(docs, seq_len=16).collect()
+    rows = {r["seq_id"]: r for r in out}
+    n_total = sum(r["n_tokens"] for r in out)
+    assert n_total > 0
+    last = max(rows)
+    for sid, r in rows.items():
+        assert r["n_tokens"] == (16 if sid != last else r["n_tokens"])
+        assert 0 < r["n_tokens"] <= 16
+    assert sorted(rows) == list(range(last + 1))  # dense seq ids
+    # partition-invariance: the 2-pass prefix sum must not depend on
+    # the input partitioning
+    out2 = pack_sequences(docs.repartition(7), seq_len=16,
+                          num_partitions=3).collect()
+    a = sorted((r["seq_id"], r["n_tokens"], r["n_docs"], r["checksum"])
+               for r in out)
+    b = sorted((r["seq_id"], r["n_tokens"], r["n_docs"], r["checksum"])
+               for r in out2)
+    assert a == b
+    # re-executing the SAME returned plan must not re-sample the range
+    # partitioning (offsets were computed against the staged one): a
+    # second collect has to be byte-identical to the first
+    plan = pack_sequences(docs, seq_len=16)
+    c1 = sorted(map(tuple, plan.collect()))
+    c2 = sorted(map(tuple, plan.collect()))
+    assert c1 == c2 == sorted(map(tuple, out))
