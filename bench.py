@@ -72,6 +72,8 @@ def main() -> None:
         # a composed streaming expression, relatedness significant terms
         "t_dup_clusters", "t_repetition", "s_stream_rollup",
         "q_sig_terms",
+        # percolator (reverse search) and LM sequence packing
+        "q_monitor", "t_pack_sequences",
     ]
     qs = entrymod.queries()
 

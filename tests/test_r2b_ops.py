@@ -380,3 +380,29 @@ def test_pack_sequences_shape_and_invariance(spark):
     c1 = sorted(map(tuple, plan.collect()))
     c2 = sorted(map(tuple, plan.collect()))
     assert c1 == c2 == sorted(map(tuple, out))
+
+
+def test_monitor_randomized_vs_naive(spark):
+    """Property check: match_batch == a naive per-(query, doc) python
+    matcher over random corpora and random conjunction queries."""
+    import random
+    from lucene_solr_spark.search.monitor import MonitorQuery, match_batch
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 9))))
+            for i in range(60)]
+    qs = []
+    for qi in range(12):
+        must = tuple(rng.sample(vocab, rng.randint(1, 3)))
+        mnot = tuple(rng.sample(vocab, rng.randint(0, 2)))
+        qs.append(MonitorQuery(f"q{qi}", must, mnot))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted((r["query_id"], r["doc_id"])
+                 for r in match_batch(df, qs).collect())
+    exp = []
+    for q in qs:
+        for did, text in docs:
+            toks = set(text.split())
+            if set(q.must) <= toks and not (set(q.must_not) & toks):
+                exp.append((q.query_id, did))
+    assert got == sorted(exp)
