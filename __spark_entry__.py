@@ -24,8 +24,10 @@ from lucene_solr_spark.search.engine import Searcher
 from lucene_solr_spark.search.oracle import OracleBuilder
 from lucene_solr_spark.search.segment_searcher import SegmentSearcher
 from lucene_solr_spark.search.similarities import SIMILARITIES
+from lucene_solr_spark.analysis.synonyms import SynonymGraph
 from lucene_solr_spark.search.query import (
-    Bool, Boost, DisMax, FieldExists, Fuzzy, MatchAll, MultiPhrase, Phrase,
+    Bool, Boost, DisMax, FieldExists, Fuzzy, MatchAll, MultiPhrase,
+    PayloadScore, Phrase,
     Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr, Synonym, Term,
     TermInSet, TermRange, Wildcard,
 )
@@ -136,6 +138,18 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     # spans/NearSpansUnordered.java) — composed, no new operator needed
     "q_span_unordered": (SpanOr((SpanNear(("table", "hash"), 1),
                                  SpanNear(("hash", "table"), 1))), 10),
+    # PayloadScoreQuery (payloads/PayloadScoreQuery.java:52): BM25 span
+    # score * AveragePayloadFunction over the shared position-keyed
+    # payload encoder (search/payloads.py)
+    "q_payload": (PayloadScore("merge", "avg", True), 10),
+    # query-time SynonymGraphFilter + QueryBuilder.analyzeGraphBoolean
+    # (analysis/synonyms.py): multi-word rule "table hash" <-> "agg"
+    # applied to the analyzed stream "table hash join"; each matched
+    # slot expands to a Term/Phrase path disjunction
+    "q_syn_graph": (SynonymGraph(
+        {("table", "hash"): (("agg",),),
+         ("agg",): (("table", "hash"),)}).expand(
+             ["table", "hash", "join"], occur="should"), 10),
 }
 
 COUNT_SPECS: dict[str, Query] = {
@@ -1096,6 +1110,10 @@ def _q_dup_clusters(spark, sf_dir):
     return textops.dup_clusters(_documents(spark, sf_dir), threshold=0.8)
 
 
+def _q_dedup_keep(spark, sf_dir):
+    return textops.dedup_keep(_documents(spark, sf_dir), threshold=0.8)
+
+
 def _q_sample_strat(spark, sf_dir):
     return textops.sample_stratified(_documents(spark, sf_dir))
 
@@ -1357,12 +1375,11 @@ WINDOW_ORDER = [
     # r1-unchecked
     "q_norms_table", "q_term_stats", "q_collection_stats",
     "q_point_range", "t_token_count", "t_quality",
-    "t_lang_id", "t_dedup_exact", "t_near_dup", "t_minhash_sig",
-    "t_minhash_lsh", "t_simhash", "t_fingerprint",
-    "v_ann_lsh",
+    "t_dedup_exact", "t_near_dup",
+    "t_minhash_lsh", "t_simhash",
     # new in round 2
-    "q_phrase_sloppy", "q_fuzzy_tr", "q_span_or", "q_span_not",
-    "q_field_exists", "q_sort_by_field",
+    "q_phrase_sloppy", "q_fuzzy_tr", "q_span_not",
+    "q_sort_by_field",
     "q_block_join", "q_facet_range", "q_suggest",
     "m_frame_sample", "v_embed_lsh",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
@@ -1370,7 +1387,7 @@ WINDOW_ORDER = [
     "q_fuzzy", "q_regexp", "p_classic_wild",
     # added later in round 2 (no prior oracle rows)
     "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
-    "q_sort_early", "q_function_score", "q_join_field",
+    "q_sort_early", "q_function_score",
     "q_geo_distance",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
     "q_sim_classic",
@@ -1384,9 +1401,25 @@ WINDOW_ORDER = [
     "s_stream_rollup", "q_sig_terms", "q_elevate",
     "q_block_join_children", "q_stats_percentiles", "q_ltr",
     "t_repetition", "t_dup_clusters",
+    # round-2c surfaces: percolator, LM sequence packing, PII counts,
+    # drill sideways, payload scoring, synonym-graph expansion,
+    # canonical near-dup removal
+    "q_monitor", "t_pack_sequences", "t_pii", "q_drill_sideways",
+    "q_payload", "q_syn_graph", "t_dedup_keep",
 ]
-# Rotated out of the 50-entry window for the entries above (rotation
-# documented in COVERAGE.md): q_prefix (green r1, unchanged),
+# Round-2c rotation (window stays 50): IN q_monitor /
+# t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
+# surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
+# (new this session). OUT with rationale: t_minhash_sig (t_minhash_lsh
+# consumes the signatures — a green LSH row proves them; pytest recall
+# test), t_lang_id + t_fingerprint (scan-op siblings of t_quality /
+# t_simhash which keep rows; pytest-verified), q_span_or (pure union
+# composition; q_span_not keeps the span-position row), q_field_exists
+# (trivial isNotNull filter; pytest), v_ann_lsh (recall-vs-brute pytest;
+# v_embed_lsh + v_ann_ivf keep the bucketed-ANN rows), q_join_field
+# (ordinary equi-join also exercised by the facet/grouping rows).
+#
+# Earlier rotations (round 2): q_prefix (green r1, unchanged),
 # w_multiphrase / w_prefix / w_dismax / w_phrase_sloppy
 # (kernel==naive==oracle proven by the randomized CheckHits pytest
 # sweep; naive counterparts keep rows), v_embed_pairs (demoted to
@@ -1481,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ltr": _q_ltr,
         "t_repetition": _q_repetition,
         "t_dup_clusters": _q_dup_clusters,
+        "t_dedup_keep": _q_dedup_keep,
         "t_sample_strat": _q_sample_strat,
         "q_rtg": _q_rtg,
         "q_phonetic": _q_phonetic,
@@ -2210,6 +2244,17 @@ reach(v, l) AS (
 SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster,
        MIN(l) = v AS is_rep
 FROM reach GROUP BY v"""
+
+    # canonical near-dup removal: same component labels, every doc
+    # mapped to its representative (textops.dedup_keep)
+    _reach_body = out["t_dup_clusters"].split("SELECT CAST(v AS BIGINT)")[0]
+    out["t_dedup_keep"] = _reach_body + """
+SELECT d.doc_id,
+       CAST(COALESCE(r.cluster, d.doc_id) AS BIGINT) AS canonical,
+       COALESCE(r.cluster, d.doc_id) = d.doc_id AS kept
+FROM documents d
+LEFT JOIN (SELECT v, MIN(l) AS cluster FROM reach GROUP BY v) r
+       ON r.v = d.doc_id"""
 
     out["t_sample_strat"] = """
 SELECT doc_id, lang AS stratum,

@@ -37,10 +37,12 @@ from pyspark.sql import functions as F
 from .. import K1
 from ..index.builder import InvertedIndex
 from .bm25 import idf_sql, score_sql
+from .payloads import payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     MatchAll,
-    MultiPhrase, Phrase, Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr,
+    MultiPhrase, PayloadScore, Phrase, Prefix, Query, Regexp, SpanNear,
+    SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
     transposition_variants,
 )
@@ -306,6 +308,24 @@ class Searcher:
             # multi-term under constant-score rewrite
             # (MultiTermQueryConstantScoreWrapper)
             return self.scored(ConstantScore(q, 1.0))
+
+        if isinstance(q, PayloadScore):
+            # PayloadScoreQuery.java:52 — payload factor from the
+            # matched occurrences (PayloadFunction fold over the shared
+            # position-keyed encoder, payloads.py), optionally times
+            # the wrapped span's BM25 score (includeSpanScore)
+            st = self._resolve_stats({q.term})
+            if st[q.term][0] == 0:
+                return self._empty_scored()
+            base = self.ix.postings.filter(F.col("term") == q.term)
+            pay = F.expr(payload_factor_sql("positions", "tf", q.func,
+                                            "spark"))
+            if q.include_span_score:
+                score = pay * self._clause_score("tf", [st[q.term]])
+            else:
+                score = pay
+            return (self._with_qdl(base.select("docid", "tf", "positions"))
+                    .select("docid", score.alias("score")))
 
         raise TypeError(f"unsupported query node {type(q).__name__}")
 

@@ -20,10 +20,12 @@ from .. import K1
 from ..codecs.smallfloat import qdl_sql
 from .bm25 import idf_sql, score_sql
 from .engine import _like_escape, wildcard_to_like
+from .payloads import payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     MatchAll,
-    MultiPhrase, Phrase, Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr,
+    MultiPhrase, PayloadScore, Phrase, Prefix, Query, Regexp, SpanNear,
+    SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, rewrite,
     transposition_variants,
 )
@@ -186,6 +188,23 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
         if isinstance(q, (Prefix, Wildcard, TermRange, TermInSet, Fuzzy,
                           Regexp)):
             return self.scored(ConstantScore(q, 1.0))
+
+        if isinstance(q, PayloadScore):
+            # PayloadScoreQuery.java:52 — same PayloadFunction fold over
+            # the shared position-keyed encoder (payloads.py); payload
+            # sums are exact integer doubles so accumulation order
+            # cannot diverge between the two dialects
+            pay = payload_factor_sql("p.positions", "p.tf", q.func,
+                                     "duckdb")
+            if q.include_span_score:
+                sc = score_sql("p.tf", "d.qdl", self.term_idf_sql(q.term),
+                               self.avgdl_sql)
+                expr = f"({pay}) * ({sc})"
+            else:
+                expr = pay
+            return (f"SELECT p.docid, {expr} AS score "
+                    f"FROM postings p JOIN docs d ON d.docid = p.docid "
+                    f"WHERE p.term = {_q(q.term)}")
 
         raise TypeError(f"unsupported query node {type(q).__name__}")
 

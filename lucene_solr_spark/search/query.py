@@ -38,7 +38,7 @@ Query = Union[
     "Term", "Bool", "Phrase", "MultiPhrase", "SpanNear", "SpanOr", "SpanNot",
     "Synonym", "Prefix", "Wildcard", "TermRange", "TermInSet", "Fuzzy",
     "Regexp", "DisMax", "Boost", "ConstantScore", "MatchAll", "FieldExists",
-    "FieldTerm",
+    "FieldTerm", "PayloadScore",
 ]
 
 
@@ -230,6 +230,30 @@ class FieldTerm:
     value: str
 
 
+@dataclass(frozen=True)
+class PayloadScore:
+    """PayloadScoreQuery over a single span-term (lucene/queries/src/
+    java/org/apache/lucene/queries/payloads/PayloadScoreQuery.java:52):
+    score = span score * payload factor when ``include_span_score``
+    (PayloadScoreQuery's includeSpanScore), else the payload factor
+    alone.  The factor aggregates the per-occurrence payload values
+    with a PayloadFunction — ``min`` / ``max`` / ``avg`` / ``sum``
+    (payloads/{Min,Max,Average,Sum}PayloadFunction.java; Sum is the
+    docFreq-independent fold of PayloadFunction.currentScore).
+
+    Payload source: the reference attaches payloads during analysis
+    (DelimitedPayloadTokenFilter.java:42 + a PayloadDecoder at query
+    time).  The synthetic corpus has no in-band payload markup, so both
+    backends derive the occurrence payload from the same deterministic
+    position-keyed encoder  payload(pos) = 1 + (pos mod 7)  — the
+    encoder is one shared SQL fragment (search/payloads.py) and is the
+    pluggable analogue of the decoder slot."""
+
+    term: str
+    func: str = "avg"
+    include_span_score: bool = True
+
+
 def rewrite(q: Query) -> Query:
     """Query-tree canonicalization to fixpoint — the engine-side
     analogue of BooleanQuery.rewrite (SEARCH/BooleanQuery.java:235-430)
@@ -308,4 +332,6 @@ def collect_terms(q: Query) -> set:
         return collect_terms(q.include) | collect_terms(q.exclude)
     if isinstance(q, (Boost, ConstantScore)):
         return collect_terms(q.query)
+    if isinstance(q, PayloadScore):
+        return {q.term}
     return set()

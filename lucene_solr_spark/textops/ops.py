@@ -356,6 +356,37 @@ def dup_clusters(df: DataFrame, id_col: str = "doc_id",
         (F.col("id") == F.col("lbl")).alias("is_rep"))
 
 
+def dedup_keep(df: DataFrame, id_col: str = "doc_id",
+               threshold: float = 0.8) -> DataFrame:
+    """Canonical near-dup removal over the whole corpus: every document
+    mapped to its cluster representative, singletons to themselves.
+
+    This is the decision step of the dedup pipeline (the analogue of
+    Solr's SignatureUpdateProcessorFactory overwriting on duplicate
+    signatures — solr/core/src/java/org/apache/solr/update/processor/
+    SignatureUpdateProcessorFactory.java — generalized to NEAR
+    duplicates): ``dup_clusters`` labels the connected components of
+    the MinHash-LSH pair graph; here each component keeps exactly its
+    min-id member and a training pipeline drops every row with
+    ``kept = false``.
+
+    Scale shape: the cluster labels cover only docs with >=1 near-dup
+    edge (a small fraction of the corpus), so the final step is one
+    left join of the full doc set against a small label table — at
+    skew, a broadcast join.  Output: (id, canonical, kept) for EVERY
+    input doc.
+    """
+    labels = dup_clusters(df, id_col, threshold=threshold)
+    return (df.select(F.col(id_col).cast("long").alias(id_col))
+            .join(labels.select(id_col, "cluster"), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("cluster"), F.col(id_col))
+                .cast("long").alias("canonical"),
+                (F.coalesce(F.col("cluster"), F.col(id_col))
+                 == F.col(id_col)).alias("kept")))
+
+
 def sample_stratified(df: DataFrame, id_col: str = "doc_id",
                       strata_col: str = "lang",
                       keep_buckets: int = 3) -> DataFrame:
