@@ -1301,6 +1301,55 @@ def _q_analysis(spark, sf_dir):
             .select(F.col("pos").cast("int"), "term"))
 
 
+_FOLD_TEXT = "Café MÜNSTER naïve résumé Ÿ-çñåý plain"
+
+
+def _q_fold(spark, sf_dir):
+    """ASCIIFoldingFilter (analysis/miscellaneous/ASCIIFoldingFilter.
+    java:58): literal text through accent folding + the index analysis
+    chain — the /analysis handler shape with the folding filter first.
+    The engine folds with an explicit translate table, the oracle with
+    DuckDB's ICU strip_accents: two independent realizations the gate
+    proves equal."""
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    from lucene_solr_spark.analysis.filters import fold_ascii_sql
+    d = spark.createDataFrame([(_FOLD_TEXT,)], "text string")
+    folded = d.select(
+        F.expr(fold_ascii_sql("text", "spark")).alias("ftext"))
+    return (folded.select(F.posexplode(simple_tokens_col("ftext"))
+                          .alias("pos", "term"))
+            .select(F.col("pos").cast("int"), "term"))
+
+
+_FSUG_Q = "sacn"   # Damerau-1 typo of the 'scan' term-family prefix
+
+
+def _q_suggest_fuzzy(spark, sf_dir):
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:86):
+    completions whose analyzed prefix is within Damerau-Levenshtein 1
+    of the typed prefix (transpositions=true is the suggester default),
+    weighted by collection ttf.  Damerau<=1 is realized on both
+    backends as classic levenshtein<=1 OR exact transposition variant
+    (the shared expansion in query.py, same as FuzzyQuery)."""
+    from lucene_solr_spark.search.query import transposition_variants
+    se = _searcher(spark, sf_dir)
+    n = len(_FSUG_Q)
+    vs = ", ".join(f"'{v}'" for v in transposition_variants(_FSUG_Q))
+    pred = (f"levenshtein(substring(term, 1, {n}), '{_FSUG_Q}') <= 1 "
+            f"OR substring(term, 1, {n}) IN ({vs})")
+    return (se.ix.term_stats.filter(F.expr(pred))
+            .select("term", F.col("ttf").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(10))
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    return textops.unigram_logprob(_documents(spark, sf_dir))
+
+
+def _q_contamination(spark, sf_dir):
+    return textops.contamination(_documents(spark, sf_dir))
+
+
 _TFQ_TERM = "dup"
 
 
@@ -1525,6 +1574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monitor": _q_monitor,
         "q_export": _q_export,
         "q_analysis": _q_analysis,
+        "q_fold": _q_fold,
+        "q_suggest_fuzzy": _q_suggest_fuzzy,
+        "t_unigram_logprob": _q_unigram_logprob,
+        "t_contamination": _q_contamination,
         "q_func_termfreq": _q_func_termfreq,
         "t_pii": _q_pii,
         "t_pack_sequences": _q_pack_sequences,
@@ -2342,6 +2395,53 @@ WITH at AS (SELECT list_transform(
 SELECT CAST(generate_subscripts(tokens, 1) - 1 AS INT) AS pos,
        unnest(tokens) AS term
 FROM at"""
+
+    from lucene_solr_spark.analysis.filters import fold_ascii_sql
+    _fold_lit = "'" + _FOLD_TEXT.replace("'", "''") + "'"
+    out["q_fold"] = f"""
+WITH at AS (SELECT list_transform(
+    regexp_extract_all({fold_ascii_sql(_fold_lit, 'duckdb')},
+                       '[A-Za-z0-9]+', 0),
+    t -> lower(t)) AS tokens)
+SELECT CAST(generate_subscripts(tokens, 1) - 1 AS INT) AS pos,
+       unnest(tokens) AS term
+FROM at"""
+
+    from lucene_solr_spark.search.query import (
+        transposition_variants as _tvar,
+    )
+    _fs_n = len(_FSUG_Q)
+    _fs_vs = ", ".join(f"'{v}'" for v in _tvar(_FSUG_Q))
+    out["q_suggest_fuzzy"] = f"""
+WITH {ctes}
+SELECT term, CAST(ttf AS BIGINT) AS weight FROM ts
+WHERE levenshtein(substr(term, 1, {_fs_n}), '{_FSUG_Q}') <= 1
+   OR substr(term, 1, {_fs_n}) IN ({_fs_vs})
+ORDER BY weight DESC, term ASC LIMIT 10"""
+
+    out["t_unigram_logprob"] = f"""
+WITH {ctes},
+tot AS (SELECT CAST(SUM(ttf) AS DOUBLE) AS total FROM ts)
+SELECT px.docid AS doc_id,
+       ROUND(SUM(LN(CAST(ts.ttf AS DOUBLE) / tot.total)) / COUNT(*), 6)
+         AS logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM px JOIN ts ON ts.term = px.term CROSS JOIN tot
+GROUP BY px.docid"""
+
+    _ct_ids = "0, 7, 42"
+    out["t_contamination"] = f"""
+WITH {ctes},
+sh5 AS (SELECT docid,
+               unnest(list_distinct(list_transform(
+                   range(1, len(tokens) - 3),
+                   i -> array_to_string(tokens[i:i+4], ' ')))) AS shingle
+        FROM toks WHERE len(tokens) >= 5),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE docid IN ({_ct_ids}))
+SELECT s.docid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh5 s JOIN bench b ON b.shingle = s.shingle
+WHERE s.docid NOT IN ({_ct_ids})
+GROUP BY s.docid"""
 
     out["q_func_termfreq"] = f"""
 WITH {ctes}

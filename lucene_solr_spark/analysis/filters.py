@@ -245,3 +245,32 @@ def soundex_py(word: str) -> str:
     x = _re.sub(r"([0-9])\1+", r"\1", x)
     x = _re.sub(r"0", "", x[1:])
     return w[0].upper() + (x + "000")[:3]
+
+
+# ---------------------------------------------------------------------------
+# ASCII folding (lucene/analysis/common/src/java/org/apache/lucene/
+# analysis/miscellaneous/ASCIIFoldingFilter.java:58 — the Latin-1 /
+# Latin Extended-A diacritic subset of its fold table; ligature and
+# non-Latin foldings are out of scope for this corpus)
+# ---------------------------------------------------------------------------
+
+FOLD_FROM = ("àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+             "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝŸ")
+FOLD_TO = ("aaaaaaeeeeiiiiooooouuuucnyy"
+           "AAAAAAEEEEIIIIOOOOOUUUUCNYY")
+
+
+def fold_ascii_sql(col: str, dialect: str = "spark") -> str:
+    """Accent folding as SQL — two genuinely independent realizations:
+    an explicit per-character translate table on the Spark side vs
+    DuckDB's ICU-backed strip_accents; the parity test + oracle gate
+    prove they agree over the covered repertoire."""
+    if dialect == "spark":
+        return f"translate({col}, '{FOLD_FROM}', '{FOLD_TO}')"
+    if dialect == "duckdb":
+        return f"strip_accents({col})"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def fold_ascii_py(s: str) -> str:
+    return s.translate(str.maketrans(FOLD_FROM, FOLD_TO))

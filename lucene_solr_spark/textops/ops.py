@@ -356,6 +356,69 @@ def dup_clusters(df: DataFrame, id_col: str = "doc_id",
         (F.col("id") == F.col("lbl")).alias("is_rep"))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram LM quality proxy: mean token log-probability.
+
+    The shape of the CCNet / RedPajama perplexity filter (Wenzek et al.
+    2019 "CCNet", §4.3) with the KenLM model replaced by the corpus's
+    own unigram distribution: p(t) = ttf_t / total_tokens, score(doc) =
+    mean over token occurrences of ln p(t).  Low (very negative) means
+    rare-token-heavy text; near-zero means repetitive common-token text
+    — pipelines threshold both tails.
+
+    Scale shape: one (term) partial+final count shuffle to build the
+    unigram table, the scalar total folded in by a 1-row cross join
+    (broadcast), one occurrences-to-stats join (broadcast at real scale
+    — vocab << corpus), one per-doc partial+final aggregate.  No
+    Python, no window, no collect.
+    """
+    occ = with_tokens(df).select(
+        F.col(id_col), F.explode("tokens").alias("term"))
+    stats = occ.groupBy("term").agg(F.count("*").alias("ttf"))
+    total = stats.agg(F.sum("ttf").alias("total"))
+    occ_p = (occ.join(F.broadcast(stats), "term")
+             .crossJoin(F.broadcast(total)))
+    return (occ_p.groupBy(id_col)
+            .agg(F.round(
+                F.sum(F.log(F.col("ttf").cast("double")
+                            / F.col("total").cast("double")))
+                / F.count("*"), 6).alias("logprob"),
+                F.count("*").cast("long").alias("n_tokens")))
+
+
+def contamination(df: DataFrame, bench_ids: tuple = (0, 7, 42),
+                  n: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing an n-gram shingle
+    with a benchmark document set.
+
+    The GPT-3 appendix-C / Dodge et al. 2021 (C4 audit) check: the
+    benchmark set's distinct n-token shingles are matched against every
+    candidate document's shingles; a doc with >=1 shared shingle is
+    contaminated and a training pipeline drops or flags it.  Here the
+    benchmark set is ``bench_ids`` drawn from the corpus itself (the
+    fixtures carry no external eval data), which exercises the exact
+    plan a real decontamination run uses.
+
+    Scale shape: the benchmark side is tiny by construction, so its
+    shingle set is broadcast; the corpus side is one scan + explode —
+    no self-join, no shuffle on the corpus.  Output: (id, n_shared =
+    distinct shared shingles) for contaminated non-benchmark docs.
+    """
+    sh = (with_tokens(df)
+          .select(F.col(id_col), F.explode(F.expr(
+              f"CASE WHEN size(tokens) < {n} THEN array() "
+              f"ELSE array_distinct(transform(sequence(0, size(tokens) - {n}), "
+              f"i -> array_join(slice(tokens, i + 1, {n}), ' '))) END"))
+              .alias("shingle")))
+    ids = list(bench_ids)
+    bench = (sh.filter(F.col(id_col).isin(ids))
+             .select("shingle").distinct())
+    return (sh.filter(~F.col(id_col).isin(ids))
+            .join(F.broadcast(bench), "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_shared")))
+
+
 def dedup_keep(df: DataFrame, id_col: str = "doc_id",
                threshold: float = 0.8) -> DataFrame:
     """Canonical near-dup removal over the whole corpus: every document

@@ -182,3 +182,104 @@ def test_dedup_keep_clusters_and_singletons(spark):
     assert out[20] == (20, True) and out[21] == (21, True)
     kept_rate = sum(1 for c, k in out.values() if k) / len(out)
     assert kept_rate == pytest.approx(4 / 7)
+
+
+# ---------------------------------------------------------------------------
+# ASCII folding
+# ---------------------------------------------------------------------------
+
+def test_fold_ascii_three_way_parity(spark):
+    """translate-table (spark), strip_accents (duckdb), and the python
+    reference agree over the covered repertoire."""
+    import duckdb
+
+    from lucene_solr_spark.analysis.filters import (
+        FOLD_FROM, fold_ascii_py, fold_ascii_sql,
+    )
+    s = "Café MÜNSTER naïve résumé Ÿ çÑåý plain " + FOLD_FROM
+    py = fold_ascii_py(s)
+    dk = duckdb.sql(
+        "SELECT " + fold_ascii_sql("'" + s + "'", "duckdb")).fetchone()[0]
+    sp = spark.createDataFrame([(s,)], "t string").selectExpr(
+        fold_ascii_sql("t", "spark")).first()[0]
+    assert py == dk == sp
+    assert py.isascii()
+
+
+def test_fold_bad_dialect():
+    from lucene_solr_spark.analysis.filters import fold_ascii_sql
+    with pytest.raises(ValueError):
+        fold_ascii_sql("t", "mysql")
+
+
+# ---------------------------------------------------------------------------
+# FuzzySuggester
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_suggest_damerau_prefix(spark):
+    """Typed prefix 'sacn' (transposition of 'scan') completes to the
+    scan-family terms, ttf-weighted — and a substitution typo also
+    matches (FuzzySuggester.java:86 semantics at maxEdits=1)."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.query import transposition_variants
+    rows = [
+        (0, "scan scan scan scanner scanning scam"),
+        (1, "scan scanner sort merge"),
+        (2, "completely unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index(df)
+    q, n = "sacn", 4
+    vs = ", ".join(f"'{v}'" for v in transposition_variants(q))
+    pred = (f"levenshtein(substring(term, 1, {n}), '{q}') <= 1 "
+            f"OR substring(term, 1, {n}) IN ({vs})")
+    got = [(r["term"], r["ttf"]) for r in
+           ix.term_stats.filter(F.expr(pred))
+           .orderBy(F.desc("ttf"), F.asc("term")).collect()]
+    # scan-prefixed terms match via the 'scan' transposition variant;
+    # 'scam' is Damerau-2 from 'sacn' (transpose + substitute) -> out
+    assert got == [("scan", 4), ("scanner", 2), ("scanning", 1)]
+
+
+# ---------------------------------------------------------------------------
+# unigram log-prob quality score
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from lucene_solr_spark.textops.ops import unigram_logprob
+    rows = [(0, "a a b"), (1, "b c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["logprob"], r["n_tokens"])
+           for r in unigram_logprob(df).collect()}
+    # counts: a=2, b=2, c=1, total=5
+    lp0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    lp1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert set(out) == {0, 1}          # empty doc has no tokens -> absent
+    assert out[0] == (pytest.approx(round(lp0, 6), abs=1e-9), 3)
+    assert out[1] == (pytest.approx(round(lp1, 6), abs=1e-9), 2)
+    # rare-token doc scores lower (more negative) than common-token doc
+    assert out[1][0] < out[0][0]
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_shared_shingles(spark):
+    from lucene_solr_spark.textops.ops import contamination
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, bench_text),                                   # benchmark
+        (5, "intro words then the quick brown fox jumps away"),  # 1 hit
+        (6, bench_text),                                   # exact dup
+        (7, "no overlap with anything else whatsoever truly"),
+        (8, "quick brown fox jumps over distinct tail words"),  # 1 hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared"]
+           for r in contamination(df, bench_ids=(0,), n=5).collect()}
+    assert out[6] == 5                 # all 5 shingles of the dup match
+    assert out[5] == 1 and out[8] == 1
+    assert 7 not in out and 0 not in out
