@@ -1301,6 +1301,36 @@ def _q_analysis(spark, sf_dir):
             .select(F.col("pos").cast("int"), "term"))
 
 
+# Lucene intervals module (queries/intervals/IntervalQuery.java:73):
+# the minimal-interval algebra with saturation scoring
+from lucene_solr_spark.search.intervals import (  # noqa: E402
+    IContaining, IMaxGaps, IOrdered, ITerm,
+)
+from lucene_solr_spark.search.query import Interval  # noqa: E402
+
+_IV_A, _IV_B, _IV_C, _IV_GAPS = "join", "merge", "key", 3
+
+INTERVAL_SPECS: dict[str, tuple[Query, int]] = {
+    # ordered(join, merge) with maxgaps 3 — Intervals.maxgaps(
+    # Intervals.ordered(...)), scored by the saturation function
+    "q_interval_ordered": (Interval(IMaxGaps(
+        _IV_GAPS, IOrdered((ITerm(_IV_A), ITerm(_IV_B))))), 10),
+    # containing(ordered(join, merge), key): ordered intervals that
+    # contain a 'key' occurrence (ContainingIntervalsSource.java)
+    "q_interval_contains": (Interval(IContaining(
+        IMaxGaps(6, IOrdered((ITerm(_IV_A), ITerm(_IV_B)))),
+        ITerm(_IV_C))), 10),
+}
+
+
+def _mk_interval(name: str):
+    ast, k = INTERVAL_SPECS[name]
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).topk(ast, k)
+    return f
+
+
 _FOLD_TEXT = "Café MÜNSTER naïve résumé Ÿ-çñåý plain"
 
 
@@ -1423,7 +1453,7 @@ def entry(spark: SparkSession) -> DataFrame:
 WINDOW_ORDER = [
     # r1-unchecked
     "q_norms_table", "q_term_stats", "q_collection_stats",
-    "q_point_range", "t_token_count", "t_quality",
+    "q_point_range", "t_quality",
     "t_dedup_exact", "t_near_dup",
     "t_minhash_lsh", "t_simhash",
     # new in round 2
@@ -1433,7 +1463,7 @@ WINDOW_ORDER = [
     "m_frame_sample", "v_embed_lsh",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
-    "q_fuzzy", "q_regexp", "p_classic_wild",
+    "q_regexp", "p_classic_wild",
     # added later in round 2 (no prior oracle rows)
     "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
     "q_sort_early", "q_function_score",
@@ -1455,6 +1485,8 @@ WINDOW_ORDER = [
     # canonical near-dup removal
     "q_monitor", "t_pack_sequences", "t_pii", "q_drill_sideways",
     "q_payload", "q_syn_graph", "t_dedup_keep",
+    # intervals module + eval-set decontamination
+    "q_interval_ordered", "t_contamination",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -1467,6 +1499,12 @@ WINDOW_ORDER = [
 # (trivial isNotNull filter; pytest), v_ann_lsh (recall-vs-brute pytest;
 # v_embed_lsh + v_ann_ivf keep the bucketed-ANN rows), q_join_field
 # (ordinary equi-join also exercised by the facet/grouping rows).
+# Round-2d: IN q_interval_ordered (new intervals module) +
+# t_contamination (new pipeline op); OUT q_fuzzy (green r1; the
+# Damerau path's sharpest probe is q_fuzzy_tr, which keeps its slot)
+# and t_token_count (scan-op sibling of t_quality/t_repetition;
+# q_interval_contains / q_fold / q_suggest_fuzzy / t_unigram_logprob
+# stay outside with verify_contract + pytest evidence).
 #
 # Earlier rotations (round 2): q_prefix (green r1, unchanged),
 # w_multiphrase / w_prefix / w_dismax / w_phrase_sloppy
@@ -1574,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monitor": _q_monitor,
         "q_export": _q_export,
         "q_analysis": _q_analysis,
+        "q_interval_ordered": _mk_interval("q_interval_ordered"),
+        "q_interval_contains": _mk_interval("q_interval_contains"),
         "q_fold": _q_fold,
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "t_unigram_logprob": _q_unigram_logprob,
@@ -2395,6 +2435,47 @@ WITH at AS (SELECT list_transform(
 SELECT CAST(generate_subscripts(tokens, 1) - 1 AS INT) AS pos,
        unnest(tokens) AS term
 FROM at"""
+
+    # Lucene intervals: closed-form SQL for the 2-term ordered case.
+    # Minimal ordered intervals of (a, b) are exactly {(amax(b), b)}
+    # where amax(b) = last a-position before b, keeping only the first
+    # b per distinct amax (an independent realization of the python
+    # algebra in search/intervals.py). freq sums
+    # 1/max(width - minExtent + 1, 1) with minExtent = 2; maxgaps (and
+    # the containing relation) filter AFTER minimization
+    # (FilteredIntervalsSource / ContainingIntervalsSource), matching
+    # IntervalScorer.java:66-68.
+    def _iv_sql(gaps: int, containing=None) -> str:
+        contain, join_c, sel_c = "", "", ""
+        if containing is not None:
+            contain = (" AND len(list_filter(pc, "
+                       "c -> c >= am[i] AND c <= pb[i])) > 0")
+            join_c = (" JOIN postings c ON c.docid = a.docid "
+                      f"AND c.term = '{containing}'")
+            sel_c = ", c.positions AS pc"
+        return f"""
+WITH {ctes},
+pl AS (SELECT a.docid, a.positions AS pa, b.positions AS pb{sel_c}
+       FROM postings a JOIN postings b ON b.docid = a.docid
+        AND b.term = '{_IV_B}'{join_c}
+       WHERE a.term = '{_IV_A}'),
+iv AS (SELECT *, list_transform(pb,
+           b -> list_max(list_filter(pa, p -> p < b))) AS am
+       FROM pl),
+fr AS (SELECT docid,
+         list_sum(list_transform(range(1, len(pb) + 1),
+           i -> CASE WHEN am[i] IS NOT NULL
+                      AND (i = 1 OR am[i] IS DISTINCT FROM am[i-1])
+                      AND (pb[i] - am[i] + 1) - 2 <= {gaps}{contain}
+                     THEN 1.0 / GREATEST(pb[i] - am[i], 1)
+                     ELSE 0.0 END)) AS freq
+       FROM iv)
+SELECT docid AS doc_id, ROUND(1.0 - 1.0 / (1.0 + freq), 6) AS score
+FROM fr WHERE freq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    out["q_interval_ordered"] = _iv_sql(_IV_GAPS)
+    out["q_interval_contains"] = _iv_sql(6, _IV_C)
 
     from lucene_solr_spark.analysis.filters import fold_ascii_sql
     _fold_lit = "'" + _FOLD_TEXT.replace("'", "''") + "'"

@@ -40,7 +40,7 @@ from .bm25 import idf_sql, score_sql
 from .payloads import payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
-    MatchAll,
+    Interval, MatchAll,
     MultiPhrase, PayloadScore, Phrase, Prefix, Query, Regexp, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
@@ -309,6 +309,9 @@ class Searcher:
             # (MultiTermQueryConstantScoreWrapper)
             return self.scored(ConstantScore(q, 1.0))
 
+        if isinstance(q, Interval):
+            return self._scored_interval(q)
+
         if isinstance(q, PayloadScore):
             # PayloadScoreQuery.java:52 — payload factor from the
             # matched occurrences (PayloadFunction fold over the shared
@@ -351,6 +354,51 @@ class Searcher:
             return pd.Series(out, dtype="float64")
 
         return F.pandas_udf(f, "double")
+
+    def _scored_interval(self, q: Interval) -> DataFrame:
+        """IntervalQuery: docid intersection over the source's required
+        terms pre-filters candidates (TwoPhaseIterator shape); the
+        minimal-interval algebra (intervals.py) runs in one vectorized
+        UDF over the candidates' position arrays only — never the full
+        corpus."""
+        import pandas as pd
+
+        from .intervals import (
+            all_terms, interval_freq, required_terms, saturation_score,
+        )
+        req = sorted(required_terms(q.source))
+        if not req:
+            raise TypeError("interval source has no required terms")
+        # required terms first: the base frame must be a required
+        # posting list, optional terms (notContaining's small side)
+        # left-join onto it
+        allt = req + sorted(all_terms(q.source) - set(req))
+        st = self._resolve_stats(set(allt))
+        if any(st[t][0] == 0 for t in req):
+            return self._empty_scored()
+        joined = None
+        for i, t in enumerate(allt):
+            p = (self.ix.postings.filter(F.col("term") == t)
+                 .select("docid", F.col("positions").alias(f"pos{i}")))
+            how = "inner" if t in req else "left"
+            joined = p if joined is None else joined.join(p, "docid", how)
+        src, pivot, boost = q.source, float(q.pivot), float(q.boost)
+
+        def f(*cols):
+            out = []
+            for row in zip(*cols):
+                positions = {t: list(v) for t, v in zip(allt, row)
+                             if v is not None}
+                out.append(saturation_score(
+                    interval_freq(src, positions), pivot, boost))
+            return pd.Series(out, dtype="float64")
+
+        udf = F.pandas_udf(f, "double")
+        return (joined.select(
+            "docid",
+            udf(*[F.col(f"pos{i}") for i in range(len(allt))])
+            .alias("score"))
+            .filter(F.col("score") > 0.0))
 
     def _scored_phrase(self, q: Phrase) -> DataFrame:
         terms = list(q.terms)

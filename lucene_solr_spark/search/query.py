@@ -254,6 +254,20 @@ class PayloadScore:
     include_span_score: bool = True
 
 
+@dataclass(frozen=True)
+class Interval:
+    """IntervalQuery (queries/intervals/IntervalQuery.java:73): matches
+    docs where ``source`` (an intervals.ISource tree — the minimal-
+    interval algebra in search/intervals.py) yields >=1 interval;
+    score = boost * saturation(freq, pivot) with freq =
+    sum 1/max(length - minExtent + 1, 1) over the minimal intervals
+    (IntervalScorer.java:66-68)."""
+
+    source: object
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
 def rewrite(q: Query) -> Query:
     """Query-tree canonicalization to fixpoint — the engine-side
     analogue of BooleanQuery.rewrite (SEARCH/BooleanQuery.java:235-430)

@@ -283,3 +283,85 @@ def test_contamination_shared_shingles(spark):
     assert out[6] == 5                 # all 5 shingles of the dup match
     assert out[5] == 1 and out[8] == 1
     assert 7 not in out and 0 not in out
+
+
+# ---------------------------------------------------------------------------
+# Lucene intervals module
+# ---------------------------------------------------------------------------
+
+def test_intervals_hand_cases():
+    from lucene_solr_spark.search.intervals import (
+        IContainedBy, IContaining, IMaxGaps, INotContaining, IOrdered,
+        ITerm, IUnordered, interval_freq, intervals_of, saturation_score,
+    )
+    pos = {"a": [0, 3], "b": [2, 4], "c": [5]}
+    o = IOrdered((ITerm("a"), ITerm("b")))
+    assert intervals_of(o, pos) == [(0, 2), (3, 4)]
+    # freq: minExtent 2 -> 1/2 + 1/1
+    assert interval_freq(o, pos) == 1.5
+    assert saturation_score(1.5) == 1.0 - 1.0 / 2.5
+    assert intervals_of(IUnordered((ITerm("a"), ITerm("c"))), pos) \
+        == [(3, 5)]
+    assert intervals_of(IMaxGaps(0, o), pos) == [(3, 4)]
+    big = IMaxGaps(3, o)
+    assert intervals_of(IContaining(big, ITerm("c")), pos) == []
+    assert intervals_of(IContainedBy(ITerm("b"), big), pos) == [(2, 2),
+                                                                (4, 4)]
+    pos2 = dict(pos, x=[1])
+    assert intervals_of(INotContaining(o, ITerm("x")), pos2) == [(3, 4)]
+    # absent term kills ordered; saturation of no match is 0
+    assert intervals_of(o, {"a": [1]}) == []
+    assert saturation_score(0.0) == 0.0
+
+
+def _brute_ordered(subs):
+    """Enumerate every order-respecting chain, then minimize."""
+    import itertools
+    cands = []
+    for combo in itertools.product(*subs):
+        ok = all(combo[i][0] > combo[i - 1][1]
+                 for i in range(1, len(combo)))
+        if ok:
+            cands.append((combo[0][0], combo[-1][1]))
+    return sorted({c for c in cands
+                   if not any(d != c and c[0] <= d[0] and d[1] <= c[1]
+                              for d in cands)})
+
+
+def test_intervals_ordered_matches_bruteforce_randomized():
+    import random
+
+    from lucene_solr_spark.search.intervals import (
+        IOrdered, ITerm, intervals_of,
+    )
+    rng = random.Random(7)
+    for _ in range(300):
+        nterms = rng.randint(2, 3)
+        pos = {t: sorted(rng.sample(range(0, 30), rng.randint(0, 6)))
+               for t in "abc"[:nterms]}
+        src = IOrdered(tuple(ITerm(t) for t in "abc"[:nterms]))
+        got = intervals_of(src, pos)
+        exp = _brute_ordered([[(p, p) for p in pos[t]]
+                              for t in "abc"[:nterms]])
+        assert sorted(got) == exp, (pos, got, exp)
+
+
+def test_interval_query_end_to_end(pay_corpus):
+    """Engine Interval node == per-doc python recomputation."""
+    from lucene_solr_spark.search.intervals import (
+        IMaxGaps, IOrdered, ITerm, interval_freq, saturation_score,
+    )
+    from lucene_solr_spark.search.query import Interval
+    rows, se = pay_corpus
+    src = IMaxGaps(4, IOrdered((ITerm("merge"), ITerm("hash"))))
+    got = {r["doc_id"]: r["score"]
+           for r in se.topk(Interval(src), 10).collect()}
+    exp = {}
+    for doc_id, text in rows:
+        pos = {}
+        for t in ("merge", "hash"):
+            pos[t] = _positions(text, t)
+        s = saturation_score(interval_freq(src, pos))
+        if s > 0:
+            exp[doc_id] = round(s, 6)
+    assert got == exp and got
