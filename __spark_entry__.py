@@ -1331,6 +1331,22 @@ def _mk_interval(name: str):
     return f
 
 
+_TAGGER_DICT = {
+    "T_TABLE_HASH": "table hash",
+    "T_MERGE": "merge",
+    "T_SLOW_BATCH": "slow hash batch",
+}
+
+
+def _q_tagger(spark, sf_dir):
+    """Solr Text Tagger (solr handler/tagger/Tagger.java:47), overlaps=
+    ALL: every dictionary phrase occurrence in every document, via a
+    broadcast first-token join + codegen slice equality — scan-speed
+    entity extraction (search/tagger.py)."""
+    from lucene_solr_spark.search.tagger import tag_text
+    return tag_text(_documents(spark, sf_dir), _TAGGER_DICT)
+
+
 _FOLD_TEXT = "Café MÜNSTER naïve résumé Ÿ-çñåý plain"
 
 
@@ -1615,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_ordered": _mk_interval("q_interval_ordered"),
         "q_interval_contains": _mk_interval("q_interval_contains"),
         "q_fold": _q_fold,
+        "q_tagger": _q_tagger,
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "t_unigram_logprob": _q_unigram_logprob,
         "t_contamination": _q_contamination,
@@ -2476,6 +2493,23 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     out["q_interval_ordered"] = _iv_sql(_IV_GAPS)
     out["q_interval_contains"] = _iv_sql(6, _IV_C)
+
+    from lucene_solr_spark.analysis.analyzers import (
+        simple_tokenize as _stok,
+    )
+    _dic_vals = ", ".join(
+        "('{0}', [{1}], {2})".format(
+            tid, ", ".join(f"'{t}'" for t in _stok(ph)), len(_stok(ph)))
+        for tid, ph in _TAGGER_DICT.items())
+    out["q_tagger"] = f"""
+WITH {ctes},
+dic(tag_id, dtoks, n) AS (VALUES {_dic_vals})
+SELECT t.docid AS doc_id, d.tag_id,
+       CAST(i - 1 AS INT) AS start_pos,
+       CAST(i - 1 + d.n - 1 AS INT) AS end_pos
+FROM toks t, dic d, unnest(range(1, len(t.tokens) + 1)) g(i)
+WHERE i + d.n - 1 <= len(t.tokens)
+  AND t.tokens[i:i+d.n-1] = d.dtoks"""
 
     from lucene_solr_spark.analysis.filters import fold_ascii_sql
     _fold_lit = "'" + _FOLD_TEXT.replace("'", "''") + "'"

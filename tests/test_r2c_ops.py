@@ -365,3 +365,62 @@ def test_interval_query_end_to_end(pay_corpus):
         if s > 0:
             exp[doc_id] = round(s, 6)
     assert got == exp and got
+
+
+# ---------------------------------------------------------------------------
+# Solr Text Tagger
+# ---------------------------------------------------------------------------
+
+_TAG_DICT = {"A": "table hash", "B": "hash", "C": "table hash join"}
+
+
+def test_tagger_all_mode(spark):
+    from lucene_solr_spark.search.tagger import tag_text
+    rows = [
+        (0, "table hash join scan table hash"),
+        (1, "hash only here"),
+        (2, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["doc_id"], r["tag_id"], r["start_pos"], r["end_pos"])
+                 for r in tag_text(df, _TAG_DICT).collect())
+    assert got == [
+        (0, "A", 0, 1), (0, "A", 4, 5),          # table hash x2
+        (0, "B", 1, 1), (0, "B", 5, 5),          # hash x2
+        (0, "C", 0, 2),                          # table hash join
+        (1, "B", 0, 0),
+    ]
+
+
+def test_tagger_ldr_reducer_reference_cases():
+    from lucene_solr_spark.search.tagger import reduce_ldr_py
+    # overlapping: longest wins, overlapped dropped, disjoint kept
+    tags = [(0, 1, "A"), (0, 2, "C"), (1, 1, "B"), (4, 5, "A"), (5, 5, "B")]
+    assert reduce_ldr_py(tags) == [(0, 2, "C"), (4, 5, "A")]
+    # tie on length: rightmost wins (the reference's >= walk)
+    assert reduce_ldr_py([(0, 1, "X"), (1, 2, "Y")]) == [(1, 2, "Y")]
+    # non-overlapping equal lengths: both survive
+    assert reduce_ldr_py([(0, 1, "X"), (3, 4, "Y")]) == [(0, 1, "X"),
+                                                         (3, 4, "Y")]
+    assert reduce_ldr_py([]) == []
+
+
+def test_tagger_ldr_end_to_end(spark):
+    from lucene_solr_spark.search.tagger import tag_text
+    df = spark.createDataFrame(
+        [(0, "table hash join scan table hash")], "doc_id long, text string")
+    got = sorted((r["tag_id"], r["start_pos"], r["end_pos"])
+                 for r in tag_text(df, _TAG_DICT,
+                                   overlaps="LONGEST_DOMINANT_RIGHT")
+                 .collect())
+    # C (0-2) dominates A(0-1)/B(1,1); then A(4-5) dominates B(5,5)
+    assert got == [("A", 4, 5), ("C", 0, 2)]
+
+
+def test_tagger_errors(spark):
+    from lucene_solr_spark.search.tagger import tag_text
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tag_text(df, {"E": ""})
+    with pytest.raises(ValueError):
+        tag_text(df, {"A": "x"}, overlaps="SMALLEST")
