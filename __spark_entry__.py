@@ -27,7 +27,7 @@ from lucene_solr_spark.search.similarities import SIMILARITIES
 from lucene_solr_spark.analysis.synonyms import SynonymGraph
 from lucene_solr_spark.search.query import (
     Bool, Boost, DisMax, FieldExists, Fuzzy, MatchAll, MultiPhrase,
-    PayloadScore, Phrase,
+    PayloadScore, Phrase, PhraseWildcard,
     Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr, Synonym, Term,
     TermInSet, TermRange, Wildcard,
 )
@@ -120,6 +120,10 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     "q_match_all": (MatchAll(), 10),
     "q_multiphrase": (MultiPhrase((("table", "slow"), ("hash", "batch"))),
                       10),
+    # PhraseWildcardQuery (sandbox PhraseWildcardQuery.java:63): the
+    # second slot expands against the term dictionary ('ha*' -> hash,
+    # handle, ...), then scores as the expanded MultiPhrase
+    "q_phrase_wildcard": (PhraseWildcard(("table", "ha*")), 10),
     "q_span_near": (SpanNear(("join", "batch"), slop=3), 10),
     # scored sloppy phrase (SloppyPhraseMatcher.java:56): float freq =
     # sum of 1/(1+matchLength) over traversal matches
@@ -508,6 +512,32 @@ def _q_facet_range(spark, sf_dir):
     m = se.matching(Term("the"))
     return (se.ix.source.join(m, "docid")
             .groupBy(F.expr(_RANGE_CASE).alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+# Solr facet.range parameters (RangeFacetProcessor): start/end/gap with
+# other=before/after; bucket label = range start, include=lower default
+_RGAP_START, _RGAP_END, _RGAP_GAP = 50, 450, 100
+_RGAP_CASE = (
+    f"CASE WHEN n_chars < {_RGAP_START} THEN 'before' "
+    f"WHEN n_chars >= {_RGAP_END} THEN 'after' "
+    f"ELSE CAST({_RGAP_START} + {_RGAP_GAP} * CAST(FLOOR("
+    f"(n_chars - {_RGAP_START}) / {_RGAP_GAP}.0) AS BIGINT) AS STRING) "
+    f"END")
+
+
+def _q_facet_range_gap(spark, sf_dir):
+    """Gap-parametrized range facets (Solr facet.range,
+    solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    getFacetRangeCounts shape): computed buckets
+    start + gap*floor((x-start)/gap) over [start,end), plus
+    other=before/after rows — vs the fixed CASE ladder of
+    _q_facet_range, the bucket edges here come from the three facet
+    parameters, which is the actual /select?facet.range API."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term("the"))
+    return (se.ix.source.join(m, "docid")
+            .groupBy(F.expr(_RGAP_CASE).alias("bucket"))
             .agg(F.count("*").cast("long").alias("n")))
 
 
@@ -1468,15 +1498,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
     # r1-unchecked
-    "q_norms_table", "q_term_stats", "q_collection_stats",
+    "q_norms_table", "q_term_stats",
     "q_point_range", "t_quality",
     "t_dedup_exact", "t_near_dup",
     "t_minhash_lsh", "t_simhash",
     # new in round 2
     "q_phrase_sloppy", "q_fuzzy_tr", "q_span_not",
     "q_sort_by_field",
-    "q_block_join", "q_facet_range", "q_suggest",
+    "q_block_join", "q_facet_range_gap", "q_suggest",
     "m_frame_sample", "v_embed_lsh",
+    # round-2e surfaces: sandbox PhraseWildcardQuery
+    "q_phrase_wildcard",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_regexp", "p_classic_wild",
@@ -1521,6 +1553,12 @@ WINDOW_ORDER = [
 # and t_token_count (scan-op sibling of t_quality/t_repetition;
 # q_interval_contains / q_fold / q_suggest_fuzzy / t_unigram_logprob
 # stay outside with verify_contract + pytest evidence).
+# Round-2e: IN q_phrase_wildcard (sandbox PhraseWildcardQuery) +
+# q_facet_range_gap (parametrized facet.range, strictly generalizes
+# the fixed-ladder q_facet_range); OUT q_facet_range (subsumed by the
+# gap variant's bucketing law) and q_collection_stats (its N/sumdl
+# aggregates are inputs to every green BM25 row; q_term_stats keeps
+# the stats-table slot).
 #
 # Earlier rotations (round 2): q_prefix (green r1, unchanged),
 # w_multiphrase / w_prefix / w_dismax / w_phrase_sloppy
@@ -1563,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_lang": _q_facet_lang,
         "q_facet_pivot": _q_facet_pivot,
         "q_facet_range": _q_facet_range,
+        "q_facet_range_gap": _q_facet_range_gap,
         "q_grouped_topk": _q_grouped_topk,
         "q_grouped_groups": _q_grouped_groups,
         "q_mlt": _q_mlt,
@@ -1792,6 +1831,13 @@ ORDER BY ROUND(MAX(sc.score), 6) DESC, d.source ASC LIMIT 5"""
     out["q_facet_range"] = f"""
 WITH {ctes}
 SELECT {_RANGE_CASE} AS bucket, COUNT(*) AS n
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'the')
+GROUP BY 1"""
+
+    out["q_facet_range_gap"] = f"""
+WITH {ctes}
+SELECT {_RGAP_CASE} AS bucket, COUNT(*) AS n
 FROM documents d
 WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'the')
 GROUP BY 1"""

@@ -41,7 +41,8 @@ from .payloads import payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     Interval, MatchAll,
-    MultiPhrase, PayloadScore, Phrase, Prefix, Query, Regexp, SpanNear,
+    MultiPhrase, PayloadScore, Phrase, PhraseWildcard, Prefix, Query,
+    Regexp, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
     transposition_variants,
@@ -254,6 +255,9 @@ class Searcher:
         if isinstance(q, MultiPhrase):
             return self._scored_multiphrase(q)
 
+        if isinstance(q, PhraseWildcard):
+            return self._scored_multiphrase(self._expand_phrase_wildcard(q))
+
         if isinstance(q, (SpanNear, SpanOr, SpanNot, FieldExists)):
             # spans / field-exists score under the constant-score rewrite
             # (see query.py)
@@ -437,6 +441,25 @@ class Searcher:
                 .select("docid",
                         self._clause_score("tf", stats_list)
                         .alias("score")))
+
+    def _expand_phrase_wildcard(self, q: PhraseWildcard) -> MultiPhrase:
+        """Expand pattern slots against the term dictionary
+        (PhraseWildcardQuery.java:63 walks a TermsEnum per multi-term
+        slot with a maxMultiTermExpansions cap). One bounded lookup per
+        pattern slot — ≤ max_expansions tiny rows to the driver, the
+        same driver-side rewrite every Lucene multi-term query performs
+        at weight-construction time, independent of corpus size."""
+        slots = []
+        for s, is_pat in zip(q.slots, q.pattern_slots()):
+            if not is_pat:
+                slots.append((s,))
+                continue
+            rows = (self.ix.term_stats
+                    .filter(F.col("term").like(wildcard_to_like(s)))
+                    .select("term").orderBy("term")
+                    .limit(int(q.max_expansions)).collect())
+            slots.append(tuple(r["term"] for r in rows))
+        return MultiPhrase(tuple(slots))
 
     def _scored_multiphrase(self, q: MultiPhrase) -> DataFrame:
         all_terms = [t for slot in q.slots for t in slot]

@@ -24,7 +24,8 @@ from .payloads import payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     MatchAll,
-    MultiPhrase, PayloadScore, Phrase, Prefix, Query, Regexp, SpanNear,
+    MultiPhrase, PayloadScore, Phrase, PhraseWildcard, Prefix, Query,
+    Regexp, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, rewrite,
     transposition_variants,
@@ -147,6 +148,9 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
 
         if isinstance(q, MultiPhrase):
             return self._scored_multiphrase(q)
+
+        if isinstance(q, PhraseWildcard):
+            return self._scored_phrase_wildcard(q)
 
         if isinstance(q, (SpanNear, SpanOr, SpanNot, FieldExists)):
             return self.scored(ConstantScore(q, 1.0))
@@ -322,6 +326,52 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
         freq = (f"len(list_filter(s0.positions, x -> {conds}))"
                 if conds else "len(s0.positions)")
         sc = score_sql("f.tf", "d.qdl", f"({idf_parts})", self.avgdl_sql)
+        return (
+            f"SELECT f.docid, {sc} AS score FROM ("
+            f"SELECT s0.docid, CAST({freq} AS BIGINT) AS tf "
+            f"FROM {' '.join(joins)}) f "
+            f"JOIN docs d ON d.docid = f.docid WHERE f.tf > 0")
+
+    def _scored_phrase_wildcard(self, q: PhraseWildcard) -> str:
+        """PhraseWildcardQuery.java:63 as pure SQL: each pattern slot
+        expands to the first max_expansions dictionary terms in term
+        order (same cap/order as engine._expand_phrase_wildcard), then
+        the body is the MultiPhrase union-positions formula."""
+        if self.sim is not None:
+            raise TypeError("oracle phrase-wildcard is BM25-only "
+                            "(engine supports any similarity)")
+        n_exp = int(q.max_expansions)
+        idf_parts, slot_sql = [], []
+        for i, (s, is_pat) in enumerate(zip(q.slots, q.pattern_slots())):
+            if is_pat:
+                pred = (f"term LIKE {_q(wildcard_to_like(s))} "
+                        f"ESCAPE '\\'")
+                exp = (f"(SELECT term FROM ts WHERE {pred} "
+                       f"ORDER BY term LIMIT {n_exp})")
+                idf_parts.append(
+                    f"(SELECT COALESCE(SUM({idf_sql('df', self.n_sql)}),"
+                    f" 0.0) FROM ts WHERE term IN {exp})")
+                member = f"term IN {exp}"
+            else:
+                idf_parts.append(
+                    f"(CASE WHEN EXISTS (SELECT 1 FROM ts "
+                    f"WHERE term = {_q(s)}) "
+                    f"THEN {self.term_idf_sql(s)} ELSE 0.0 END)")
+                member = f"term = {_q(s)}"
+            slot_sql.append(
+                f"(SELECT docid, list_sort(list_distinct(flatten("
+                f"list(positions)))) AS positions FROM postings "
+                f"WHERE {member} GROUP BY docid) s{i}")
+        joins = [slot_sql[0]]
+        for i in range(1, len(q.slots)):
+            joins.append(f"JOIN {slot_sql[i]} ON s{i}.docid = s0.docid")
+        conds = " AND ".join(
+            f"list_contains(s{i}.positions, x + {i})"
+            for i in range(1, len(q.slots)))
+        freq = (f"len(list_filter(s0.positions, x -> {conds}))"
+                if conds else "len(s0.positions)")
+        sc = score_sql("f.tf", "d.qdl", f"({' + '.join(idf_parts)})",
+                       self.avgdl_sql)
         return (
             f"SELECT f.docid, {sc} AS score FROM ("
             f"SELECT s0.docid, CAST({freq} AS BIGINT) AS tf "

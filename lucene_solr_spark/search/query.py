@@ -35,7 +35,8 @@ from dataclasses import dataclass, field
 from typing import Tuple, Union
 
 Query = Union[
-    "Term", "Bool", "Phrase", "MultiPhrase", "SpanNear", "SpanOr", "SpanNot",
+    "Term", "Bool", "Phrase", "MultiPhrase", "PhraseWildcard",
+    "SpanNear", "SpanOr", "SpanNot",
     "Synonym", "Prefix", "Wildcard", "TermRange", "TermInSet", "Fuzzy",
     "Regexp", "DisMax", "Boost", "ConstantScore", "MatchAll", "FieldExists",
     "FieldTerm", "PayloadScore",
@@ -79,6 +80,23 @@ class MultiPhrase:
     terms, MultiPhraseQuery weight construction)."""
 
     slots: Tuple[Tuple[str, ...], ...]
+
+
+@dataclass(frozen=True)
+class PhraseWildcard:
+    """Phrase with multi-term pattern slots (PhraseWildcardQuery,
+    lucene/sandbox/src/java/org/apache/lucene/search/
+    PhraseWildcardQuery.java:63). A slot containing ``*`` / ``?`` is a
+    wildcard expanded against the term dictionary in term-sort order,
+    capped at ``max_expansions`` (the sandbox query's
+    ``maxMultiTermExpansions`` segment cap); the expanded query then
+    matches and scores exactly as the equivalent MultiPhraseQuery."""
+
+    slots: Tuple[str, ...]
+    max_expansions: int = 128
+
+    def pattern_slots(self) -> Tuple[bool, ...]:
+        return tuple(("*" in s) or ("?" in s) for s in self.slots)
 
 
 @dataclass(frozen=True)
@@ -332,6 +350,10 @@ def collect_terms(q: Query) -> set:
         return set(q.terms)
     if isinstance(q, MultiPhrase):
         return {t for slot in q.slots for t in slot}
+    if isinstance(q, PhraseWildcard):
+        # literal slots only — pattern slots resolve at expansion time
+        return {s for s, is_pat in zip(q.slots, q.pattern_slots())
+                if not is_pat}
     if isinstance(q, Bool):
         out = set()
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
