@@ -404,6 +404,138 @@ def _q_mlt(spark, sf_dir):
             .select(F.col("docid").alias("doc_id"), "score"))
 
 
+# lucene/classification: test docs classified against the lang field
+_NB_DOCS = (3, 57, 111, 222, 333, 444)
+_KNN_K = 10
+
+
+def _q_classify_nb(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (lucene/classification/src/java/org/
+    apache/lucene/classification/SimpleNaiveBayesClassifier.java:203):
+    assign a lang class to each test doc by argmax over classes of
+
+        log(df_c) - log(n_class_docs)                  # calculateLogPrior
+        + sum_w tf_w * log((df(w,c) + 1) / den_c)      # calculateLogLikelihood
+
+    with den_c = avg_unique_terms_per_doc * df_c + n_class_docs
+    (getTextTermFreqForClass: sumDocFreq/docCount average times the
+    class df, plus the add-one |V| surrogate) and df(w,c) = docs of
+    class c containing w (getWordFreqForClass counts boolean-query
+    hits, i.e. doc frequency). Weighting each distinct term's log by
+    tf is exact: the reference iterates the token multiset. All stats
+    are in-plan aggregates; at scale the only wide shuffle is the
+    (term, class) doc-frequency groupBy, and the tiny per-class table
+    is broadcast."""
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    dl = (ix.source.select("docid", "lang")
+          .filter(F.col("lang").isNotNull()))
+    tot = dl.agg(F.count("*").cast("double").alias("n_cls"))
+    avgu = ix.postings.agg(
+        (F.count("*") / F.countDistinct("docid")).alias("avg_uniq"))
+    cls = (dl.groupBy("lang")
+           .agg(F.count("*").cast("double").alias("df_c"))
+           .crossJoin(tot).crossJoin(avgu)
+           .select("lang", "df_c",
+                   (F.col("avg_uniq") * F.col("df_c") + F.col("n_cls"))
+                   .alias("den"),
+                   (F.log("df_c") - F.log("n_cls")).alias("log_prior")))
+    wc = (ix.postings.select("docid", "term").join(dl, "docid")
+          .groupBy("term", "lang")
+          .agg(F.count("*").cast("double").alias("hits")))
+    test = (ix.postings.filter(F.col("docid").isin(list(_NB_DOCS)))
+            .select("docid", "term", "tf"))
+    j = (test.crossJoin(F.broadcast(cls))
+         .join(wc, ["term", "lang"], "left")
+         .withColumn("hits", F.coalesce("hits", F.lit(0.0))))
+    sc = (j.groupBy("docid", "lang")
+          .agg((F.first("log_prior")
+                + F.sum(F.col("tf")
+                        * F.log((F.col("hits") + 1) / F.col("den"))))
+               .alias("score")))
+    w = Window.partitionBy("docid").orderBy(F.desc("score"),
+                                            F.asc("lang"))
+    return (sc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("lang").alias("cls"),
+                    F.round("score", 6).alias("log_score"))
+            .orderBy("doc_id"))
+
+
+def _q_classify_knn(spark, sf_dir):
+    """KNearestNeighborClassifier (lucene/classification/.../
+    KNearestNeighborClassifier.java buildListFromTopDocs): neighbors
+    are the MoreLikeThis top-k of the test doc (the same interesting-
+    term disjunction as q_mlt); per class c among neighbors carrying
+    the class field, boost_c = sum(score / maxScore), and the class
+    score is boost_c / k — or / sumdoc when fewer than k neighbors
+    carry the field (the collector's small-result correction).
+    maxScore is the best score over ALL k neighbors."""
+    nb = (_q_mlt(spark, sf_dir)
+          .select(F.col("doc_id").alias("docid"), "score"))
+    se = _searcher(spark, sf_dir)
+    dl = (se.ix.source.select("docid", "lang")
+          .filter(F.col("lang").isNotNull()))
+    j = nb.join(dl, "docid")
+    mx = nb.agg(F.max("score").alias("mx"))
+    sd = j.agg(F.count("*").cast("double").alias("sumdoc"))
+    return (j.crossJoin(mx).groupBy("lang")
+            .agg(F.sum(F.col("score") / F.col("mx")).alias("boost"),
+                 F.count("*").cast("long").alias("n"))
+            .crossJoin(sd)
+            .select(F.col("lang").alias("cls"),
+                    F.round(F.col("boost")
+                            / F.when(F.col("sumdoc") < _KNN_K,
+                                     F.col("sumdoc"))
+                            .otherwise(F.lit(float(_KNN_K))), 6)
+                    .alias("score"),
+                    "n")
+            .orderBy(F.desc("score"), F.asc("cls")))
+
+
+def _q_diversified(spark, sf_dir):
+    """DiversifiedTopDocsCollector (lucene/misc/src/java/org/apache/
+    lucene/misc/search/DiversifiedTopDocsCollector.java:63): global
+    top-k where each key (source) contributes at most maxHitsPerKey
+    hits. A doc is dropped iff maxHitsPerKey better-ranked docs share
+    its key, so per-key window top-maxHits followed by global top-k is
+    exactly the collector's result set (NULL keys form one group, as
+    a missing docvalue does in the reference)."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("the")).withColumn("score",
+                                           F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", "source"), "docid")
+    w = Window.partitionBy("source").orderBy(F.desc("score"),
+                                             F.asc("docid"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score", "source"))
+
+
+def _q_covering(spark, sf_dir):
+    """CoveringQuery (lucene/sandbox/src/java/org/apache/lucene/
+    search/CoveringQuery.java:47): score = sum of matching clause
+    scores; a doc matches iff #matching clauses >= minimumNumberMatch,
+    a per-doc LongValuesSource — here min_match(doc) = 1 when
+    n_chars < 200 else 2, read from stored docvalues."""
+    from functools import reduce as _reduce
+    se = _searcher(spark, sf_dir)
+    parts = [se.scored(Term(t)) for t in ("dup", "join", "batch")]
+    u = _reduce(DataFrame.unionAll, parts)
+    agg = u.groupBy("docid").agg(F.count("*").alias("nm"),
+                                 F.sum("score").alias("score"))
+    mm = se.ix.source.select(
+        "docid",
+        F.when(F.col("n_chars") < 200, F.lit(1)).otherwise(F.lit(2))
+        .alias("mm"))
+    return (agg.join(mm, "docid").filter(F.col("nm") >= F.col("mm"))
+            .withColumn("score", F.round("score", 6))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
 def _q_grouped_groups(spark, sf_dir):
     """Two-pass grouping (FirstPassGroupingCollector.java +
     GroupingSearch, lucene/grouping): pass 1 selects the top-3 groups
@@ -1505,17 +1637,18 @@ WINDOW_ORDER = [
     # new in round 2
     "q_phrase_sloppy", "q_fuzzy_tr", "q_span_not",
     "q_sort_by_field",
-    "q_block_join", "q_facet_range_gap", "q_suggest",
+    "q_block_join", "q_facet_range_gap",
     "m_frame_sample", "v_embed_lsh",
-    # round-2e surfaces: sandbox PhraseWildcardQuery
-    "q_phrase_wildcard",
+    # round-2e surfaces: sandbox PhraseWildcardQuery + the
+    # classification module + misc/sandbox collectors
+    "q_phrase_wildcard", "q_classify_nb", "q_classify_knn",
+    "q_diversified", "q_covering",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_regexp", "p_classic_wild",
     # added later in round 2 (no prior oracle rows)
     "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
-    "q_sort_early", "q_function_score",
-    "q_geo_distance",
+    "q_function_score",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
     "q_sim_classic",
     # CommonTermsQuery / Solr collapse+expand / JSON facet API / eDisMax
@@ -1525,7 +1658,7 @@ WINDOW_ORDER = [
     # round-2b surfaces (streaming expressions, relatedness,
     # elevation, child block join, percentiles, LTR, repetition
     # quality, dup-cluster connected components)
-    "s_stream_rollup", "q_sig_terms", "q_elevate",
+    "s_stream_rollup", "q_sig_terms",
     "q_block_join_children", "q_stats_percentiles", "q_ltr",
     "t_repetition", "t_dup_clusters",
     # round-2c surfaces: percolator, LM sequence packing, PII counts,
@@ -1559,6 +1692,16 @@ WINDOW_ORDER = [
 # gap variant's bucketing law) and q_collection_stats (its N/sumdl
 # aggregates are inputs to every green BM25 row; q_term_stats keeps
 # the stats-table slot).
+# Round-2f: IN q_classify_nb / q_classify_knn (lucene/classification —
+# a whole reference module with no prior row) + q_diversified
+# (misc DiversifiedTopDocsCollector) + q_covering (sandbox
+# CoveringQuery). OUT q_suggest (term-dict LIKE + ttf order;
+# q_spellcheck keeps the suggest-surface slot, q_suggest_fuzzy /
+# q_suggest_freetext stay verify_contract+pytest-verified),
+# q_sort_early (limit-semantics sibling of q_sort_by_field which
+# keeps its row), q_geo_distance (haversine filter, pytest),
+# q_elevate (deterministic pin-list reorder of a scored row that
+# stays green via q_grouped_topk's machinery; pytest).
 #
 # Earlier rotations (round 2): q_prefix (green r1, unchanged),
 # w_multiphrase / w_prefix / w_dismax / w_phrase_sloppy
@@ -1605,6 +1748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_topk": _q_grouped_topk,
         "q_grouped_groups": _q_grouped_groups,
         "q_mlt": _q_mlt,
+        "q_classify_nb": _q_classify_nb,
+        "q_classify_knn": _q_classify_knn,
+        "q_diversified": _q_diversified,
+        "q_covering": _q_covering,
         "q_field_stats": _q_field_stats,
         "q_distinct_sources": _q_distinct_sources,
         "q_search_after": _q_search_after,
@@ -1743,21 +1890,93 @@ WHERE rn <= 2"""
     from lucene_solr_spark.search.bm25 import score_sql as _score_sql
     _sc_txt = _score_sql("p.tf", "d.qdl", "(" + _idf("mt.df",
                          "(SELECT n FROM st)") + ")", ob.avgdl_sql)
-    out["q_mlt"] = f"""
-WITH {ctes},
-mt AS (SELECT p.term, ts.df
+    _mlt_ctes = f"""mt AS (SELECT p.term, ts.df
        FROM postings p JOIN ts ON ts.term = p.term
        WHERE p.docid = {_MLT_DOC}
        ORDER BY p.tf * ({_mlt_idf}) DESC, p.term ASC
        LIMIT {_MLT_TERMS}),
-sc AS (SELECT p.docid, SUM({_sc_txt}) AS score
+mltsc AS (SELECT p.docid, SUM({_sc_txt}) AS score
        FROM postings p
        JOIN mt ON mt.term = p.term
        JOIN docs d ON d.docid = p.docid
        WHERE p.docid != {_MLT_DOC}
-       GROUP BY p.docid)
-SELECT docid AS doc_id, ROUND(score, 6) AS score FROM sc
+       GROUP BY p.docid)"""
+
+    out["q_mlt"] = f"""
+WITH {ctes},
+{_mlt_ctes}
+SELECT docid AS doc_id, ROUND(score, 6) AS score FROM mltsc
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10"""
+
+    _nb_ids = ", ".join(str(i) for i in _NB_DOCS)
+    out["q_classify_nb"] = f"""
+WITH {ctes},
+dl AS (SELECT doc_id AS docid, lang FROM documents
+       WHERE lang IS NOT NULL),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_cls FROM dl),
+avgu AS (SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT docid)
+                AS avg_uniq FROM postings),
+cls AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS df_c
+        FROM dl GROUP BY lang),
+cls2 AS (SELECT lang, df_c, avg_uniq * df_c + n_cls AS den,
+                LN(df_c) - LN(n_cls) AS log_prior
+         FROM cls, tot, avgu),
+wc AS (SELECT p.term, dl.lang, CAST(COUNT(*) AS DOUBLE) AS hits
+       FROM postings p JOIN dl ON dl.docid = p.docid
+       GROUP BY p.term, dl.lang),
+test AS (SELECT docid, term, tf FROM postings
+         WHERE docid IN ({_nb_ids})),
+nbsc AS (SELECT t.docid, c.lang,
+                c.log_prior + SUM(t.tf * LN(
+                    (COALESCE(w.hits, 0) + 1) / c.den)) AS score
+         FROM test t CROSS JOIN cls2 c
+         LEFT JOIN wc w ON w.term = t.term AND w.lang = c.lang
+         GROUP BY t.docid, c.lang, c.log_prior)
+SELECT docid AS doc_id, lang AS cls, ROUND(score, 6) AS log_score
+FROM (SELECT nbsc.*, ROW_NUMBER() OVER (PARTITION BY docid
+        ORDER BY score DESC, lang ASC) AS rn FROM nbsc) r
+WHERE rn = 1 ORDER BY doc_id"""
+
+    out["q_classify_knn"] = f"""
+WITH {ctes},
+{_mlt_ctes},
+knn AS (SELECT docid, ROUND(score, 6) AS score FROM mltsc
+        ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT {_KNN_K}),
+kj AS (SELECT k.docid, k.score, d.lang FROM knn k
+       JOIN documents d ON d.doc_id = k.docid
+       WHERE d.lang IS NOT NULL),
+kmx AS (SELECT MAX(score) AS mx FROM knn),
+ksd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS sumdoc FROM kj)
+SELECT lang AS cls,
+       ROUND(SUM(score / kmx.mx)
+             / (CASE WHEN ksd.sumdoc < {_KNN_K} THEN ksd.sumdoc
+                     ELSE {float(_KNN_K)!r} END), 6) AS score,
+       COUNT(*) AS n
+FROM kj, kmx, ksd GROUP BY lang, ksd.sumdoc, kmx.mx
+ORDER BY score DESC, cls ASC"""
+
+    out["q_diversified"] = f"""
+WITH {ctes},
+dsc AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term("the"))}) s),
+dj AS (SELECT dsc.docid, dsc.score, d.source
+       FROM dsc JOIN documents d ON d.doc_id = dsc.docid)
+SELECT docid AS doc_id, score, source FROM (
+  SELECT dj.*, ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY score DESC, docid ASC) AS rn FROM dj) t
+WHERE rn <= 2 ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    out["q_covering"] = f"""
+WITH {ctes},
+cu AS (({ob.scored(Term("dup"))}) UNION ALL
+       ({ob.scored(Term("join"))}) UNION ALL
+       ({ob.scored(Term("batch"))})),
+ca AS (SELECT docid, COUNT(*) AS nm, SUM(score) AS score
+       FROM cu GROUP BY docid)
+SELECT ca.docid AS doc_id, ROUND(ca.score, 6) AS score
+FROM ca JOIN documents d ON d.doc_id = ca.docid
+WHERE ca.nm >= (CASE WHEN d.n_chars < 200 THEN 1 ELSE 2 END)
+ORDER BY ROUND(ca.score, 6) DESC, ca.docid ASC LIMIT 10"""
 
     out["q_grouped_groups"] = f"""
 WITH {ctes},
