@@ -586,6 +586,74 @@ def _q_search_after(spark, sf_dir):
             .select(F.col("docid").alias("doc_id"), "score"))
 
 
+def _q_cursor_mark(spark, sf_dir):
+    """Solr CursorMark deep paging (solr/core/src/java/org/apache/solr/
+    search/CursorMark.java): page 2 selected by a KEYSET predicate —
+    (score, docid) strictly after the last row of page 1 under the
+    total order (score DESC, docid ASC) — instead of OFFSET. At
+    cluster scale the predicate prunes the tail at the scan, so page
+    cost stays flat with depth, which is the entire point of
+    cursorMark over start=N paging."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("the")).select(
+        "docid", F.round(F.col("score"), 6).alias("score"))
+    cursor = (sc.orderBy(F.desc("score"), F.asc("docid")).limit(5)
+              .orderBy(F.asc("score"), F.desc("docid")).limit(1)
+              .select(F.col("score").alias("c_s"),
+                      F.col("docid").alias("c_d")))
+    return (sc.crossJoin(F.broadcast(cursor))
+            .filter((F.col("score") < F.col("c_s"))
+                    | ((F.col("score") == F.col("c_s"))
+                       & (F.col("docid") > F.col("c_d"))))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(5)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+_FEAT_W, _FEAT_PIVOT = 1.5, 200.0
+
+
+def _q_feature_sat(spark, sf_dir):
+    """FeatureField.newSaturationQuery (lucene/core/src/java/org/
+    apache/lucene/document/FeatureField.java): static-feature score
+    S(v) = w * v / (v + pivot) — the canonical pagerank-boost shape —
+    added to a required text clause (MUST text, SHOULD feature).
+    Feature value = the stored n_chars docvalue."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("join"))
+    feat = se.ix.source.select(
+        "docid",
+        (F.lit(_FEAT_W) * F.col("n_chars")
+         / (F.col("n_chars") + F.lit(_FEAT_PIVOT))).alias("fs"))
+    return (sc.join(feat, "docid", "left")
+            .select("docid",
+                    F.round(F.col("score")
+                            + F.coalesce("fs", F.lit(0.0)), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+_FACET_QUERIES = (
+    ("dup_and_join", Bool(must=(Term("dup"), Term("join")))),
+    ("phrase_table_hash", Phrase(("table", "hash"))),
+    ("prefix_s", Prefix("s")),
+)
+
+
+def _q_facet_query(spark, sf_dir):
+    """Solr facet.query (SimpleFacets.getFacetQueryCount): a count per
+    arbitrary subquery, alongside the main result — three labelled
+    match-set counts unioned into one frame."""
+    from functools import reduce as _reduce
+    se = _searcher(spark, sf_dir)
+    parts = [
+        se.matching(ast).agg(
+            F.lit(label).alias("facet"),
+            F.count("*").cast("long").alias("n"))
+        for label, ast in _FACET_QUERIES]
+    return _reduce(DataFrame.unionAll, parts)
+
+
 def _q_rescore(spark, sf_dir):
     """QueryRescorer: constant-score prefix first pass (top-50 by docid),
     BM25 second pass, combined score = 1.0 + bm25."""
@@ -1643,12 +1711,14 @@ WINDOW_ORDER = [
     # classification module + misc/sandbox collectors
     "q_phrase_wildcard", "q_classify_nb", "q_classify_knn",
     "q_diversified", "q_covering",
+    # round-2g surfaces: keyset deep paging, static-feature scoring,
+    # facet.query
+    "q_cursor_mark", "q_feature_sat", "q_facet_query",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_regexp", "p_classic_wild",
     # added later in round 2 (no prior oracle rows)
     "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
-    "q_function_score",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
     "q_sim_classic",
     # CommonTermsQuery / Solr collapse+expand / JSON facet API / eDisMax
@@ -1659,13 +1729,13 @@ WINDOW_ORDER = [
     # elevation, child block join, percentiles, LTR, repetition
     # quality, dup-cluster connected components)
     "s_stream_rollup", "q_sig_terms",
-    "q_block_join_children", "q_stats_percentiles", "q_ltr",
+    "q_stats_percentiles", "q_ltr",
     "t_repetition", "t_dup_clusters",
     # round-2c surfaces: percolator, LM sequence packing, PII counts,
     # drill sideways, payload scoring, synonym-graph expansion,
     # canonical near-dup removal
     "q_monitor", "t_pack_sequences", "t_pii", "q_drill_sideways",
-    "q_payload", "q_syn_graph", "t_dedup_keep",
+    "q_payload", "q_syn_graph",
     # intervals module + eval-set decontamination
     "q_interval_ordered", "t_contamination",
 ]
@@ -1692,6 +1762,15 @@ WINDOW_ORDER = [
 # gap variant's bucketing law) and q_collection_stats (its N/sumdl
 # aggregates are inputs to every green BM25 row; q_term_stats keeps
 # the stats-table slot).
+# Round-2g: IN q_cursor_mark (Solr CursorMark keyset paging — the
+# scale-safe deep-paging surface), q_feature_sat (FeatureField
+# saturation scoring), q_facet_query (facet.query counts). OUT
+# q_function_score (function-scoring family keeps rows via
+# q_feature_sat in-window and q_func_termfreq via verify_contract;
+# pytest), q_block_join_children (inverse projection of q_block_join,
+# which keeps the scored parent/child row; pytest), t_dedup_keep
+# (dedup family keeps t_dedup_exact/t_near_dup/t_minhash_lsh rows;
+# keep-policy law is pytest-pinned).
 # Round-2f: IN q_classify_nb / q_classify_knn (lucene/classification —
 # a whole reference module with no prior row) + q_diversified
 # (misc DiversifiedTopDocsCollector) + q_covering (sandbox
@@ -1748,6 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_topk": _q_grouped_topk,
         "q_grouped_groups": _q_grouped_groups,
         "q_mlt": _q_mlt,
+        "q_cursor_mark": _q_cursor_mark,
+        "q_feature_sat": _q_feature_sat,
+        "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
         "q_classify_knn": _q_classify_knn,
         "q_diversified": _q_diversified,
@@ -2016,6 +2098,36 @@ WITH {ctes}
 SELECT docid AS doc_id, ROUND(score, 6) AS score
 FROM ({ob.scored(or3)}) fin
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10 OFFSET 10"""
+
+    out["q_cursor_mark"] = f"""
+WITH {ctes},
+cm AS (SELECT docid, ROUND(score, 6) AS score
+       FROM ({ob.scored(Term("the"))}) s),
+cur AS (SELECT score AS c_s, docid AS c_d FROM
+        (SELECT * FROM cm ORDER BY score DESC, docid ASC LIMIT 5) p1
+        ORDER BY score ASC, docid DESC LIMIT 1)
+SELECT docid AS doc_id, score FROM cm, cur
+WHERE score < c_s OR (score = c_s AND docid > c_d)
+ORDER BY score DESC, docid ASC LIMIT 5"""
+
+    out["q_feature_sat"] = f"""
+WITH {ctes},
+fsc AS (SELECT docid, score FROM ({ob.scored(Term("join"))}) s)
+SELECT f.docid AS doc_id,
+       ROUND(f.score + COALESCE({_FEAT_W!r} * d.n_chars
+             / (d.n_chars + {_FEAT_PIVOT!r}), 0.0), 6) AS score
+FROM fsc f LEFT JOIN documents d ON d.doc_id = f.docid
+ORDER BY ROUND(f.score + COALESCE({_FEAT_W!r} * d.n_chars
+         / (d.n_chars + {_FEAT_PIVOT!r}), 0.0), 6) DESC,
+         f.docid ASC LIMIT 10"""
+
+    _fq_rows = " UNION ALL ".join(
+        f"SELECT '{label}' AS facet, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM ({ob.matching(ast)}) fq_{label}"
+        for label, ast in _FACET_QUERIES)
+    out["q_facet_query"] = f"""
+WITH {ctes}
+{_fq_rows}"""
 
     out["q_rescore"] = f"""
 WITH {ctes},

@@ -1,0 +1,55 @@
+"""CursorMark keyset paging, FeatureField saturation scoring, and
+facet.query — laws on real testdata (driver parity in
+tools/verify_contract.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.query import Term
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cursor_mark_equals_rows_6_to_10(spark):
+    """Keyset page 2 must equal rows 6-10 of the global total order —
+    the CursorMark contract (no skipped/duplicated docs across
+    pages)."""
+    from __spark_entry__ import _q_cursor_mark, _searcher
+    page2 = [(r.doc_id, r.score)
+             for r in _q_cursor_mark(spark, SF).collect()]
+    se = _searcher(spark, SF)
+    full = (se.scored(Term("the"))
+            .select("docid", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .collect())
+    assert page2 == [(r.docid, r.score) for r in full[5:10]]
+
+
+def test_feature_sat_score_law(spark):
+    """score = BM25(text) + w * v/(v+pivot), monotone in the feature
+    value: two docs with equal text score order by n_chars."""
+    from __spark_entry__ import (
+        _FEAT_PIVOT, _FEAT_W, _q_feature_sat, _searcher,
+    )
+    rows = _q_feature_sat(spark, SF).collect()
+    assert rows
+    se = _searcher(spark, SF)
+    base = {r.docid: r.score
+            for r in se.scored(Term("join")).collect()}
+    chars = {r.docid: r.n_chars for r in
+             se.ix.source.select("docid", "n_chars").collect()}
+    for r in rows:
+        v = chars[r.doc_id]
+        expect = base[r.doc_id] + _FEAT_W * v / (v + _FEAT_PIVOT)
+        assert abs(r.score - expect) < 1e-5
+        # saturation bounded by the weight
+        assert r.score - base[r.doc_id] < _FEAT_W
+
+
+def test_facet_query_counts_match_matching(spark):
+    from __spark_entry__ import _FACET_QUERIES, _q_facet_query, _searcher
+    rows = {r.facet: r.n for r in _q_facet_query(spark, SF).collect()}
+    se = _searcher(spark, SF)
+    assert set(rows) == {label for label, _ in _FACET_QUERIES}
+    for label, ast in _FACET_QUERIES:
+        assert rows[label] == se.matching(ast).count()
