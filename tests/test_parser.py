@@ -107,3 +107,15 @@ def test_and_promotes_previous_optional():
     q = parse("a b AND c")
     assert q == Bool(must=(Term("b"), Term("c")),
                      should=(Term("a"),))
+
+
+def test_complex_phrase_wildcard_slot():
+    """ComplexPhraseQueryParser shape: '"table ha*"' becomes a
+    PhraseWildcard with a literal slot and a pattern slot; boost
+    wraps it; a sloppy quoted phrase keeps its Phrase form."""
+    from lucene_solr_spark.search.query import PhraseWildcard
+    assert parse('"table ha*"') == PhraseWildcard(("table", "ha*"))
+    assert parse('"table ha*"^2') == Boost(
+        PhraseWildcard(("table", "ha*")), 2.0)
+    assert parse('"Qu?ck table"') == PhraseWildcard(("qu?ck", "table"))
+    assert parse('"table hash"~2') == Phrase(("table", "hash"), 2)

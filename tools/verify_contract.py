@@ -11,8 +11,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+JSON_OUT = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--json=")), None)
+SF = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -58,6 +61,7 @@ def main():
     qs, osql = em.queries(), em.oracle_sql()
     n_pass = n_fail = n_nooracle = 0
     fails = []
+    record = {}
     for i, name in enumerate(qs):
         if ONLY and name not in ONLY:
             continue
@@ -69,10 +73,14 @@ def main():
         except Exception as e:
             n_fail += 1
             fails.append(name)
+            record[name] = {"pass": False,
+                            "err": f"spark: {type(e).__name__}: {e}"}
             print(f"[{i}] {name}: SPARK ERROR {type(e).__name__}: {e}")
             continue
         if name not in osql:
             n_nooracle += 1
+            record[name] = {"pass": None, "spark_rows": len(srows),
+                            "err": "no oracle (rows-only)"}
             print(f"[{i}] {name}: rows={len(srows)} (no oracle)")
             continue
         try:
@@ -82,6 +90,8 @@ def main():
         except Exception as e:
             n_fail += 1
             fails.append(name)
+            record[name] = {"pass": False,
+                            "err": f"oracle: {type(e).__name__}: {e}"}
             print(f"[{i}] {name}: ORACLE ERROR {type(e).__name__}: {e}")
             continue
         ok_rows = len(srows) == len(orows)
@@ -89,6 +99,12 @@ def main():
         ok_vals = ok_rows and ok_schema and \
             canon(srows, scols) == canon(orows, ocols)
         dt = time.perf_counter() - t0
+        record[name] = {"pass": bool(ok_vals),
+                        "rows_match": ok_rows, "schema_match": ok_schema,
+                        "hash_match": bool(ok_vals),
+                        "spark_rows": len(srows),
+                        "oracle_rows": len(orows),
+                        "sec": round(dt, 2)}
         if ok_vals:
             n_pass += 1
             print(f"[{i}] {name}: OK rows={len(srows)} ({dt:.2f}s)")
@@ -106,6 +122,14 @@ def main():
     print(f"\nPASS {n_pass}  FAIL {n_fail}  NO-ORACLE {n_nooracle}")
     if fails:
         print("failed:", " ".join(fails))
+    if JSON_OUT:
+        import json
+        payload = {"sf_dir": SF, "generated_by": "tools/verify_contract.py",
+                   "n_pass": n_pass, "n_fail": n_fail,
+                   "n_nooracle": n_nooracle, "queries": record}
+        with open(JSON_OUT, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {JSON_OUT}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
