@@ -211,6 +211,9 @@ SIM_SPECS: dict[str, tuple[Query, int, str]] = {
                           "lmdirichlet"),
     "q_sim_boolean": (Bool(should=(Boost(Term("dup"), 2.0), Term("join"),
                                    Term("window"))), 10, "boolean"),
+    # SweetSpotSimilarity (misc): plateau lengthNorm + baselineTf
+    "q_sim_sweetspot": (Bool(should=(Term("dup"), Term("join"))), 10,
+                        "sweetspot"),
 }
 
 
@@ -336,6 +339,32 @@ def _q_collapse(spark, sf_dir):
             .select("lang", F.col("docid").alias("doc_id"), "score",
                     "n_expand")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(5))
+
+
+def _q_facet_unique(spark, sf_dir):
+    """Solr JSON Facet aggregations beyond count (solr/core/src/java/
+    org/apache/solr/search/facet/UniqueAgg.java + FacetField
+    missing/allBuckets options): lang buckets over the match set with
+    unique(source) per bucket, plus the missing bucket (docs with
+    NULL source — FacetField.java missing:true) and the allBuckets
+    roll-up row. unique() here is the exact distinct count (Solr's
+    unique() is exact per-shard, hll is its sketch form)."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    j = m.join(se.ix.source.select("docid", "lang", "source"), "docid")
+    buckets = (j.groupBy("lang")
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.countDistinct("source").cast("long")
+                    .alias("unique_sources"),
+                    F.count(F.when(F.col("source").isNull(), 1))
+                    .cast("long").alias("missing_source")))
+    allb = (j.agg(F.lit("(all)").alias("lang"),
+                  F.count("*").cast("long").alias("n"),
+                  F.countDistinct("source").cast("long")
+                  .alias("unique_sources"),
+                  F.count(F.when(F.col("source").isNull(), 1))
+                  .cast("long").alias("missing_source")))
+    return buckets.unionAll(allb)
 
 
 def _q_facet_json(spark, sf_dir):
@@ -663,6 +692,39 @@ def _q_facet_query(spark, sf_dir):
             F.count("*").cast("long").alias("n"))
         for label, ast in _FACET_QUERIES]
     return _reduce(DataFrame.unionAll, parts)
+
+
+_BLEND_TERMS = ("join", "merge", "batch")
+
+
+def _q_blended(spark, sf_dir):
+    """BlendedTermQuery (lucene/core/src/java/org/apache/lucene/
+    search/BlendedTermQuery.java:279): df is blended to the MAX across
+    the terms (ttf to the sum — unused by BM25's idf), each term then
+    scores with the adjusted stats and per-term tf, and the clauses
+    combine through DisjunctionMaxQuery with the default 0.01
+    tie-breaker (DISJUNCTION_MAX_REWRITE). The blended stat rides a
+    1-row broadcast; plan shape = one pushed In(term,…) scan + one
+    (docid) aggregate."""
+    from lucene_solr_spark.search.bm25 import idf_sql, score_sql
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    bl = (ix.term_stats.filter(F.col("term").isin(list(_BLEND_TERMS)))
+          .agg(F.max("df").alias("dfb")))
+    sc = score_sql("tf", "qdl", idf_sql("dfb", str(ix.doc_count)),
+                   ix.avgdl_sql)
+    per = (ix.postings.filter(F.col("term").isin(list(_BLEND_TERMS)))
+           .join(ix.docs.select("docid", "qdl"), "docid")
+           .crossJoin(F.broadcast(bl))
+           .select("docid", F.expr(sc).alias("s")))
+    agg = per.groupBy("docid").agg(F.max("s").alias("mx"),
+                                   F.sum("s").alias("sm"))
+    return (agg.select("docid",
+                       F.round(F.col("mx")
+                               + 0.01 * (F.col("sm") - F.col("mx")), 6)
+                       .alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
 
 
 def _q_frange(spark, sf_dir):
@@ -1877,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mlt": _q_mlt,
         "q_cursor_mark": _q_cursor_mark,
         "q_frange": _q_frange,
+        "q_blended": _q_blended,
+        "q_facet_unique": _q_facet_unique,
         "q_feature_sat": _q_feature_sat,
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
@@ -2148,6 +2212,39 @@ WITH {ctes}
 SELECT docid AS doc_id, ROUND(score, 6) AS score
 FROM ({ob.scored(or3)}) fin
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10 OFFSET 10"""
+
+    _bl_terms = ", ".join(f"'{t}'" for t in _BLEND_TERMS)
+    _bl_sc = _score_sql("p.tf", "d.qdl",
+                        _idf("bl.dfb", "(SELECT n FROM st)"),
+                        ob.avgdl_sql)
+    out["q_blended"] = f"""
+WITH {ctes},
+bl AS (SELECT MAX(df) AS dfb FROM ts WHERE term IN ({_bl_terms})),
+per AS (SELECT p.docid, {_bl_sc} AS s
+        FROM postings p JOIN docs d ON d.docid = p.docid, bl
+        WHERE p.term IN ({_bl_terms})),
+ag AS (SELECT docid, MAX(s) AS mx, SUM(s) AS sm FROM per
+       GROUP BY docid)
+SELECT docid AS doc_id, ROUND(mx + 0.01 * (sm - mx), 6) AS score
+FROM ag
+ORDER BY ROUND(mx + 0.01 * (sm - mx), 6) DESC, docid ASC LIMIT 10"""
+
+    out["q_facet_unique"] = f"""
+WITH {ctes},
+fu AS (SELECT d.doc_id AS docid, d.lang, d.source
+       FROM documents d
+       WHERE d.doc_id IN (SELECT docid FROM postings
+                          WHERE term = '{_FACET_TERM}'))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS unique_sources,
+       CAST(COUNT(CASE WHEN source IS NULL THEN 1 END) AS BIGINT)
+           AS missing_source
+FROM fu GROUP BY lang
+UNION ALL
+SELECT '(all)', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(COUNT(CASE WHEN source IS NULL THEN 1 END) AS BIGINT)
+FROM fu"""
 
     out["q_frange"] = f"""
 WITH {ctes},

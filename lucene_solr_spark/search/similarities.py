@@ -160,9 +160,47 @@ class BooleanSimilarity:
         return f"CAST({_sum_weights(weight_exprs)} AS DOUBLE)"
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """SweetSpot TF-IDF (lucene/misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java:39): ClassicSimilarity with a plateau
+    lengthNorm — 1/sqrt(steepness*(|x-min|+|x-max|-(max-min))+1), so
+    every length inside [min, max] norms to exactly 1.0
+    (SweetSpotSimilarity.java:117-132) — and the baselineTf tf helper
+    ((x==0) ? 0 : (x<=min) ? base : sqrt(x + base^2 - min),
+    SweetSpotSimilarity.java:150-166). idf is inherited from Classic.
+    With min=max=1, steepness=0.5, base=min=0 this degrades to
+    ClassicSimilarity exactly (the javadoc's own check)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 40, ln_max: int = 120,
+                 steepness: float = 0.5, tf_base: float = 1.5,
+                 tf_min: float = 2.0):
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        w = _sum_weights(weight_exprs)
+        x = f"CAST({qdl_expr} AS DOUBLE)"
+        norm = (f"(1e0 / sqrt({self.steepness!r} * "
+                f"(abs({x} - {self.ln_min}) + abs({x} - {self.ln_max}) "
+                f"- {self.ln_max - self.ln_min}) + 1e0))")
+        t = f"CAST({tf_expr} AS DOUBLE)"
+        tf = (f"(CASE WHEN {t} = 0e0 THEN 0e0 "
+              f"WHEN {t} <= {self.tf_min!r} THEN {self.tf_base!r} "
+              f"ELSE sqrt({t} + {self.tf_base * self.tf_base!r} "
+              f"- {self.tf_min!r}) END)")
+        return f"(({w}) * {tf} * {norm})"
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "boolean": BooleanSimilarity,
+    "sweetspot": SweetSpotSimilarity,
 }

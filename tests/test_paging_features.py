@@ -63,3 +63,31 @@ def test_session_gap_partitions_events(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert sum(r.n_events for r in rows) == ev.count()
     assert len(rows) >= ev.select("user_id").distinct().count()
+
+
+def test_blended_df_flattens_idf(spark):
+    """BlendedTermQuery law: with df blended to the shared max, a doc
+    matching only the RARE term cannot out-idf one matching only the
+    COMMON term at equal tf/qdl — and the combined score is
+    mx + 0.01*(sum-mx) over the per-term scores."""
+    from __spark_entry__ import _BLEND_TERMS, _q_blended, _searcher
+    from lucene_solr_spark.search.bm25 import idf_sql, score_sql
+    rows = _q_blended(spark, SF).collect()
+    assert rows
+    se = _searcher(spark, SF)
+    ix = se.ix
+    dfb = (ix.term_stats.filter(F.col("term").isin(list(_BLEND_TERMS)))
+           .agg(F.max("df").alias("d")).collect()[0].d)
+    sc = score_sql("tf", "qdl", idf_sql(str(dfb), str(ix.doc_count)),
+                   ix.avgdl_sql)
+    per = (ix.postings.filter(F.col("term").isin(list(_BLEND_TERMS)))
+           .join(ix.docs.select("docid", "qdl"), "docid")
+           .selectExpr("docid", f"{sc} AS s").collect())
+    from collections import defaultdict
+    by_doc = defaultdict(list)
+    for r in per:
+        by_doc[r.docid].append(r.s)
+    for r in rows:
+        ss = by_doc[r.doc_id]
+        expect = max(ss) + 0.01 * (sum(ss) - max(ss))
+        assert abs(r.score - expect) < 1e-5

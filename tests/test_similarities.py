@@ -129,3 +129,43 @@ def test_boolean_similarity_scores_are_boost_sums(corpus):
     rows = {r.doc_id: r.score for r in se.topk(q, 10).collect()}
     # doc 0: join+hash -> 3.0; doc 1: join only -> 2.0; doc 4: hash -> 1.0
     assert rows[0] == 3.0 and rows[1] == 2.0 and rows[4] == 1.0
+
+
+def test_sweetspot_engine_matches_oracle(corpus):
+    from lucene_solr_spark.search.similarities import SweetSpotSimilarity
+    ix, con = corpus
+    sim = SweetSpotSimilarity(ln_min=2, ln_max=8, steepness=0.5,
+                              tf_base=1.5, tf_min=2.0)
+    for q in QUERIES:
+        _cmp(ix, con, sim, q)
+
+
+def test_sweetspot_degrades_to_classic(corpus):
+    """SweetSpotSimilarity.java:104-106 javadoc check: with
+    min=max=1, steepness=0.5, baselineTf base=min=0 the formula IS
+    ClassicSimilarity (1/sqrt(x) norm, sqrt(tf))."""
+    from lucene_solr_spark.search.similarities import SweetSpotSimilarity
+    ix, con = corpus
+    degraded = SweetSpotSimilarity(ln_min=1, ln_max=1, steepness=0.5,
+                                   tf_base=0.0, tf_min=0.0)
+    for q in QUERIES:
+        a = _cmp(ix, con, degraded, q)
+        b = _cmp(ix, con, ClassicSimilarity(), q)
+        assert [(d, round(s, 9)) for d, s in a] == \
+            [(d, round(s, 9)) for d, s in b], q
+
+
+def test_sweetspot_plateau_law():
+    """Every length inside [min, max] norms to exactly 1.0; outside it
+    decays; tf below tf_min is flat at base."""
+    from lucene_solr_spark.search.similarities import SweetSpotSimilarity
+    sim = SweetSpotSimilarity(ln_min=4, ln_max=10, steepness=0.5,
+                              tf_base=1.5, tf_min=2.0)
+
+    def norm(x):
+        return 1.0 / math.sqrt(
+            0.5 * (abs(x - 4) + abs(x - 10) - 6) + 1.0)
+
+    for x in (4, 5, 7, 10):
+        assert norm(x) == 1.0
+    assert norm(3) < 1.0 and norm(11) < 1.0 and norm(40) < norm(11)
