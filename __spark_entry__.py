@@ -257,6 +257,22 @@ def _mk_parsed(name: str):
     return f
 
 
+# surround span-language parser (queryparser/surround): W/N proximity
+# operators + AND/OR/NOT, compiled to the span AST (search/surround.py)
+SURROUND_SPECS: dict[str, str] = {
+    "p_surround": "table 2W hash OR (dup NOT slow)",
+}
+
+
+def _mk_surround(name: str):
+    from lucene_solr_spark.search.surround import parse_surround
+    ast = parse_surround(SURROUND_SPECS[name])
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).topk(ast, 10)
+    return f
+
+
 def _mk_edismax(name: str):
     ast = EDISMAX_SPECS[name]
 
@@ -953,6 +969,33 @@ def _s_session_gap(spark, sf_dir):
                     "n_events", "sum_value"))
 
 
+def _t_context_window(spark, sf_dir):
+    """Context-window expansion for retrieval/training pipelines: the
+    top-5 BM25 hits each pull their neighboring chunks (doc_id ± 1 —
+    the adjacency a chunked corpus carries) so the consumer sees the
+    hit in context. The retrieval analogue of Solr's child-doc
+    transformer over flat chunk order; standard practice when building
+    RAG / LM training windows from chunked documents. One broadcast of
+    the k hits against the corpus scan — no self-join."""
+    se = _searcher(spark, sf_dir)
+    hits = (se.scored(Term("dup"))
+            .select("docid", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(5))
+    offs = hits.select(
+        "docid", "score",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("rel"))
+    ctx = offs.select(
+        F.col("docid").alias("hit_id"), "score", "rel",
+        (F.col("docid") + F.col("rel")).alias("ctx_id"))
+    d = se.ix.source.select(F.col("docid").alias("ctx_id"), "n_chars")
+    return (ctx.join(d, "ctx_id")
+            .select(F.col("hit_id").alias("doc_id"), "score",
+                    F.col("rel").cast("int").alias("rel"),
+                    F.col("ctx_id").cast("long").alias("ctx_doc_id"),
+                    F.col("n_chars").cast("long").alias("ctx_n_chars"))
+            .orderBy("doc_id", "rel"))
+
+
 # -- text-pipeline ops -------------------------------------------------------
 
 def _q_token_count(spark, sf_dir):
@@ -1067,6 +1110,25 @@ def _q_join_field(spark, sf_dir):
     sc = se.scored(Term(_JOIN_TERM)).join(ev, "docid", "left_semi")
     return (sc.select(F.col("docid").alias("doc_id"),
                       F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+def _q_join_scored(spark, sf_dir):
+    """Query-time join with score propagation (JoinUtil.createJoinQuery
+    ScoreMode.Max, lucene/join/src/java/org/apache/lucene/search/join/
+    JoinUtil.java:50): from-side hits of a scored query aggregate a
+    MAX score per join key (lang); every to-side doc carrying that key
+    scores the key's max. The per-key table is tiny and broadcast; no
+    row-multiplying join."""
+    se = _searcher(spark, sf_dir)
+    fr = (se.scored(Term("dup"))
+          .join(se.ix.source.select("docid", "lang"), "docid")
+          .groupBy("lang").agg(F.max("score").alias("jscore")))
+    to = (se.matching(Term("join"))
+          .join(se.ix.source.select("docid", "lang"), "docid"))
+    return (to.join(F.broadcast(fr), "lang")
+            .select(F.col("docid").alias("doc_id"),
+                    F.round("jscore", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
@@ -1243,6 +1305,22 @@ def _q_frame_sample(spark, sf_dir):
         F.col("media_id").cast("long"),
         F.col("frame_idx").cast("int"),
         F.lower(F.hex("payload")).alias("frame_sha"))
+
+
+def _q_resize_meta(spark, sf_dir):
+    """Image resize through the multimodal Arrow plumbing
+    (multimodal/blobs.py resize_images: mapInPandas over binary
+    payloads, deterministic fake resize — the codec slot is stubbed,
+    the batch shape / output schema are real). Emits the resized
+    payload digest so the oracle verifies the exact output bytes."""
+    from lucene_solr_spark.multimodal.blobs import as_media, resize_images
+    d = _documents(spark, sf_dir).withColumn(
+        "payload", F.col("text").cast("binary"))
+    media = as_media(d, "doc_id", "payload", "image")
+    rs = resize_images(media, width=64, height=48)
+    return rs.select(
+        F.col("media_id").cast("long"),
+        F.lower(F.hex("payload")).alias("resized_sha"))
 
 
 def _q_blob_meta(spark, sf_dir):
@@ -1924,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"w_{name[2:]}"] = _mk_wand(name)
     for name in PARSED_SPECS:
         out[name] = _mk_parsed(name)
+    for name in SURROUND_SPECS:
+        out[name] = _mk_surround(name)
     for name in EDISMAX_SPECS:
         out[name] = _mk_edismax(name)
     for name in SIM_SPECS:
@@ -1941,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frange": _q_frange,
         "q_blended": _q_blended,
         "q_facet_unique": _q_facet_unique,
+        "q_join_scored": _q_join_scored,
         "q_feature_sat": _q_feature_sat,
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
@@ -1961,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collection_stats": _q_collection_stats,
         "q_events_hourly": _q_events_hourly,
         "s_session_gap": _s_session_gap,
+        "t_context_window": _t_context_window,
         "q_point_range": _q_point_range,
         "t_token_count": _q_token_count,
         "t_token_bpe": _q_token_bpe,
@@ -1975,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_highlight": _q_highlight,
         "m_blob_meta": _q_blob_meta,
         "m_frame_sample": _q_frame_sample,
+        "m_resize_meta": _q_resize_meta,
         "v_ann_cosine": _q_ann_cosine,
         "v_embed_pairs": _q_embed_pairs,
         "v_ann_lsh": _q_ann_lsh,
@@ -2041,6 +2124,9 @@ def oracle_sql() -> dict[str, str]:
         out[f"w_{name[2:]}"] = ob.topk_sql(ast, k)
     for name, qtext in PARSED_SPECS.items():
         out[name] = ob.topk_sql(parse_query(qtext), 10)
+    from lucene_solr_spark.search.surround import parse_surround
+    for name, qtext in SURROUND_SPECS.items():
+        out[name] = ob.topk_sql(parse_surround(qtext), 10)
     for name, east in EDISMAX_SPECS.items():
         out[name] = ob.topk_sql(east, 10)
     for name, (ast, k, simname) in SIM_SPECS.items():
@@ -2384,6 +2470,20 @@ FROM events GROUP BY 1, 2"""
     # session merge rule mirrors Spark's session_window overlap test:
     # next.ts < prev.ts + gap stays in-session, so a break is
     # diff >= 30 minutes
+    out["t_context_window"] = f"""
+WITH {ctes},
+cw AS (SELECT docid, ROUND(score, 6) AS score
+       FROM ({ob.scored(Term("dup"))}) s
+       ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 5),
+cx AS (SELECT cw.docid AS hit_id, cw.score, r.rel,
+              cw.docid + r.rel AS ctx_id
+       FROM cw CROSS JOIN (VALUES (-1), (0), (1)) r(rel))
+SELECT cx.hit_id AS doc_id, cx.score, CAST(cx.rel AS INT) AS rel,
+       CAST(cx.ctx_id AS BIGINT) AS ctx_doc_id,
+       CAST(d.n_chars AS BIGINT) AS ctx_n_chars
+FROM cx JOIN documents d ON d.doc_id = cx.ctx_id
+ORDER BY doc_id, rel"""
+
     out["s_session_gap"] = """
 WITH lagd AS (
   SELECT user_id, ts, value,
@@ -2564,6 +2664,11 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        sha256(text || ':f' || frame_idx) AS frame_sha
 FROM fx"""
 
+    out["m_resize_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       sha256(text || ':64x48') AS resized_sha
+FROM documents"""
+
     mb0 = f"({hexm.format(p=1)} * 16 + {hexm.format(p=2)})"
     mb1 = f"({hexm.format(p=3)} * 16 + {hexm.format(p=4)})"
     out["m_blob_meta"] = f"""
@@ -2681,6 +2786,18 @@ SELECT docid AS doc_id, ROUND(score, 6) AS score
 FROM sc
 WHERE docid IN (SELECT user_id FROM events WHERE event_type = 'error')
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10"""
+
+    out["q_join_scored"] = f"""
+WITH {ctes},
+jf AS (SELECT d.lang, MAX(s.score) AS jscore
+       FROM ({ob.scored(Term("dup"))}) s
+       JOIN documents d ON d.doc_id = s.docid
+       GROUP BY d.lang)
+SELECT m.docid AS doc_id, ROUND(jf.jscore, 6) AS score
+FROM ({ob.matching(Term("join"))}) m
+JOIN documents dd ON dd.doc_id = m.docid
+JOIN jf ON jf.lang = dd.lang
+ORDER BY ROUND(jf.jscore, 6) DESC, m.docid ASC LIMIT 10"""
 
     _geo_d = _haversine_km("0.0", "0.0", _GEO_LAT, _GEO_LON)
     out["q_geo_distance"] = f"""

@@ -119,3 +119,23 @@ def test_complex_phrase_wildcard_slot():
         PhraseWildcard(("table", "ha*")), 2.0)
     assert parse('"Qu?ck table"') == PhraseWildcard(("qu?ck", "table"))
     assert parse('"table hash"~2') == Phrase(("table", "hash"), 2)
+
+
+def test_surround_parser_shapes():
+    """Surround parser (queryparser/surround): W/N proximity + boolean
+    operators compile to the span AST; unsupported nestings reject."""
+    from lucene_solr_spark.search.query import SpanNear, SpanOr
+    from lucene_solr_spark.search.surround import parse_surround
+    assert parse_surround("table W hash") == SpanNear(("table", "hash"), 0)
+    assert parse_surround("table 3W hash") == SpanNear(("table", "hash"), 2)
+    assert parse_surround("a W b W c") == SpanNear(("a", "b", "c"), 0)
+    assert parse_surround("a 2N b") == SpanOr(
+        (SpanNear(("a", "b"), 1), SpanNear(("b", "a"), 1)))
+    q = parse_surround("a NOT b")
+    assert q == Bool(must=(Term("a"),), must_not=(Term("b"),))
+    assert parse_surround("a AND b OR c") == Bool(
+        should=(Bool(must=(Term("a"), Term("b"))), Term("c")))
+    with pytest.raises(QueryParseError):
+        parse_surround("a 2W b 2W c")
+    with pytest.raises(QueryParseError):
+        parse_surround("(a W b) 2N c")
