@@ -174,9 +174,34 @@ def main() -> None:
         "transcript_turns": n_turns,
         "transcript_turns_per_sec": round(n_turns / transcript_sec, 1),
         "transcript_build_shuffle_partitions": build_parts,
+        # host-regime context: this VM's throughput is bimodal (see
+        # BENCH/BASELINE.md "Host variance"); the probe lets a reader
+        # normalize run-to-run numbers. Healthy windows measure ~1.1s
+        # at 32-proc, degraded windows 1.4-2.1s.
+        "hw_probe_cpu_spin_sec": _hw_probe(),
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _hw_probe() -> dict:
+    """Mean seconds per 20M-iteration integer spin at 1 and 32
+    processes (same probe as tools/scaling_bench.py)."""
+    import multiprocessing as mp
+    res = {}
+    for nproc in (1, 32):
+        with mp.Pool(nproc) as p:
+            r = p.map(_spin, [20_000_000] * nproc)
+        res[str(nproc)] = round(sum(r) / len(r), 3)
+    return res
+
+
+def _spin(n: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
