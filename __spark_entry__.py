@@ -1150,6 +1150,47 @@ def _haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
             f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))")
 
 
+# Deterministic synthetic edge overlay for the graph traversal (the
+# fixture tables carry no link field, so both engines derive the SAME
+# parent_id from doc_id — the geo-overlay precedent)
+_GRAPH_PARENT = "(doc_id * 7 + 3) % 97"
+_GRAPH_DEPTH = 3
+
+
+def _q_graph(spark, sf_dir):
+    """Solr graph traversal query ({!graph from=parent_id to=doc_id
+    maxDepth=N} — solr/core/src/java/org/apache/solr/search/join/
+    GraphQuery.java:62): breadth-first frontier expansion from a root
+    match set along a link field, bounded by maxDepth. Spark-first
+    shape: maxDepth iterations of (frontier ⋈ edges) with an
+    anti-join against the visited set — each iteration is one
+    broadcast-able equi-join, no driver-side adjacency. Depth = first
+    time a node is reached (BFS), ties keep the smaller depth."""
+    d = _documents(spark, sf_dir)
+    edges = d.select(
+        F.col("doc_id").cast("long").alias("child"),
+        F.expr(_GRAPH_PARENT).cast("long").alias("parent"))
+    se = _searcher(spark, sf_dir)
+    frontier = (se.matching(Term("dup"))
+                .select(F.col("docid").cast("long").alias("node"),
+                        F.lit(0).alias("depth")))
+    visited = frontier
+    for _ in range(_GRAPH_DEPTH):
+        nxt = (frontier.join(edges,
+                             frontier["node"] == edges["child"])
+               .select(F.col("parent").alias("node"),
+                       (F.col("depth") + 1).alias("depth")))
+        nxt = (nxt.groupBy("node")
+               .agg(F.min("depth").alias("depth"))
+               .join(visited.select("node"), "node", "left_anti"))
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return (visited.groupBy("node")
+            .agg(F.min("depth").cast("int").alias("depth"))
+            .select(F.col("node").alias("doc_id"), "depth")
+            .orderBy("doc_id"))
+
+
 def _q_geo_distance(spark, sf_dir):
     """LatLonPoint.newDistanceQuery (document/LatLonPoint.java:282) /
     Solr geofilt+geodist: docs within R km of a query point, nearest
@@ -2022,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blended": _q_blended,
         "q_facet_unique": _q_facet_unique,
         "q_join_scored": _q_join_scored,
+        "q_graph": _q_graph,
         "q_feature_sat": _q_feature_sat,
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
@@ -2798,6 +2840,22 @@ FROM ({ob.matching(Term("join"))}) m
 JOIN documents dd ON dd.doc_id = m.docid
 JOIN jf ON jf.lang = dd.lang
 ORDER BY ROUND(jf.jscore, 6) DESC, m.docid ASC LIMIT 10"""
+
+    out["q_graph"] = f"""
+WITH RECURSIVE {ctes},
+ged AS (SELECT CAST(doc_id AS BIGINT) AS child,
+               CAST({_GRAPH_PARENT} AS BIGINT) AS parent
+        FROM documents),
+walk AS (
+  SELECT CAST(docid AS BIGINT) AS node, 0 AS depth
+  FROM ({ob.matching(Term("dup"))}) groots
+  UNION ALL
+  SELECT g.parent AS node, w.depth + 1
+  FROM walk w JOIN ged g ON g.child = w.node
+  WHERE w.depth < {_GRAPH_DEPTH}
+)
+SELECT node AS doc_id, CAST(MIN(depth) AS INT) AS depth
+FROM walk GROUP BY node ORDER BY node"""
 
     _geo_d = _haversine_km("0.0", "0.0", _GEO_LAT, _GEO_LON)
     out["q_geo_distance"] = f"""

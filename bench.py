@@ -157,10 +157,26 @@ def main() -> None:
     timings["transcript_index_build"] = round(transcript_sec, 4)
 
     total = round(sum(timings.values()) + build_sec + seg_build_sec, 4)
+    # round-1 ran 21 headline entries; the set has since grown, so the
+    # raw total is not comparable across rounds. value_r1_comparable
+    # sums exactly the r1 keys (that still run) + the two builds.
+    r1_keys = [
+        "q_term_common", "q_term_rare", "q_bool_and2", "q_bool_or3",
+        "q_bool_mixed", "q_phrase2", "q_synonym", "q_dismax",
+        "q_prefix", "q_match_all", "q_grouped_topk", "q_facet_source",
+        "w_term_common", "w_bool_or3", "w_bool_mixed", "w_phrase2",
+        "t_quality", "t_dedup_exact", "v_ann_cosine",
+        "transcript_index_build",
+    ]
+    r1_comparable = round(
+        sum(timings[k] for k in r1_keys if k in timings)
+        + build_sec + seg_build_sec, 4)
     out = {
         "metric": "index_build_plus_headline_queries",
         "value": total,
         "unit": "sec",
+        "value_r1_comparable": r1_comparable,
+        "headline_set_size": len(timings),
         "queries": timings,
         "queries_cold": timings_cold,
         "sf": sf_dir,

@@ -91,3 +91,24 @@ def test_blended_df_flattens_idf(spark):
         ss = by_doc[r.doc_id]
         expect = max(ss) + 0.01 * (sum(ss) - max(ss))
         assert abs(r.score - expect) < 1e-5
+
+
+def test_graph_bfs_depth_law(spark):
+    """Graph traversal: depth-0 rows are exactly the root match set;
+    every depth-d>0 node has a child at depth d-1 linking to it; no
+    node exceeds maxDepth."""
+    from __spark_entry__ import _GRAPH_DEPTH, _q_graph, _searcher
+    from lucene_solr_spark.search.query import Term
+    rows = {r.doc_id: r.depth for r in _q_graph(spark, SF).collect()}
+    assert rows and max(rows.values()) <= _GRAPH_DEPTH
+    se = _searcher(spark, SF)
+    roots = {r.docid for r in se.matching(Term("dup")).collect()}
+    assert {d for d, dep in rows.items() if dep == 0} == roots
+    parent = {d: (d * 7 + 3) % 97 for d in
+              [r.doc_id for r in
+               spark.read.parquet(f"{SF}/documents.parquet")
+               .select("doc_id").collect()]}
+    for node, dep in rows.items():
+        if dep > 0:
+            assert any(parent.get(c) == node and rows.get(c) == dep - 1
+                       for c in rows), (node, dep)
