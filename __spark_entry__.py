@@ -858,6 +858,47 @@ def _q_suggest(spark, sf_dir):
             .orderBy(F.desc("weight"), F.asc("term")).limit(10))
 
 
+def _q_suggest_edge(spark, sf_dir):
+    """Edge-ngram autocomplete (EdgeNGramTokenFilter.java:34 index-time
+    expansion + the suggester lookup): the term dictionary explodes
+    into leading-edge grams (2..4 chars), the query gram 'se' hash-
+    looks-up its bucket, completions rank by collection ttf. The
+    DuckDB oracle uses the prefix-LIKE identity (gram lookup ==
+    term LIKE 'se%') — the equivalence that makes edge-ngram indexes
+    correct. At scale the gram table is built once and bucket-joined;
+    a lookup touches one gram key, never the whole dictionary."""
+    from lucene_solr_spark.analysis.filters import edge_ngrams_sql_array
+    se = _searcher(spark, sf_dir)
+    grams = (se.ix.term_stats
+             .select("term", "ttf",
+                     F.explode(F.expr(edge_ngrams_sql_array(
+                         "term", min_gram=1, max_gram=3)))
+                     .alias("gram")))
+    return (grams.filter(F.col("gram") == "s")
+            .select("term", F.col("ttf").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(10))
+
+
+_DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
+_DM_HI = "2024-01-03T07:40:12Z/DAY+1DAY-30MINUTES"
+
+
+def _q_date_math(spark, sf_dir):
+    """Solr date math (solr/util/DateMathParser.java): range endpoints
+    given as instant/rounding/arithmetic expressions, resolved ONCE at
+    plan build (as Solr resolves them per request) into plain
+    timestamp literals the scan can prune on. Counts events per type
+    inside [lo, hi)."""
+    from lucene_solr_spark.analysis.datemath import parse_date_math
+    lo = parse_date_math(_DM_LO).isoformat(sep=" ")
+    hi = parse_date_math(_DM_HI).isoformat(sep=" ")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.filter((F.col("ts") >= F.lit(lo).cast("timestamp"))
+                      & (F.col("ts") < F.lit(hi).cast("timestamp")))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
 def _q_terms_enum(spark, sf_dir):
     """Solr TermsComponent (solr/core/src/java/org/apache/solr/handler/
     component/TermsComponent.java): enumerate the term dictionary
@@ -2064,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_unique": _q_facet_unique,
         "q_join_scored": _q_join_scored,
         "q_graph": _q_graph,
+        "q_suggest_edge": _q_suggest_edge,
+        "q_date_math": _q_date_math,
         "q_feature_sat": _q_feature_sat,
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
@@ -2840,6 +2883,20 @@ FROM ({ob.matching(Term("join"))}) m
 JOIN documents dd ON dd.doc_id = m.docid
 JOIN jf ON jf.lang = dd.lang
 ORDER BY ROUND(jf.jscore, 6) DESC, m.docid ASC LIMIT 10"""
+
+    out["q_suggest_edge"] = f"""
+WITH {ctes}
+SELECT term, CAST(ttf AS BIGINT) AS weight FROM ts
+WHERE term LIKE 's%' AND LENGTH(term) >= 1
+ORDER BY weight DESC, term ASC LIMIT 10"""
+
+    from lucene_solr_spark.analysis.datemath import parse_date_math
+    _dm_lo = parse_date_math(_DM_LO).isoformat(sep=" ")
+    _dm_hi = parse_date_math(_DM_HI).isoformat(sep=" ")
+    out["q_date_math"] = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
+GROUP BY event_type"""
 
     out["q_graph"] = f"""
 WITH RECURSIVE {ctes},

@@ -184,6 +184,30 @@ def shingles_of(tokens: list, n: int = 2, sep: str = " ") -> list:
     return [sep.join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def edge_ngrams_py(term: str, min_gram: int = 2,
+                   max_gram: int = 4) -> list:
+    """EdgeNGramTokenFilter (lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/ngram/EdgeNGramTokenFilter.java:34): the
+    leading-edge prefixes of the token from min_gram to max_gram
+    characters — the classic index-time autocomplete expansion. A
+    term shorter than min_gram emits nothing (the filter's
+    keepShortTerm=false default shape)."""
+    return [term[:k] for k in range(min_gram,
+                                    min(max_gram, len(term)) + 1)]
+
+
+def edge_ngrams_sql_array(col: str, min_gram: int = 2,
+                          max_gram: int = 4) -> str:
+    """Spark-SQL array of edge n-grams of ``col`` (same semantics as
+    edge_ngrams_py). The DuckDB oracle proves the equivalence via the
+    prefix-LIKE identity instead: looking up gram g in an edge-ngram
+    index returns exactly the terms LIKE 'g%' (len(g) >= min_gram),
+    which is what makes the expansion correct for autocomplete."""
+    ks = ", ".join(str(k) for k in range(min_gram, max_gram + 1))
+    return (f"transform(filter(array({ks}), k -> k <= length({col})), "
+            f"k -> substring({col}, 1, k))")
+
+
 # ---------------------------------------------------------------------------
 # phonetic key (Solr PhoneticFilterFactory, Soundex encoder)
 # ---------------------------------------------------------------------------

@@ -74,3 +74,48 @@ def test_english_index_end_to_end(spark):
     ph = {r.doc_id for r in se.topk(Phrase(("search", "index"), 1), 10)
           .collect()}
     assert 0 in ph and 1 in ph
+
+
+def test_edge_ngrams_py():
+    from lucene_solr_spark.analysis.filters import edge_ngrams_py
+    assert edge_ngrams_py("stream") == ["st", "str", "stre"]
+    assert edge_ngrams_py("st") == ["st"]
+    assert edge_ngrams_py("s") == []          # shorter than min_gram
+    assert edge_ngrams_py("s", min_gram=1) == ["s"]
+    assert edge_ngrams_py("table", 1, 3) == ["t", "ta", "tab"]
+
+
+def test_edge_ngrams_sql_matches_py(spark):
+    from lucene_solr_spark.analysis.filters import (
+        edge_ngrams_py, edge_ngrams_sql_array,
+    )
+    rows = spark.sql(
+        f"SELECT w, {edge_ngrams_sql_array('w')} AS g FROM VALUES "
+        f"('stream'), ('st'), ('s'), ('table') AS v(w)").collect()
+    for r in rows:
+        assert list(r.g) == edge_ngrams_py(r.w), r.w
+
+
+def test_date_math_laws():
+    """DateMathParser.java semantics: left-to-right evaluation,
+    calendar-aware month clamp, rounding before/after arithmetic."""
+    import pytest as _pytest
+    from lucene_solr_spark.analysis.datemath import (
+        DateMathError, parse_date_math,
+    )
+    iso = lambda s: parse_date_math(s).isoformat()  # noqa: E731
+    assert iso("2024-01-05T07:40:12Z/DAY+12HOUR-30MINUTE") == \
+        "2024-01-05T11:30:00"
+    assert iso("2024-01-31T10:00:00Z+1MONTH") == "2024-02-29T10:00:00"
+    assert iso("2023-01-31T10:00:00Z+1MONTH") == "2023-02-28T10:00:00"
+    # order matters: round-then-add != add-then-round
+    assert iso("2024-03-15T10:20:30Z/HOUR+90MINUTES") == \
+        "2024-03-15T11:30:00"
+    assert iso("2024-03-15T10:20:30Z+90MINUTES/HOUR") == \
+        "2024-03-15T11:00:00"
+    assert iso("2024-01-01T00:00:00Z-1DAY/MONTH") == "2023-12-01T00:00:00"
+    assert iso("2024-06-10T00:00:00Z/YEAR") == "2024-01-01T00:00:00"
+    with _pytest.raises(DateMathError):
+        parse_date_math("2024-01-01T00:00:00Z+1FORTNIGHT")
+    with _pytest.raises(DateMathError):
+        parse_date_math("2024-01-01T00:00:00Z/2DAY")

@@ -13,7 +13,8 @@ from lucene_solr_spark.index.docids import assign_docids
 from lucene_solr_spark.index.segments import write_segments
 from lucene_solr_spark.search.engine import Searcher
 from lucene_solr_spark.search.query import (
-    Bool, DisMax, MultiPhrase, Phrase, Prefix, SpanNear, Synonym, Term,
+    Bool, DisMax, MultiPhrase, Phrase, PhraseWildcard, Prefix, SpanNear,
+    Synonym, Term,
 )
 from lucene_solr_spark.search.segment_searcher import SegmentSearcher
 
@@ -21,7 +22,7 @@ from lucene_solr_spark.search.segment_searcher import SegmentSearcher
 def _random_query(rng, vocab):
     kind = rng.choice(["term", "or", "and", "mixed", "phrase", "synonym",
                        "dismax", "multiphrase", "sloppy", "prefix",
-                       "spannear"])
+                       "spannear", "phrasewildcard"])
     t = lambda: Term(rng.choice(vocab))  # noqa: E731
     if kind == "term":
         return t()
@@ -54,6 +55,14 @@ def _random_query(rng, vocab):
     if kind == "spannear":
         a, b = rng.choice(vocab), rng.choice(vocab)
         return SpanNear((a, b), rng.randint(0, 3))
+    if kind == "phrasewildcard":
+        # literal slot + a pattern slot drawn from a corpus term's
+        # prefix (guarantees non-trivial dictionary expansion)
+        lit = rng.choice(vocab)
+        pat = rng.choice(vocab)[:2] + "*"
+        slots = (lit, pat) if rng.random() < 0.5 else (pat, lit)
+        return PhraseWildcard(slots,
+                              max_expansions=rng.choice([4, 128]))
     return Synonym(tuple({rng.choice(vocab) for _ in range(3)}))
 
 
