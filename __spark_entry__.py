@@ -883,6 +883,39 @@ _DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
 _DM_HI = "2024-01-03T07:40:12Z/DAY+1DAY-30MINUTES"
 
 
+# Deterministic synthetic doc-timestamp overlay (the fixture documents
+# table carries no date field; geo-overlay precedent): epoch seconds
+# inside the week before the anchor.
+_REC_TS = "(1704067200 + (doc_id * 37) % 604800)"
+_REC_ANCHOR = "2024-01-08T00:00:00Z/DAY"  # resolved via date math
+
+
+def _q_boost_recency(spark, sf_dir):
+    """The canonical Solr recency boost — bf=recip(ms(NOW,date),
+    3.16e-11,1,1) (solr/core/src/java/org/apache/solr/search/
+    ValueSourceParser.java recip + ms functions; 3.16e-11 ~ 1/year in
+    ms): additive function boost a/(m*x+b) over the doc's age in
+    milliseconds, NOW anchored by date math at plan build. Codegen
+    arithmetic over a derived docvalue — no Python, no extra
+    shuffle."""
+    from lucene_solr_spark.analysis.datemath import parse_date_math
+    from datetime import timezone
+    anchor_ms = int(parse_date_math(_REC_ANCHOR)
+                    .replace(tzinfo=timezone.utc).timestamp() * 1000)
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("join"))
+    age = f"({anchor_ms} - CAST({_REC_TS} AS DOUBLE) * 1000.0)"
+    boost = f"(1.0 / (3.16e-11 * {age} + 1.0))"
+    d = se.ix.source.select("docid",
+                            F.expr(f"{boost}").alias("rboost"))
+    return (sc.join(d, "docid")
+            .select("docid",
+                    F.round(F.col("score") + F.col("rboost"), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
 def _q_date_math(spark, sf_dir):
     """Solr date math (solr/util/DateMathParser.java): range endpoints
     given as instant/rounding/arithmetic expressions, resolved ONCE at
@@ -2107,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph": _q_graph,
         "q_suggest_edge": _q_suggest_edge,
         "q_date_math": _q_date_math,
+        "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
@@ -2897,6 +2931,20 @@ ORDER BY weight DESC, term ASC LIMIT 10"""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
 WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
 GROUP BY event_type"""
+
+    from datetime import timezone as _tz
+    _rec_ms = int(parse_date_math(_REC_ANCHOR)
+                  .replace(tzinfo=_tz.utc).timestamp() * 1000)
+    _rec_boost = (f"(1.0 / (3.16e-11 * ({_rec_ms} - "
+                  f"CAST({_REC_TS} AS DOUBLE) * 1000.0) + 1.0))")
+    out["q_boost_recency"] = f"""
+WITH {ctes},
+rb AS (SELECT docid, score FROM ({ob.scored(Term("join"))}) s)
+SELECT rb.docid AS doc_id,
+       ROUND(rb.score + {_rec_boost}, 6) AS score
+FROM rb JOIN documents d ON d.doc_id = rb.docid
+ORDER BY ROUND(rb.score + {_rec_boost}, 6) DESC, rb.docid ASC
+LIMIT 10"""
 
     out["q_graph"] = f"""
 WITH RECURSIVE {ctes},
