@@ -1070,6 +1070,32 @@ def _t_context_window(spark, sf_dir):
             .orderBy("doc_id", "rel"))
 
 
+def _t_para_dedup(spark, sf_dir):
+    """Chunk-granular exact dedup — the exact-substring dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022) realized at fixed 10-token chunk units (the fixture
+    text carries no sentence separators): boilerplate passages
+    repeated across documents are found by chunk + hash + count.
+    Scale shape: one explode + one (hash) partial+final count
+    shuffle; no self-join, no suffix-array materialization."""
+    d = _documents(spark, sf_dir)
+    toks = (d.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= 10))
+    parts = toks.select(
+        "doc_id",
+        F.expr("explode(transform("
+               "sequence(0, int(size(toks) / 10) - 1), "
+               "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10))))")
+        .alias("para"))
+    return (parts.groupBy(F.md5("para").alias("para_md5"))
+            .agg(F.count("*").cast("long").alias("n_occurrences"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.min("para").alias("sample"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.desc("n_occurrences"), F.asc("para_md5"))
+            .limit(20))
+
+
 # -- text-pipeline ops -------------------------------------------------------
 
 def _q_token_count(spark, sf_dir):
@@ -2162,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": _q_events_hourly,
         "s_session_gap": _s_session_gap,
         "t_context_window": _t_context_window,
+        "t_para_dedup": _t_para_dedup,
         "q_point_range": _q_point_range,
         "t_token_count": _q_token_count,
         "t_token_bpe": _q_token_bpe,
@@ -2602,6 +2629,24 @@ SELECT cx.hit_id AS doc_id, cx.score, CAST(cx.rel AS INT) AS rel,
        CAST(d.n_chars AS BIGINT) AS ctx_n_chars
 FROM cx JOIN documents d ON d.doc_id = cx.ctx_id
 ORDER BY doc_id, rel"""
+
+    out["t_para_dedup"] = """
+WITH pw AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+pi AS (SELECT doc_id, toks,
+              unnest(range(0, len(toks) // 10)) AS i
+       FROM pw WHERE len(toks) >= 10),
+pd AS (SELECT doc_id,
+              list_aggregate(toks[i*10+1 : i*10+10],
+                             'string_agg', ' ') AS para
+       FROM pi)
+SELECT md5(para) AS para_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(para) AS sample
+FROM pd GROUP BY md5(para)
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, para_md5 ASC LIMIT 20"""
 
     out["s_session_gap"] = """
 WITH lagd AS (
