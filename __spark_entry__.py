@@ -273,6 +273,25 @@ def _mk_surround(name: str):
     return f
 
 
+# SimpleQueryParser (queryparser/simple/SimpleQueryParser.java:99):
+# the fault-tolerant end-user syntax (+ | - "" * ~N parens), parsed by
+# the 1:1 state machine in search/simple_parser.py. The spec string
+# exercises AND/OR/NOT, a precedence subquery, sloppy-phrase near,
+# fuzzy and prefix operators in one query.
+SIMPLE_SPECS: dict[str, str] = {
+    "p_simple": 'table + (hash | merge) -slow "sort batch"~3 quer~1 vec*',
+}
+
+
+def _mk_simple(name: str):
+    from lucene_solr_spark.search.simple_parser import parse_simple
+    ast = parse_simple(SIMPLE_SPECS[name])
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).topk(ast, 10)
+    return f
+
+
 def _mk_edismax(name: str):
     ast = EDISMAX_SPECS[name]
 
@@ -877,6 +896,90 @@ def _q_suggest_edge(spark, sf_dir):
     return (grams.filter(F.col("gram") == "s")
             .select("term", F.col("ttf").cast("long").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term")).limit(10))
+
+
+# WordBreakSpellChecker inputs: compounds absent from the index whose
+# split halves are dictionary terms ('customer' IS indexed and must be
+# filtered out by the SUGGEST_WHEN_NOT_IN_INDEX rule)
+_WB_WORDS = ("hashjoin", "sortmerge", "groupkey", "xyzzy", "customer")
+
+
+def _q_spell_wordbreak(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/src/java
+    /org/apache/lucene/search/spell/WordBreakSpellChecker.java:90,
+    generateBreakUpSuggestions :255): for each query term NOT in the
+    index (SUGGEST_WHEN_NOT_IN_INDEX :110), try every codepoint split
+    position >= minBreakWordLength (=1); a (left, right) pair is a
+    suggestion when both halves have df >= minSuggestionFrequency (=1);
+    ranked NUM_CHANGES_THEN_MAX_FREQUENCY (:100 — one change here, so
+    by max(df) desc). Plan shape: the splits relation is a tiny literal
+    table (O(sum of word lengths) rows, built at plan time exactly like
+    the reference enumerates splits per term); both dictionary probes
+    are `isin` filters on the term-stats table — pushed to the parquet
+    scan — followed by broadcast joins of the tiny splits side. No
+    full-dictionary scan, no shuffle beyond the two stats lookups."""
+    se = _searcher(spark, sf_dir)
+    rows = []
+    for w in _WB_WORDS:
+        for i in range(1, len(w)):
+            rows.append((w, i, w[:i], w[i:]))
+    splits = spark.createDataFrame(
+        rows, "word string, pos int, left_term string, right_term string")
+    parts = sorted({r[2] for r in rows} | {r[3] for r in rows})
+    ts = se.ix.term_stats.filter(F.col("term").isin(parts)).select(
+        "term", F.col("df").cast("long").alias("df"))
+    not_indexed = (spark.createDataFrame([(w,) for w in _WB_WORDS],
+                                         "word string")
+                   .join(se.ix.term_stats.select(F.col("term")
+                                                 .alias("word")),
+                         "word", "left_anti"))
+    return (F.broadcast(splits)
+            .join(F.broadcast(not_indexed), "word")
+            .join(ts.withColumnRenamed("term", "left_term")
+                    .withColumnRenamed("df", "left_df"), "left_term")
+            .join(ts.withColumnRenamed("term", "right_term")
+                    .withColumnRenamed("df", "right_df"), "right_term")
+            .select("word", "pos", "left_term", "right_term",
+                    "left_df", "right_df"))
+
+
+def _q_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester.lookup (lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java
+    :555-614): every query token but the last is an exact TermQuery,
+    the unfinished last token a PrefixQuery (getLastTokenQuery :481),
+    all MUST (allTermsRequired), results ordered by suggestion weight
+    (:97 sort-by-weight contract). Suggestion set = the documents
+    table, weight = the n_chars docvalue. Key 'the val' -> MUST
+    term:the AND prefix val*."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Bool(must=(Term("the"),), filter=(Prefix("val"),)))
+    return (se.ix.source.join(m, "docid")
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("doc_id")).limit(10))
+
+
+def _q_func_scale(spark, sf_dir):
+    """ScaleFloatFunction (lucene/queries/src/java/org/apache/lucene/
+    queries/function/valuesource/ScaleFloatFunction.java:37): scale(v,
+    0, 1) maps a per-doc value into [0,1] using the GLOBAL min/max of
+    the source — the reference walks every doc's value in createScale;
+    ours is one global aggregate broadcast into the projection (two
+    passes, no driver collect, no shuffle beyond the 1-row agg).
+    FunctionQuery score = scaled n_chars over docs matching a filter
+    term."""
+    se = _searcher(spark, sf_dir)
+    mm = se.ix.source.agg(F.min("n_chars").alias("mn"),
+                          F.max("n_chars").alias("mx"))
+    m = se.matching(Term("vector"))
+    return (se.ix.source.join(m, "docid")
+            .crossJoin(F.broadcast(mm))
+            .select(F.col("docid").alias("doc_id"),
+                    F.round((F.col("n_chars") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
 _DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
@@ -2067,6 +2170,9 @@ WINDOW_ORDER = [
     "q_payload", "q_syn_graph",
     # intervals module + eval-set decontamination
     "q_interval_ordered", "t_contamination",
+    # round-2h surfaces: SimpleQueryParser state machine, WordBreak
+    # spellchecker, infix suggester, ScaleFloatFunction
+    "p_simple", "q_spell_wordbreak", "q_suggest_infix", "q_func_scale",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2145,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mk_parsed(name)
     for name in SURROUND_SPECS:
         out[name] = _mk_surround(name)
+    for name in SIMPLE_SPECS:
+        out[name] = _mk_simple(name)
     for name in EDISMAX_SPECS:
         out[name] = _mk_edismax(name)
     for name in SIM_SPECS:
@@ -2165,6 +2273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_scored": _q_join_scored,
         "q_graph": _q_graph,
         "q_suggest_edge": _q_suggest_edge,
+        "q_spell_wordbreak": _q_spell_wordbreak,
+        "q_suggest_infix": _q_suggest_infix,
+        "q_func_scale": _q_func_scale,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -2273,6 +2384,9 @@ def oracle_sql() -> dict[str, str]:
     from lucene_solr_spark.search.surround import parse_surround
     for name, qtext in SURROUND_SPECS.items():
         out[name] = ob.topk_sql(parse_surround(qtext), 10)
+    from lucene_solr_spark.search.simple_parser import parse_simple
+    for name, qtext in SIMPLE_SPECS.items():
+        out[name] = ob.topk_sql(parse_simple(qtext), 10)
     for name, east in EDISMAX_SPECS.items():
         out[name] = ob.topk_sql(east, 10)
     for name, (ast, k, simname) in SIM_SPECS.items():
@@ -2565,6 +2679,41 @@ WITH {ctes}
 SELECT term, CAST(ttf AS BIGINT) AS weight FROM ts
 WHERE term LIKE 's%'
 ORDER BY weight DESC, term ASC LIMIT 10"""
+
+    _wb_vals = ", ".join(f"('{w}')" for w in _WB_WORDS)
+    out["q_spell_wordbreak"] = f"""
+WITH {ctes},
+words(word) AS (VALUES {_wb_vals}),
+nw AS (SELECT word FROM words
+       WHERE word NOT IN (SELECT term FROM ts)),
+idx AS (SELECT unnest(generate_series(1, {max(len(w) for w in _WB_WORDS) - 1}))
+               AS i),
+splits AS (SELECT nw.word, CAST(idx.i AS INT) AS pos,
+                  substr(nw.word, 1, CAST(idx.i AS INT)) AS left_term,
+                  substr(nw.word, CAST(idx.i AS INT) + 1) AS right_term
+           FROM nw, idx WHERE idx.i <= length(nw.word) - 1)
+SELECT s.word, s.pos, s.left_term, s.right_term,
+       CAST(l.df AS BIGINT) AS left_df, CAST(r.df AS BIGINT) AS right_df
+FROM splits s
+JOIN ts l ON l.term = s.left_term
+JOIN ts r ON r.term = s.right_term"""
+
+    out["q_suggest_infix"] = f"""
+WITH {ctes}
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS weight
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'the')
+  AND d.doc_id IN (SELECT docid FROM postings WHERE term LIKE 'val%')
+ORDER BY weight DESC, d.doc_id ASC LIMIT 10"""
+
+    out["q_func_scale"] = f"""
+WITH {ctes},
+mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents)
+SELECT d.doc_id,
+       ROUND((d.n_chars - mm.mn) * 1.0 / (mm.mx - mm.mn), 6) AS score
+FROM documents d, mm
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'vector')
+ORDER BY score DESC, d.doc_id ASC LIMIT 10"""
 
     out["q_terms_enum"] = f"""
 WITH {ctes}
