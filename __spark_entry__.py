@@ -982,6 +982,104 @@ def _q_func_scale(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+def _q_mlt_terms(spark, sf_dir):
+    """MoreLikeThis.retrieveInterestingTerms (lucene/queries/src/java/
+    org/apache/lucene/queries/mlt/MoreLikeThis.java:841; surfaced by
+    Solr as mlt.interestingTerms=details): the ranked tf*idf term list
+    itself — the explanation output of the q_mlt pipeline — with the
+    blended weight exposed. Same in-plan stats as q_mlt (no driver
+    round-trip)."""
+    from lucene_solr_spark.search.bm25 import idf_sql
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    weight = f"tf * {idf_sql('df', str(ix.doc_count))}"
+    return (ix.postings.filter(F.col("docid") == _MLT_DOC)
+            .join(ix.term_stats.select("term", "df"), "term")
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.round(F.expr(weight), 6).alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(_MLT_TERMS))
+
+
+_FPFX_TERM = "join"   # base query
+_FPFX = "s"           # facet.prefix
+
+
+def _q_facet_prefix(spark, sf_dir):
+    """Solr facet.prefix (solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java getTermCounts: prefix-bounded term enumeration):
+    term facet over the text field restricted to terms starting with
+    the prefix, counted over the base query's matching docs,
+    facet.sort=count (count DESC, term ASC), facet.limit=10. The
+    prefix bounds the dictionary enumeration exactly like the
+    reference seeks the term enum to the prefix."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FPFX_TERM))
+    return (se.ix.postings.filter(F.col("term").startswith(_FPFX))
+            .join(m, "docid")
+            .groupBy("term").agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term")).limit(10))
+
+
+_BOOST_MULT_SAT = 200.0
+
+
+def _q_boost_mult(spark, sf_dir):
+    """BoostedQuery / Solr {!boost b=f} (lucene/queries/src/java/org/
+    apache/lucene/queries/function/BoostedQuery.java:38: score =
+    subQuery.score * valueSource(doc)) — the MULTIPLICATIVE function
+    boost, vs the additive bf= of q_boost_recency/q_feature_sat.
+    b = sat(n_chars) = n_chars/(n_chars+200)."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("merge"))
+    feat = se.ix.source.select(
+        "docid", (F.col("n_chars")
+                  / (F.col("n_chars") + F.lit(_BOOST_MULT_SAT)))
+        .alias("b"))
+    return (sc.join(feat, "docid")
+            .select("docid",
+                    F.round(F.col("score") * F.col("b"), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+_COLLATE_Q = ("mereg", "tabel")  # misspellings of (merge, table)
+
+
+def _q_spellcheck_collate(spark, sf_dir):
+    """Solr spellcheck collation (solr/core/src/java/org/apache/solr/
+    spelling/SpellCheckCollator.java:49 collate): take the best
+    correction per misspelled query word (DirectSpellChecker rank:
+    distance ASC, df DESC, term ASC), substitute them into the query,
+    and report the collation's verified hit count (the collator re-runs
+    the rewritten query — spellcheck.collateExtendedResults). All
+    in-plan: each best-correction is a 1-row relation, the collation
+    hit count an intersection count, combined by 1-row cross joins."""
+    se = _searcher(spark, sf_dir)
+    ts = se.ix.term_stats
+
+    def best(qw, alias):
+        d = _spell_dist_sql(qw)
+        return (ts.filter(F.col("term").startswith(qw[0])
+                          & (F.col("term") != qw))
+                .select("term", F.expr(f"CAST({d} AS INT)").alias("dist"),
+                        "df")
+                .filter(F.col("dist") <= 2)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(1).select(F.col("term").alias(alias)))
+
+    c1, c2 = best(_COLLATE_Q[0], "correction1"), best(_COLLATE_Q[1],
+                                                      "correction2")
+    p = se.ix.postings.select("term", "docid")
+    d1 = p.join(F.broadcast(c1), p.term == F.col("correction1")) \
+          .select("docid")
+    d2 = p.join(F.broadcast(c2), p.term == F.col("correction2")) \
+          .select("docid")
+    hits = (d1.join(d2, "docid", "left_semi")
+            .agg(F.count("*").cast("long").alias("hits")))
+    return c1.crossJoin(c2).crossJoin(hits)
+
+
 _DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
 _DM_HI = "2024-01-03T07:40:12Z/DAY+1DAY-30MINUTES"
 
@@ -2171,8 +2269,12 @@ WINDOW_ORDER = [
     # intervals module + eval-set decontamination
     "q_interval_ordered", "t_contamination",
     # round-2h surfaces: SimpleQueryParser state machine, WordBreak
-    # spellchecker, infix suggester, ScaleFloatFunction
+    # spellchecker, infix suggester, ScaleFloatFunction, MLT
+    # interesting terms, facet.prefix, multiplicative {!boost},
+    # spellcheck collation
     "p_simple", "q_spell_wordbreak", "q_suggest_infix", "q_func_scale",
+    "q_mlt_terms", "q_facet_prefix", "q_boost_mult",
+    "q_spellcheck_collate",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2276,6 +2378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spell_wordbreak": _q_spell_wordbreak,
         "q_suggest_infix": _q_suggest_infix,
         "q_func_scale": _q_func_scale,
+        "q_mlt_terms": _q_mlt_terms,
+        "q_facet_prefix": _q_facet_prefix,
+        "q_boost_mult": _q_boost_mult,
+        "q_spellcheck_collate": _q_spellcheck_collate,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -2714,6 +2820,54 @@ SELECT d.doc_id,
 FROM documents d, mm
 WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'vector')
 ORDER BY score DESC, d.doc_id ASC LIMIT 10"""
+
+    _mlt_idf_w = _idf("ts.df", "(SELECT n FROM st)")
+    out["q_mlt_terms"] = f"""
+WITH {ctes}
+SELECT p.term, CAST(ts.df AS BIGINT) AS df,
+       ROUND(p.tf * ({_mlt_idf_w}), 6) AS weight
+FROM postings p JOIN ts ON ts.term = p.term
+WHERE p.docid = {_MLT_DOC}
+ORDER BY weight DESC, p.term ASC LIMIT {_MLT_TERMS}"""
+
+    out["q_facet_prefix"] = f"""
+WITH {ctes}
+SELECT p.term, CAST(COUNT(*) AS BIGINT) AS n
+FROM postings p
+WHERE p.term LIKE '{_FPFX}%'
+  AND p.docid IN (SELECT docid FROM postings
+                  WHERE term = '{_FPFX_TERM}')
+GROUP BY p.term
+ORDER BY n DESC, p.term ASC LIMIT 10"""
+
+    out["q_boost_mult"] = f"""
+WITH {ctes},
+bsc AS (SELECT docid, score FROM ({ob.scored(Term("merge"))}) s)
+SELECT b.docid AS doc_id,
+       ROUND(b.score * (d.n_chars
+             / (d.n_chars + {_BOOST_MULT_SAT!r})), 6) AS score
+FROM bsc b JOIN documents d ON d.doc_id = b.docid
+ORDER BY score DESC, b.docid ASC LIMIT 10"""
+
+    _cd1 = _spell_dist_sql(_COLLATE_Q[0])
+    _cd2 = _spell_dist_sql(_COLLATE_Q[1])
+    out["q_spellcheck_collate"] = f"""
+WITH {ctes},
+c1 AS (SELECT term AS correction1 FROM ts
+       WHERE term LIKE '{_COLLATE_Q[0][0]}%' AND term != '{_COLLATE_Q[0]}'
+         AND {_cd1} <= 2
+       ORDER BY {_cd1} ASC, df DESC, term ASC LIMIT 1),
+c2 AS (SELECT term AS correction2 FROM ts
+       WHERE term LIKE '{_COLLATE_Q[1][0]}%' AND term != '{_COLLATE_Q[1]}'
+         AND {_cd2} <= 2
+       ORDER BY {_cd2} ASC, df DESC, term ASC LIMIT 1),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM (
+        SELECT docid FROM postings
+        WHERE term = (SELECT correction1 FROM c1)
+        INTERSECT
+        SELECT docid FROM postings
+        WHERE term = (SELECT correction2 FROM c2)) i)
+SELECT c1.correction1, c2.correction2, h.hits FROM c1, c2, h"""
 
     out["q_terms_enum"] = f"""
 WITH {ctes}
