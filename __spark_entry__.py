@@ -1080,6 +1080,51 @@ def _q_spellcheck_collate(spark, sf_dir):
     return c1.crossJoin(c2).crossJoin(hits)
 
 
+def _q_shingle(spark, sf_dir):
+    """ShingleFilter word bigrams (lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/shingle/ShingleFilter.java:45: min=max=2,
+    separator ' '): the index-time shingle vocabulary ranked by df —
+    what a shingle field's term dictionary would contain. Built the way
+    the reference builds it: ONE scan over the token stream, adjacent
+    tokens zipped in-plan (no join, no Python) — at 10^12 docs this is
+    scan-speed + one count aggregate. (The DuckDB oracle derives the
+    same bigrams from position adjacency, the equivalence that makes
+    shingle fields consistent with phrase queries.)"""
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select(F.col("doc_id"),
+                     simple_tokens_col("text").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+            "(x, i) -> concat(x, ' ', t[i + 1]))")).alias("shingle"))
+    return (bi.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").cast("long").alias("df"),
+                 F.count("*").cast("long").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("shingle")).limit(10))
+
+
+_SHUF_SEED = "r2seed"
+
+
+def _t_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: the canonical
+    pre-training step of ordering a corpus by a seeded content hash so
+    every re-run (and every resume) sees the identical permutation.
+    rank key = md5(seed || doc_id); the plan is a range-partitioned
+    sort on the hash — Spark's sort is the scalable distributed
+    shuffle (sampled range boundaries, no single-node sort), and the
+    key is data-derived so adding executors never changes the order.
+    Returns the head of the permutation."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (df.select("doc_id",
+                      F.md5(F.concat(F.lit(_SHUF_SEED),
+                                     F.col("doc_id").cast("string")))
+                      .alias("hk"))
+            .orderBy(F.asc("hk"), F.asc("doc_id")).limit(10))
+
+
 _DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
 _DM_HI = "2024-01-03T07:40:12Z/DAY+1DAY-30MINUTES"
 
@@ -2274,7 +2319,7 @@ WINDOW_ORDER = [
     # spellcheck collation
     "p_simple", "q_spell_wordbreak", "q_suggest_infix", "q_func_scale",
     "q_mlt_terms", "q_facet_prefix", "q_boost_mult",
-    "q_spellcheck_collate",
+    "q_spellcheck_collate", "q_shingle", "t_shuffle",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2382,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_prefix": _q_facet_prefix,
         "q_boost_mult": _q_boost_mult,
         "q_spellcheck_collate": _q_spellcheck_collate,
+        "q_shingle": _q_shingle,
+        "t_shuffle": _t_shuffle,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -2868,6 +2915,20 @@ h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM (
         SELECT docid FROM postings
         WHERE term = (SELECT correction2 FROM c2)) i)
 SELECT c1.correction1, c2.correction2, h.hits FROM c1, c2, h"""
+
+    out["q_shingle"] = f"""
+WITH {ctes}
+SELECT a.term || ' ' || b.term AS shingle,
+       CAST(COUNT(DISTINCT a.docid) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS ttf
+FROM px a JOIN px b ON b.docid = a.docid AND b.pos = a.pos + 1
+GROUP BY 1
+ORDER BY df DESC, shingle ASC LIMIT 10"""
+
+    out["t_shuffle"] = f"""
+SELECT doc_id, md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)) AS hk
+FROM documents
+ORDER BY hk ASC, doc_id ASC LIMIT 10"""
 
     out["q_terms_enum"] = f"""
 WITH {ctes}
