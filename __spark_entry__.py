@@ -1125,6 +1125,82 @@ def _t_shuffle(spark, sf_dir):
             .orderBy(F.asc("hk"), F.asc("doc_id")).limit(10))
 
 
+_GB_LAT_LO, _GB_LAT_HI = -30.0, 45.0
+_GB_LON_LO, _GB_LON_HI = -60.0, 90.0
+
+
+def _q_geo_box(spark, sf_dir):
+    """LatLonPoint.newBoxQuery (core/document/LatLonPoint.java:252) /
+    Solr bbox filter: docs whose point lies in a lat/lon rectangle.
+    Pure conjunctive range predicate — exactly the BKD 2-D box visit —
+    so both bounds push down to parquet min/max pruning (the 1-D
+    projection of the k-d split); whole-stage codegen, no Python."""
+    d = _documents(spark, sf_dir).alias("d")
+    return (d.select(F.col("doc_id"),
+                     F.expr(f"CAST(ROUND({_GEO_LAT}, 6) AS DOUBLE)")
+                     .alias("lat"),
+                     F.expr(f"CAST(ROUND({_GEO_LON}, 6) AS DOUBLE)")
+                     .alias("lon"))
+            .filter((F.col("lat") >= _GB_LAT_LO)
+                    & (F.col("lat") <= _GB_LAT_HI)
+                    & (F.col("lon") >= _GB_LON_LO)
+                    & (F.col("lon") <= _GB_LON_HI))
+            .orderBy(F.asc("doc_id")).limit(15))
+
+
+_GF_TERM = "dup"
+
+
+def _q_group_facet(spark, sf_dir):
+    """Solr group.facet=true (solr/core/src/java/org/apache/solr/
+    request/SimpleFacets.java getGroupedCounts): facet counts where
+    each GROUP contributes at most once per facet value — count =
+    COUNT(DISTINCT group) per facet value over the matching docs,
+    instead of doc counts. Grouping field = lang, facet field =
+    source. One shuffle (the distinct-agg), same as the reference's
+    per-group ordinal dedup."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_GF_TERM))
+    return (se.ix.source.join(m, "docid")
+            .groupBy("source")
+            .agg(F.countDistinct("lang").cast("long").alias("n_groups"))
+            .orderBy(F.desc("n_groups"), F.asc("source")).limit(10))
+
+
+_CHUNK_N, _CHUNK_OVERLAP = 40, 8  # tokens per chunk / overlap
+
+
+def _t_chunk(spark, sf_dir):
+    """Fixed-size token chunking with overlap — the standard
+    context-window preparation op (chunk k covers tokens
+    [k*(N-O), k*(N-O)+N)): emitted in-plan from the token count via
+    sequence()+explode, scan-speed, no Python and no shuffle (the
+    chunk relation is a flat projection of the documents scan).
+    Returns per-chunk (doc_id, chunk_idx, start_tok, n_toks) for the
+    first docs; the full relation is what a tokenize-and-pack
+    pipeline materializes at 100 TB."""
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    step = _CHUNK_N - _CHUNK_OVERLAP
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = df.select("doc_id", F.size(simple_tokens_col("text"))
+                     .alias("dl"))
+    nch = (F.when(F.col("dl") <= _CHUNK_N, F.lit(1))
+           .otherwise(F.ceil((F.col("dl") - F.lit(_CHUNK_OVERLAP))
+                             / F.lit(step)).cast("int")))
+    return (toks.select("doc_id", "dl", nch.alias("n_chunks"))
+            .select("doc_id", "dl",
+                    F.posexplode(F.expr("sequence(1, n_chunks)"))
+                    .alias("chunk_idx", "_one"))
+            .select("doc_id", "chunk_idx",
+                    (F.col("chunk_idx") * step).cast("long")
+                    .alias("start_tok"),
+                    F.least(F.lit(_CHUNK_N),
+                            F.col("dl") - F.col("chunk_idx") * step)
+                    .cast("long").alias("n_toks"))
+            .filter(F.col("doc_id") < 40)
+            .orderBy("doc_id", "chunk_idx"))
+
+
 _DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
 _DM_HI = "2024-01-03T07:40:12Z/DAY+1DAY-30MINUTES"
 
@@ -2320,6 +2396,7 @@ WINDOW_ORDER = [
     "p_simple", "q_spell_wordbreak", "q_suggest_infix", "q_func_scale",
     "q_mlt_terms", "q_facet_prefix", "q_boost_mult",
     "q_spellcheck_collate", "q_shingle", "t_shuffle",
+    "q_geo_box", "q_group_facet", "t_chunk",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2429,6 +2506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spellcheck_collate": _q_spellcheck_collate,
         "q_shingle": _q_shingle,
         "t_shuffle": _t_shuffle,
+        "q_geo_box": _q_geo_box,
+        "q_group_facet": _q_group_facet,
+        "t_chunk": _t_chunk,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -2929,6 +3009,39 @@ ORDER BY df DESC, shingle ASC LIMIT 10"""
 SELECT doc_id, md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)) AS hk
 FROM documents
 ORDER BY hk ASC, doc_id ASC LIMIT 10"""
+
+    _gb_lat = _GEO_LAT.replace("d.doc_id", "doc_id")
+    _gb_lon = _GEO_LON.replace("d.doc_id", "doc_id")
+    out["q_geo_box"] = f"""
+SELECT doc_id, ROUND({_gb_lat}, 6) AS lat, ROUND({_gb_lon}, 6) AS lon
+FROM documents
+WHERE ROUND({_gb_lat}, 6) BETWEEN {_GB_LAT_LO} AND {_GB_LAT_HI}
+  AND ROUND({_gb_lon}, 6) BETWEEN {_GB_LON_LO} AND {_GB_LON_HI}
+ORDER BY doc_id ASC LIMIT 15"""
+
+    out["q_group_facet"] = f"""
+WITH {ctes}
+SELECT d.source, CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_groups
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_GF_TERM}')
+GROUP BY d.source
+ORDER BY n_groups DESC, d.source ASC LIMIT 10"""
+
+    _ch_step = _CHUNK_N - _CHUNK_OVERLAP
+    out["t_chunk"] = f"""
+WITH {ctes},
+cd AS (SELECT docid, dl,
+              CASE WHEN dl <= {_CHUNK_N} THEN 1
+                   ELSE CAST(CEIL((dl - {_CHUNK_OVERLAP})
+                             / {_ch_step}.0) AS INT) END AS n_chunks
+       FROM docs WHERE docid < 40),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i)
+SELECT cd.docid AS doc_id, CAST(idx.i AS INT) AS chunk_idx,
+       CAST(idx.i * {_ch_step} AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK_N}, cd.dl - idx.i * {_ch_step}) AS BIGINT)
+           AS n_toks
+FROM cd, idx WHERE idx.i < cd.n_chunks
+ORDER BY doc_id, chunk_idx"""
 
     out["q_terms_enum"] = f"""
 WITH {ctes}
