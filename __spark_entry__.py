@@ -1201,6 +1201,83 @@ def _t_chunk(spark, sf_dir):
             .orderBy("doc_id", "chunk_idx"))
 
 
+# shared Spark/DuckDB SQL for per-vector symmetric int8 quantization;
+# FLOOR(x + 0.5) instead of ROUND so both engines share one rounding
+# definition
+_VQ_AMAX = ("list_max(list_transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE))))")
+_VQ_AMAX_SPARK = ("array_max(transform(embedding, "
+                  "x -> abs(CAST(x AS DOUBLE))))")
+
+
+def _q_vq_err(amax: str, fn_max: str, fn_tr: str) -> str:
+    s = f"({amax} / 127.0)"
+    return (f"{fn_max}({fn_tr}(embedding, x -> "
+            f"abs(CAST(x AS DOUBLE) "
+            f"- FLOOR(CAST(x AS DOUBLE) / {s} + 0.5) * {s})))")
+
+
+def _v_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 scalar quantization — the standard
+    4x embedding-store compression at 100 TB (Lucene's own vector
+    path: Lucene99ScalarQuantizedVectorsFormat semantics — scale to
+    int range, store bytes + one scale per vector): scale =
+    max|x|/127, q_i = round(x_i/scale), reported with the max absolute
+    reconstruction error per vector. Whole-stage codegen over array
+    lambdas, scan-speed, no Python, no shuffle — the quantized
+    relation is a flat projection of the embeddings scan."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    err = _q_vq_err(_VQ_AMAX_SPARK, "array_max", "transform")
+    return (emb.filter(F.col("vec_id") < 10)
+            .select("vec_id",
+                    F.round(F.expr(f"{_VQ_AMAX_SPARK} / 127.0"), 6)
+                    .alias("scale"),
+                    F.round(F.expr(err), 6).alias("max_err"))
+            .orderBy("vec_id"))
+
+
+def _t_mix_weights(spark, sf_dir):
+    """Training-mixture weights: per-domain (source) document and
+    token counts and each domain's share of corpus tokens — the input
+    to any data-mixing / up-sampling decision over a 100 TB corpus.
+    One scan + one groupBy; the corpus total attaches as a 1-row
+    broadcast (no second shuffle)."""
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = (df.select("source",
+                     F.size(simple_tokens_col("text")).alias("dl"))
+           .groupBy("source")
+           .agg(F.count("*").cast("long").alias("docs"),
+                F.sum("dl").cast("long").alias("tokens")))
+    tot = per.agg(F.sum("tokens").cast("double").alias("total"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "docs", "tokens",
+                    F.round(F.col("tokens") / F.col("total"), 6)
+                    .alias("share"))
+            .orderBy(F.desc("tokens"), F.asc("source")))
+
+
+_LUKE_FIELDS = ("lang", "source")
+
+
+def _q_luke(spark, sf_dir):
+    """Solr LukeRequestHandler field report (solr/core/src/java/org/
+    apache/solr/handler/admin/LukeRequestHandler.java: per-field docs
+    + distinct terms): for each keyword field, the non-null doc count
+    and distinct value count. One scan, one aggregate row per field,
+    unioned."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = [df.agg(F.lit(f).alias("field"),
+                    F.count(F.col(f)).cast("long").alias("docs"),
+                    F.countDistinct(F.col(f)).cast("long")
+                    .alias("distinct_values"))
+             for f in _LUKE_FIELDS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("field")
+
+
 _DM_LO = "2024-01-03T07:40:12Z/DAY+6HOUR"
 _DM_HI = "2024-01-03T07:40:12Z/DAY+1DAY-30MINUTES"
 
@@ -2397,6 +2474,7 @@ WINDOW_ORDER = [
     "q_mlt_terms", "q_facet_prefix", "q_boost_mult",
     "q_spellcheck_collate", "q_shingle", "t_shuffle",
     "q_geo_box", "q_group_facet", "t_chunk",
+    "v_quantize", "t_mix_weights", "q_luke",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2509,6 +2587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_box": _q_geo_box,
         "q_group_facet": _q_group_facet,
         "t_chunk": _t_chunk,
+        "v_quantize": _v_quantize,
+        "t_mix_weights": _t_mix_weights,
+        "q_luke": _q_luke,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -3042,6 +3123,32 @@ SELECT cd.docid AS doc_id, CAST(idx.i AS INT) AS chunk_idx,
            AS n_toks
 FROM cd, idx WHERE idx.i < cd.n_chunks
 ORDER BY doc_id, chunk_idx"""
+
+    _vq_err = _q_vq_err(_VQ_AMAX, "list_max", "list_transform")
+    out["v_quantize"] = f"""
+SELECT vec_id, ROUND({_VQ_AMAX} / 127.0, 6) AS scale,
+       ROUND({_vq_err}, 6) AS max_err
+FROM embeddings WHERE vec_id < 10
+ORDER BY vec_id"""
+
+    out["t_mix_weights"] = f"""
+WITH {ctes},
+per AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(dc.dl) AS BIGINT) AS tokens
+        FROM documents d JOIN docs dc ON dc.docid = d.doc_id
+        GROUP BY d.source),
+tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total FROM per)
+SELECT per.source, per.docs, per.tokens,
+       ROUND(per.tokens / tot.total, 6) AS share
+FROM per, tot
+ORDER BY tokens DESC, source ASC"""
+
+    _luke_rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, CAST(COUNT({f}) AS BIGINT) AS docs, "
+        f"CAST(COUNT(DISTINCT {f}) AS BIGINT) AS distinct_values "
+        f"FROM documents" for f in _LUKE_FIELDS)
+    out["q_luke"] = f"""
+SELECT * FROM ({_luke_rows}) ORDER BY field"""
 
     out["q_terms_enum"] = f"""
 WITH {ctes}
