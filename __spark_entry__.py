@@ -238,6 +238,11 @@ WAND_SPECS = (
     # round-2e: pattern-slot phrase routed through the kernel's
     # multiphrase freq after dictionary expansion
     "q_phrase_wildcard",
+    # round-2h: remaining multi-term families through the kernel's
+    # driver-side expansion / predicate-fallback path (wildcard,
+    # lexicographic range, IN-set, Damerau fuzzy, anchored regexp)
+    "q_wildcard", "q_term_range", "q_term_inset", "q_fuzzy",
+    "q_regexp",
 )
 
 
