@@ -2446,7 +2446,7 @@ WINDOW_ORDER = [
     "q_diversified", "q_covering",
     # round-2g surfaces: keyset deep paging, static-feature scoring,
     # facet.query
-    "q_cursor_mark", "q_feature_sat", "q_facet_query",
+    "p_simple", "q_feature_sat", "q_spell_wordbreak",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_regexp", "p_classic_wild",
@@ -2471,11 +2471,17 @@ WINDOW_ORDER = [
     "q_payload", "q_syn_graph",
     # intervals module + eval-set decontamination
     "q_interval_ordered", "t_contamination",
-    # round-2h surfaces: SimpleQueryParser state machine, WordBreak
-    # spellchecker, infix suggester, ScaleFloatFunction, MLT
-    # interesting terms, facet.prefix, multiplicative {!boost},
-    # spellcheck collation
-    "p_simple", "q_spell_wordbreak", "q_suggest_infix", "q_func_scale",
+    # round-2h surfaces past the 50-entry driver window (driver
+    # evidence: the committed three-scale verify_contract records;
+    # p_simple + q_spell_wordbreak rotated INTO the window above as
+    # the strongest new machinery — a whole parser state machine and a
+    # new suggest algorithm; q_cursor_mark and q_facet_query yielded
+    # their slots: keyset paging reuses the scored-ranking machinery
+    # pinned by r1-green q_search_after + in-window q_sort_by_field,
+    # and facet.query's matching+count path is pinned by every facet
+    # row)
+    "q_cursor_mark", "q_facet_query",
+    "q_suggest_infix", "q_func_scale",
     "q_mlt_terms", "q_facet_prefix", "q_boost_mult",
     "q_spellcheck_collate", "q_shingle", "t_shuffle",
     "q_geo_box", "q_group_facet", "t_chunk",
