@@ -348,9 +348,16 @@ class Searcher:
         passed the docid intersection (TwoPhaseIterator shape)."""
         import pandas as pd
 
-        from .sloppy import sloppy_freq_f64, sloppy_match_lengths
+        from .sloppy import (
+            chain_freqs_2_vec, sloppy_freq_f64, sloppy_match_lengths,
+        )
 
         def f(*cols):
+            if len(cols) == 2:
+                # 2-term hot path: lockstep-vectorized chain (exact
+                # same rational freq; property-tested vs the matcher)
+                return pd.Series(chain_freqs_2_vec(
+                    list(cols[0]), list(cols[1]), slop))
             out = []
             for row in zip(*cols):
                 mls = sloppy_match_lengths(list(row), slop)

@@ -323,13 +323,26 @@ def _sloppy_phrase_freq(tds: list, terms: list, slop: int,
     double accumulation in double mode, chain-order float32 in f32
     parity mode (PhraseScorer.java:76-78)."""
     from .sloppy import (
-        sloppy_freq_f32, sloppy_freq_f64, sloppy_match_lengths,
+        chain_freqs_2_vec, sloppy_freq_f32, sloppy_freq_f64,
+        sloppy_match_lengths,
     )
     views = [tds[t].all_positions() for t in terms]
     common = _common_docs(views)
     if common.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     idxs = [np.searchsorted(v[0], common) for v in views]
+    if len(terms) == 2 and not f32:
+        # 2-term double-mode hot path: lockstep-vectorized chain
+        # (identical rational freq; property-tested vs the matcher)
+        pls_a, pls_b = [], []
+        for j in range(common.size):
+            for v, ix, dst in ((views[0], idxs[0], pls_a),
+                               (views[1], idxs[1], pls_b)):
+                i = ix[j]
+                dst.append(v[3][v[2][i]:v[2][i + 1]])
+        fr = chain_freqs_2_vec(pls_a, pls_b, slop)
+        keep = fr > 0.0
+        return (common[keep].astype(np.int64), fr[keep])
     out_d, out_f = [], []
     for j in range(common.size):
         pls = []

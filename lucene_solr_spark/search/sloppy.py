@@ -154,3 +154,98 @@ def sloppy_freq_f32(match_lengths: list) -> np.float32:
         acc = np.float32(acc + np.float32(1.0)
                          / (np.float32(1.0) + np.float32(m)))
     return acc
+
+
+def chain_freqs_2_vec(a_lists: list, b_lists: list, slop: int) -> np.ndarray:
+    """Vectorized ``chain_match_lengths_2`` + ``sloppy_freq_f64`` over a
+    BATCH of documents — the hot path for two-term sloppy phrases.
+
+    ``a_lists[d]`` / ``b_lists[d]`` are the sorted raw positions of the
+    two phrase terms in document d. Returns a float64 freq per doc
+    (0.0 when either list is empty or no match is within ``slop``).
+
+    The per-doc chain walk (targets alternate lists; each step emits
+    ``t - pred_other(t)``) is run in LOCKSTEP across all docs: the
+    pred/succ links are precomputed with two global ``searchsorted``
+    calls on doc-offset flat keys (the same flat-key trick as the
+    packed phrase kernel), so each chain step is a pure vectorized
+    gather. Exact-rational accumulation is order-independent, so
+    per-match-length counts reproduce ``sloppy_freq_f64`` bit-exactly
+    (property-tested against the scalar chain and the general
+    matcher)."""
+    n = len(a_lists)
+    d_w = freq_denominator(slop)
+    freqs = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return freqs
+    len_a = np.fromiter((len(x) for x in a_lists), np.int64, n)
+    len_b = np.fromiter((len(x) for x in b_lists), np.int64, n)
+    live = (len_a > 0) & (len_b > 0)
+    if not live.any():
+        return freqs
+    a_val = (np.concatenate([np.asarray(a_lists[i], dtype=np.int64)
+                             for i in range(n) if live[i]])
+             if live.any() else np.empty(0, np.int64))
+    b_val = np.concatenate([np.asarray(b_lists[i], dtype=np.int64) - 1
+                            for i in range(n) if live[i]])
+    la, lb = len_a[live], len_b[live]
+    m = int(live.sum())
+    offs_a = np.concatenate(([0], np.cumsum(la)[:-1]))
+    offs_b = np.concatenate(([0], np.cumsum(lb)[:-1]))
+    a_doc = np.repeat(np.arange(m), la)
+    b_doc = np.repeat(np.arange(m), lb)
+    # doc-offset flat keys (values shifted so the -1 adjustment stays
+    # nonnegative); both flat arrays are globally sorted by key
+    big = np.int64(max(int(a_val.max(initial=0)),
+                       int(b_val.max(initial=0))) + 3)
+    ka = a_doc * big + (a_val + 2)
+    kb = b_doc * big + (b_val + 2)
+    # pred/succ links A<->B (side='right': pred includes equal values,
+    # matching the scalar chain's  y <= t)
+    r_ab = np.searchsorted(kb, ka, side="right")
+    pred_b_of_a = r_ab - 1          # valid by the chain invariant
+    succ_b_of_a = r_ab
+    succ_b_ok = (r_ab < kb.size)
+    np.logical_and(succ_b_ok, b_doc[np.minimum(r_ab, kb.size - 1)]
+                   == a_doc, out=succ_b_ok)
+    r_ba = np.searchsorted(ka, kb, side="right")
+    pred_a_of_b = r_ba - 1
+    succ_a_of_b = r_ba
+    succ_a_ok = (r_ba < ka.size)
+    np.logical_and(succ_a_ok, a_doc[np.minimum(r_ba, ka.size - 1)]
+                   == b_doc, out=succ_a_ok)
+
+    counts = np.zeros((m, slop + 1), dtype=np.int64)
+    # start: t = max(first a, first b adjusted); tie -> B (offset 1)
+    a0, b0 = a_val[offs_a], b_val[offs_b]
+    tag = np.where(a0 > b0, 0, 1).astype(np.int8)
+    cur = np.where(tag == 0, offs_a, offs_b)
+    active = np.ones(m, dtype=bool)
+    while active.any():
+        for t in (0, 1):
+            sel = active & (tag == t)
+            if not sel.any():
+                continue
+            i = cur[sel]
+            if t == 0:   # target in A; advancing/opposite list = B
+                ml = a_val[i] - b_val[pred_b_of_a[i]]
+                ok = ml <= slop
+                if ok.any():
+                    np.add.at(counts, (a_doc[i][ok], ml[ok]), 1)
+                nxt_ok = succ_b_of_a[i]
+                alive = succ_b_ok[i]
+            else:        # target in B; opposite list = A
+                ml = b_val[i] - a_val[pred_a_of_b[i]]
+                ok = ml <= slop
+                if ok.any():
+                    np.add.at(counts, (b_doc[i][ok], ml[ok]), 1)
+                nxt_ok = succ_a_of_b[i]
+                alive = succ_a_ok[i]
+            idx = np.flatnonzero(sel)
+            cur[idx] = np.where(alive, nxt_ok, cur[idx])
+            active[idx[~alive]] = False
+            tag[idx[alive]] = 1 - t
+    w = np.array([d_w // (1 + L) for L in range(slop + 1)],
+                 dtype=np.int64)
+    freqs[live] = (counts @ w) / float(d_w)
+    return freqs

@@ -96,3 +96,32 @@ def test_wordbreak_split_enumeration():
     assert [(a, b) for a, b in
             ((w[:i], w[i:]) for w in ["xyzzy"] for i in range(1, 5))
             if a in vocab and b in vocab] == []
+
+
+def test_chain_freqs_2_vec_matches_scalar_forms():
+    """Lockstep-vectorized 2-term chain == scalar chain == general
+    matcher (rational freq, bit-exact) over randomized batches."""
+    import random
+
+    from lucene_solr_spark.search.sloppy import (
+        chain_freqs_2_vec, chain_match_lengths_2, sloppy_freq_f64,
+        sloppy_match_lengths,
+    )
+    rng = random.Random(7)
+    for _ in range(120):
+        n = rng.randint(0, 30)
+        slop = rng.randint(0, 6)
+        a_lists = [sorted(rng.sample(range(60), rng.randint(0, 12)))
+                   for _ in range(n)]
+        b_lists = [sorted(rng.sample(range(60), rng.randint(0, 12)))
+                   for _ in range(n)]
+        vec = chain_freqs_2_vec(a_lists, b_lists, slop)
+        for d in range(n):
+            a, b = a_lists[d], b_lists[d]
+            if not a or not b:
+                assert vec[d] == 0.0
+                continue
+            exp = sloppy_freq_f64(chain_match_lengths_2(a, b, slop), slop)
+            exp2 = sloppy_freq_f64(sloppy_match_lengths([a, b], slop), slop)
+            assert vec[d] == exp
+            assert abs(exp - exp2) < 1e-12
