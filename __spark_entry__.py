@@ -2134,6 +2134,48 @@ def _q_span_first(spark, sf_dir):
             .orderBy("doc_id").limit(20))
 
 
+_SPR_TERM, _SPR_LO, _SPR_HI = "merge", 3, 12
+
+
+def _q_span_range(spark, sf_dir):
+    """SpanPositionRangeQuery (lucene/core/src/java/org/apache/lucene/
+    search/spans/SpanPositionRangeQuery.java:31: accept spans with
+    start >= start-bound and end <= end-bound): for term spans,
+    occurrences with position in [lo, hi-1]; doc matches if any
+    occurrence qualifies, reported with its qualifying occurrence
+    count. Codegen array filter over the positions column — no
+    explode, no Python."""
+    se = _searcher(spark, sf_dir)
+    nq = (f"size(filter(positions, p -> p >= {_SPR_LO} "
+          f"AND p + 1 <= {_SPR_HI}))")
+    return (se.ix.postings.filter(F.col("term") == _SPR_TERM)
+            .select(F.col("docid").alias("doc_id"),
+                    F.expr(nq).cast("long").alias("n_in_range"))
+            .filter(F.col("n_in_range") > 0)
+            .orderBy("doc_id").limit(20))
+
+
+_SM_TERM = "join"
+
+
+def _q_sort_missing(spark, sf_dir):
+    """Sort-by-field with missing-last (SortField.setMissingValue /
+    Solr sortMissingLast=true, core/search/SortField.java:35): docs
+    sorted by a NULLABLE docvalue with nulls ordered last, docid
+    tiebreak. The nullable value is derived (source only for 'web'
+    docs) since the fixture columns are non-null — the ordering
+    semantics are what the operator pins."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_SM_TERM))
+    v = F.when(F.expr("CAST(SUBSTRING(source, 4) AS INT) % 2 = 0"),
+               F.col("n_chars"))
+    return (se.ix.source.join(m, "docid")
+            .select(F.col("docid").alias("doc_id"),
+                    v.cast("long").alias("sort_val"))
+            .orderBy(F.asc_nulls_last("sort_val"), F.asc("doc_id"))
+            .limit(15))
+
+
 _FT_CONTEXT = "hash"
 
 
@@ -2486,6 +2528,7 @@ WINDOW_ORDER = [
     "q_spellcheck_collate", "q_shingle", "t_shuffle",
     "q_geo_box", "q_group_facet", "t_chunk",
     "v_quantize", "t_mix_weights", "q_luke",
+    "q_span_range", "q_sort_missing",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2601,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_quantize": _v_quantize,
         "t_mix_weights": _t_mix_weights,
         "q_luke": _q_luke,
+        "q_span_range": _q_span_range,
+        "q_sort_missing": _q_sort_missing,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -3871,6 +3916,23 @@ FROM px a JOIN px b ON b.docid = a.docid AND b.pos = a.pos + 1
 WHERE a.term = '{_FT_CONTEXT}'
 GROUP BY b.term
 ORDER BY freq DESC, next_term ASC LIMIT 10"""
+
+    out["q_span_range"] = f"""
+WITH {ctes}
+SELECT docid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_range
+FROM px WHERE term = '{_SPR_TERM}'
+  AND pos >= {_SPR_LO} AND pos + 1 <= {_SPR_HI}
+GROUP BY docid
+ORDER BY doc_id LIMIT 20"""
+
+    out["q_sort_missing"] = f"""
+WITH {ctes}
+SELECT d.doc_id,
+       CASE WHEN CAST(SUBSTRING(d.source, 4) AS INT) % 2 = 0
+            THEN CAST(d.n_chars AS BIGINT) END AS sort_val
+FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = '{_SM_TERM}')
+ORDER BY sort_val ASC NULLS LAST, d.doc_id ASC LIMIT 15"""
 
     out["q_drill_sideways"] = f"""
 WITH {ctes},
