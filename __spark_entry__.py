@@ -1565,6 +1565,63 @@ def _q_embed_lsh(spark, sf_dir):
                             dim=_EMB_DIM)
 
 
+_KNN_LABEL = 3
+
+
+def _v_knn_filtered(spark, sf_dir):
+    """Filtered kNN (core/search/KnnFloatVectorQuery.java: the filter
+    argument restricts which vectors are searchable — Lucene applies
+    the acceptDocs bitset during graph traversal): exact cosine top-k
+    over only the vectors passing a metadata predicate (label = 3).
+    The filter is pushed into the parquet scan BEFORE the distance
+    math — at 100 TB a selective prefilter shrinks the candidate scan
+    by its selectivity, same plan shape the reference gets from the
+    pre-filtered bitset."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter((F.col("label") == _KNN_LABEL)
+                   | (F.col("vec_id") == 0)))
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+_RRF_K = 60          # the canonical RRF constant
+_RRF_DEPTH = 20      # per-list depth
+_RRF_TERM = "vector"
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion
+    (Solr 9.8 combiner, Cormack/Clarke/Buettcher RRF): BM25 top-20 for
+    a term query and cosine top-20 for a probe vector each get ranks
+    by (round-6 score DESC, id ASC); fused score = Σ 1/(60 + rank)
+    over the lists a doc appears in; top-10 by fused score. Both
+    candidate lists are k-limited BEFORE fusion, so the fuse step
+    touches 2·depth rows regardless of corpus size."""
+    from pyspark.sql import Window
+    se = _searcher(spark, sf_dir)
+    lex = (se.scored(Term(_RRF_TERM))
+           .select("docid", F.round("score", 6).alias("s"))
+           .orderBy(F.desc("s"), F.asc("docid")).limit(_RRF_DEPTH))
+    lex = lex.select(
+        F.col("docid").alias("doc_id"),
+        F.row_number().over(Window.orderBy(F.desc("s"),
+                                           F.asc("docid"))).alias("lr"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = (cosine_topk(emb, query_vec_id=0, k=_RRF_DEPTH)
+           .select(F.col("vec_id").alias("doc_id"), "cos"))
+    vec = vec.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("cos"),
+                                           F.asc("doc_id"))).alias("vr"))
+    fused = (lex.join(vec, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.round(
+                         F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lr")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("vr")),
+                                      F.lit(0.0)), 6).alias("rrf")))
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
 _IVF_STRIDE = 37
 _IVF_NPROBE = 2
 
@@ -2528,7 +2585,7 @@ WINDOW_ORDER = [
     "q_spellcheck_collate", "q_shingle", "t_shuffle",
     "q_geo_box", "q_group_facet", "t_chunk",
     "v_quantize", "t_mix_weights", "q_luke",
-    "q_span_range", "q_sort_missing",
+    "q_span_range", "q_sort_missing", "v_knn_filtered", "q_hybrid_rrf",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2646,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_luke": _q_luke,
         "q_span_range": _q_span_range,
         "q_sort_missing": _q_sort_missing,
+        "v_knn_filtered": _v_knn_filtered,
+        "q_hybrid_rrf": _q_hybrid_rrf,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -3582,6 +3641,57 @@ SELECT sc.docid AS doc_id,
 FROM sc JOIN documents d ON d.doc_id = sc.docid
 ORDER BY ROUND(sc.score * ln(1.0 + d.n_chars), 6) DESC, sc.docid ASC
 LIMIT 10"""
+
+    out["v_knn_filtered"] = f"""
+WITH q AS (SELECT unnest(embedding) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, unnest(embedding) AS ev,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0 AND label = {_KNN_LABEL}),
+d AS (SELECT e.vec_id,
+             SUM(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na
+      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+nq AS (SELECT SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nb FROM q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id ASC
+LIMIT 10"""
+
+    out["q_hybrid_rrf"] = f"""
+WITH {ctes},
+lex AS (SELECT docid AS doc_id, ROUND(score, 6) AS s
+        FROM ({ob.scored(Term(_RRF_TERM))}) ls
+        ORDER BY s DESC, doc_id ASC LIMIT {_RRF_DEPTH}),
+lexr AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS lr
+         FROM lex),
+vq AS (SELECT unnest(embedding) AS qv,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id = 0),
+ve AS (SELECT vec_id, unnest(embedding) AS ev,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id != 0),
+vd AS (SELECT ve.vec_id,
+              SUM(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+              SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na
+       FROM ve JOIN vq ON ve.i = vq.i GROUP BY ve.vec_id),
+vnq AS (SELECT SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nb
+        FROM vq),
+vtop AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+         FROM vd, vnq
+         ORDER BY cos DESC, doc_id ASC LIMIT {_RRF_DEPTH}),
+vr AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk
+       FROM vtop)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + l.lr), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + v.rnk), 0.0), 6) AS rrf
+FROM lexr l FULL OUTER JOIN vr v ON v.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
 
     out["q_join_field"] = f"""
 WITH {ctes},
