@@ -2499,6 +2499,75 @@ def _q_pii(spark, sf_dir):
         & (F.col("n_long_nums") == 0))
 
 
+# C4/Gopher-style cleaning funnel thresholds
+_CF_MIN_DL, _CF_MAX_DL, _CF_MIN_TTR = 25, 90, 0.35
+
+
+def _t_clean_funnel(spark, sf_dir):
+    """Staged cleaning funnel (the C4/Gopher pipeline shape: length
+    gate -> repetition/quality gate -> exact dedup) with per-stage
+    surviving-document counts — the accounting a 100 TB cleaning run
+    reports. One scan computes all the per-doc signals (token count,
+    type-token ratio, content hash); the stages are cumulative
+    filters; each count is a partial-agg reduction. No Python, no
+    joins; the dedup count is one distinct-agg."""
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = df.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(simple_tokens_col("text")).alias("dl"),
+        (F.size(F.array_distinct(simple_tokens_col("text")))
+         / F.size(simple_tokens_col("text"))).alias("ttr"))
+    ln = sig.filter((F.col("dl") >= _CF_MIN_DL)
+                    & (F.col("dl") <= _CF_MAX_DL))
+    ql = ln.filter(F.col("ttr") >= _CF_MIN_TTR)
+    rows = [
+        sig.agg(F.lit("0_total").alias("stage"),
+                F.count("*").cast("long").alias("n")),
+        ln.agg(F.lit("1_length").alias("stage"),
+               F.count("*").cast("long").alias("n")),
+        ql.agg(F.lit("2_quality").alias("stage"),
+               F.count("*").cast("long").alias("n")),
+        ql.agg(F.lit("3_dedup").alias("stage"),
+               F.countDistinct("h").cast("long").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
+_FC_SUB = "a"  # facet.contains substring
+
+
+def _q_facet_contains(spark, sf_dir):
+    """Solr facet.contains (SimpleFacets getListedTermCounts contains
+    filter): term facet restricted to terms CONTAINING a substring,
+    counted over the base query's matches — the substring sibling of
+    facet.prefix (which can seek; contains must enumerate, exactly as
+    in the reference)."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FPFX_TERM))
+    return (se.ix.postings.filter(F.col("term").contains(_FC_SUB))
+            .join(m, "docid")
+            .groupBy("term").agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term")).limit(10))
+
+
+_TR_REGEX = "^s[a-z]*[kt]$"  # terms.regex
+
+
+def _q_terms_regex(spark, sf_dir):
+    """Solr TermsComponent terms.regex mode (handler/component/
+    TermsComponent.java): enumerate dictionary terms matching an
+    anchored regex with their df, terms.sort=count."""
+    se = _searcher(spark, sf_dir)
+    return (se.ix.term_stats.filter(F.col("term").rlike(_TR_REGEX))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(15))
+
+
 _PACK_LEN = 64
 _PACK_VOCAB = 32768
 
@@ -2586,6 +2655,7 @@ WINDOW_ORDER = [
     "q_geo_box", "q_group_facet", "t_chunk",
     "v_quantize", "t_mix_weights", "q_luke",
     "q_span_range", "q_sort_missing", "v_knn_filtered", "q_hybrid_rrf",
+    "t_clean_funnel", "q_facet_contains", "q_terms_regex",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2705,6 +2775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_missing": _q_sort_missing,
         "v_knn_filtered": _v_knn_filtered,
         "q_hybrid_rrf": _q_hybrid_rrf,
+        "t_clean_funnel": _t_clean_funnel,
+        "q_facet_contains": _q_facet_contains,
+        "q_terms_regex": _q_terms_regex,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -3692,6 +3765,44 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
              + COALESCE(1.0 / ({_RRF_K} + v.rnk), 0.0), 6) AS rrf
 FROM lexr l FULL OUTER JOIN vr v ON v.doc_id = l.doc_id
 ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
+
+    out["t_clean_funnel"] = f"""
+WITH sig AS (
+  SELECT doc_id, md5(text) AS h,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS dl,
+         len(list_distinct(list_transform(
+             regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+             t -> lower(t)))) * 1.0
+         / len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS ttr
+  FROM documents),
+ln AS (SELECT * FROM sig
+       WHERE dl >= {_CF_MIN_DL} AND dl <= {_CF_MAX_DL}),
+ql AS (SELECT * FROM ln WHERE ttr >= {_CF_MIN_TTR})
+SELECT * FROM (
+  SELECT '0_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM sig
+  UNION ALL
+  SELECT '1_length', CAST(COUNT(*) AS BIGINT) FROM ln
+  UNION ALL
+  SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM ql
+  UNION ALL
+  SELECT '3_dedup', CAST(COUNT(DISTINCT h) AS BIGINT) FROM ql)
+ORDER BY stage"""
+
+    out["q_facet_contains"] = f"""
+WITH {ctes}
+SELECT p.term, CAST(COUNT(*) AS BIGINT) AS n
+FROM postings p
+WHERE p.term LIKE '%{_FC_SUB}%'
+  AND p.docid IN (SELECT docid FROM postings
+                  WHERE term = '{_FPFX_TERM}')
+GROUP BY p.term
+ORDER BY n DESC, p.term ASC LIMIT 10"""
+
+    out["q_terms_regex"] = f"""
+WITH {ctes}
+SELECT term, CAST(df AS BIGINT) AS df FROM ts
+WHERE regexp_matches(term, '{_TR_REGEX}')
+ORDER BY df DESC, term ASC LIMIT 15"""
 
     out["q_join_field"] = f"""
 WITH {ctes},
