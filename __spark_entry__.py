@@ -945,7 +945,12 @@ def _q_spell_wordbreak(spark, sf_dir):
             .join(ts.withColumnRenamed("term", "right_term")
                     .withColumnRenamed("df", "right_df"), "right_term")
             .select("word", "pos", "left_term", "right_term",
-                    "left_df", "right_df"))
+                    "left_df", "right_df")
+            # NUM_CHANGES_THEN_MAX_FREQUENCY within each word (one
+            # change here, so max(df) DESC), split position tiebreak
+            .orderBy(F.asc("word"),
+                     F.desc(F.greatest("left_df", "right_df")),
+                     F.asc("pos")))
 
 
 def _q_suggest_infix(spark, sf_dir):
@@ -1187,8 +1192,10 @@ def _t_chunk(spark, sf_dir):
     from lucene_solr_spark.analysis.analyzers import simple_tokens_col
     step = _CHUNK_N - _CHUNK_OVERLAP
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = df.select("doc_id", F.size(simple_tokens_col("text"))
-                     .alias("dl"))
+    # sample filter BEFORE the explode so only reported docs fan out
+    toks = (df.filter(F.col("doc_id") < 40)
+            .select("doc_id", F.size(simple_tokens_col("text"))
+                    .alias("dl")))
     nch = (F.when(F.col("dl") <= _CHUNK_N, F.lit(1))
            .otherwise(F.ceil((F.col("dl") - F.lit(_CHUNK_OVERLAP))
                              / F.lit(step)).cast("int")))
@@ -1202,7 +1209,6 @@ def _t_chunk(spark, sf_dir):
                     F.least(F.lit(_CHUNK_N),
                             F.col("dl") - F.col("chunk_idx") * step)
                     .cast("long").alias("n_toks"))
-            .filter(F.col("doc_id") < 40)
             .orderBy("doc_id", "chunk_idx"))
 
 
@@ -2513,12 +2519,13 @@ def _t_clean_funnel(spark, sf_dir):
     joins; the dedup count is one distinct-agg."""
     from lucene_solr_spark.analysis.analyzers import simple_tokens_col
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sig = df.select(
-        "doc_id",
-        F.md5("text").alias("h"),
-        F.size(simple_tokens_col("text")).alias("dl"),
-        (F.size(F.array_distinct(simple_tokens_col("text")))
-         / F.size(simple_tokens_col("text"))).alias("ttr"))
+    # tokenize ONCE; derive every signal from the materialized array
+    sig = (df.select("doc_id", F.md5("text").alias("h"),
+                     simple_tokens_col("text").alias("tk"))
+           .select("doc_id", "h",
+                   F.size("tk").alias("dl"),
+                   (F.size(F.array_distinct("tk")) / F.size("tk"))
+                   .alias("ttr")))
     ln = sig.filter((F.col("dl") >= _CF_MIN_DL)
                     & (F.col("dl") <= _CF_MAX_DL))
     ql = ln.filter(F.col("ttr") >= _CF_MIN_TTR)
@@ -3198,7 +3205,8 @@ SELECT s.word, s.pos, s.left_term, s.right_term,
        CAST(l.df AS BIGINT) AS left_df, CAST(r.df AS BIGINT) AS right_df
 FROM splits s
 JOIN ts l ON l.term = s.left_term
-JOIN ts r ON r.term = s.right_term"""
+JOIN ts r ON r.term = s.right_term
+ORDER BY s.word ASC, GREATEST(l.df, r.df) DESC, s.pos ASC"""
 
     out["q_suggest_infix"] = f"""
 WITH {ctes}
@@ -3304,7 +3312,8 @@ cd AS (SELECT docid, dl,
                    ELSE CAST(CEIL((dl - {_CHUNK_OVERLAP})
                              / {_ch_step}.0) AS INT) END AS n_chunks
        FROM docs WHERE docid < 40),
-idx AS (SELECT unnest(generate_series(0, 63)) AS i)
+idx AS (SELECT unnest(generate_series(
+            0, (SELECT GREATEST(MAX(n_chunks) - 1, 0) FROM cd))) AS i)
 SELECT cd.docid AS doc_id, CAST(idx.i AS INT) AS chunk_idx,
        CAST(idx.i * {_ch_step} AS BIGINT) AS start_tok,
        CAST(LEAST({_CHUNK_N}, cd.dl - idx.i * {_ch_step}) AS BIGINT)
@@ -3766,15 +3775,15 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
 FROM lexr l FULL OUTER JOIN vr v ON v.doc_id = l.doc_id
 ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
 
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_sql
+    _cf_tk = simple_tokens_sql("text", "duckdb")
     out["t_clean_funnel"] = f"""
-WITH sig AS (
-  SELECT doc_id, md5(text) AS h,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS dl,
-         len(list_distinct(list_transform(
-             regexp_extract_all(text, '[A-Za-z0-9]+', 0),
-             t -> lower(t)))) * 1.0
-         / len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS ttr
-  FROM documents),
+WITH sigtk AS (
+  SELECT doc_id, md5(text) AS h, {_cf_tk} AS tk FROM documents),
+sig AS (
+  SELECT doc_id, h, len(tk) AS dl,
+         len(list_distinct(tk)) * 1.0 / len(tk) AS ttr
+  FROM sigtk),
 ln AS (SELECT * FROM sig
        WHERE dl >= {_CF_MIN_DL} AND dl <= {_CF_MAX_DL}),
 ql AS (SELECT * FROM ln WHERE ttr >= {_CF_MIN_TTR})

@@ -183,9 +183,8 @@ def chain_freqs_2_vec(a_lists: list, b_lists: list, slop: int) -> np.ndarray:
     live = (len_a > 0) & (len_b > 0)
     if not live.any():
         return freqs
-    a_val = (np.concatenate([np.asarray(a_lists[i], dtype=np.int64)
-                             for i in range(n) if live[i]])
-             if live.any() else np.empty(0, np.int64))
+    a_val = np.concatenate([np.asarray(a_lists[i], dtype=np.int64)
+                            for i in range(n) if live[i]])
     b_val = np.concatenate([np.asarray(b_lists[i], dtype=np.int64) - 1
                             for i in range(n) if live[i]])
     la, lb = len_a[live], len_b[live]
