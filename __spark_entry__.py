@@ -2372,7 +2372,7 @@ def _q_analysis(spark, sf_dir):
 # Lucene intervals module (queries/intervals/IntervalQuery.java:73):
 # the minimal-interval algebra with saturation scoring
 from lucene_solr_spark.search.intervals import (  # noqa: E402
-    IContaining, IMaxGaps, IOrdered, ITerm,
+    IContaining, IMaxGaps, IOrdered, ITerm, IUnordered,
 )
 from lucene_solr_spark.search.query import Interval  # noqa: E402
 
@@ -2388,6 +2388,11 @@ INTERVAL_SPECS: dict[str, tuple[Query, int]] = {
     "q_interval_contains": (Interval(IContaining(
         IMaxGaps(6, IOrdered((ITerm(_IV_A), ITerm(_IV_B)))),
         ITerm(_IV_C))), 10),
+    # unordered(join, merge) with maxgaps 4 — Intervals.unordered
+    # (UnorderedIntervalsSource: minimal covering intervals of the
+    # pair in either order, then the gap filter)
+    "q_interval_unordered": (Interval(IMaxGaps(
+        4, IUnordered((ITerm(_IV_A), ITerm(_IV_B))))), 10),
 }
 
 
@@ -2663,6 +2668,7 @@ WINDOW_ORDER = [
     "v_quantize", "t_mix_weights", "q_luke",
     "q_span_range", "q_sort_missing", "v_knn_filtered", "q_hybrid_rrf",
     "t_clean_funnel", "q_facet_contains", "q_terms_regex",
+    "q_interval_unordered",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2861,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_analysis": _q_analysis,
         "q_interval_ordered": _mk_interval("q_interval_ordered"),
         "q_interval_contains": _mk_interval("q_interval_contains"),
+        "q_interval_unordered": _mk_interval("q_interval_unordered"),
         "q_fold": _q_fold,
         "q_tagger": _q_tagger,
         "q_suggest_fuzzy": _q_suggest_fuzzy,
@@ -4254,6 +4261,29 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     out["q_interval_ordered"] = _iv_sql(_IV_GAPS)
     out["q_interval_contains"] = _iv_sql(6, _IV_C)
+
+    # unordered(join, merge) + maxgaps: minimal covering intervals of
+    # all (a, b) pairs (positions are disjoint across terms so pairs
+    # are unique), minimality = no other interval contained-or-equal
+    # within; freq = sum 1/max(width - minExtent + 1, 1), minExtent 2
+    out["q_interval_unordered"] = f"""
+WITH {ctes},
+pl AS (SELECT a.docid, a.positions AS pa, b.positions AS pb
+       FROM postings a JOIN postings b ON b.docid = a.docid
+        AND b.term = '{_IV_B}'
+       WHERE a.term = '{_IV_A}'),
+cand AS (SELECT docid, LEAST(x.ux, y.uy) AS s, GREATEST(x.ux, y.uy) AS e
+         FROM pl, UNNEST(pl.pa) AS x(ux), UNNEST(pl.pb) AS y(uy)),
+mins AS (SELECT DISTINCT docid, s, e FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM cand c2
+               WHERE c2.docid = c.docid AND c.s <= c2.s AND c2.e <= c.e
+                 AND (c2.s != c.s OR c2.e != c.e))),
+gapped AS (SELECT * FROM mins WHERE (e - s + 1) - 2 <= 4),
+fr AS (SELECT docid, SUM(1.0 / GREATEST(e - s, 1)) AS freq
+       FROM gapped GROUP BY docid)
+SELECT docid AS doc_id, ROUND(1.0 - 1.0 / (1.0 + freq), 6) AS score
+FROM fr WHERE freq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     from lucene_solr_spark.analysis.analyzers import (
         simple_tokenize as _stok,
