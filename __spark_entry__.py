@@ -2197,6 +2197,43 @@ def _q_span_first(spark, sf_dir):
             .orderBy("doc_id").limit(20))
 
 
+_EXPL_TERM, _EXPL_DOC = "merge", 7
+
+
+def _q_explain(spark, sf_dir):
+    """Explanation / Solr debugQuery (SEARCH/Weight.java explain,
+    CheckHits.verifyExplanation contract): the BM25 score breakdown for
+    one (query, doc) — df, idf, tf, qdl, avgdl and the final score —
+    as (component, value) rows, every component computed IN-PLAN from
+    the same stats tables the scorer uses (the self-consistency law:
+    the 'score' row equals the scored() value). Engine-side
+    ``Searcher.explain`` returns the same tree as a dict; this is the
+    response-surface projection."""
+    from lucene_solr_spark.search.bm25 import idf_sql
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    n = ix.doc_count
+    dfv = (ix.term_stats.filter(F.col("term") == _EXPL_TERM)
+           .select(F.col("df").cast("double").alias("df"),
+                   F.expr(idf_sql("df", str(n))).alias("idf")))
+    tfv = (ix.postings.filter((F.col("term") == _EXPL_TERM)
+                              & (F.col("docid") == _EXPL_DOC))
+           .select(F.col("tf").cast("double").alias("tf")))
+    dlv = (ix.docs.filter(F.col("docid") == _EXPL_DOC)
+           .select(F.col("qdl").cast("double").alias("qdl")))
+    sc = (se.scored(Term(_EXPL_TERM))
+          .filter(F.col("docid") == _EXPL_DOC)
+          .select(F.col("score").cast("double").alias("sc")))
+    row = (dfv.crossJoin(F.broadcast(tfv)).crossJoin(F.broadcast(dlv))
+           .crossJoin(F.broadcast(sc))
+           .withColumn("avgdl", F.lit(float(ix.avgdl))))
+    return (row.select(F.expr(
+        "stack(6, 'df', df, 'idf', idf, 'tf', tf, 'qdl', qdl, "
+        "'avgdl', avgdl, 'score', sc) AS (component, value)"))
+        .select("component", F.round("value", 6).alias("value"))
+        .orderBy("component"))
+
+
 _SPR_TERM, _SPR_LO, _SPR_HI = "merge", 3, 12
 
 
@@ -2668,7 +2705,7 @@ WINDOW_ORDER = [
     "v_quantize", "t_mix_weights", "q_luke",
     "q_span_range", "q_sort_missing", "v_knn_filtered", "q_hybrid_rrf",
     "t_clean_funnel", "q_facet_contains", "q_terms_regex",
-    "q_interval_unordered",
+    "q_interval_unordered", "q_explain",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2791,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_clean_funnel": _t_clean_funnel,
         "q_facet_contains": _q_facet_contains,
         "q_terms_regex": _q_terms_regex,
+        "q_explain": _q_explain,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -3819,6 +3857,27 @@ WITH {ctes}
 SELECT term, CAST(df AS BIGINT) AS df FROM ts
 WHERE regexp_matches(term, '{_TR_REGEX}')
 ORDER BY df DESC, term ASC LIMIT 15"""
+
+    _ex_idf = _idf("(SELECT df FROM ts WHERE term = '" + _EXPL_TERM
+                   + "')", "(SELECT n FROM st)")
+    out["q_explain"] = f"""
+WITH {ctes},
+comp AS (
+  SELECT 'df' AS component,
+         (SELECT CAST(df AS DOUBLE) FROM ts
+          WHERE term = '{_EXPL_TERM}') AS value
+  UNION ALL SELECT 'idf', {_ex_idf}
+  UNION ALL SELECT 'tf', (SELECT CAST(tf AS DOUBLE) FROM postings
+                          WHERE term = '{_EXPL_TERM}'
+                            AND docid = {_EXPL_DOC})
+  UNION ALL SELECT 'qdl', (SELECT CAST(qdl AS DOUBLE) FROM docs
+                           WHERE docid = {_EXPL_DOC})
+  UNION ALL SELECT 'avgdl', {ob.avgdl_sql}
+  UNION ALL SELECT 'score',
+    (SELECT score FROM ({ob.scored(Term(_EXPL_TERM))}) es
+     WHERE docid = {_EXPL_DOC}))
+SELECT component, ROUND(value, 6) AS value FROM comp
+ORDER BY component"""
 
     out["q_join_field"] = f"""
 WITH {ctes},
