@@ -27,7 +27,7 @@ from lucene_solr_spark.search.similarities import SIMILARITIES
 from lucene_solr_spark.analysis.synonyms import SynonymGraph
 from lucene_solr_spark.search.query import (
     Bool, Boost, DisMax, FieldExists, Fuzzy, MatchAll, MultiPhrase,
-    PayloadScore, Phrase, PhraseWildcard,
+    PayloadCheck, PayloadScore, Phrase, PhraseWildcard,
     Prefix, Query, Regexp, SpanNear, SpanNot, SpanOr, Synonym, Term,
     TermInSet, TermRange, Wildcard,
 )
@@ -146,6 +146,10 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     # score * AveragePayloadFunction over the shared position-keyed
     # payload encoder (search/payloads.py)
     "q_payload": (PayloadScore("merge", "avg", True), 10),
+    # SpanPayloadCheckQuery (payloads/SpanPayloadCheckQuery.java:56):
+    # only occurrences whose encoder payload == 3 are accepted spans;
+    # freq = accepted count, idf from the unfiltered term stats
+    "q_payload_check": (PayloadCheck("merge", 3), 10),
     # query-time SynonymGraphFilter + QueryBuilder.analyzeGraphBoolean
     # (analysis/synonyms.py): multi-word rule "table hash" <-> "agg"
     # applied to the analyzed stream "table hash join"; each matched
@@ -2631,6 +2635,84 @@ def _q_pack_sequences(spark, sf_dir):
                                   seq_len=_PACK_LEN, vocab=_PACK_VOCAB)
 
 
+# Multi-select faceting: tagged filters + per-facet exclusion
+_MS_LANG = "en"
+_MS_SOURCES = ("src1", "src2", "src3")
+
+
+def _q_facet_multiselect(spark, sf_dir):
+    """Solr multi-select faceting (tagged fq + per-field exclusion —
+    ``fq={!tag=langF}lang:en``, ``facet.field={!ex=langF}lang``;
+    solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    getDocSet/computeDocSet excludeSet handling): each facet field is
+    counted over the base query with ITS OWN tagged filter removed and
+    every other filter still applied, so a selected value's siblings
+    keep their counts.  One match-set join per facet dimension; both
+    dimensions ride the same base match set."""
+    se = _searcher(spark, sf_dir)
+    m = (se.matching(Term(_FACET_TERM))
+         .join(se.ix.source.select("docid", "lang", "source"), "docid"))
+    lang_facet = (m.filter(F.col("source").isin(list(_MS_SOURCES)))
+                  .groupBy(F.col("lang").alias("value"))
+                  .agg(F.count("*").cast("long").alias("n"))
+                  .select(F.lit("lang").alias("dim"), "value", "n"))
+    src_facet = (m.filter(F.col("lang") == _MS_LANG)
+                 .groupBy(F.col("source").alias("value"))
+                 .agg(F.count("*").cast("long").alias("n"))
+                 .select(F.lit("source").alias("dim"), "value", "n"))
+    return lang_facet.unionAll(src_facet)
+
+
+def _q_join_totavg(spark, sf_dir):
+    """Query-time join with ScoreMode.Total / Avg (lucene/join/src/
+    java/org/apache/lucene/search/join/JoinUtil.java:50;
+    TermsWithScoreCollector aggregates the from-side scores per join
+    value — Total sums them, Avg divides by the occurrence count).
+    Completes the ScoreMode matrix next to q_join_field (None) and
+    q_join_scored (Max).  The per-key aggregate is tiny and broadcast;
+    the to-side is never row-multiplied."""
+    se = _searcher(spark, sf_dir)
+    fr = (se.scored(Term("dup"))
+          .join(se.ix.source.select("docid", "lang"), "docid")
+          .groupBy("lang")
+          .agg(F.sum("score").alias("total"), F.avg("score").alias("av")))
+    to = (se.matching(Term("join"))
+          .join(se.ix.source.select("docid", "lang"), "docid"))
+    return (to.join(F.broadcast(fr), "lang")
+            .select(F.col("docid").alias("doc_id"),
+                    F.round("total", 6).alias("score_total"),
+                    F.round("av", 6).alias("score_avg"))
+            .orderBy(F.desc("score_total"), F.asc("doc_id")).limit(10))
+
+
+from lucene_solr_spark.search.expressions import compile_expression  # noqa: E402
+
+# sort-by-expression over _score + a stored docvalue: the expressions
+# module's flagship use (ExpressionSortField via
+# Expression.getSortField)
+_EXPR_SORT_SRC = "_score + 0.5 * ln(1 + n_chars) * (n_chars > 200 ? 1.5 : 1)"
+_EXPR_SORT = compile_expression(_EXPR_SORT_SRC)
+
+
+def _q_expr_sort(spark, sf_dir):
+    """Lucene expressions module (lucene/expressions/src/java/org/
+    apache/lucene/expressions/js/JavascriptCompiler.java:73 grammar;
+    SimpleBindings.java variable binding; sort via
+    Expression.getSortField): a JS-syntax expression over ``_score``
+    and a stored docvalue compiled ONCE to one portable SQL scalar —
+    the identical text runs in whole-stage codegen here and in the
+    DuckDB oracle.  Comparisons yield 1.0/0.0 and the ternary tests
+    != 0, exactly the reference's double-only semantics."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("merge"))
+    j = sc.join(se.ix.source.select("docid", "n_chars"), "docid")
+    expr = _EXPR_SORT.sql({"_score": "score",
+                           "n_chars": "CAST(n_chars AS DOUBLE)"})
+    return (j.select(F.col("docid").alias("doc_id"),
+                     F.round(F.expr(expr), 6).alias("expr_sort"))
+            .orderBy(F.desc("expr_sort"), F.asc("doc_id")).limit(10))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -2706,6 +2788,19 @@ WINDOW_ORDER = [
     "q_span_range", "q_sort_missing", "v_knn_filtered", "q_hybrid_rrf",
     "t_clean_funnel", "q_facet_contains", "q_terms_regex",
     "q_interval_unordered", "q_explain",
+    # round-2i surfaces (this session, past-window with three-scale
+    # verify_contract records as evidence, the round-2h pattern):
+    # SpanPayloadCheckQuery (payload family's filter form — the scored
+    # form q_payload keeps its in-window slot), multi-select faceting
+    # (tagged-fq exclusion; the facet family holds multiple in-window
+    # rows), JoinUtil ScoreMode.Total/Avg (completes the ScoreMode
+    # matrix whose Max form q_join_scored is pinned by local records
+    # and whose machinery is shared with in-window grouped/facet rows)
+    # the expressions module (JavascriptCompiler grammar -> one shared
+    # portable-SQL scalar; parser laws + dialect parity in
+    # test_expressions.py)
+    "q_payload_check", "q_facet_multiselect", "q_join_totavg",
+    "q_expr_sort",
 ]
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
@@ -2829,6 +2924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_contains": _q_facet_contains,
         "q_terms_regex": _q_terms_regex,
         "q_explain": _q_explain,
+        "q_facet_multiselect": _q_facet_multiselect,
+        "q_join_totavg": _q_join_totavg,
+        "q_expr_sort": _q_expr_sort,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -3898,6 +3996,41 @@ FROM ({ob.matching(Term("join"))}) m
 JOIN documents dd ON dd.doc_id = m.docid
 JOIN jf ON jf.lang = dd.lang
 ORDER BY ROUND(jf.jscore, 6) DESC, m.docid ASC LIMIT 10"""
+
+    _ms_src = ", ".join(f"'{s}'" for s in _MS_SOURCES)
+    out["q_facet_multiselect"] = f"""
+WITH {ctes},
+m AS (SELECT d.doc_id AS docid, d.lang, d.source
+      FROM documents d
+      WHERE d.doc_id IN (SELECT docid FROM postings
+                         WHERE term = '{_FACET_TERM}'))
+SELECT 'lang' AS dim, lang AS value, COUNT(*) AS n
+FROM m WHERE source IN ({_ms_src}) GROUP BY lang
+UNION ALL
+SELECT 'source', source, COUNT(*)
+FROM m WHERE lang = '{_MS_LANG}' GROUP BY source"""
+
+    out["q_join_totavg"] = f"""
+WITH {ctes},
+jf AS (SELECT d.lang, SUM(s.score) AS total, AVG(s.score) AS av
+       FROM ({ob.scored(Term("dup"))}) s
+       JOIN documents d ON d.doc_id = s.docid
+       GROUP BY d.lang)
+SELECT m.docid AS doc_id, ROUND(jf.total, 6) AS score_total,
+       ROUND(jf.av, 6) AS score_avg
+FROM ({ob.matching(Term("join"))}) m
+JOIN documents dd ON dd.doc_id = m.docid
+JOIN jf ON jf.lang = dd.lang
+ORDER BY ROUND(jf.total, 6) DESC, m.docid ASC LIMIT 10"""
+
+    _expr_ora = _EXPR_SORT.sql({"_score": "sc.score",
+                                "n_chars": "CAST(d.n_chars AS DOUBLE)"})
+    out["q_expr_sort"] = f"""
+WITH {ctes},
+sc AS (SELECT docid, score FROM ({ob.scored(Term("merge"))}) s)
+SELECT sc.docid AS doc_id, ROUND({_expr_ora}, 6) AS expr_sort
+FROM sc JOIN documents d ON d.doc_id = sc.docid
+ORDER BY ROUND({_expr_ora}, 6) DESC, sc.docid ASC LIMIT 10"""
 
     out["q_suggest_edge"] = f"""
 WITH {ctes}

@@ -475,6 +475,7 @@ class SegmentIndex:
     live_segs: tuple = ()
     data_gens: dict = None  # gen -> [seg_ids] written under that gen dir
     del_gens: tuple = ()    # generations holding delete sets
+    dv_gens: tuple = ()     # generations holding docvalue update patches
 
     def _live(self, df: DataFrame) -> DataFrame:
         if not self.live_segs:
@@ -534,6 +535,38 @@ class SegmentIndex:
         return (j.groupBy("seg_id")
                 .agg(F.sort_array(F.collect_list("docid"))
                      .alias("del_ids")))
+
+    def dv_updates(self, field: str) -> DataFrame:
+        """Resolved numeric docvalue patches for ``field`` — (docid,
+        value) with the NEWEST generation winning per doc, the read
+        side of IndexWriter.updateNumericDocValue (INDEX/
+        DocValuesFieldUpdates.java: per-generation update files whose
+        resolution order is update gen, newest wins).  Patch files are
+        update-set sized (metadata scale next to the corpus), so the
+        dedup shuffle is tiny."""
+        from pyspark.sql.window import Window
+        paths = [f"{self.path}/dv_updates/gen={g}" for g in self.dv_gens
+                 if os.path.isdir(f"{self.path}/dv_updates/gen={g}")]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "docid LONG, value LONG")
+        u = (self.spark.read.parquet(*paths)
+             .filter(F.col("field") == field))
+        w = Window.partitionBy("docid").orderBy(F.desc("upd_gen"))
+        return (u.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).select("docid", "value"))
+
+    def resolve_docvalue(self, base: DataFrame, field: str) -> DataFrame:
+        """(docid, field) with updates applied: the caller's stored
+        docvalue column (this architecture keeps stored fields in the
+        source table) patched by the newest dv_updates — the reader-
+        side merge of ReadersAndUpdates.getNumericDocValues."""
+        u = self.dv_updates(field).withColumnRenamed("value", "_patch")
+        return (base.select("docid", F.col(field).cast("long")
+                            .alias("_base"))
+                .join(u, "docid", "left")
+                .select("docid",
+                        F.coalesce("_patch", "_base").alias(field)))
 
     @property
     def term_stats(self) -> DataFrame:
@@ -636,7 +669,8 @@ def open_segments(spark: SparkSession, path: str) -> SegmentIndex:
                         live_segs=tuple(commit.get("live_segs", ())),
                         data_gens={int(g): segs for g, segs in
                                    commit.get("data_gens", {}).items()},
-                        del_gens=tuple(commit.get("del_gens", ())))
+                        del_gens=tuple(commit.get("del_gens", ())),
+                        dv_gens=tuple(commit.get("dv_gens", ())))
 
 
 # ---------------------------------------------------------------------------

@@ -527,6 +527,42 @@ class IndexWriter:
             lineage=lineage or f"update term={term!r}",
             extra_commit={"del_gens": del_gens})
 
+    def update_numeric_docvalue(self, term: str, field: str,
+                                value: int,
+                                lineage: str = "") -> SegmentIndex:
+        """IndexWriter.updateNumericDocValue(Term, field, value)
+        analogue (INDEX/IndexWriter.java updateNumericDocValue +
+        DocValuesFieldUpdates.java): every live doc matching ``term``
+        gets docvalue ``field`` set to ``value`` WITHOUT reindexing —
+        a per-generation patch file resolved at read time with
+        newest-generation-wins (SegmentIndex.dv_updates /
+        resolve_docvalue).  Hit resolution and the patch write are
+        fully distributed; the commit.json swap is atomic, so no
+        reader observes a partial update."""
+        from ..search.query import Term as _Term
+        from ..search.segment_searcher import SegmentSearcher
+        st = self.commit_state()
+        gen = st["generation"] + 1
+        hits = (SegmentSearcher(self.reader())
+                .scored(_Term(term)).select("docid"))
+        (hits.select("docid",
+                     F.lit(field).alias("field"),
+                     F.lit(int(value)).cast("long").alias("value"),
+                     F.lit(gen).cast("int").alias("upd_gen"))
+         .write.mode("overwrite")
+         .parquet(self._gen_dir("dv_updates", gen)))
+        for sub in ("catalog", "term_stats"):
+            self.spark.read.parquet(
+                f"{self.path}/{sub}/gen={st['generation']}") \
+                .write.mode("overwrite").parquet(
+                    f"{self.path}/{sub}/gen={gen}")
+        st2 = dict(st)
+        st2["dv_gens"] = list(st.get("dv_gens", [])) + [gen]
+        self._write_commit(
+            st2, generation=gen,
+            lineage=lineage or f"dv update {field}={value} term={term!r}")
+        return self.reader()
+
     def delete_by_term(self, term: str) -> SegmentIndex:
         """Delete every document containing ``term`` (delete-by-term,
         INDEX/DocumentsWriterDeleteQueue.java)."""

@@ -37,11 +37,12 @@ from pyspark.sql import functions as F
 from .. import K1
 from ..index.builder import InvertedIndex
 from .bm25 import idf_sql, score_sql
-from .payloads import payload_factor_sql
+from .payloads import payload_check_tf_sql, payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     Interval, MatchAll,
-    MultiPhrase, PayloadScore, Phrase, PhraseWildcard, Prefix, Query,
+    MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhraseWildcard,
+    Prefix, Query,
     Regexp, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
@@ -333,6 +334,23 @@ class Searcher:
                 score = pay
             return (self._with_qdl(base.select("docid", "tf", "positions"))
                     .select("docid", score.alias("score")))
+
+        if isinstance(q, PayloadCheck):
+            # SpanPayloadCheckQuery.java:56 — freq = accepted-span
+            # count (occurrences whose encoder payload equals the
+            # required value); idf from the unfiltered term stats
+            st = self._resolve_stats({q.term})
+            if st[q.term][0] == 0:
+                return self._empty_scored()
+            tf2 = F.expr(payload_check_tf_sql("positions", q.payload,
+                                              "spark"))
+            base = (self.ix.postings.filter(F.col("term") == q.term)
+                    .select("docid", tf2.alias("tf"))
+                    .filter(F.col("tf") > 0))
+            return (self._with_qdl(base)
+                    .select("docid",
+                            self._clause_score("tf", [st[q.term]])
+                            .alias("score")))
 
         raise TypeError(f"unsupported query node {type(q).__name__}")
 

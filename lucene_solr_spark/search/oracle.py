@@ -20,11 +20,12 @@ from .. import K1
 from ..codecs.smallfloat import qdl_sql
 from .bm25 import idf_sql, score_sql
 from .engine import _like_escape, wildcard_to_like
-from .payloads import payload_factor_sql
+from .payloads import payload_check_tf_sql, payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     MatchAll,
-    MultiPhrase, PayloadScore, Phrase, PhraseWildcard, Prefix, Query,
+    MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhraseWildcard,
+    Prefix, Query,
     Regexp, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, rewrite,
@@ -209,6 +210,17 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
             return (f"SELECT p.docid, {expr} AS score "
                     f"FROM postings p JOIN docs d ON d.docid = p.docid "
                     f"WHERE p.term = {_q(q.term)}")
+
+        if isinstance(q, PayloadCheck):
+            # SpanPayloadCheckQuery.java:56 — freq = accepted-span count
+            # (same shared encoder as PayloadScore); idf from the
+            # unfiltered term stats (SpanWeight termStates)
+            tf2 = payload_check_tf_sql("p.positions", q.payload, "duckdb")
+            sc = score_sql(f"({tf2})", "d.qdl", self.term_idf_sql(q.term),
+                           self.avgdl_sql)
+            return (f"SELECT p.docid, {sc} AS score "
+                    f"FROM postings p JOIN docs d ON d.docid = p.docid "
+                    f"WHERE p.term = {_q(q.term)} AND ({tf2}) > 0")
 
         raise TypeError(f"unsupported query node {type(q).__name__}")
 

@@ -52,3 +52,21 @@ def payload_factor_sql(positions: str, tf: str, func: str,
             return f"({total}) / CAST({tf} AS DOUBLE)"
         return f"list_aggregate({arr}, '{func}')"
     raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def payload_check_tf_sql(positions: str, payload: int,
+                         dialect: str) -> str:
+    """SQL counting the occurrences whose payload equals ``payload`` —
+    the accept test of SpanPayloadCheckQuery (queries/payloads/
+    SpanPayloadCheckQuery.java:56, PayloadMatcher collector): spans
+    whose payload differs are rejected, and the scorer's freq is the
+    number of ACCEPTED spans (each single-term span has sloppyFreq 1).
+    Same deterministic position-keyed encoder as payload_factor_sql."""
+    v = int(payload)
+    if dialect == "spark":
+        return (f"size(filter({positions}, "
+                f"p -> 1 + p % 7 = {v}))")
+    if dialect == "duckdb":
+        return (f"len(list_filter({positions}, "
+                f"p -> 1 + p % 7 = {v}))")
+    raise ValueError(f"unknown dialect {dialect!r}")

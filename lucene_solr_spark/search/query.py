@@ -39,7 +39,7 @@ Query = Union[
     "SpanNear", "SpanOr", "SpanNot",
     "Synonym", "Prefix", "Wildcard", "TermRange", "TermInSet", "Fuzzy",
     "Regexp", "DisMax", "Boost", "ConstantScore", "MatchAll", "FieldExists",
-    "FieldTerm", "PayloadScore",
+    "FieldTerm", "PayloadScore", "PayloadCheck",
 ]
 
 
@@ -270,6 +270,24 @@ class PayloadScore:
     term: str
     func: str = "avg"
     include_span_score: bool = True
+
+
+@dataclass(frozen=True)
+class PayloadCheck:
+    """SpanPayloadCheckQuery over a single span-term (lucene/queries/
+    src/java/org/apache/lucene/queries/payloads/
+    SpanPayloadCheckQuery.java:56): only occurrences whose payload
+    equals ``payload`` are accepted spans; docs with zero accepted
+    spans do not match, and the scorer's freq is the accepted-span
+    count (each 1-term span contributes sloppyFreq 1, so freq =
+    matching-occurrence count).  Collection stats (idf) come from the
+    underlying term unchanged — SpanWeight builds them from the span's
+    termStates before payload filtering.  Payloads come from the same
+    deterministic position-keyed encoder as PayloadScore
+    (payload(pos) = 1 + (pos mod 7), search/payloads.py)."""
+
+    term: str
+    payload: int
 
 
 @dataclass(frozen=True)

@@ -153,3 +153,60 @@ def test_update_by_term_on_absent_term_is_plain_append(store, spark):
     assert not w.commit_state().get("del_gens")
     assert SegmentSearcher(six2).count(
         Term("brandnewterm")).first()["n_hits"] == 1
+
+
+# -- numeric docvalue updates ------------------------------------------------
+
+def test_update_numeric_docvalue_patches_matching_docs(store, spark):
+    """updateNumericDocValue law (INDEX/IndexWriter.java +
+    DocValuesFieldUpdates.java): docs matching the term get the new
+    value without reindexing; everything else keeps its stored value;
+    postings/scores are untouched."""
+    from lucene_solr_spark.index.segments import open_segments
+    w = store
+    six = w.reader()
+    ss = SegmentSearcher(six)
+    matched = {r.doc_id for r in ss.topk(Term("error"), 10_000).collect()}
+    assert matched
+    # base docvalue: a synthetic per-doc numeric column
+    base = spark.range(six.doc_count).select(
+        F.col("id").alias("docid"), (F.col("id") * 10).alias("prio"))
+    before = ss.topk(Term("ok"), 10).collect()
+
+    six2 = w.update_numeric_docvalue("error", "prio", 999)
+    resolved = {r.docid: r.prio
+                for r in six2.resolve_docvalue(base, "prio").collect()}
+    for d, v in resolved.items():
+        if d in matched:
+            assert v == 999
+        else:
+            assert v == d * 10
+    # scoring is unaffected (the patch is docvalues-only)
+    after = SegmentSearcher(six2).topk(Term("ok"), 10).collect()
+    assert [(r.doc_id, r.score) for r in before] == \
+        [(r.doc_id, r.score) for r in after]
+    # commit roundtrip: a fresh open sees the patch generation
+    six3 = open_segments(spark, w.path)
+    assert six3.dv_gens == six2.dv_gens and six3.dv_gens
+
+
+def test_update_numeric_docvalue_newest_generation_wins(store, spark):
+    w = store
+    six = w.reader()
+    ss = SegmentSearcher(six)
+    both = ({r.doc_id for r in ss.topk(Term("error"), 10_000).collect()}
+            & {r.doc_id for r in ss.topk(Term("ok"), 10_000).collect()})
+    w.update_numeric_docvalue("error", "prio", 111)
+    six2 = w.update_numeric_docvalue("ok", "prio", 222)
+    base = spark.range(six.doc_count).select(
+        F.col("id").alias("docid"), F.lit(0).alias("prio"))
+    resolved = {r.docid: r.prio
+                for r in six2.resolve_docvalue(base, "prio").collect()}
+    for d in both:
+        assert resolved[d] == 222  # second update is the newer gen
+    # a field we never touched resolves to pure base values
+    untouched = {r.docid: r.other
+                 for r in six2.resolve_docvalue(
+                     base.withColumnRenamed("prio", "other"),
+                     "other").collect()}
+    assert all(v == 0 for v in untouched.values())

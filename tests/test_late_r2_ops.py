@@ -255,3 +255,97 @@ def test_facet_interval_overlap_law(spark, docs):
             1 for d in match if inside(lbl, chars[d]))
     # overlap sanity: totals exceed the matching-doc count iff overlap
     assert sum(rows.values()) >= len(match)
+
+
+# -- SpanPayloadCheckQuery ----------------------------------------------------
+
+def test_payload_check_laws(spark):
+    """PayloadCheck laws vs the plain TermQuery it wraps
+    (SpanPayloadCheckQuery.java:56): (1) its match set is a subset of
+    the term's; (2) accepted counts over all 7 payload values partition
+    tf exactly; (3) a doc whose every occurrence carries the required
+    payload scores identically to the unfiltered term."""
+    from lucene_solr_spark.search.query import PayloadCheck, Term
+    from __spark_entry__ import _searcher
+    se = _searcher(spark, SF)
+    term = "merge"
+    base = {r.docid: r.score for r in se.scored(Term(term)).collect()}
+    per_payload = {}
+    for v in range(1, 8):
+        per_payload[v] = {r.docid: r.score for r in
+                          se.scored(PayloadCheck(term, v)).collect()}
+        assert set(per_payload[v]) <= set(base)
+    # partition law on raw counts
+    post = {r.docid: list(r.positions) for r in
+            se.ix.postings.filter(F.col("term") == term)
+            .select("docid", "positions").collect()}
+    for d, ps in post.items():
+        accepted = {v: sum(1 for p in ps if 1 + p % 7 == v)
+                    for v in range(1, 8)}
+        assert sum(accepted.values()) == len(ps)
+        for v in range(1, 8):
+            assert (d in per_payload[v]) == (accepted[v] > 0)
+        # single-payload docs score exactly like the raw term
+        vals = {1 + p % 7 for p in ps}
+        if len(vals) == 1:
+            (v,) = vals
+            assert per_payload[v][d] == pytest.approx(base[d], abs=1e-12)
+
+
+# -- multi-select faceting ----------------------------------------------------
+
+def test_facet_multiselect_exclusion_law(spark):
+    """Tagged-filter exclusion law (SimpleFacets excludeSet): the lang
+    facet is computed WITHOUT the lang filter (so every lang with a
+    matching doc in the selected sources appears), while the source
+    facet still applies the lang filter; the source-facet total equals
+    the fully-filtered lang bucket count restricted to those sources
+    computed independently."""
+    from lucene_solr_spark.search.query import Term
+    from __spark_entry__ import (
+        _FACET_TERM, _MS_LANG, _MS_SOURCES, _q_facet_multiselect,
+        _searcher,
+    )
+    se = _searcher(spark, SF)
+    m = (se.matching(Term(_FACET_TERM))
+         .join(se.ix.source.select("docid", "lang", "source"), "docid")
+         .collect())
+    rows = _q_facet_multiselect(spark, SF).collect()
+    lang_counts = {r.value: r.n for r in rows if r.dim == "lang"}
+    src_counts = {r.value: r.n for r in rows if r.dim == "source"}
+    exp_lang = {}
+    exp_src = {}
+    for r in m:
+        if r.source in _MS_SOURCES:
+            exp_lang[r.lang] = exp_lang.get(r.lang, 0) + 1
+        if r.lang == _MS_LANG:
+            exp_src[r.source] = exp_src.get(r.source, 0) + 1
+    assert lang_counts == exp_lang
+    assert src_counts == exp_src
+    # multi-select point: the selected lang's siblings keep counts
+    assert set(lang_counts) == {r.lang for r in m
+                                if r.source in _MS_SOURCES}
+
+
+# -- JoinUtil ScoreMode.Total / Avg -------------------------------------------
+
+def test_join_totavg_aggregation_law(spark):
+    """TermsWithScoreCollector law: per join key, total == sum of
+    from-side scores and avg == total / occurrence count; every to-side
+    hit carries its key's aggregates."""
+    from lucene_solr_spark.search.query import Term
+    from __spark_entry__ import _q_join_totavg, _searcher
+    se = _searcher(spark, SF)
+    fr = (se.scored(Term("dup"))
+          .join(se.ix.source.select("docid", "lang"), "docid").collect())
+    agg = {}
+    for r in fr:
+        s, n = agg.get(r.lang, (0.0, 0))
+        agg[r.lang] = (s + r.score, n + 1)
+    lang_of = {r.docid: r.lang for r in
+               se.ix.source.select("docid", "lang").collect()}
+    for row in _q_join_totavg(spark, SF).collect():
+        lg = lang_of[row.doc_id]
+        s, n = agg[lg]
+        assert row.score_total == pytest.approx(round(s, 6), abs=2e-6)
+        assert row.score_avg == pytest.approx(round(s / n, 6), abs=2e-6)
