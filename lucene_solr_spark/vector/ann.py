@@ -241,3 +241,47 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
         F.col(id_col).cast("long").alias(id_col),
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col)).limit(k))
+
+
+def semdedup(emb: DataFrame, stride: int = 37, tau: float = 0.95,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embeddings, then within each cluster
+    drop every member of a near-identical group except one.
+
+    The clustering step reuses the deterministic IVF coarse codebook
+    (:func:`ivf_assign`; the paper uses k-means — same shape, no
+    training RNG, so the DuckDB oracle rebuilds it exactly).  Within a
+    cluster a vector is a semantic duplicate when some LOWER-id vector
+    in the same cluster has cosine >= tau to it (the paper keeps the
+    member with the lowest centroid similarity; the low-id keeper is
+    the deterministic, tie-safe variant with the same dedup rate).
+
+    Scale shape: assignment is ivf_assign's broadcast nested loop with
+    a map-side-combined argmax.  The pair stage self-joins WITHIN a
+    cluster only — both sides shuffle once on cent_id and the cost is
+    sum over clusters of size² dot products (the paper's exact cost
+    model), never corpus². The flag is a distinct + left join — no
+    window, no collect. At 10^9 vectors, cap cluster size via a finer
+    codebook (smaller stride) — the knob the paper tunes for the same
+    reason.
+    """
+    asg = ivf_assign(emb, stride, id_col, vec_col)
+    a = asg.select(F.col("cent_id"), F.col(id_col).alias("a_id"),
+                   F.col(vec_col).alias("av"))
+    b = asg.select(F.col("cent_id"), F.col(id_col).alias("b_id"),
+                   F.col(vec_col).alias("bv"))
+    dot = DOT.format(a="av", b="bv")
+    na = DOT.format(a="av", b="av")
+    nb = DOT.format(a="bv", b="bv")
+    cos = f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    dropped = (a.join(b, "cent_id")
+               .filter(F.col("a_id") < F.col("b_id"))
+               .filter(F.expr(cos) >= tau)
+               .select(F.col("b_id").alias(id_col)).distinct()
+               .withColumn("is_dup", F.lit(True)))
+    return (asg.join(dropped, id_col, "left")
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col("cent_id").cast("long").alias("cent_id"),
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
