@@ -218,6 +218,15 @@ SIM_SPECS: dict[str, tuple[Query, int, str]] = {
     # SweetSpotSimilarity (misc): plateau lengthNorm + baselineTf
     "q_sim_sweetspot": (Bool(should=(Term("dup"), Term("join"))), 10,
                         "sweetspot"),
+    # round-2k: the remaining SimilarityBase families — JM-smoothed LM,
+    # DFR I(n)L2, information-based LL-DF-H2 (similarities.py docstrings
+    # carry the file:line derivations)
+    "q_sim_lmjm": (Bool(must=(Term("merge"),),
+                        should=(Term("window"),)), 10, "lmjelinekmercer"),
+    "q_sim_dfr": (Bool(should=(Term("dup"), Term("vector"),
+                               Term("merge"))), 10, "dfr_inl2"),
+    "q_sim_ib": (Bool(should=(Term("join"), Boost(Term("window"), 1.5))),
+                 10, "ib_ll"),
 }
 
 
@@ -2259,6 +2268,109 @@ def _q_span_range(spark, sf_dir):
             .orderBy("doc_id").limit(20))
 
 
+_SC_A, _SC_B, _SC_C, _SC_SLOP = "key", "order", "sort", 6
+
+
+def _q_span_containing(spark, sf_dir):
+    """SpanContainingQuery (lucene/core/src/java/org/apache/lucene/
+    search/spans/SpanContainingQuery.java:33: big spans that contain a
+    little span): big = ordered 2-term SpanNear (a, b) with gap <=
+    slop (span [p1, p2+1)), little = a term span [q, q+1); containment
+    = p1 <= q AND q <= p2 (ContainSpans.java start/end tests).
+    Returns per doc the count of containing big spans.
+
+    Plan shape: three pushed term filters on the postings scan, two
+    docid equi-joins (shuffle on docid, AQE-broadcastable for rare
+    terms), then ONE codegen expression of nested array lambdas over
+    the in-row positions arrays — the positional theta-join never
+    explodes, so cost is O(|pa|*|pb|) per doc in-register, no extra
+    shuffle at any scale."""
+    se = _searcher(spark, sf_dir)
+    P = se.ix.postings
+    a = P.filter(F.col("term") == _SC_A).select(
+        "docid", F.col("positions").alias("pa"))
+    b = P.filter(F.col("term") == _SC_B).select(
+        "docid", F.col("positions").alias("pb"))
+    c = P.filter(F.col("term") == _SC_C).select(
+        "docid", F.col("positions").alias("pc"))
+    n = ("aggregate(pa, 0, (acc, p1) -> acc + size(filter(pb, "
+         f"p2 -> p2 > p1 AND p2 - p1 - 1 <= {_SC_SLOP} "
+         "AND exists(pc, q -> q >= p1 AND q <= p2))))")
+    return (a.join(b, "docid").join(c, "docid")
+            .select(F.col("docid").alias("doc_id"),
+                    F.expr(n).cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") > 0)
+            .orderBy("doc_id").limit(20))
+
+
+_SW_A, _SW_B, _SW_C, _SW_SLOP = "data", "row", "group", 8
+
+
+def _q_span_within(spark, sf_dir):
+    """SpanWithinQuery (lucene/core/src/java/org/apache/lucene/search/
+    spans/SpanWithinQuery.java:33: little spans enclosed by a big
+    span): same containment algebra as SpanContaining but counting the
+    LITTLE side — occurrences q of the little term lying inside any
+    ordered (a, b) window with gap <= slop.  Same
+    three-pushed-filters + nested-array-lambda plan shape as
+    q_span_containing (no explode, no added shuffle)."""
+    se = _searcher(spark, sf_dir)
+    P = se.ix.postings
+    a = P.filter(F.col("term") == _SW_A).select(
+        "docid", F.col("positions").alias("pa"))
+    b = P.filter(F.col("term") == _SW_B).select(
+        "docid", F.col("positions").alias("pb"))
+    c = P.filter(F.col("term") == _SW_C).select(
+        "docid", F.col("positions").alias("pc"))
+    n = ("size(filter(pc, q -> exists(pa, p1 -> exists(pb, "
+         f"p2 -> p2 > p1 AND p2 - p1 - 1 <= {_SW_SLOP} "
+         "AND q >= p1 AND q <= p2))))")
+    return (a.join(b, "docid").join(c, "docid")
+            .select(F.col("docid").alias("doc_id"),
+                    F.expr(n).cast("long").alias("n_within"))
+            .filter(F.col("n_within") > 0)
+            .orderBy("doc_id").limit(20))
+
+
+_SUBQ_TERM, _SUBQ_K, _SUBQ_ROWS = "spark", 5, 3
+
+
+def _q_subquery(spark, sf_dir):
+    """Solr [subquery] document transformer (solr/core/src/java/org/
+    apache/solr/response/transform/SubQueryAugmenterFactory.java:62:
+    each result document is augmented with the results of a separate
+    query parameterized by that document's own field values —
+    ``fl=*,kids:[subquery]``).  Parents = BM25 top-5 for a term; each
+    parent's subquery is ``lang:$row.lang`` sorted by n_chars DESC,
+    rows=3; output is the flattened (parent, child, rank) table.
+
+    Plan shape: the parent top-k is the usual TakeOrderedAndProject;
+    the k parent rows then BROADCAST onto the stored-fields scan (k is
+    tiny by construction — Solr evaluates one subquery per returned
+    row, here it's one broadcast join for all rows), and rank is a
+    per-parent window over rows*k candidates.  No driver loop — the
+    reference executes k sequential searches; the relational form is
+    the scale-correct equivalent."""
+    se = _searcher(spark, sf_dir)
+    src = se.ix.source
+    parents = (se.topk(Term(_SUBQ_TERM), _SUBQ_K)
+               .join(src.select(F.col("docid").alias("doc_id"), "lang"),
+                     "doc_id"))
+    sub = src.select("lang", F.col("docid").alias("sub_id"), "n_chars")
+    j = F.broadcast(parents.select("doc_id", "lang")).join(sub, "lang")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_chars"),
+                                             F.asc("sub_id"))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _SUBQ_ROWS)
+            .select("doc_id", "sub_id", F.col("rk").cast("long")
+                    .alias("rk"))
+            .orderBy("doc_id", "rk"))
+
+
+def _t_bigram_logprob(spark, sf_dir):
+    return textops.bigram_logprob(_documents(spark, sf_dir))
+
+
 _SM_TERM = "join"
 
 
@@ -2915,6 +3027,13 @@ WINDOW_ORDER = [
 # in-window v_ann_ivf pins), q_check_index (CheckIndex: packed-store
 # df/ttf metadata vs from-scratch re-inversion — the strongest
 # store-integrity oracle row in the registry).
+# Round-2k surfaces (same past-window + three-scale-records pattern):
+# q_sim_lmjm / q_sim_dfr / q_sim_ib (the remaining SimilarityBase
+# families; in-window q_sim_classic pins the pluggable-sim machinery),
+# q_span_containing / q_span_within (containment span algebra; the
+# in-window span rows pin the position plumbing), q_subquery (Solr
+# [subquery] doc transformer), t_bigram_logprob (interpolated bigram
+# LM — the rung above in-window t_unigram_logprob).
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
@@ -3045,6 +3164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ppl_buckets": _t_ppl_buckets,
         "v_semdedup": _v_semdedup,
         "q_check_index": _q_check_index,
+        "q_span_containing": _q_span_containing,
+        "q_span_within": _q_span_within,
+        "q_subquery": _q_subquery,
+        "t_bigram_logprob": _t_bigram_logprob,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -4759,6 +4882,68 @@ SELECT lp.doc_id, d.lang, lp.logprob,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        END AS bucket
 FROM lp JOIN documents d ON d.doc_id = lp.doc_id"""
+
+    out["q_span_containing"] = f"""
+WITH {ctes},
+a AS (SELECT docid, pos FROM px WHERE term = '{_SC_A}'),
+b AS (SELECT docid, pos FROM px WHERE term = '{_SC_B}'),
+c AS (SELECT docid, pos FROM px WHERE term = '{_SC_C}')
+SELECT a.docid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM a JOIN b ON b.docid = a.docid
+  AND b.pos > a.pos AND b.pos - a.pos - 1 <= {_SC_SLOP}
+WHERE EXISTS (SELECT 1 FROM c WHERE c.docid = a.docid
+              AND c.pos >= a.pos AND c.pos <= b.pos)
+GROUP BY a.docid ORDER BY doc_id LIMIT 20"""
+
+    out["q_span_within"] = f"""
+WITH {ctes},
+a AS (SELECT docid, pos FROM px WHERE term = '{_SW_A}'),
+b AS (SELECT docid, pos FROM px WHERE term = '{_SW_B}'),
+c AS (SELECT docid, pos FROM px WHERE term = '{_SW_C}')
+SELECT c.docid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_within
+FROM c
+WHERE EXISTS (SELECT 1 FROM a JOIN b ON b.docid = a.docid
+                AND b.pos > a.pos AND b.pos - a.pos - 1 <= {_SW_SLOP}
+              WHERE a.docid = c.docid
+                AND c.pos >= a.pos AND c.pos <= b.pos)
+GROUP BY c.docid ORDER BY doc_id LIMIT 20"""
+
+    out["q_subquery"] = f"""
+WITH {ctes},
+par AS (SELECT docid AS doc_id FROM (
+          SELECT docid, ROUND(score, 6) AS score
+          FROM ({ob.scored(Term(_SUBQ_TERM))}) s
+          ORDER BY score DESC, docid ASC LIMIT {_SUBQ_K}) t),
+pl AS (SELECT p.doc_id, d.lang
+       FROM par p JOIN documents d ON d.doc_id = p.doc_id),
+sub AS (SELECT pl.doc_id, d.doc_id AS sub_id,
+               ROW_NUMBER() OVER (PARTITION BY pl.doc_id
+                 ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        FROM pl JOIN documents d ON d.lang = pl.lang)
+SELECT doc_id, sub_id, CAST(rk AS BIGINT) AS rk
+FROM sub WHERE rk <= {_SUBQ_ROWS} ORDER BY doc_id, rk"""
+
+    out["t_bigram_logprob"] = f"""
+WITH {ctes},
+bg AS (SELECT docid AS doc_id,
+              unnest(tokens[1:len(tokens)-1]) AS w1,
+              unnest(tokens[2:len(tokens)]) AS w2
+       FROM toks),
+bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(bc) AS cc FROM bgc GROUP BY w1),
+uni AS (SELECT term, COUNT(*) AS uc FROM px GROUP BY term),
+tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS t FROM uni)
+SELECT bg.doc_id,
+       ROUND(SUM(LN(0.75 * (CAST(bgc.bc AS DOUBLE)
+                            / CAST(ctx.cc AS DOUBLE))
+                    + 0.25 * (CAST(uni.uc AS DOUBLE) / tot.t)))
+             / COUNT(*), 6) AS logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+JOIN ctx ON ctx.w1 = bg.w1
+JOIN uni ON uni.term = bg.w2
+CROSS JOIN tot
+GROUP BY bg.doc_id"""
 
     out["t_pii"] = f"""
 SELECT doc_id,

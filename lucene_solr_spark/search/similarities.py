@@ -46,8 +46,15 @@ Similarity means TOP_SCORES pruning is unavailable and the exhaustive
 from __future__ import annotations
 
 import math
+import struct
 
 from .bm25 import score_sql
+
+
+def _f32(x: float) -> float:
+    """Round a double to the nearest float32 and back (Java ``float``
+    arithmetic, used where the reference stores a constant as float)."""
+    return struct.unpack("<f", struct.pack("<f", x))[0]
 
 
 def _sum_weights(weight_exprs: list[str]) -> str:
@@ -197,10 +204,119 @@ class SweetSpotSimilarity(ClassicSimilarity):
         return f"(({w}) * {tf} * {norm})"
 
 
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer smoothed LM (LMJelinekMercerSimilarity.java:63-68):
+    ``score = boost * ln(1 + ((1-lambda)*tf/dl) / (lambda*p))`` with the
+    default collection model ``p = (ttf+1)/(numberOfFieldTokens+1)``
+    (LMSimilarity.java:154-156).  Java stores lambda as a ``float``
+    (:42) and computes ``1 - lambda`` in float32 before promoting, so
+    both constants are float32-rounded here.  Default lambda = 0.7, the
+    Solr LMJelinekMercerSimilarityFactory default for long queries.
+    Non-linear in the per-term constant (lambda*p), so multi-term
+    scoring keeps one addend per term (MultiSimilarity.java:66-72);
+    ln(1+x) with x >= 0 needs no clamp."""
+
+    name = "lmjelinekmercer"
+
+    def __init__(self, lam: float = 0.7):
+        self.lam = _f32(lam)
+        self.one_minus = _f32(1.0 - self.lam)
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        return self.lam * ((ttf + 1.0) / (sum_ttf + 1.0))
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return (f"({self.lam!r} * ((CAST({ttf_sql} AS DOUBLE) + 1e0) / "
+                f"(CAST({sumttf_sql} AS DOUBLE) + 1e0)))")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        parts = [
+            (f"ln(1e0 + (({self.one_minus!r} * "
+             f"CAST({tf_expr} AS DOUBLE)) / "
+             f"CAST({qdl_expr} AS DOUBLE)) / ({w}))")
+            for w in weight_exprs]
+        return "(" + " + ".join(parts) + ")"
+
+
+class DFRInL2Similarity:
+    """DFR I(n)L2 (DFRSimilarity.java:110-114 with BasicModelIn.java:
+    33-44, AfterEffectL.java:32-34, NormalizationH2.java:58-60):
+    ``tfn = tf * log2(1 + c*avgdl/dl)`` (H2, c=1), after-effect L's
+    scoreTimes1pTfn == 1, and I(n)'s combined form
+    ``A * (1 - 1/(1+tfn))`` with ``A = log2((N+1)/(df+0.5))``.
+    log2(x) = ln(x)/ln(2) exactly as SimilarityBase.log2.  The basic-
+    model weight A multiplies a term-independent factor, but Lucene's
+    MultiSimScorer sums per-term scores, so one addend per term is the
+    bit-faithful multi-term form."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, c: float = 1.0):
+        self.c = _f32(c)  # NormalizationH2 stores c as float
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        return math.log((n + 1) / (df + 0.5)) / math.log(2.0)
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return (f"(ln((CAST({n_sql} AS DOUBLE) + 1e0) / "
+                f"(CAST({df_sql} AS DOUBLE) + 0.5e0)) / ln(2e0))")
+
+    def _tfn(self, tf_expr: str, qdl_expr: str, avgdl_sql: str) -> str:
+        return (f"(CAST({tf_expr} AS DOUBLE) * (ln(1e0 + {self.c!r} * "
+                f"({avgdl_sql}) / CAST({qdl_expr} AS DOUBLE)) / ln(2e0)))")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        tfn = self._tfn(tf_expr, qdl_expr, avgdl_sql)
+        parts = [f"(({w}) * (1e0 - 1e0 / (1e0 + {tfn})))"
+                 for w in weight_exprs]
+        return "(" + " + ".join(parts) + ")"
+
+
+class IBLLSimilarity(DFRInL2Similarity):
+    """Information-based LL-DF-H2 (IBSimilarity.java:99-105 with
+    DistributionLL.java:33-35, LambdaDF.java:28-36, NormalizationH2):
+    per term ``score = -ln(lambda / (tfn + lambda))`` with
+    ``lambda = (float)((df+1)/(N+1))`` — LambdaDF casts to float32 and
+    nextDowns an exact 1 (a term present in every doc) so the
+    distribution stays finite.  tfn inherits the H2 normalization text
+    from DFRInL2Similarity (same Normalization class in the
+    reference)."""
+
+    name = "ib_ll"
+
+    # largest float32 < 1 == Math.nextDown(1.0f) (LambdaDF.java:33)
+    _NEXT_DOWN_1 = 1.0 - 2.0 ** -24
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        lam = _f32((df + 1.0) / (n + 1.0))
+        return self._NEXT_DOWN_1 if lam == 1.0 else lam
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        lam = (f"CAST(CAST(((CAST({df_sql} AS DOUBLE) + 1e0) / "
+               f"(CAST({n_sql} AS DOUBLE) + 1e0)) AS FLOAT) AS DOUBLE)")
+        return (f"(CASE WHEN {lam} = 1e0 THEN {self._NEXT_DOWN_1!r} "
+                f"ELSE {lam} END)")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        tfn = self._tfn(tf_expr, qdl_expr, avgdl_sql)
+        parts = [f"(0e0 - ln(({w}) / ({tfn} + ({w}))))"
+                 for w in weight_exprs]
+        return "(" + " + ".join(parts) + ")"
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "boolean": BooleanSimilarity,
     "sweetspot": SweetSpotSimilarity,
+    "lmjelinekmercer": LMJelinekMercerSimilarity,
+    "dfr_inl2": DFRInL2Similarity,
+    "ib_ll": IBLLSimilarity,
 }

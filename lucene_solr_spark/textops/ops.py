@@ -387,6 +387,51 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 F.count("*").cast("long").alias("n_tokens")))
 
 
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram-LM quality score: mean over a document's
+    bigram instances of ``ln(lam * P(w2|w1) + (1-lam) * P(w2))`` under
+    corpus MLE estimates — the next LM rung above
+    :func:`unigram_logprob` in the CCNet-style quality ladder (Wenzek
+    et al. 2019 §4.3; Jelinek-Mercer interpolation, the same smoothing
+    family as Lucene's LMJelinekMercerSimilarity.java:63).
+    ``P(w2|w1) = c(w1,w2) / c(w1,*)`` (context counts from the bigram
+    table, so the conditional rows sum to 1 per context) and
+    ``P(w2) = c(w2) / total_tokens``.  Docs with fewer than 2 tokens
+    have no bigram instance and emit no row.
+
+    Scale shape: bigram rows come from ONE codegen zip of each token
+    array with its own tail (transform over sequence — no self-join,
+    no window); the bigram-stats table is built by one partial+final
+    count shuffle and joined back by (w1, w2) — a plain shuffle join at
+    100 TB (the bigram vocab can exceed broadcast size, unlike the
+    unigram table); context and unigram stats are broadcast. Final
+    per-doc aggregate is partial+final. No Python anywhere.
+    """
+    toks = with_tokens(df).select(F.col(id_col), "tokens")
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(sequence(1, size(tokens) - 1), "
+            "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))"))
+        .alias("b")).select(id_col, "b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ctx = bgc.groupBy("w1").agg(F.sum("bc").alias("cc"))
+    uni = (with_tokens(df).select(F.explode("tokens").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("uc")))
+    tot = uni.agg(F.sum("uc").cast("double").alias("t"))
+    j = (bg.join(bgc, ["w1", "w2"])
+         .join(F.broadcast(ctx), "w1")
+         .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+         .crossJoin(F.broadcast(tot)))
+    lp = (f"LN({lam!r} * (CAST(bc AS DOUBLE) / CAST(cc AS DOUBLE)) + "
+          f"{1.0 - lam!r} * (CAST(uc AS DOUBLE) / t))")
+    return (j.groupBy(id_col)
+            .agg(F.round(F.sum(F.expr(lp)) / F.count("*"), 6)
+                 .alias("logprob"),
+                 F.count("*").cast("long").alias("n_bigrams")))
+
+
 def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                        lang_col: str = "lang") -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2019, §4.3): score
