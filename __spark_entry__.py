@@ -2371,6 +2371,104 @@ def _t_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob(_documents(spark, sf_dir))
 
 
+def _t_dsir(spark, sf_dir):
+    return textops.dsir_weights(_documents(spark, sf_dir))
+
+
+_CLU_TERM, _CLU_N, _CLU_K = "data", 30, 3
+
+
+def _q_cluster_results(spark, sf_dir):
+    """Solr ClusteringComponent (solr/contrib/clustering/src/java/org/
+    apache/solr/handler/clustering/ClusteringComponent.java:66 — the
+    search-results clustering engine, default carrot2): partition the
+    top-N hits of a query into K clusters by content similarity.
+    Carrot2's Lingo is RNG-seeded; the deterministic analogue keeps the
+    component's contract (clusters over the RESULT SET, not the
+    corpus): seeds = the K lowest-docid results, every result assigned
+    to the argmax-cosine seed over tf-idf term vectors
+    (w = tf * ln((N+1)/(df+1))), ties to the lowest seed.
+
+    Plan shape: the result set is k rows (TakeOrderedAndProject), so
+    the postings restriction BROADCASTS onto the postings scan; the
+    seed side is K rows and also broadcasts; the dot products are one
+    (docid, seed) partial+final aggregate.  Nothing in the plan scales
+    with corpus size beyond the one postings scan."""
+    se = _searcher(spark, sf_dir)
+    n = se.ix.doc_count
+    res = se.topk(Term(_CLU_TERM), _CLU_N).select(
+        F.col("doc_id").alias("docid"))
+    w_sql = (f"(CAST(tf AS DOUBLE) * LN((CAST({n} AS DOUBLE) + 1e0) / "
+             f"(CAST(df AS DOUBLE) + 1e0)))")
+    post = (se.ix.postings.join(F.broadcast(res), "docid")
+            .join(F.broadcast(se.ix.term_stats.select("term", "df")),
+                  "term")
+            .select("docid", "term", F.expr(w_sql).alias("w")))
+    seeds = res.orderBy("docid").limit(_CLU_K)
+    sv = (post.join(F.broadcast(seeds.withColumnRenamed(
+        "docid", "cid")), post.docid == F.col("cid"))
+        .select("cid", "term", F.col("w").alias("sw")))
+    norms = post.groupBy("docid").agg(F.sum(F.expr("w * w")).alias("nn"))
+    snorms = sv.groupBy("cid").agg(F.sum(F.expr("sw * sw")).alias("sn"))
+    dots = (post.join(F.broadcast(sv), "term")
+            .groupBy("docid", "cid")
+            .agg(F.sum(F.expr("w * sw")).alias("dot")))
+    cos = (dots.join(norms, "docid").join(F.broadcast(snorms), "cid")
+           .select("docid", "cid",
+                   F.expr("ROUND(dot / (sqrt(nn) * sqrt(sn)), 6)")
+                   .alias("cos")))
+    rw = Window.partitionBy("docid").orderBy(F.desc("cos"),
+                                             F.asc("cid"))
+    return (cos.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") == 1)
+            .select(F.col("docid").alias("doc_id"),
+                    F.col("cid").cast("long").alias("cluster_id"),
+                    "cos")
+            .orderBy("doc_id"))
+
+
+# Convex-ish test polygon in (lon, lat); vertices chosen with distinct
+# latitudes so no ray-cast edge is horizontal (division below is safe)
+_POLY = ((-120.0, -50.0), (-60.0, 55.0), (20.0, 60.0), (60.0, 0.0),
+         (-20.0, -60.0))
+
+
+def _point_in_poly_sql(lon: str, lat: str) -> str:
+    """Shared engine/oracle SQL: even-odd ray casting (the planar
+    containment test of Polygon2D, lucene/core/src/java/org/apache/
+    lucene/geo/Polygon2D.java contains(): crossing count parity along
+    a horizontal ray)."""
+    parts = []
+    m = len(_POLY)
+    for i in range(m):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % m]
+        parts.append(
+            f"(CASE WHEN (({y1!r} > ({lat})) != ({y2!r} > ({lat}))) "
+            f"AND (({lon}) < ({x2!r} - {x1!r}) * (({lat}) - {y1!r}) "
+            f"/ ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(parts) + ") % 2 = 1)"
+
+
+def _q_geo_polygon(spark, sf_dir):
+    """LatLonPoint.newPolygonQuery (document/LatLonPoint.java:301,
+    containment via geo/Polygon2D.java even-odd ray casting): docs
+    whose derived point lies inside a 5-vertex polygon.  The parity
+    test is one codegen boolean over the point columns — at scale the
+    same BKD min/max pruning as q_point_range cuts row groups whose
+    lat/lon bounds miss the polygon's bounding box before the exact
+    test runs."""
+    d = _documents(spark, sf_dir).alias("d")
+    inside = _point_in_poly_sql(_GEO_LON, _GEO_LAT)
+    return (d.select(F.col("doc_id"),
+                     F.expr(f"CAST(ROUND({_GEO_LAT}, 6) AS DOUBLE)")
+                     .alias("lat"),
+                     F.expr(f"CAST(ROUND({_GEO_LON}, 6) AS DOUBLE)")
+                     .alias("lon"))
+            .filter(F.expr(inside.replace("d.doc_id", "doc_id")))
+            .orderBy("doc_id").limit(20))
+
+
 _SM_TERM = "join"
 
 
@@ -3034,6 +3132,12 @@ WINDOW_ORDER = [
 # in-window span rows pin the position plumbing), q_subquery (Solr
 # [subquery] doc transformer), t_bigram_logprob (interpolated bigram
 # LM — the rung above in-window t_unigram_logprob).
+# Round-2l surfaces (same pattern): t_dsir (DSIR importance-resampling
+# weights over the bigram features t_bigram_logprob pins),
+# q_cluster_results (Solr ClusteringComponent: deterministic tf-idf
+# argmax-cosine over the result set), q_geo_polygon (LatLonPoint
+# polygon query via Polygon2D even-odd ray casting; in-window geo rows
+# pin the derived-point plumbing).
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
@@ -3168,6 +3272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_within": _q_span_within,
         "q_subquery": _q_subquery,
         "t_bigram_logprob": _t_bigram_logprob,
+        "t_dsir": _t_dsir,
+        "q_cluster_results": _q_cluster_results,
+        "q_geo_polygon": _q_geo_polygon,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -4944,6 +5051,69 @@ JOIN ctx ON ctx.w1 = bg.w1
 JOIN uni ON uni.term = bg.w2
 CROSS JOIN tot
 GROUP BY bg.doc_id"""
+
+    out["t_dsir"] = f"""
+WITH {ctes},
+bg AS (SELECT t.docid AS doc_id, (d.lang = 'en') AS is_tgt,
+              unnest(tokens[1:len(tokens)-1]) AS w1,
+              unnest(tokens[2:len(tokens)]) AS w2
+       FROM toks t JOIN documents d ON d.doc_id = t.docid),
+stats AS (SELECT w1, w2, COUNT(*) AS c_raw,
+                 SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+          FROM bg GROUP BY w1, w2),
+tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw,
+               CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+               CAST(COUNT(*) AS DOUBLE) AS v FROM stats)
+SELECT bg.doc_id,
+       ROUND(SUM(LN((CAST(s.c_tgt AS DOUBLE) + 1e0) / (tot.n_tgt + tot.v))
+                 - LN((CAST(s.c_raw AS DOUBLE) + 1e0)
+                      / (tot.n_raw + tot.v))), 6) AS log_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_feats
+FROM bg JOIN stats s ON s.w1 = bg.w1 AND s.w2 = bg.w2
+CROSS JOIN tot
+GROUP BY bg.doc_id"""
+
+    out["q_cluster_results"] = f"""
+WITH {ctes},
+res AS (SELECT docid FROM (
+          SELECT docid, ROUND(score, 6) AS score
+          FROM ({ob.scored(Term(_CLU_TERM))}) s
+          ORDER BY score DESC, docid ASC LIMIT {_CLU_N}) t),
+w AS (SELECT p.docid, p.term,
+             (CAST(p.tf AS DOUBLE)
+              * LN((CAST({ob.n_sql} AS DOUBLE) + 1e0)
+                   / (CAST(ts.df AS DOUBLE) + 1e0))) AS w
+      FROM postings p JOIN ts ON ts.term = p.term
+      WHERE p.docid IN (SELECT docid FROM res)),
+seeds AS (SELECT docid AS cid FROM res ORDER BY docid LIMIT {_CLU_K}),
+sv AS (SELECT s.cid, w.term, w.w AS sw
+       FROM w JOIN seeds s ON s.cid = w.docid),
+norms AS (SELECT docid, SUM(w * w) AS nn FROM w GROUP BY docid),
+snorms AS (SELECT cid, SUM(sw * sw) AS sn FROM sv GROUP BY cid),
+dots AS (SELECT a.docid, s.cid, SUM(a.w * s.sw) AS dot
+         FROM w a JOIN sv s ON s.term = a.term
+         GROUP BY a.docid, s.cid),
+cosb AS (SELECT d.docid, d.cid,
+                ROUND(d.dot / (sqrt(n.nn) * sqrt(sn.sn)), 6) AS cos,
+                ROW_NUMBER() OVER (PARTITION BY d.docid
+                  ORDER BY ROUND(d.dot / (sqrt(n.nn) * sqrt(sn.sn)), 6)
+                    DESC, d.cid ASC) AS rn
+         FROM dots d JOIN norms n ON n.docid = d.docid
+         JOIN snorms sn ON sn.cid = d.cid)
+SELECT docid AS doc_id, CAST(cid AS BIGINT) AS cluster_id, cos
+FROM cosb WHERE rn = 1 ORDER BY doc_id"""
+
+    _poly_inside = _point_in_poly_sql(
+        _GEO_LON.replace("d.doc_id", "doc_id"),
+        _GEO_LAT.replace("d.doc_id", "doc_id"))
+    out["q_geo_polygon"] = f"""
+SELECT doc_id,
+       CAST(ROUND({_GEO_LAT.replace('d.doc_id', 'doc_id')}, 6)
+            AS DOUBLE) AS lat,
+       CAST(ROUND({_GEO_LON.replace('d.doc_id', 'doc_id')}, 6)
+            AS DOUBLE) AS lon
+FROM documents WHERE {_poly_inside}
+ORDER BY doc_id LIMIT 20"""
 
     out["t_pii"] = f"""
 SELECT doc_id,

@@ -432,6 +432,53 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  F.count("*").cast("long").alias("n_bigrams")))
 
 
+def dsir_weights(df: DataFrame, target_col: str = "lang",
+                 target_val: str = "en",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169 §2):
+    per document ``log w(z) = sum over n-gram features f of
+    [ln p_target(f) - ln p_raw(f)]`` — documents resembling the target
+    distribution get high weight and are preferentially resampled.
+    Features are the document's bigrams; both models are add-one-
+    smoothed multinomials over the corpus bigram vocabulary, the target
+    estimated from rows where ``target_col == target_val`` and raw from
+    the whole corpus.  (The paper hashes n-grams into B buckets to
+    bound the feature space — at 100 TB swap the (w1, w2) key for
+    ``abs(hash(w1, w2)) % B``, a drop-in one-line change; the unhashed
+    key is used here so the DuckDB oracle reproduces it exactly.)
+
+    Scale shape: one codegen self-zip per token array (no join) for
+    feature extraction, one partial+final count shuffle for the joint
+    (c_raw, c_tgt) stats, one shuffle join back on the feature key
+    (bigram vocab can exceed broadcast size), scalar totals folded in
+    by a broadcast 1-row cross join, one per-doc partial+final
+    aggregate.  No Python, no window, no collect.
+    """
+    toks = with_tokens(df).select(
+        F.col(id_col), "tokens",
+        (F.col(target_col) == target_val).alias("is_tgt"))
+    bg = (toks.select(
+        F.col(id_col), "is_tgt",
+        F.explode(F.expr(
+            "transform(sequence(1, size(tokens) - 1), "
+            "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))"))
+        .alias("b"))
+        .select(id_col, "is_tgt", "b.w1", "b.w2"))
+    stats = bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_tgt"))
+    tot = stats.agg(F.sum("c_raw").cast("double").alias("n_raw"),
+                    F.sum("c_tgt").cast("double").alias("n_tgt"),
+                    F.count("*").cast("double").alias("v"))
+    j = bg.join(stats, ["w1", "w2"]).crossJoin(F.broadcast(tot))
+    lw = ("LN((CAST(c_tgt AS DOUBLE) + 1e0) / (n_tgt + v)) - "
+          "LN((CAST(c_raw AS DOUBLE) + 1e0) / (n_raw + v))")
+    return (j.groupBy(id_col)
+            .agg(F.round(F.sum(F.expr(lw)), 6).alias("log_weight"),
+                 F.count("*").cast("long").alias("n_feats")))
+
+
 def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                        lang_col: str = "lang") -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2019, §4.3): score
