@@ -2375,6 +2375,15 @@ def _t_dsir(spark, sf_dir):
     return textops.dsir_weights(_documents(spark, sf_dir))
 
 
+_PQ_Q, _PQ_M = 11, 8
+
+
+def _v_pq(spark, sf_dir):
+    from lucene_solr_spark.vector.ann import pq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, _PQ_Q, k=10, stride=_IVF_STRIDE, m=_PQ_M)
+
+
 _CLU_TERM, _CLU_N, _CLU_K = "data", 30, 3
 
 
@@ -3138,6 +3147,9 @@ WINDOW_ORDER = [
 # argmax-cosine over the result set), q_geo_polygon (LatLonPoint
 # polygon query via Polygon2D even-odd ray casting; in-window geo rows
 # pin the derived-point plumbing).
+# Round-2m: v_pq (product quantization encode + ADC top-k — the IVF-PQ
+# compression layer; in-window v_ann_ivf pins the coarse codebook it
+# shares).
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
@@ -3275,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dsir": _t_dsir,
         "q_cluster_results": _q_cluster_results,
         "q_geo_polygon": _q_geo_polygon,
+        "v_pq": _v_pq,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -5114,6 +5127,34 @@ SELECT doc_id,
             AS DOUBLE) AS lon
 FROM documents WHERE {_poly_inside}
 ORDER BY doc_id LIMIT 20"""
+
+    out["v_pq"] = f"""
+WITH ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+dims AS (SELECT CAST(len(embedding) // {_PQ_M} AS INT) AS dsub
+         FROM embeddings LIMIT 1),
+es AS (SELECT vec_id,
+              CAST((i - 1) // (SELECT dsub FROM dims) AS INT) AS m,
+              i, v FROM ee),
+cs AS (SELECT vec_id AS cent_id, m, i, v FROM es
+       WHERE vec_id % {_IVF_STRIDE} = 0),
+dist AS (SELECT e.vec_id, e.m, c.cent_id,
+                ROUND(SUM((e.v - c.v) * (e.v - c.v)), 6) AS d
+         FROM es e JOIN cs c ON c.i = e.i
+         GROUP BY e.vec_id, e.m, c.cent_id),
+codes AS (SELECT vec_id, m, cent_id AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+              ORDER BY d ASC, cent_id ASC) AS rn FROM dist) t
+          WHERE rn = 1),
+lut AS (SELECT m, cent_id AS code, d AS qd FROM dist
+        WHERE vec_id = {_PQ_Q})
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       ROUND(SUM(l.qd), 6) AS adist
+FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+WHERE c.vec_id <> {_PQ_Q}
+GROUP BY c.vec_id
+ORDER BY adist ASC, vec_id ASC LIMIT 10"""
 
     out["t_pii"] = f"""
 SELECT doc_id,

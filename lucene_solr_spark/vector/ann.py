@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> "
        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
@@ -285,3 +286,99 @@ def semdedup(emb: DataFrame, stride: int = 37, tau: float = 0.95,
             .select(F.col(id_col).cast("long").alias(id_col),
                     F.col("cent_id").cast("long").alias("cent_id"),
                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+_L2SQ = ("aggregate(zip_with({a}, {b}, (x, y) -> "
+         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, "
+         "(acc, v) -> acc + v)")
+
+
+def _pq_subspaces(emb: DataFrame, m: int, id_col: str,
+                  vec_col: str, out_id: str) -> DataFrame:
+    """Explode each vector into its M contiguous subvectors (one codegen
+    transform + explode; dsub is derived in-plan from size(vec), no
+    driver dim probe)."""
+    sub = (f"transform(sequence(0, {m} - 1), mi -> struct(mi AS m, "
+           f"slice({vec_col}, mi * (size({vec_col}) DIV {m}) + 1, "
+           f"size({vec_col}) DIV {m}) AS sub))")
+    return (emb.select(F.col(id_col).alias(out_id),
+                       F.explode(F.expr(sub)).alias("s"))
+            .select(out_id, "s.m", "s.sub"))
+
+
+def pq_encode(emb: DataFrame, stride: int = 37, m: int = 8,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product quantization encode (Jegou, Douze, Schmid 2011 "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI §III): split
+    each vector into M contiguous subvectors and replace each with the
+    id of its nearest (L2) centroid in a per-subspace codebook — the
+    compression layer under IVF-PQ, the standard way to fit 10^9+
+    vectors in memory.  The codebook reuses the deterministic stride
+    convention of :func:`ivf_assign` (every ``stride``-th vector's
+    subvectors are the centroids; the paper trains per-subspace
+    k-means — same shape, no RNG, so the DuckDB oracle rebuilds it
+    bit-identically).
+
+    Returns one row per (vec_id, m) with the assigned ``code`` (the
+    centroid's vec_id) and the rounded subspace distance.
+
+    Scale shape: the codebook is K*M tiny rows (broadcast); encode is
+    a broadcast nested loop over subspaces scored in whole-stage
+    codegen and reduced by ONE partial+final min_by aggregate keyed by
+    (vec_id, m) — the same single-shuffle profile as ivf_assign, M×
+    the rows.  Argmin ties break to the lowest centroid id via the
+    rounded distance, the engine's standard determinism contract.
+    """
+    subs = _pq_subspaces(emb, m, id_col, vec_col, id_col)
+    cents = _pq_subspaces(
+        emb.filter(F.col(id_col) % stride == 0), m, id_col, vec_col,
+        "cent_id").withColumnRenamed("sub", "csub")
+    d = _L2SQ.format(a="sub", b="csub")
+    scored = (subs.join(F.broadcast(cents), "m")
+              .select(id_col, "m", "cent_id",
+                      F.expr(f"ROUND({d}, 6)").alias("d")))
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d"),
+                                                F.asc("cent_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col("m").cast("int").alias("m"),
+                    F.col("cent_id").cast("long").alias("code"), "d"))
+
+
+def pq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+            stride: int = 37, m: int = 8, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric distance (ADC) top-k (Jegou et al. 2011 §III.C):
+    the query stays unquantized; each database vector's approximate
+    distance is the sum over subspaces of the PRECOMPUTED distance from
+    the query's subvector to the vector's assigned centroid.  One M*K
+    lookup table replaces all exact distance math — the reason PQ
+    search is memory-bandwidth- not FLOP-bound at scale.
+
+    Scale shape: the lookup table is M*K rows built from the broadcast
+    codebook and the 1-row query (no scan); the database side touches
+    only the (vec_id, m, code) code table — 8 bytes/subspace instead of
+    the raw floats — with one equi-join on (m, code) against the
+    broadcast table and one per-vector partial+final sum.  Per-subspace
+    distances are rounded to 6 before summing so engine and oracle rank
+    identically.
+    """
+    codes = pq_encode(emb, stride, m, id_col, vec_col)
+    qsubs = _pq_subspaces(
+        emb.filter(F.col(id_col) == query_vec_id), m, id_col, vec_col,
+        "qid").withColumnRenamed("sub", "qsub")
+    cents = _pq_subspaces(
+        emb.filter(F.col(id_col) % stride == 0), m, id_col, vec_col,
+        "cent_id").withColumnRenamed("sub", "csub")
+    d = _L2SQ.format(a="qsub", b="csub")
+    lut = (cents.join(F.broadcast(qsubs), "m")
+           .select("m", F.col("cent_id").alias("code"),
+                   F.expr(f"ROUND({d}, 6)").alias("qd")))
+    return (codes.filter(F.col(id_col) != query_vec_id)
+            .join(F.broadcast(lut), ["m", "code"])
+            .groupBy(id_col)
+            .agg(F.round(F.sum("qd"), 6).alias("adist"))
+            .orderBy(F.asc("adist"), F.asc(id_col)).limit(k))
