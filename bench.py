@@ -95,6 +95,17 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         timings_cold[name] = round(time.perf_counter() - t0, 4)
 
+    # pass boundary: release blocks the cold pass leaked (iterative ops
+    # localCheckpoint per round; the RDD references die with the Python
+    # frame but the executor blocks are only freed when the JVM
+    # ContextCleaner sees the GC) — without this the warm pass measures
+    # cumulative memory pressure, not query latency (observed: sloppy
+    # warm 7.6s under leaked-block pressure vs 1.5s clean)
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+
     # steady-state latency: second run of each (plan-compile excluded;
     # same policy the p50 below has always used). This is the "queries"
     # map — in a served workload a query's plan is compiled once and
