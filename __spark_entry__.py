@@ -227,6 +227,16 @@ SIM_SPECS: dict[str, tuple[Query, int, str]] = {
                                Term("merge"))), 10, "dfr_inl2"),
     "q_sim_ib": (Bool(should=(Term("join"), Boost(Term("window"), 1.5))),
                  10, "ib_ll"),
+    # round-2n: the last two SimilarityBase families without rows —
+    # Axiomatic F2EXP (AxiomaticF2EXP.java:52-91) and DFI with the
+    # standardized independence measure (DFISimilarity.java:55-65,
+    # IndependenceStandardized.java:37); formula derivations in
+    # similarities.py docstrings
+    "q_sim_axiomatic": (Bool(should=(Term("dup"), Term("table"),
+                                     Boost(Term("merge"), 1.2))), 10,
+                        "axiomatic_f2exp"),
+    "q_sim_dfi": (Bool(must=(Term("hash"),),
+                       should=(Term("dup"),)), 10, "dfi_standardized"),
 }
 
 
@@ -3150,6 +3160,10 @@ WINDOW_ORDER = [
 # Round-2m: v_pq (product quantization encode + ADC top-k — the IVF-PQ
 # compression layer; in-window v_ann_ivf pins the coarse codebook it
 # shares).
+# Round-2n (same past-window + three-scale-records pattern):
+# q_sim_axiomatic / q_sim_dfi — the last two SimilarityBase families
+# (Axiomatic F2EXP, DFI standardized); in-window q_sim_classic pins
+# the pluggable-similarity machinery they plug into.
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep

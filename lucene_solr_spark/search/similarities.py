@@ -310,6 +310,83 @@ class IBLLSimilarity(DFRInL2Similarity):
         return "(" + " + ".join(parts) + ")"
 
 
+class AxiomaticF2EXP:
+    """Axiomatic F2EXP (AxiomaticF2EXP.java:52-91, combined in
+    Axiomatic.score Axiomatic.java:104-112): per term
+    ``score = idf * tfln`` with
+    ``tfln = freq / (freq + s + s*dl/avgdl)`` (AxiomaticF2EXP.java:77)
+    and ``idf = pow((N+1)/df, k)`` (AxiomaticF2EXP.java:85); tf and ln
+    components are the constant 1 (:61,:69), gamma is 0 (:91) so the
+    reference's final ``Math.max(0, score)`` clamp is a no-op.  s and k
+    are stored as floats (Axiomatic.java:45,50; defaults 0.25f / 0.35f,
+    :100) and promote to double inside the arithmetic.  Non-linear in
+    the per-term constant, so multi-term scoring keeps one addend per
+    term (MultiSimilarity.java:66-72).  ``pow`` is evaluated by libm on
+    both backends (Math.pow itself is only 1-ulp-accurate), absorbed by
+    the round(score, 6) compare contract."""
+
+    name = "axiomatic_f2exp"
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        self.s = _f32(s)
+        self.k = _f32(k)
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        return math.pow((n + 1.0) / df, self.k)
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return (f"pow((CAST({n_sql} AS DOUBLE) + 1e0) / "
+                f"CAST({df_sql} AS DOUBLE), {self.k!r})")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        t = f"CAST({tf_expr} AS DOUBLE)"
+        x = f"CAST({qdl_expr} AS DOUBLE)"
+        # Java operand order: (freq + s) + ((s * docLen) / avgdl)
+        tfln = (f"({t} / (({t} + {self.s!r}) + "
+                f"(({self.s!r} * {x}) / ({avgdl_sql}))))")
+        parts = [f"(({w}) * {tfln})" for w in weight_exprs]
+        return "(" + " + ".join(parts) + ")"
+
+
+class DFIStandardizedSimilarity:
+    """Divergence from Independence with the standardized measure
+    (DFISimilarity.java:55-65, IndependenceStandardized.java:37-39):
+    per term ``expected = (ttf+1) * dl / (sumTotalTermFreq+1)``; if
+    ``freq <= expected`` the term contributes 0 (DFISimilarity.java:60),
+    else ``log2((freq-expected)/sqrt(expected) + 1)`` with
+    SimilarityBase.log2 = ln/ln(2).  The per-term constant here is
+    ``(ttf+1)/(sumTotalTermFreq+1)`` and expected = constant * dl; the
+    reference multiplies before dividing, a 1-ulp reshuffle absorbed by
+    the round(score, 6) contract (engine and oracle execute the
+    identical regrouped graph, so they agree bit-exactly with each
+    other).  Non-linear per term (MultiSimilarity.java:66-72)."""
+
+    name = "dfi_standardized"
+
+    def weight(self, df: int, ttf: int, n: int, sum_ttf: int) -> float:
+        return (ttf + 1.0) / (sum_ttf + 1.0)
+
+    def weight_sql(self, df_sql: str, ttf_sql: str, n_sql: str,
+                   sumttf_sql: str) -> str:
+        return (f"((CAST({ttf_sql} AS DOUBLE) + 1e0) / "
+                f"(CAST({sumttf_sql} AS DOUBLE) + 1e0))")
+
+    def doc_score_sql(self, tf_expr: str, qdl_expr: str,
+                      weight_exprs: list[str], avgdl_sql: str) -> str:
+        t = f"CAST({tf_expr} AS DOUBLE)"
+        x = f"CAST({qdl_expr} AS DOUBLE)"
+        parts = []
+        for w in weight_exprs:
+            e = f"(({w}) * {x})"
+            m = f"(({t} - {e}) / sqrt({e}))"
+            parts.append(
+                f"(CASE WHEN {t} <= {e} THEN 0e0 "
+                f"ELSE (ln({m} + 1e0) / ln(2e0)) END)")
+        return "(" + " + ".join(parts) + ")"
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
@@ -319,4 +396,6 @@ SIMILARITIES = {
     "lmjelinekmercer": LMJelinekMercerSimilarity,
     "dfr_inl2": DFRInL2Similarity,
     "ib_ll": IBLLSimilarity,
+    "axiomatic_f2exp": AxiomaticF2EXP,
+    "dfi_standardized": DFIStandardizedSimilarity,
 }
