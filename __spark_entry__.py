@@ -404,6 +404,43 @@ def _q_collapse(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(5))
 
 
+_EXPAND_ROWS = 3
+
+
+def _q_expand(spark, sf_dir):
+    """Solr ExpandComponent (solr/core/src/java/org/apache/solr/
+    handler/component/ExpandComponent.java:101: for each collapsed
+    head returned by the CollapsingQParserPlugin, return the top
+    ``expand.rows`` collapsed group MEMBERS, ranked within the group
+    by the same sort): here the q_collapse heads (top-5 by score) each
+    expand to their group's next ``_EXPAND_ROWS`` docs by (score DESC,
+    docid ASC), excluding the head itself.
+
+    Plan shape: one scored scan + ONE lang-window ranking shared with
+    the collapse pass (Solr likewise re-visits the collapsed groups in
+    the same request); the 5 head rows then BROADCAST back onto the
+    ranked frame — expansion cost is the window pass, independent of
+    head count, and nothing scales with the corpus beyond the original
+    match set."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_GROUP_TERM)).withColumn("score",
+                                                 F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", "lang"), "docid")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"),
+                                           F.asc("docid"))
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    heads = (ranked.filter(F.col("rn") == 1)
+             .orderBy(F.desc("score"), F.asc("docid")).limit(5)
+             .select("lang", F.col("docid").alias("head_id")))
+    return (ranked.filter((F.col("rn") > 1)
+                          & (F.col("rn") <= 1 + _EXPAND_ROWS))
+            .join(F.broadcast(heads), "lang")
+            .select("lang", "head_id",
+                    F.col("docid").alias("doc_id"), "score",
+                    (F.col("rn") - 1).cast("long").alias("rk"))
+            .orderBy("lang", "rk"))
+
+
 def _q_facet_unique(spark, sf_dir):
     """Solr JSON Facet aggregations beyond count (solr/core/src/java/
     org/apache/solr/search/facet/UniqueAgg.java + FacetField
@@ -2342,6 +2379,42 @@ def _q_span_within(spark, sf_dir):
             .orderBy("doc_id").limit(20))
 
 
+_SMT_A, _SMT_PREFIX, _SMT_SLOP = "query", "s", 3
+
+
+def _q_span_multiterm(spark, sf_dir):
+    """SpanMultiTermQueryWrapper (lucene/core/src/java/org/apache/
+    lucene/search/spans/SpanMultiTermQueryWrapper.java:60: wraps a
+    multi-term query so it can sit inside span algebra; rewrite
+    expands the wrapped query to a SpanOr over its matching terms)
+    inside an ordered SpanNear: spans = (a, ANY term with the prefix)
+    with gap <= slop, counted per doc like the other span rows.
+
+    Plan shape: two PUSHED postings filters — EqualTo(term) for the
+    anchor and StringStartsWith(prefix) for the wrapper (the rewrite
+    never enumerates the dictionary on the driver; the scan does the
+    expansion) — then ONE docid groupBy merging the expanded terms'
+    position lists (array_sort∘flatten, tiny: only matching postings)
+    and one docid equi-join into a codegen pair-count lambda. No
+    explode, no driver term enumeration, so the wrapper scales with
+    the matching-postings volume exactly like a TermQuery."""
+    se = _searcher(spark, sf_dir)
+    P = se.ix.postings
+    a = P.filter(F.col("term") == _SMT_A).select(
+        "docid", F.col("positions").alias("pa"))
+    b = (P.filter(F.col("term").startswith(_SMT_PREFIX))
+         .groupBy("docid")
+         .agg(F.array_sort(F.flatten(F.collect_list("positions")))
+              .alias("pb")))
+    n = ("aggregate(pa, 0, (acc, p1) -> acc + size(filter(pb, "
+         f"p2 -> p2 > p1 AND p2 - p1 - 1 <= {_SMT_SLOP})))")
+    return (a.join(b, "docid")
+            .select(F.col("docid").alias("doc_id"),
+                    F.expr(n).cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") > 0)
+            .orderBy("doc_id").limit(20))
+
+
 _SUBQ_TERM, _SUBQ_K, _SUBQ_ROWS = "spark", 5, 3
 
 
@@ -3163,7 +3236,12 @@ WINDOW_ORDER = [
 # Round-2n (same past-window + three-scale-records pattern):
 # q_sim_axiomatic / q_sim_dfi — the last two SimilarityBase families
 # (Axiomatic F2EXP, DFI standardized); in-window q_sim_classic pins
-# the pluggable-similarity machinery they plug into.
+# the pluggable-similarity machinery they plug into. q_expand (Solr
+# ExpandComponent — group members for the q_collapse heads; the
+# in-window q_collapse row pins the shared window machinery) and
+# q_span_multiterm (SpanMultiTermQueryWrapper — scan-side prefix
+# expansion into span algebra; in-window span rows pin the position
+# plumbing).
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
@@ -3355,6 +3433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_distance": _q_geo_distance,
         "q_common_terms": _q_common_terms,
         "q_collapse": _q_collapse,
+        "q_expand": _q_expand,
+        "q_span_multiterm": _q_span_multiterm,
         "q_facet_json": _q_facet_json,
         "s_stream_rollup": _q_stream_rollup,
         "s_stream_setops": _q_stream_setops,
@@ -4481,6 +4561,33 @@ ch AS (SELECT lang, docid, score,
 SELECT lang, docid AS doc_id, score, CAST(n_expand AS BIGINT) AS n_expand
 FROM ch WHERE rn = 1
 ORDER BY score DESC, doc_id ASC LIMIT 5"""
+
+    out["q_expand"] = f"""
+WITH {ctes},
+csc AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term(_GROUP_TERM))}) s),
+cj AS (SELECT dd.lang, c.docid, c.score FROM csc c
+       JOIN documents dd ON dd.doc_id = c.docid),
+ch AS (SELECT lang, docid, score,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY score DESC, docid ASC) AS rn
+       FROM cj),
+hd AS (SELECT lang, docid AS head_id FROM ch WHERE rn = 1
+       ORDER BY score DESC, docid ASC LIMIT 5)
+SELECT ch.lang, hd.head_id, ch.docid AS doc_id, ch.score,
+       CAST(ch.rn - 1 AS BIGINT) AS rk
+FROM ch JOIN hd ON hd.lang = ch.lang
+WHERE ch.rn > 1 AND ch.rn <= 1 + {_EXPAND_ROWS}
+ORDER BY ch.lang, rk"""
+
+    out["q_span_multiterm"] = f"""
+WITH {ctes},
+a AS (SELECT docid, pos FROM px WHERE term = '{_SMT_A}'),
+b AS (SELECT docid, pos FROM px WHERE term LIKE '{_SMT_PREFIX}%')
+SELECT a.docid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM a JOIN b ON b.docid = a.docid
+  AND b.pos > a.pos AND b.pos - a.pos - 1 <= {_SMT_SLOP}
+GROUP BY a.docid ORDER BY doc_id LIMIT 20"""
 
     out["q_facet_json"] = f"""
 WITH {ctes},
