@@ -34,8 +34,10 @@ from lucene_solr_spark.search.query import (
 from lucene_solr_spark.textops import ops as textops
 from lucene_solr_spark.vector.ann import (
     cosine_pairs, cosine_pairs_lsh, cosine_topk, hyperplanes,
-    ivf_topk, lsh_bucket_topk, lsh_signature_expr,
+    ivf_topk, knn_graph, lsh_bucket_topk, lsh_signature_expr,
+    nsw_greedy_search,
 )
+from lucene_solr_spark.analysis.filters import minimal_stem_sql
 
 _EMB_DIM = 64  # embeddings table contract (TESTDATA fixtures)
 
@@ -2188,6 +2190,93 @@ def _q_ltr(spark, sf_dir):
             .orderBy(F.desc("ltr_score"), F.asc("doc_id")).limit(10))
 
 
+_LTRT_SLACK = 1e-6   # MultipleAdditiveTreesModel.NODE_SPLIT_SLACK:124
+
+
+def _ltr_trees_sql(bm25: str, flen: str, fen: str) -> str:
+    """Two weighted regression trees as shared SQL text
+    (MultipleAdditiveTreesModel.java:170-184 node walk: featureValue
+    <= threshold+SLACK goes LEFT; :271 weight * root.score; :336
+    model score = sum over trees)."""
+    t1 = (f"(CASE WHEN {bm25} <= {2.0 + _LTRT_SLACK!r} THEN "
+          f"(CASE WHEN {flen} <= {6.5 + _LTRT_SLACK!r} "
+          f"THEN 0.3e0 ELSE 1.7e0 END) ELSE 2.4e0 END)")
+    t2 = (f"(CASE WHEN {fen} <= {0.5 + _LTRT_SLACK!r} THEN "
+          f"(CASE WHEN {bm25} <= {2.5 + _LTRT_SLACK!r} "
+          f"THEN -0.5e0 ELSE 0.8e0 END) ELSE 1.9e0 END)")
+    return f"(1.0e0 * {t1} + 2.0e0 * {t2})"
+
+
+def _q_ltr_tree(spark, sf_dir):
+    """LambdaMART-style tree-ensemble rerank (solr/contrib/ltr/src/
+    java/org/apache/solr/ltr/model/MultipleAdditiveTreesModel.java:91:
+    score = sum of weight * tree(featureVector), node test
+    feature <= threshold + NODE_SPLIT_SLACK goes left): the q_ltr
+    candidate set re-scored by two weighted trees over the same
+    (bm25, ln-length, lang==en) features, the ensemble expressed as
+    ONE shared CASE expression both backends execute in codegen —
+    reranking cost is k rows regardless of corpus size."""
+    se = _searcher(spark, sf_dir)
+    ast = Bool(should=(Term("merge"), Term("join")))
+    first = (se.scored(ast)
+             .select("docid", F.round("score", 6).alias("f_bm25"))
+             .orderBy(F.desc("f_bm25"), F.asc("docid"))
+             .limit(_LTR_FIRST_K))
+    j = first.join(se.ix.source.select("docid", "n_chars", "lang"),
+                   "docid")
+    trees = _ltr_trees_sql(
+        "f_bm25", "ln(1e0 + CAST(n_chars AS DOUBLE))",
+        "(CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END)")
+    return (j.select(F.col("docid").alias("doc_id"), "f_bm25",
+                     F.round(F.expr(trees), 6).alias("tree_score"))
+            .orderBy(F.desc("tree_score"), F.asc("doc_id")).limit(10))
+
+
+_STEM_SUFFIX = ("CASE CAST({p} % 4 AS INT) WHEN 0 THEN 's' "
+                "WHEN 1 THEN 'es' WHEN 2 THEN 'ies' ELSE '' END")
+
+
+def _q_stem_minimal(spark, sf_dir):
+    """EnglishMinimalStemFilter (lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/en/EnglishMinimalStemFilter.java over
+    EnglishMinimalStemmer.java:29-45, Harman's S-stemmer): stem counts
+    over a position-salted plural corpus — the fixture vocabulary has
+    no plural forms, so each occurrence deterministically gains an
+    's'/'es'/'ies' suffix by position modulus BEFORE stemming (both
+    backends apply the identical salt), which drives every stemmer
+    branch on real corpus data.  One postings scan + one stem-count
+    shuffle; the stemmer itself is a shared SQL scalar in codegen."""
+    se = _searcher(spark, sf_dir)
+    ex = (se.ix.postings.select(
+        "term", F.explode("positions").alias("pos")))
+    derived = f"concat(term, {_STEM_SUFFIX.format(p='pos')})"
+    stem = minimal_stem_sql(f"({derived})")
+    return (ex.select(F.expr(stem).alias("stem"))
+            .groupBy("stem").agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("stem")).limit(20))
+
+
+_GS_ENTRY, _GS_M, _GS_HOPS = 10, 4, 3
+
+
+def _v_graph_search(spark, sf_dir):
+    """HNSW-style graph ANN (Lucene99HnswVectorsFormat;
+    HnswGraphSearcher.java layer-0 greedy walk, Malkov & Yashunin
+    arXiv:1603.09320): exact M-NN graph over the sampled node set
+    (vec_id % 10 == 0), then a beam-1 greedy descent from the entry
+    node toward the query vector with a visited set.  Per-hop cost is
+    O(M) joins on 1-row frontiers — independent of corpus size; the
+    graph build is quadratic only in the SAMPLED node count here, with
+    LSH candidate generation as the documented 100 TB construction
+    path (see knn_graph docstring)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = emb.filter((F.col("vec_id") % 10 == 0)
+                       & (F.col("vec_id") != 0))
+    g = knn_graph(nodes, m=_GS_M)
+    return nsw_greedy_search(emb, g, query_vec_id=0,
+                             entry_id=_GS_ENTRY, hops=_GS_HOPS)
+
+
 def _q_repetition(spark, sf_dir):
     return textops.repetition_signals(_documents(spark, sf_dir))
 
@@ -3443,6 +3532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_block_join_children": _q_block_join_children,
         "q_stats_percentiles": _q_stats_percentiles,
         "q_ltr": _q_ltr,
+        "q_ltr_tree": _q_ltr_tree,
+        "q_stem_minimal": _q_stem_minimal,
+        "v_graph_search": _v_graph_search,
         "t_repetition": _q_repetition,
         "t_dup_clusters": _q_dup_clusters,
         "t_dedup_keep": _q_dedup_keep,
@@ -4721,6 +4813,74 @@ SELECT fp.docid AS doc_id, fp.f_bm25,
        ROUND({_ltr_sql}, 6) AS ltr_score
 FROM fp JOIN documents d ON d.doc_id = fp.docid
 ORDER BY ROUND({_ltr_sql}, 6) DESC, fp.docid ASC LIMIT 10"""
+
+    _ltrt_sql = _ltr_trees_sql(
+        "fp.f_bm25", "ln(1e0 + CAST(d.n_chars AS DOUBLE))",
+        "(CASE WHEN d.lang = 'en' THEN 1e0 ELSE 0e0 END)")
+    out["q_ltr_tree"] = f"""
+WITH {ctes},
+fp AS (SELECT docid, ROUND(score, 6) AS f_bm25
+       FROM ({ob.scored(_ltr_ast)}) s
+       ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT {_LTR_FIRST_K})
+SELECT fp.docid AS doc_id, fp.f_bm25,
+       ROUND({_ltrt_sql}, 6) AS tree_score
+FROM fp JOIN documents d ON d.doc_id = fp.docid
+ORDER BY ROUND({_ltrt_sql}, 6) DESC, fp.docid ASC LIMIT 10"""
+
+    _stem_derived = f"concat(term, {_STEM_SUFFIX.format(p='pos')})"
+    out["q_stem_minimal"] = f"""
+WITH {ctes}
+SELECT {minimal_stem_sql(f'({_stem_derived})')} AS stem,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM px GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 20"""
+
+    _gq = """SELECT unnest(embedding) AS q,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0"""
+    _hop_sql = """
+h{h} AS (SELECT CAST({h} AS BIGINT) AS hop, qc.vec_id, qc.cos
+        FROM nb JOIN qc ON qc.vec_id = nb.dst
+        WHERE nb.src = (SELECT vec_id FROM h{prev})
+          AND nb.dst NOT IN ({seen})
+        ORDER BY qc.cos DESC, qc.vec_id ASC LIMIT 1)"""
+    _hops = []
+    for _h in range(1, _GS_HOPS + 1):
+        _seen = " UNION ".join(f"SELECT vec_id FROM h{i}"
+                               for i in range(_h))
+        _hops.append(_hop_sql.format(h=_h, prev=_h - 1, seen=_seen))
+    out["v_graph_search"] = f"""
+WITH qv AS ({_gq}),
+nv AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id % 10 = 0 AND vec_id <> 0),
+nrm AS (SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+        FROM nv GROUP BY vec_id),
+qn AS (SELECT SUM(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) AS nn FROM qv),
+qc AS (SELECT nv.vec_id,
+              ROUND(SUM(CAST(v AS DOUBLE) * CAST(q AS DOUBLE))
+                    / (sqrt(MIN(nrm.nn)) * sqrt((SELECT nn FROM qn))),
+                    6) AS cos
+       FROM nv JOIN qv ON qv.i = nv.i
+       JOIN nrm ON nrm.vec_id = nv.vec_id
+       GROUP BY nv.vec_id),
+dotp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+         FROM nv a JOIN nv b ON a.i = b.i AND a.vec_id <> b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+nb AS (SELECT src, dst FROM (
+         SELECT dotp.src, dotp.dst,
+                ROW_NUMBER() OVER (PARTITION BY dotp.src
+                  ORDER BY ROUND(dotp.dp / (sqrt(na.nn) * sqrt(nd.nn)),
+                                 6) DESC, dotp.dst ASC) AS rn
+         FROM dotp JOIN nrm na ON na.vec_id = dotp.src
+         JOIN nrm nd ON nd.vec_id = dotp.dst) t
+       WHERE rn <= {_GS_M}),
+h0 AS (SELECT CAST(0 AS BIGINT) AS hop, qc.vec_id, qc.cos
+       FROM qc WHERE qc.vec_id = {_GS_ENTRY}),{",".join(_hops)}
+SELECT hop, CAST(vec_id AS BIGINT) AS vec_id, cos FROM (
+  {" UNION ALL ".join(f"SELECT * FROM h{i}"
+                      for i in range(_GS_HOPS + 1))}) u
+ORDER BY hop"""
 
     out["t_repetition"] = f"""
 WITH {ctes},

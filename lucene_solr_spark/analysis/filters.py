@@ -298,3 +298,45 @@ def fold_ascii_sql(col: str, dialect: str = "spark") -> str:
 
 def fold_ascii_py(s: str) -> str:
     return s.translate(str.maketrans(FOLD_FROM, FOLD_TO))
+
+
+def minimal_stem_sql(col: str) -> str:
+    """English minimal (plural-only) stemmer as ONE portable SQL
+    scalar — the S-Stemmer of Harman, "How Effective Is Suffixing?",
+    exactly as EnglishMinimalStemmer.java:29-45 implements it:
+    words shorter than 3 or not ending in 's' pass through; '-us'/'-ss'
+    endings pass through; '-ies' becomes '-y' unless preceded by 'a' or
+    'e'; '-Xes' passes through for X in {i,a,o,e}; otherwise the final
+    's' is dropped.  The identical text runs in Spark whole-stage
+    codegen and in the DuckDB oracle (substr/length/right/concat are
+    shared dialect)."""
+    c = col
+    third = f"substr({c}, length({c}) - 2, 1)"
+    fourth = f"substr({c}, length({c}) - 3, 1)"
+    return (
+        f"CASE WHEN length({c}) < 3 OR right({c}, 1) <> 's' THEN {c} "
+        f"WHEN substr({c}, length({c}) - 1, 1) IN ('u', 's') THEN {c} "
+        f"WHEN substr({c}, length({c}) - 1, 1) = 'e' THEN ("
+        f"CASE WHEN length({c}) > 3 AND {third} = 'i' "
+        f"AND {fourth} NOT IN ('a', 'e') "
+        f"THEN concat(substr({c}, 1, length({c}) - 3), 'y') "
+        f"WHEN {third} IN ('i', 'a', 'o', 'e') THEN {c} "
+        f"ELSE substr({c}, 1, length({c}) - 1) END) "
+        f"ELSE substr({c}, 1, length({c}) - 1) END")
+
+
+def minimal_stem_py(word: str) -> str:
+    """Reference-port of EnglishMinimalStemmer.stem (the law-test
+    twin of minimal_stem_sql)."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    if word[-2] in ("u", "s"):
+        return word
+    if word[-2] == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in ("a", "e"):
+            return word[:-3] + "y"
+        if word[-3] in ("i", "a", "o", "e"):
+            return word
+        return word[:-1]
+    return word[:-1]

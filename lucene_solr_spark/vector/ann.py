@@ -382,3 +382,84 @@ def pq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
             .groupBy(id_col)
             .agg(F.round(F.sum("qd"), 6).alias("adist"))
             .orderBy(F.asc("adist"), F.asc(id_col)).limit(k))
+
+
+def knn_graph(nodes: DataFrame, m: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Exact M-nearest-neighbor graph over ``nodes`` (the layer-0
+    adjacency a Lucene HNSW index stores — Lucene99HnswVectorsFormat
+    keeps per-node neighbor lists; HnswGraphBuilder.java caps them at
+    M).  Each node's M neighbors by (cosine DESC round-6, id ASC).
+
+    Exact all-pairs is quadratic in the node count and is the right
+    tool ONLY for the sampled node set used here and for verification;
+    the 100 TB construction path is candidate generation via the same
+    LSH bucketing as ``cosine_pairs_lsh`` (join buckets, keep top-M per
+    src) — identical downstream schema, so the searcher below is
+    agnostic to how the graph was built.
+    """
+    a = nodes.select(F.col(id_col).alias("src"),
+                     F.col(vec_col).alias("va"))
+    b = nodes.select(F.col(id_col).alias("dst"),
+                     F.col(vec_col).alias("vb"))
+    dot = DOT.format(a="va", b="vb")
+    na = DOT.format(a="va", b="va")
+    nb = DOT.format(a="vb", b="vb")
+    cos = f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    pairs = (a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+             .select("src", "dst", F.expr(cos).alias("cos_sd")))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sd"),
+                                          F.asc("dst"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m).drop("rn"))
+
+
+def nsw_greedy_search(emb: DataFrame, graph: DataFrame,
+                      query_vec_id: int, entry_id: int, hops: int = 3,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Greedy graph-descent search (the layer-0 walk of
+    HnswGraphSearcher.java / Malkov & Yashunin arXiv:1603.09320, beam
+    width 1 with a visited set): starting at ``entry_id``, each hop
+    moves to the unvisited neighbor of the current node closest to the
+    query by (cosine DESC round-6, id ASC).  Returns the visit chain
+    as (hop, vec_id, cos).
+
+    Plan shape: the query-side cosines are ONE broadcast of the 1-row
+    probe onto the graph's node set; each hop is a tiny equi-join of
+    the (1-row) frontier into the adjacency list plus a left-anti join
+    against the visited rows — per-hop cost is O(M), independent of
+    corpus size, exactly the property that makes graph ANN the
+    low-latency serving structure at scale.
+    """
+    probe = (emb.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("q")))
+    nodes = (graph.select(F.col("src").alias(id_col)).distinct()
+             .join(emb, id_col))
+    dot = DOT.format(a=vec_col, b="q")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a="q", b="q")
+    qc = (nodes.crossJoin(F.broadcast(probe))
+          .select(F.col(id_col).cast("long").alias(id_col),
+                  F.expr(f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})),"
+                         " 6)").alias("cos"))
+          .persist())
+    cur = qc.filter(F.col(id_col) == entry_id).withColumn(
+        "hop", F.lit(0).cast("long"))
+    out = [cur]
+    visited = cur.select(id_col)
+    for h in range(1, hops + 1):
+        cand = (graph.join(out[-1].select(F.col(id_col).alias("src")),
+                           "src")
+                .join(visited.select(F.col(id_col).alias("dst")),
+                      "dst", "left_anti")
+                .select(F.col("dst").alias(id_col)))
+        nxt = (cand.join(qc, id_col)
+               .orderBy(F.desc("cos"), F.asc(id_col)).limit(1)
+               .withColumn("hop", F.lit(h).cast("long")))
+        out.append(nxt)
+        visited = visited.union(nxt.select(id_col))
+    res = out[0]
+    for f in out[1:]:
+        res = res.union(f)
+    return res.select("hop", id_col, "cos")
