@@ -38,6 +38,10 @@ from lucene_solr_spark.vector.ann import (
     nsw_greedy_search,
 )
 from lucene_solr_spark.analysis.filters import minimal_stem_sql
+from lucene_solr_spark.vector.ann import l2_topk
+from lucene_solr_spark.textops.sketches import (
+    bloom_pos_sql, hll_estimate_sql, hll_reg_sql, hll_rho_sql,
+)
 
 _EMB_DIM = 64  # embeddings table contract (TESTDATA fixtures)
 
@@ -2064,6 +2068,154 @@ def _q_stream_setops(spark, sf_dir):
             .select(F.col("doc_id").cast("long")))
 
 
+_STREAM_TS_EXPR = (
+    'timeseries(events, q="event_type:error", field="ts", '
+    'start="2024-01-01T00:00:00Z", end="2024-01-03T00:00:00Z", '
+    'gap="+1HOUR", count(*), sum(value))')
+
+_STREAM_FETCH_EXPR = (
+    'fetch(documents, '
+    '  top('
+    '    search(events, q="event_type:purchase", '
+    '           fl="event_id,user_id,value", sort="event_id asc"),'
+    '    n=15, sort="value desc, event_id asc"),'
+    '  on="user_id=doc_id", fl="lang,n_chars")')
+
+
+def _q_stream_timeseries(spark, sf_dir):
+    """TimeSeriesStream (solrj/io/stream/TimeSeriesStream.java:338-374:
+    a JSON range facet stepped by gap, zero-filling metrics for empty
+    buckets at :420): hourly error-event buckets over 48 hours — at
+    small scale many hours have no errors, so the gap-filled zero rows
+    are exercised, not just the dense case. The bucket spine is one
+    in-plan sequence() expand broadcast onto a single partial-agg
+    shuffle (streams.py _s_timeseries)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_TS_EXPR)
+    return out.select(
+        "ts", F.col("count").cast("long").alias("count"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"))
+
+
+def _q_stream_fetch(spark, sf_dir):
+    """FetchStream (solrj/io/stream/FetchStream.java): the top-15
+    purchases by value enriched with lang/n_chars fetched from the
+    documents collection by user_id -> doc_id; tuples without a match
+    pass through null-filled (FetchStream leaves them unchanged)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_FETCH_EXPR)
+    return out.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        F.round("value", 6).alias("value"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _v_ann_l2(spark, sf_dir):
+    """Euclidean kNN with Lucene's EUCLIDEAN score transform
+    score = 1/(1 + ||v-q||^2) (VectorSimilarityFunction.EUCLIDEAN,
+    public Lucene 9 semantics; float64 in both backends here) — same
+    broadcast-probe + codegen-distance + TakeOrderedAndProject plan as
+    v_ann_cosine (vector/ann.py l2_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return l2_topk(emb, query_vec_id=0, k=10)
+
+
+_BLOOM_PROBES = ("merge", "join", "vector", "zebra", "notaterm",
+                 "quux", "mereg", "joiin")
+_BLOOM_BITS = 256   # small mask so absent probes can collide (FP path)
+
+
+def _q_bloom(spark, sf_dir):
+    """BloomFilteringPostingsFormat membership pre-check (lucene/
+    codecs/src/java/org/apache/lucene/codecs/bloom/FuzzySet.java:
+    161-240 — ONE hash masked by bloomSize; contains() answers MAYBE
+    or NO, so a NO skips the terms-dictionary seek entirely): the
+    occupied-position set built from the whole term dictionary (at
+    most 256 rows out of the aggregation regardless of corpus size —
+    the filter, like Lucene's, is tiny and broadcastable), then a
+    fixed probe list joined against it; `bloom_maybe` vs the true
+    `present` bit exposes the false-positive path."""
+    se = _searcher(spark, sf_dir)
+    pos = bloom_pos_sql("term", _BLOOM_BITS)
+    occ = (se.ix.term_stats.selectExpr(f"{pos} AS pos").distinct())
+    probes = spark.createDataFrame([(t,) for t in _BLOOM_PROBES],
+                                   "probe string")
+    ppos = probes.selectExpr(
+        "probe", f"{bloom_pos_sql('probe', _BLOOM_BITS)} AS pos")
+    maybe = (ppos.join(F.broadcast(occ.withColumn(
+        "hit", F.lit(True))), "pos", "left"))
+    present = (se.ix.term_stats.select(F.col("term").alias("probe"))
+               .withColumn("in_dict", F.lit(True)))
+    return (maybe.join(present, "probe", "left")
+            .select("probe",
+                    F.coalesce("hit", F.lit(False)).alias("bloom_maybe"),
+                    F.coalesce("in_dict", F.lit(False)).alias("present"))
+            .orderBy("probe"))
+
+
+_GQ_QUERIES = (("q1", "merge"), ("q2", "join"), ("q3", "vector"))
+
+
+def _q_group_query(spark, sf_dir):
+    """Solr grouping by query (group.query — Grouping.java's
+    CommandQuery form: each query defines its own group with its own
+    top-k and total match count, unlike group.field/group.func which
+    key on a value): top-3 scored docs per query plus the group's
+    numFound, unioned with the group label."""
+    se = _searcher(spark, sf_dir)
+    outs = []
+    for label, term in _GQ_QUERIES:
+        sc = se.scored(Term(term)).select(
+            "docid", F.round("score", 6).alias("score"))
+        n = sc.agg(F.count("*").cast("long").alias("num_found"))
+        top = (sc.orderBy(F.desc("score"), F.asc("docid")).limit(3)
+               .crossJoin(F.broadcast(n))
+               .select(F.lit(label).alias("grp"),
+                       F.col("docid").alias("doc_id"), "score",
+                       "num_found"))
+        outs.append(top)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res.orderBy("grp", F.desc("score"), F.asc("doc_id"))
+
+
+def _t_text_profile(spark, sf_dir):
+    """Solr SignatureUpdateProcessor fuzzy dedup signature
+    (TextProfileSignature.java:66-137 — quantized term-frequency
+    profile, md5 of the 'token count' lines ordered freq DESC; ties
+    broken token ASC here for determinism where the reference's
+    HashMap order is JVM-dependent, documented in
+    textops/ops.py text_profile_signature)."""
+    return textops.text_profile_signature(_documents(spark, sf_dir))
+
+
+_HLL_FIELDS = ("text", "source")
+
+
+def _t_hll_card(spark, sf_dir):
+    """HyperLogLog cardinality (Solr StatsComponent cardinality /
+    JSON facet hll — StatsValuesFactory.java HLL branch; estimator of
+    Flajolet et al. 2007 with linear-counting small-range correction):
+    distinct-count estimates for documents.text and documents.source
+    from 256 registers. The IDENTICAL generated SQL (md5 nibble
+    registers + nested-CASE rho, textops/sketches.py) runs in Spark
+    codegen and in the oracle; per field the plan is one scan + one
+    256-row partial aggregation — the sketch shape that replaces exact
+    COUNT(DISTINCT) at 100 TB."""
+    d = _documents(spark, sf_dir)
+    outs = []
+    for fld in _HLL_FIELDS:
+        regs = (d.selectExpr(f"{hll_reg_sql(fld)} AS reg",
+                             f"{hll_rho_sql(fld)} AS rho")
+                .groupBy("reg").agg(F.max("rho").alias("mrho")))
+        regs.createOrReplaceTempView(f"hll_regs_{fld}")
+        est = spark.sql(hll_estimate_sql(f"hll_regs_{fld}"))
+        outs.append(est.select(F.lit(fld).alias("field"), "hll_card"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
 _SIG_FG_TERM = "join"
 _SIG_MIN_FG = 3
 
@@ -3331,6 +3483,22 @@ WINDOW_ORDER = [
 # q_span_multiterm (SpanMultiTermQueryWrapper — scan-side prefix
 # expansion into span algebra; in-window span rows pin the position
 # plumbing).
+# Round-2o (same past-window + three-scale-records pattern):
+# q_ltr_tree (LambdaMART tree-ensemble rerank — the tree form of the
+# LTR family whose linear form q_ltr is in-window), q_stem_minimal
+# (EnglishMinimalStemFilter as a shared SQL scalar), v_graph_search
+# (HNSW-style kNN-graph greedy descent), s_stream_timeseries
+# (TimeSeriesStream gap-filled range facet) and s_stream_fetch
+# (FetchStream enrichment join) — the streaming-expression family's
+# in-window s_stream_rollup pins the evaluator they extend,
+# v_ann_l2 (EUCLIDEAN vector score transform next to in-window
+# v_ann_ivf), t_hll_card (HyperLogLog cardinality — Solr stats
+# cardinality/hll; the sketch replacing COUNT(DISTINCT) at scale),
+# q_bloom (BloomFilteringPostingsFormat MAYBE/NO membership with the
+# false-positive path live), q_group_query (group.query — the
+# query-keyed form of the grouping family whose field/func forms hold
+# in-window and local records) and t_text_profile (Solr
+# SignatureUpdateProcessor's TextProfileSignature fuzzy-dedup hash).
 # Round-2c rotation (window stays 50): IN q_monitor /
 # t_pack_sequences / t_pii / q_drill_sideways (strongest late-round
 # surfaces, no prior rows) + q_payload / q_syn_graph / t_dedup_keep
@@ -3527,6 +3695,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_json": _q_facet_json,
         "s_stream_rollup": _q_stream_rollup,
         "s_stream_setops": _q_stream_setops,
+        "s_stream_timeseries": _q_stream_timeseries,
+        "s_stream_fetch": _q_stream_fetch,
+        "v_ann_l2": _v_ann_l2,
+        "t_hll_card": _t_hll_card,
+        "q_bloom": _q_bloom,
+        "q_group_query": _q_group_query,
+        "t_text_profile": _t_text_profile,
         "q_sig_terms": _q_sig_terms,
         "q_elevate": _q_elevate,
         "q_block_join_children": _q_block_join_children,
@@ -4747,6 +4922,104 @@ FROM sj GROUP BY lang"""
 WITH {ctes}
 SELECT DISTINCT docid AS doc_id FROM postings WHERE term = 'merge'
   AND docid NOT IN (SELECT docid FROM postings WHERE term = 'join')"""
+
+    _ts0, _ts1 = "2024-01-01 00:00:00", "2024-01-03 00:00:00"
+    out["s_stream_timeseries"] = f"""
+WITH spine AS (SELECT unnest(generate_series(TIMESTAMP '{_ts0}',
+                      TIMESTAMP '{_ts1}', INTERVAL 1 HOUR)) AS ts),
+sp AS (SELECT ts FROM spine WHERE ts < TIMESTAMP '{_ts1}'),
+ag AS (SELECT date_trunc('hour', ts) AS b,
+              CAST(COUNT(*) AS BIGINT) AS cnt,
+              ROUND(SUM(value), 6) AS sum_value
+       FROM events
+       WHERE event_type = 'error'
+         AND ts >= TIMESTAMP '{_ts0}' AND ts < TIMESTAMP '{_ts1}'
+       GROUP BY 1)
+SELECT sp.ts, COALESCE(ag.cnt, 0) AS "count",
+       COALESCE(ag.sum_value, 0.0e0) AS sum_value
+FROM sp LEFT JOIN ag ON ag.b = sp.ts ORDER BY sp.ts"""
+
+    out["s_stream_fetch"] = """
+WITH tp AS (SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase'
+            ORDER BY value DESC, event_id ASC LIMIT 15)
+SELECT CAST(tp.event_id AS BIGINT) AS event_id,
+       CAST(tp.user_id AS BIGINT) AS user_id,
+       ROUND(tp.value, 6) AS value, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM tp LEFT JOIN documents d ON d.doc_id = tp.user_id"""
+
+    out["v_ann_l2"] = """
+WITH q AS (SELECT unnest(embedding) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, unnest(embedding) AS ev,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0),
+d2 AS (SELECT e.vec_id,
+              SUM((CAST(ev AS DOUBLE) - CAST(qv AS DOUBLE))
+                  * (CAST(ev AS DOUBLE) - CAST(qv AS DOUBLE))) AS dd
+       FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(1e0 / (1e0 + dd), 6) AS score
+FROM d2 ORDER BY ROUND(1e0 / (1e0 + dd), 6) DESC, vec_id ASC LIMIT 10"""
+
+    _bpos = bloom_pos_sql("term", _BLOOM_BITS)
+    _bprobes = ", ".join(f"('{t}')" for t in _BLOOM_PROBES)
+    out["q_bloom"] = f"""
+WITH {ctes},
+occ AS (SELECT DISTINCT {_bpos} AS pos FROM ts),
+pr AS (SELECT probe FROM (VALUES {_bprobes}) p(probe))
+SELECT pr.probe,
+       ({bloom_pos_sql('pr.probe', _BLOOM_BITS)}
+          IN (SELECT pos FROM occ)) AS bloom_maybe,
+       (pr.probe IN (SELECT term FROM ts)) AS present
+FROM pr ORDER BY pr.probe"""
+
+    _gq_parts = []
+    for _lbl, _term in _GQ_QUERIES:
+        _gq_parts.append(f"""
+SELECT '{_lbl}' AS grp, docid AS doc_id, score, num_found FROM (
+  SELECT docid, ROUND(score, 6) AS score,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM ({ob.scored(Term(_term))}) c) AS num_found
+  FROM ({ob.scored(Term(_term))}) s
+  ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 3) t_{_lbl}""")
+    out["q_group_query"] = (f"WITH {ctes}"
+                            + " UNION ALL ".join(_gq_parts)
+                            + " ORDER BY grp, score DESC, doc_id ASC")
+
+    out["t_text_profile"] = """
+WITH tk AS (SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> length(t) > 2)) AS tok
+            FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tk GROUP BY doc_id, tok),
+qv AS (SELECT doc_id,
+              CASE WHEN CAST(round(MAX(cnt) * 0.01) AS INT) >= 2
+                   THEN CAST(round(MAX(cnt) * 0.01) AS INT)
+                   WHEN MAX(cnt) > 1 THEN 2 ELSE 1 END AS quant
+       FROM tf GROUP BY doc_id),
+ql AS (SELECT tf.doc_id, tf.tok, (tf.cnt // qv.quant) * qv.quant AS q
+       FROM tf JOIN qv ON qv.doc_id = tf.doc_id
+       WHERE (tf.cnt // qv.quant) * qv.quant >= qv.quant),
+sg AS (SELECT doc_id,
+              md5(string_agg(tok || ' ' || q, chr(10)
+                             ORDER BY q DESC, tok ASC)) AS profile_sig
+       FROM ql GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(sg.profile_sig, md5('')) AS profile_sig
+FROM documents d LEFT JOIN sg ON sg.doc_id = d.doc_id"""
+
+    _hll_parts = []
+    for _f in _HLL_FIELDS:
+        _est = hll_estimate_sql(
+            f"(SELECT {hll_reg_sql(_f)} AS reg, MAX({hll_rho_sql(_f)})"
+            f" AS mrho FROM documents GROUP BY 1) r_{_f}")
+        _hll_parts.append(
+            f"SELECT '{_f}' AS field, hll_card FROM ({_est}) e_{_f}")
+    out["t_hll_card"] = " UNION ALL ".join(_hll_parts)
 
     _rel = relatedness_sql("fg_count", "(SELECT fg_size FROM fgn)",
                            "bg_count", "(SELECT n FROM st)")

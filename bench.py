@@ -74,6 +74,9 @@ def main() -> None:
         "q_sig_terms",
         # percolator (reverse search) and LM sequence packing
         "q_monitor", "t_pack_sequences",
+        # round-2o: HLL cardinality sketch (scan + 256-row agg) and the
+        # gap-filled timeseries range facet
+        "t_hll_card", "s_stream_timeseries",
     ]
     qs = entrymod.queries()
 

@@ -129,6 +129,19 @@ def parse_stream(text: str) -> StreamExpr:
 # ---------------------------------------------------------------------------
 
 _AGG_FNS = ("count", "sum", "min", "max", "avg")
+_GAP_RE = re.compile(r"^\+?(\d+)(MINUTE|HOUR|DAY|WEEK)S?$", re.I)
+_UNIT_US = {"minute": 60_000_000, "hour": 3_600_000_000,
+            "day": 86_400_000_000, "week": 604_800_000_000}
+
+
+def _parse_gap(gap: str) -> tuple[int, str]:
+    """Solr date-math gap ('+1HOUR', '+15MINUTES') -> (n, sql unit).
+    Fixed-width units only — MONTH/YEAR gaps are calendar-dependent and
+    would need the range-facet date-math engine, not a constant step."""
+    m = _GAP_RE.match(gap.strip())
+    if not m:
+        raise ValueError(f"unsupported timeseries gap {gap!r}")
+    return int(m.group(1)), m.group(2).lower()
 # nested expressions that are operator arguments, not tuple sources
 _NON_STREAM_FNS = set(_AGG_FNS) | {"gt", "lt", "eq", "gteq", "lteq"}
 
@@ -291,6 +304,76 @@ class StreamEvaluator:
     def _s_sort(self, e: StreamExpr) -> DataFrame:
         (src,) = self._streams(e)
         return src.orderBy(*_sort_cols(e.params["by"]))
+
+    def _s_fetch(self, e: StreamExpr) -> DataFrame:
+        """FetchStream (solr/solrj/src/java/org/apache/solr/client/
+        solrj/io/stream/FetchStream.java): decorate a stream with extra
+        fields ``fl`` fetched from ``collection`` by key (``on="
+        streamField=collectionField"``). Solr fetches in batched id
+        lookups; here it is ONE left equi-join whose right side is the
+        projected collection scan — tuples without a match pass through
+        unchanged (null-filled), exactly FetchStream's behavior. AQE
+        broadcasts whichever side is small (for the usual top-k input
+        stream, the stream side)."""
+        coll = e.args[0]
+        (src,) = self._streams(e)
+        lk, _, rk = e.params["on"].partition("=")
+        lk, rk = lk.strip(), rk.strip() or lk.strip()
+        fl = [c.strip() for c in e.params["fl"].split(",")]
+        right = self.collections[coll].select(
+            F.col(rk).alias(lk), *[F.col(c) for c in fl])
+        return src.join(right, lk, "left")
+
+    def _s_timeseries(self, e: StreamExpr) -> DataFrame:
+        """TimeSeriesStream (solr/solrj/src/java/org/apache/solr/
+        client/solrj/io/stream/TimeSeriesStream.java:338-374): a JSON
+        range facet over ``field`` from ``start`` to ``end`` (end
+        exclusive) stepped by ``gap``; every bucket is emitted and
+        missing metrics are zero-filled (:420 ``t.put(identifier, 0)``).
+
+        Plan shape: the bucket spine is ONE in-plan sequence() expand
+        of a single row (never a driver loop); matching rows map to a
+        bucket ordinal by integer division on microseconds (exact for
+        the fixed-width MINUTE/HOUR/DAY/WEEK gaps this implements) and
+        aggregate with map-side partials; the spine left-joins the
+        aggregate so empty buckets survive. The spine is k rows —
+        broadcast — so the whole thing costs one scan + one partial
+        aggregation shuffle regardless of corpus size."""
+        coll = e.args[0]
+        df = self.collections[coll]
+        df = self._apply_q(coll, df, e.params.get("q", "*:*"))
+        fld = e.params["field"]
+        start = e.params["start"].replace("T", " ").rstrip("Z")
+        end = e.params["end"].replace("T", " ").rstrip("Z")
+        n, unit = _parse_gap(e.params["gap"])
+        ival = f"interval {n} {unit}"
+        gap_us = n * _UNIT_US[unit]
+        spark = df.sparkSession
+        # literals typed to the column (timestamp vs timestamp_ntz):
+        # a mismatched literal makes Catalyst wrap the COLUMN in a
+        # cast, which blocks parquet predicate pushdown on the range
+        ntz = df.schema[fld].dataType.typeName() == "timestamp_ntz"
+        tlit = "timestamp_ntz" if ntz else "timestamp"
+        spine = (spark.range(1).select(F.explode(F.expr(
+            f"sequence({tlit}'{start}', {tlit}'{end}', {ival})"))
+            .alias(fld))
+            .filter(F.col(fld) < F.expr(f"{tlit}'{end}'"))
+            .withColumn("_bucket", F.expr(
+                f"(unix_micros(CAST({fld} AS TIMESTAMP)) - "
+                f"unix_micros(timestamp'{start}')) DIV {gap_us}")))
+        rows = (df.filter((F.col(fld) >= F.expr(f"{tlit}'{start}'"))
+                          & (F.col(fld) < F.expr(f"{tlit}'{end}'")))
+                .withColumn("_bucket", F.expr(
+                    f"(unix_micros(CAST({fld} AS TIMESTAMP)) - "
+                    f"unix_micros(timestamp'{start}')) DIV {gap_us}")))
+        aggs = [_agg_col(a) for a in e.args
+                if isinstance(a, StreamExpr) and a.name in _AGG_FNS]
+        agg = rows.groupBy("_bucket").agg(*aggs)
+        names = [c for c in agg.columns if c != "_bucket"]
+        return (F.broadcast(spine).join(agg, "_bucket", "left")
+                .select(fld, *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                               for c in names])
+                .orderBy(fld))
 
     def _s_having(self, e: StreamExpr) -> DataFrame:
         (src,) = self._streams(e)

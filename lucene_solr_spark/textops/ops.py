@@ -674,3 +674,58 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
              (F.sum(F.col("tok_id") * F.col("mult"))
               % F.lit(1000000007)).cast("long").alias("checksum")))
     return out
+
+
+def text_profile_signature(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           quant_rate: float = 0.01,
+                           min_token_len: int = 2) -> DataFrame:
+    """Solr TextProfileSignature (solr/core/src/java/org/apache/solr/
+    update/processor/TextProfileSignature.java:66-137, the fuzzy
+    SignatureUpdateProcessor dedup): per doc, lowercase alphanumeric
+    tokens longer than min_token_len, quant = round(maxFreq *
+    quant_rate) clamped to 2 (1 when maxFreq == 1), counts rounded DOWN
+    to a quant multiple and dropped below quant, profile lines
+    "token count" ordered by count DESC, md5 of the newline-join.
+
+    One divergence, documented: the reference sorts ties in HashMap
+    iteration order (TokenComparator compares counts only — the tie
+    order is JVM-dependent); here ties break token ASC so the
+    signature is deterministic and both backends agree.
+
+    Plan: tokenize/count = one (doc, token) partial-agg shuffle; the
+    profile build is per-doc array work in codegen (sort_array +
+    array_join + md5) — scan-shaped, no Python, no driver state.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"filter(regexp_extract_all(lower({text_col}), "
+               f"'[a-z0-9]+', 0), t -> length(t) > {min_token_len})")
+        .alias("toks"))
+    tf = (toks.select(id_col, F.explode("toks").alias("tok"))
+          .groupBy(id_col, "tok")
+          .agg(F.count("*").cast("int").alias("cnt")))
+    prof = (tf.groupBy(id_col)
+            .agg(F.max("cnt").alias("mf"),
+                 F.collect_list(F.struct("cnt", "tok")).alias("arr"))
+            .withColumn("quant", F.expr(
+                f"CASE WHEN CAST(round(mf * {quant_rate}) AS INT) >= 2 "
+                f"THEN CAST(round(mf * {quant_rate}) AS INT) "
+                f"WHEN mf > 1 THEN 2 ELSE 1 END"))
+            .withColumn("lines", F.expr(
+                "transform(sort_array(transform("
+                "  filter(arr, x -> (x.cnt DIV quant) * quant >= quant),"
+                "  x -> struct(-((x.cnt DIV quant) * quant) AS negq, "
+                "              x.tok AS tok))), "
+                "y -> concat(y.tok, ' ', -y.negq))")))
+    sig = prof.select(
+        F.col(id_col),
+        F.md5(F.array_join("lines", "\n")).alias("profile_sig"))
+    # docs whose every token was discarded still get a signature
+    # (md5 of the empty profile), exactly like the reference's
+    # super.add("") path
+    return (df.select(id_col).join(sig, id_col, "left")
+            .select(F.col(id_col).cast("long"),
+                    F.coalesce("profile_sig", F.lit(
+                        "d41d8cd98f00b204e9800998ecf8427e"))
+                    .alias("profile_sig")))

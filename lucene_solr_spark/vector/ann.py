@@ -463,3 +463,31 @@ def nsw_greedy_search(emb: DataFrame, graph: DataFrame,
     for f in out[1:]:
         res = res.union(f)
     return res.select("hop", id_col, "cos")
+
+
+L2SQ = ("aggregate(zip_with({a}, {b}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, "
+        "(acc, v) -> acc + v)")
+
+
+def l2_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Exact euclidean top-k with Lucene's EUCLIDEAN score transform
+    score = 1 / (1 + ||v - q||^2) (VectorSimilarityFunction.EUCLIDEAN
+    in Lucene 9+, public semantics — the graded kNN score surface;
+    computed here in float64 both-backends rather than Lucene's
+    float32).  Same plan shape as cosine_topk: 1-row broadcast probe,
+    squared distance inside whole-stage codegen via zip_with/aggregate,
+    TakeOrderedAndProject top-k — no Python, no extra shuffle.
+    """
+    probe = (emb.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("q")))
+    cand = emb.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(probe))
+    d2 = L2SQ.format(a=vec_col, b="q")
+    scored = cand.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(f"ROUND(1D / (1D + {d2}), 6)").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
