@@ -3373,11 +3373,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-2o rotation (window stays 50): IN q_ltr_tree (tree-walk
+    # scoring — new machinery next to in-window q_ltr), v_graph_search
+    # (graph ANN descent — a new plan family), t_hll_card + q_bloom
+    # (the sketch module: generated-SQL HLL registers and bloom
+    # positions), s_stream_timeseries (gap-filled range facet with an
+    # in-plan bucket spine), t_text_profile (quantized-profile fuzzy
+    # dedup hash). OUT with rationale (all keep three-scale local
+    # records): q_norms_table + q_term_stats (norms/df/ttf are
+    # consumed by every in-window scored row — a wrong value flips
+    # every BM25 score; smallfloat + stats pytest parity), q_point_range
+    # (pushed numeric range scan pinned by in-window q_facet_range_gap),
+    # t_dedup_exact (one md5 groupBy whose machinery t_dup_clusters /
+    # t_clean_funnel pin), t_simhash (hamming-law pytest; the minhash
+    # family keeps t_minhash_lsh + t_near_dup in window),
+    # t_contamination (broadcast shingle membership over the shingle
+    # plumbing t_near_dup/t_minhash_lsh pin).
+    "q_ltr_tree", "v_graph_search", "t_hll_card", "q_bloom",
+    "s_stream_timeseries", "t_text_profile",
     # r1-unchecked
-    "q_norms_table", "q_term_stats",
-    "q_point_range", "t_quality",
-    "t_dedup_exact", "t_near_dup",
-    "t_minhash_lsh", "t_simhash",
+    "t_quality", "t_near_dup",
+    "t_minhash_lsh",
     # new in round 2
     "q_phrase_sloppy", "q_fuzzy_tr", "q_span_not",
     "q_sort_by_field",
@@ -3412,8 +3428,8 @@ WINDOW_ORDER = [
     # canonical near-dup removal
     "q_monitor", "t_pack_sequences", "t_pii", "q_drill_sideways",
     "q_payload", "q_syn_graph",
-    # intervals module + eval-set decontamination
-    "q_interval_ordered", "t_contamination",
+    # intervals module
+    "q_interval_ordered",
     # round-2h surfaces past the 50-entry driver window (driver
     # evidence: the committed three-scale verify_contract records;
     # p_simple + q_spell_wordbreak rotated INTO the window above as
@@ -3423,6 +3439,8 @@ WINDOW_ORDER = [
     # pinned by r1-green q_search_after + in-window q_sort_by_field,
     # and facet.query's matching+count path is pinned by every facet
     # row)
+    "q_norms_table", "q_term_stats", "q_point_range",
+    "t_dedup_exact", "t_simhash", "t_contamination",
     "q_cursor_mark", "q_facet_query",
     "q_suggest_infix", "q_func_scale",
     "q_mlt_terms", "q_facet_prefix", "q_boost_mult",
