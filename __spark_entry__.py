@@ -3357,6 +3357,72 @@ def _q_expr_sort(spark, sf_dir):
             .orderBy(F.desc("expr_sort"), F.asc("doc_id")).limit(10))
 
 
+_STRDIST_TARGET = "window"
+
+
+def _q_func_strdist(spark, sf_dir):
+    """Solr strdist() function query (solr/core/src/java/org/apache/
+    solr/search/function/distance/StringDistanceFunction.java:33 with
+    the "edit" measure = lucene/suggest/src/java/org/apache/lucene/
+    search/spell/LevenshteinDistance.java:106: similarity =
+    1 - lev / max(len_a, len_b)): rank the term dictionary by edit
+    similarity to a target word — the spellcheck-style strdist use.
+    Lucene returns float32; both engines here evaluate the identical
+    double expression and round(6) so parity is exact.  One JVM-side
+    ``levenshtein()`` over the already-aggregated (tiny) term
+    dictionary — no shuffle beyond the term_stats build."""
+    se = _searcher(spark, sf_dir)
+    t = F.lit(_STRDIST_TARGET)
+    dist = F.round(
+        F.lit(1.0)
+        - F.levenshtein(F.col("term"), t)
+        / F.greatest(F.length("term"), F.length(t)).cast("double"), 6)
+    return (se.ix.term_stats
+            .select("term", F.col("df").cast("long").alias("df"),
+                    dist.alias("strdist"))
+            .orderBy(F.desc("strdist"), F.asc("term")).limit(10))
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Corpus-order n-gram novelty over documents (see
+    textops.ngram_novelty; Lee et al. 2022 dedup family)."""
+    return textops.ngram_novelty(_documents(spark, sf_dir))
+
+
+def _q_facet_json_stats(spark, sf_dir):
+    """Solr JSON Facet API per-bucket stat aggs (solr/core/src/java/
+    org/apache/solr/search/facet/{StddevAgg,VarianceAgg}.java, both
+    delegating to AggUtil.java:38 uncorrectedStdDev =
+    sqrt(sumSq/n - (sum/n)^2) and AggUtil.java:54 uncorrectedVariance;
+    PercentileAgg's t-digest replaced by exact percentile at test
+    scale): lang buckets over the docs matching the facet term, each
+    with count / sum / stddev / variance / median of n_chars.
+
+    The sum/sumSq accumulators mirror the reference's slot
+    accumulators and are map-side-combinable partial aggs (one shuffle
+    on lang).  They are kept in exact BIGINT — summing doubles is
+    partition-order-dependent, which would make round(6) of the
+    derived stats nondeterministic at scale; integer sums make the
+    final double math bit-identical to the oracle's."""
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_FACET_TERM))
+    j = m.join(se.ix.source.select("docid", "lang", "n_chars"), "docid")
+    g = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sq"),
+        F.expr("percentile(n_chars, 0.5)").alias("med"))
+    var = F.greatest(
+        F.col("sq") / F.col("n")
+        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+        F.lit(0.0))
+    return g.select(
+        "lang", "n", F.col("s").alias("sum_chars"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+        F.round(var, 6).alias("variance"),
+        F.round("med", 6).alias("median"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -3373,6 +3439,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-2p rotation (window stays 50): IN q_func_strdist (strdist
+    # function query — the Lucene LevenshteinDistance similarity kernel
+    # as a ranked function query, a new ValueSource family),
+    # t_ngram_novelty (corpus-order first-occurrence attribution:
+    # min-over-corpus + join-back — a curation-op plan shape nothing
+    # else in the window exercises), q_facet_json_stats (JSON-facet
+    # per-bucket stddev/variance/percentile — the AggUtil slot-
+    # accumulator formulas with exact-integer partial aggs). OUT with
+    # rationale (all keep three-scale local verify records):
+    # q_stats_percentiles (its exact-percentile machinery is subsumed
+    # by in-window q_facet_json_stats, which adds stddev/variance on
+    # top), q_spellcheck (edit-distance suggest family pinned in-window
+    # by q_spell_wordbreak and now the levenshtein kernel by
+    # q_func_strdist), q_term_vectors (per-doc tf/position readout
+    # whose plumbing every in-window phrase/span/interval row pins).
+    "q_func_strdist", "t_ngram_novelty", "q_facet_json_stats",
     # Round-2o rotation (window stays 50): IN q_ltr_tree (tree-walk
     # scoring — new machinery next to in-window q_ltr), v_graph_search
     # (graph ANN descent — a new plan family), t_hll_card + q_bloom
@@ -3410,7 +3492,7 @@ WINDOW_ORDER = [
     # parser sloppy phrase)
     "q_regexp", "p_classic_wild",
     # added later in round 2 (no prior oracle rows)
-    "q_spellcheck", "q_term_vectors", "q_highlight_best", "v_ann_ivf",
+    "q_highlight_best", "v_ann_ivf",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
     "q_sim_classic",
     # CommonTermsQuery / Solr collapse+expand / JSON facet API / eDisMax
@@ -3421,7 +3503,7 @@ WINDOW_ORDER = [
     # elevation, child block join, percentiles, LTR, repetition
     # quality, dup-cluster connected components)
     "s_stream_rollup", "q_sig_terms",
-    "q_stats_percentiles", "q_ltr",
+    "q_ltr",
     "t_repetition", "t_dup_clusters",
     # round-2c surfaces: percolator, LM sequence packing, PII counts,
     # drill sideways, payload scoring, synonym-graph expansion,
@@ -3439,6 +3521,7 @@ WINDOW_ORDER = [
     # pinned by r1-green q_search_after + in-window q_sort_by_field,
     # and facet.query's matching+count path is pinned by every facet
     # row)
+    "q_stats_percentiles", "q_spellcheck", "q_term_vectors",
     "q_norms_table", "q_term_stats", "q_point_range",
     "t_dedup_exact", "t_simhash", "t_contamination",
     "q_cursor_mark", "q_facet_query",
@@ -3752,6 +3835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_func_termfreq": _q_func_termfreq,
         "t_pii": _q_pii,
         "t_pack_sequences": _q_pack_sequences,
+        "q_func_strdist": _q_func_strdist,
+        "t_ngram_novelty": _q_ngram_novelty,
+        "q_facet_json_stats": _q_facet_json_stats,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -5806,5 +5892,51 @@ SELECT CAST(qd.vec_id AS BIGINT) AS vec_id,
              sqrt((SELECT ne FROM en WHERE vec_id = 0))), 6) AS cos
 FROM qd JOIN en ON en.vec_id = qd.vec_id
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    out["q_func_strdist"] = f"""
+WITH {ctes}
+SELECT term, CAST(df AS BIGINT) AS df,
+       ROUND(1.0 - CAST(levenshtein(term, '{_STRDIST_TARGET}') AS DOUBLE)
+             / GREATEST(length(term), length('{_STRDIST_TARGET}')), 6)
+         AS strdist
+FROM ts
+ORDER BY strdist DESC, term ASC LIMIT 10"""
+
+    out["t_ngram_novelty"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                        t -> lower(t)) AS tokens
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc_id,
+              tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+       FROM toks, unnest(range(1, len(tokens) - 1)) t(i)
+       WHERE len(tokens) >= 3),
+fst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh s JOIN fst f ON f.shingle = s.shingle
+GROUP BY s.doc_id"""
+
+    out["q_facet_json_stats"] = f"""
+WITH {ctes},
+m AS (SELECT DISTINCT docid FROM postings WHERE term = '{_FACET_TERM}'),
+j AS (SELECT d.lang, d.n_chars FROM documents d
+      JOIN m ON m.docid = d.doc_id),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq,
+             quantile_cont(n_chars, 0.5) AS med
+      FROM j GROUP BY lang)
+SELECT lang, n, s AS sum_chars,
+       ROUND(sqrt(GREATEST(sq / n - (s / n) * (s / n), 0.0)), 6) AS stddev,
+       ROUND(GREATEST(sq / n - (s / n) * (s / n), 0.0), 6) AS variance,
+       ROUND(med, 6) AS median
+FROM g"""
 
     return out

@@ -253,6 +253,35 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3,
                     "inter", "jaccard"))
 
 
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Corpus-order n-gram novelty: the fraction of a doc's distinct
+    n-gram shingles whose first corpus occurrence (minimum ``id_col``
+    over the docs containing the shingle) is this doc — the per-doc
+    complement of the cross-doc repetition measured by the dedup
+    family (Lee et al. 2022 arXiv:2107.06499), used to down-weight
+    boilerplate-heavy crawl slices when curating training data.
+
+    Docs with fewer than ``n`` tokens emit no shingles and no row.
+
+    Plan shape: distinct (doc, shingle) explode, a map-side-combinable
+    MIN(doc) per shingle, one shuffle join back on shingle, one per-doc
+    aggregate. Nothing is quadratic: a hot shingle is a single
+    aggregate key and joins back against exactly ONE first-doc row
+    (never a pair fan-out), so skew costs one AQE-splittable partition,
+    not a blow-up.
+    """
+    sh = shingles(df, id_col, n)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("first_doc"))
+    per = (sh.join(first, "shingle")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_shingles"),
+                F.sum((F.col("first_doc") == F.col(id_col)).cast("long"))
+                .alias("n_novel")))
+    return per.withColumn(
+        "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6))
+
+
 def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", appendix A1.1 repetition
