@@ -282,6 +282,66 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
         "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6))
 
 
+def token_entropy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc unigram Shannon entropy and type-token ratio — the
+    lexical-diversity quality signals of pretraining filters (low
+    entropy = boilerplate/repetition; cf. the Gopher repetition family
+    in repetition_signals).
+
+    entropy = -sum_t p_t ln p_t over the doc's token frequencies,
+    computed via the one-aggregate identity
+    H = ln(dl) - (sum_t tf ln tf) / dl so both the doc length and the
+    tf.ln(tf) moment come out of a SINGLE partial-aggregable groupBy
+    (map-side combine; one shuffle on (doc, term) then one on doc).
+    ttr = distinct tokens / tokens. Empty docs emit no row.
+    """
+    t = with_tokens(df).filter(F.expr("size(tokens) > 0"))
+    tf = (t.select(F.col(id_col), F.explode("tokens").alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count("*").alias("tf")))
+    return (tf.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_types"),
+                 F.sum("tf").cast("long").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.log("tf")).alias("_m"))
+            .select(
+                F.col(id_col), "n_types", "n_tokens",
+                F.round(F.log("n_tokens") - F.col("_m") / F.col("n_tokens"),
+                        6).alias("entropy"),
+                F.round(F.col("n_types") / F.col("n_tokens"), 6)
+                .alias("ttr")))
+
+
+def cross_dup_matrix(df: DataFrame, id_col: str = "doc_id",
+                     group_col: str = "source", n: int = 3,
+                     threshold: float = 0.8) -> DataFrame:
+    """Cross-slice contamination matrix: near-duplicate pair counts
+    aggregated by (group_a, group_b) with the pair normalized so
+    group_a <= group_b — the per-source dedup report a curation
+    pipeline publishes before choosing slice mix weights (which slices
+    overlap, and how much).
+
+    Built on near_dup_pairs (MinHash-LSH is the stated 100 TB
+    candidate-generation path; see module docstring). The pair table
+    is orders of magnitude smaller than the corpus, so the two
+    group-lookup joins and the final groupBy are cheap relative to
+    candidate generation; skewed groups are single agg keys (AQE
+    splittable), never a fan-out.
+    """
+    pairs = near_dup_pairs(df, id_col, n, threshold)
+    g = df.select(F.col(id_col).alias("_id"), F.col(group_col))
+    j = (pairs
+         .join(g.select(F.col("_id").alias("doc_a"),
+                        F.col(group_col).alias("_ga")), "doc_a")
+         .join(g.select(F.col("_id").alias("doc_b"),
+                        F.col(group_col).alias("_gb")), "doc_b"))
+    return (j.select(F.least("_ga", "_gb").alias("group_a"),
+                     F.greatest("_ga", "_gb").alias("group_b"),
+                     "jaccard")
+            .groupBy("group_a", "group_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.avg("jaccard"), 6).alias("avg_jaccard")))
+
+
 def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", appendix A1.1 repetition
