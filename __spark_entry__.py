@@ -3487,6 +3487,51 @@ def _q_facet_pivot_stats(spark, sf_dir):
         "mean_chars", F.round(F.col("sum_chars") / F.col("n"), 6))
 
 
+def _q_topk_ngrams(spark, sf_dir):
+    """Corpus top-k bigrams, WIMBD-style (see textops.topk_ngrams)."""
+    return textops.topk_ngrams(_documents(spark, sf_dir), n=2, k=20)
+
+
+_TRUNC_DIM = 8
+
+
+def _v_ann_trunc(spark, sf_dir):
+    """Matryoshka-style truncated-dimension kNN (Kusupati et al. 2022,
+    arXiv:2205.13147: MRL embeddings are usable at any prefix length):
+    exact cosine top-k over only the first {_TRUNC_DIM} of 64 dims —
+    the cheap first pass of an MRL funnel retrieval, where full-dim
+    cosine (v_ann_cosine's kernel) reranks the survivors.  The slice
+    happens before the dot product, so the scan streams 8/64ths of the
+    vector bytes — at 100 TB that is the difference between a
+    memory-bound and a compute-bound pass."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sliced = emb.withColumn("embedding",
+                            F.slice("embedding", 1, _TRUNC_DIM))
+    return cosine_topk(sliced, query_vec_id=0, k=10)
+
+
+def _q_func_ord(spark, sf_dir):
+    """ord() function query (lucene/queries/src/java/org/apache/lucene/
+    queries/function/valuesource/OrdFieldSource.java:47: the doc's
+    value's position in the field's lexicographically sorted docvalues
+    dictionary, 1-based): top-10 docs matching a term ranked by
+    ord(source), docid-ASC ties.  The ordinal table is a dense_rank
+    over the DISTINCT field values — a dictionary-sized (tiny)
+    single-partition window joined back broadcast-style; the per-doc
+    side never shuffles on the ordinal."""
+    se = _searcher(spark, sf_dir)
+    srcs = se.ix.source.select("source").distinct()
+    w = Window.orderBy("source")
+    ords = srcs.withColumn("ord",
+                           F.dense_rank().over(w).cast("long"))
+    m = se.matching(Term("merge"))
+    j = (m.join(se.ix.source.select("docid", "source"), "docid")
+         .join(F.broadcast(ords), "source"))
+    return (j.select(F.col("docid").cast("long").alias("doc_id"),
+                     "source", "ord")
+            .orderBy(F.desc("ord"), F.asc("doc_id")).limit(10))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -3657,6 +3702,13 @@ WINDOW_ORDER = [
 # Round-2m: v_pq (product quantization encode + ADC top-k — the IVF-PQ
 # compression layer; in-window v_ann_ivf pins the coarse codebook it
 # shares).
+# Round-2r (same past-window + three-scale-records pattern):
+# t_topk_ngrams (WIMBD corpus top-k n-grams — explode + partial-agg
+# machinery pinned by the in-window shingle/dedup rows), v_ann_trunc
+# (Matryoshka prefix-dim cosine — the kernel is in-window v_ann_ivf's
+# rerank), q_func_ord (OrdFieldSource ordinal dictionary — dictionary
+# join machinery pinned by in-window grouped/facet rows). All three
+# registered with oracles + law tests in test_r2r_ops.py.
 # Round-2n (same past-window + three-scale-records pattern):
 # q_sim_axiomatic / q_sim_dfi — the last two SimilarityBase families
 # (Axiomatic F2EXP, DFI standardized); in-window q_sim_classic pins
@@ -3924,6 +3976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_cross_dedup": _q_cross_dedup,
         "s_stream_having": _q_stream_having,
         "q_facet_pivot_stats": _q_facet_pivot_stats,
+        "t_topk_ngrams": _q_topk_ngrams,
+        "v_ann_trunc": _v_ann_trunc,
+        "q_func_ord": _q_func_ord,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -6090,5 +6145,51 @@ SELECT COALESCE(lang, '(all)') AS lang,
        ROUND(CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6)
          AS mean_chars
 FROM j GROUP BY ROLLUP(lang, source)"""
+
+    out["t_topk_ngrams"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                        t -> lower(t)) AS tokens
+  FROM documents
+),
+g AS (SELECT doc_id, tokens[i] || ' ' || tokens[i+1] AS ngram
+      FROM toks, unnest(range(1, len(tokens))) t(i)
+      WHERE len(tokens) >= 2)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 20"""
+
+    out["v_ann_trunc"] = f"""
+WITH q AS (SELECT unnest(embedding) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, unnest(embedding) AS ev,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0),
+d AS (SELECT e.vec_id,
+             SUM(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na
+      FROM e JOIN q ON e.i = q.i
+      WHERE e.i <= {_TRUNC_DIM} GROUP BY e.vec_id),
+nq AS (SELECT SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nb
+       FROM q WHERE i <= {_TRUNC_DIM})
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id ASC
+LIMIT 10"""
+
+    out["q_func_ord"] = f"""
+WITH {ctes},
+o AS (SELECT source,
+             CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT) AS ord
+      FROM (SELECT DISTINCT source FROM documents)),
+m AS (SELECT DISTINCT docid FROM postings WHERE term = 'merge')
+SELECT d.doc_id, d.source, o.ord
+FROM documents d JOIN m ON m.docid = d.doc_id
+JOIN o ON o.source = d.source
+ORDER BY o.ord DESC, d.doc_id ASC LIMIT 10"""
 
     return out

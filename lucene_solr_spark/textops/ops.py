@@ -342,6 +342,33 @@ def cross_dup_matrix(df: DataFrame, id_col: str = "doc_id",
                  F.round(F.avg("jaccard"), 6).alias("avg_jaccard")))
 
 
+def topk_ngrams(df: DataFrame, id_col: str = "doc_id", n: int = 2,
+                k: int = 20) -> DataFrame:
+    """WIMBD-style corpus n-gram analysis (Elazar et al. 2023,
+    "What's In My Big Data?", arXiv:2310.20707 §3.2): the k most
+    frequent word n-grams across the corpus, counted over ALL
+    occurrences (not per-doc distinct), with the number of distinct
+    docs each appears in.  Ties break ngram-ASC so top-k is total.
+
+    Scale shape: one explode + one hash agg keyed by ngram (partial
+    map-side combine), then TakeOrderedAndProject for the top-k — no
+    global sort.  COUNT(DISTINCT doc) expands the shuffle key to
+    (ngram, doc); at 100 TB swap in approx_count_distinct(doc_id)
+    (HLL, single-pass) — the count column is exact either way.
+    """
+    t = with_tokens(df).filter(F.expr(f"size(tokens) >= {n}"))
+    parts = ", ".join(f"tokens[i + {j}]" for j in range(n))
+    grams = t.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(0, size(tokens) - {n}), "
+            f"i -> concat_ws(' ', {parts}))")).alias("ngram"))
+    return (grams.groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("n_occurrences"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k))
+
+
 def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", appendix A1.1 repetition
