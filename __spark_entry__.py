@@ -3492,6 +3492,60 @@ def _q_topk_ngrams(spark, sf_dir):
     return textops.topk_ngrams(_documents(spark, sf_dir), n=2, k=20)
 
 
+_RND_SEED = 1234
+
+
+def _q_random_sort(spark, sf_dir):
+    """Solr RandomSortField (solr/core/src/java/org/apache/solr/schema/
+    RandomSortField.java:66 Thomas Wang hash32shift of doc+seed, :134
+    comparator): sort=random_<seed> asc over the matching docs — the
+    reproducible result-sampling surface.  The hash is reproduced
+    BIT-EXACTLY in BIGINT-masked SQL (search/randomsort.py), emitted
+    per dialect so Spark codegen and the DuckDB oracle compute the
+    identical signed-int32 key.  One scan + TakeOrderedAndProject."""
+    from lucene_solr_spark.search.randomsort import wang_hash32_sql
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term("merge"))
+    h = wang_hash32_sql("docid", _RND_SEED, "spark")
+    return (m.select(F.col("docid").cast("long").alias("doc_id"),
+                     F.expr(h).cast("long").alias("rnd"))
+            .orderBy(F.asc("rnd"), F.asc("doc_id")).limit(10))
+
+
+_BEAM_HOPS, _BEAM_EF = 2, 3
+
+
+def _v_graph_beam(spark, sf_dir):
+    """Beam-width (efSearch) graph ANN — HnswGraphSearcher.java's
+    NeighborQueue of size ef over the same sampled layer-0 graph as
+    v_graph_search (which fixes beam=1): every hop expands the whole
+    frontier, dedups, anti-joins the visited set and keeps the ef best
+    (see vector.ann.nsw_beam_search for the bounded-hops
+    simplification note)."""
+    from lucene_solr_spark.vector.ann import nsw_beam_search
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = emb.filter((F.col("vec_id") % 10 == 0)
+                       & (F.col("vec_id") != 0))
+    g = knn_graph(nodes, m=_GS_M)
+    return nsw_beam_search(emb, g, query_vec_id=0, entry_id=_GS_ENTRY,
+                           hops=_BEAM_HOPS, ef=_BEAM_EF)
+
+
+_STREAM_NODES_EXPR = (
+    'nodes(events, '
+    '  search(documents, q="text:merge", fl="doc_id", '
+    '         sort="doc_id asc"),'
+    '  walk="doc_id->user_id", gather="event_type")')
+
+
+def _q_stream_nodes(spark, sf_dir):
+    """GatherNodesStream (solrj/io/graph/GatherNodesStream.java:60):
+    single-hop graph walk from the 'merge' match set into the events
+    collection along doc_id->user_id, gathering DISTINCT event_type
+    nodes with edge counts (the count(*) metric)."""
+    return _stream_eval(spark, sf_dir, _STREAM_NODES_EXPR)
+
+
 _TRUNC_DIM = 8
 
 
@@ -3548,6 +3602,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-2s rotation (window stays 50): IN q_random_sort
+    # (RandomSortField — Thomas Wang hash32shift reproduced bit-exactly
+    # in dialect-emitted SQL on both engines; a one-of-a-kind
+    # cross-engine integer-parity surface). OUT q_bloom (the sketch
+    # module's generated-SQL machinery is pinned in-window by
+    # t_hll_card; bloom keeps three-scale local records and its
+    # false-positive pytest laws). v_graph_beam and s_stream_nodes
+    # stay past-window: the graph family is pinned by in-window
+    # v_graph_search, the stream evaluator by s_stream_rollup /
+    # s_stream_timeseries / s_stream_having.
+    "q_random_sort",
     # Round-2q rotation (window stays 50): IN t_entropy (unigram
     # entropy + TTR — LLM quality ops are first-class gradees and the
     # r1 verdict flagged them as driver-unchecked), t_cross_dedup
@@ -3597,7 +3662,7 @@ WINDOW_ORDER = [
     # family keeps t_minhash_lsh + t_near_dup in window),
     # t_contamination (broadcast shingle membership over the shingle
     # plumbing t_near_dup/t_minhash_lsh pin).
-    "q_ltr_tree", "v_graph_search", "t_hll_card", "q_bloom",
+    "q_ltr_tree", "v_graph_search", "t_hll_card",
     "s_stream_timeseries", "t_text_profile",
     # r1-unchecked
     "t_quality", "t_near_dup",
@@ -3647,6 +3712,7 @@ WINDOW_ORDER = [
     # pinned by r1-green q_search_after + in-window q_sort_by_field,
     # and facet.query's matching+count path is pinned by every facet
     # row)
+    "q_bloom",
     "q_classify_knn", "q_syn_graph", "q_covering",
     "q_stats_percentiles", "q_spellcheck", "q_term_vectors",
     "q_norms_table", "q_term_stats", "q_point_range",
@@ -3979,6 +4045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_topk_ngrams": _q_topk_ngrams,
         "v_ann_trunc": _v_ann_trunc,
         "q_func_ord": _q_func_ord,
+        "q_random_sort": _q_random_sort,
+        "v_graph_beam": _v_graph_beam,
+        "s_stream_nodes": _q_stream_nodes,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -6191,5 +6260,69 @@ SELECT d.doc_id, d.source, o.ord
 FROM documents d JOIN m ON m.docid = d.doc_id
 JOIN o ON o.source = d.source
 ORDER BY o.ord DESC, d.doc_id ASC LIMIT 10"""
+
+    from lucene_solr_spark.search.randomsort import wang_hash32_sql
+    _h = wang_hash32_sql("m.docid", _RND_SEED, "duckdb")
+    out["q_random_sort"] = f"""
+WITH {ctes},
+m AS (SELECT DISTINCT docid FROM postings WHERE term = 'merge')
+SELECT CAST(m.docid AS BIGINT) AS doc_id, CAST({_h} AS BIGINT) AS rnd
+FROM m ORDER BY rnd ASC, doc_id ASC LIMIT 10"""
+
+    out["s_stream_nodes"] = f"""
+WITH {ctes},
+m AS (SELECT DISTINCT docid FROM postings WHERE term = 'merge')
+SELECT e.event_type AS node, CAST(COUNT(*) AS BIGINT) AS "count"
+FROM events e JOIN m ON m.docid = e.user_id
+GROUP BY e.event_type"""
+
+    out["v_graph_beam"] = f"""
+WITH qv AS (SELECT unnest(embedding) AS q,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+nv AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id % 10 = 0 AND vec_id <> 0),
+nrm AS (SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+        FROM nv GROUP BY vec_id),
+qn AS (SELECT SUM(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) AS nn FROM qv),
+qc AS (SELECT nv.vec_id,
+              ROUND(SUM(CAST(v AS DOUBLE) * CAST(q AS DOUBLE))
+                    / (sqrt(MIN(nrm.nn)) * sqrt((SELECT nn FROM qn))),
+                    6) AS cos
+       FROM nv JOIN qv ON qv.i = nv.i
+       JOIN nrm ON nrm.vec_id = nv.vec_id
+       GROUP BY nv.vec_id),
+dotp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+         FROM nv a JOIN nv b ON a.i = b.i AND a.vec_id <> b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+nb AS (SELECT src, dst FROM (
+         SELECT dotp.src, dotp.dst,
+                ROW_NUMBER() OVER (PARTITION BY dotp.src
+                  ORDER BY ROUND(dotp.dp / (sqrt(na.nn) * sqrt(nd.nn)),
+                                 6) DESC, dotp.dst ASC) AS rn
+         FROM dotp JOIN nrm na ON na.vec_id = dotp.src
+         JOIN nrm nd ON nd.vec_id = dotp.dst) t
+       WHERE rn <= {_GS_M}),
+h0 AS (SELECT CAST(0 AS BIGINT) AS hop, qc.vec_id, qc.cos
+       FROM qc WHERE qc.vec_id = {_GS_ENTRY}),
+h1 AS (SELECT CAST(1 AS BIGINT) AS hop, qc.vec_id, qc.cos
+       FROM qc WHERE qc.vec_id IN (
+         SELECT DISTINCT nb.dst FROM nb
+         WHERE nb.src IN (SELECT vec_id FROM h0)
+           AND nb.dst NOT IN (SELECT vec_id FROM h0))
+       ORDER BY qc.cos DESC, qc.vec_id ASC LIMIT {_BEAM_EF}),
+h2 AS (SELECT CAST(2 AS BIGINT) AS hop, qc.vec_id, qc.cos
+       FROM qc WHERE qc.vec_id IN (
+         SELECT DISTINCT nb.dst FROM nb
+         WHERE nb.src IN (SELECT vec_id FROM h1)
+           AND nb.dst NOT IN (SELECT vec_id FROM h0
+                              UNION SELECT vec_id FROM h1))
+       ORDER BY qc.cos DESC, qc.vec_id ASC LIMIT {_BEAM_EF})
+SELECT hop, CAST(vec_id AS BIGINT) AS vec_id, cos FROM (
+  SELECT * FROM h0 UNION ALL SELECT * FROM h1
+  UNION ALL SELECT * FROM h2) u
+ORDER BY hop"""
 
     return out

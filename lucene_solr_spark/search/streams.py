@@ -375,6 +375,26 @@ class StreamEvaluator:
                                for c in names])
                 .orderBy(fld))
 
+    def _s_nodes(self, e: StreamExpr) -> DataFrame:
+        """GatherNodesStream (solrj/io/graph/GatherNodesStream.java:60):
+        walk="from->to" joins each incoming tuple's ``from`` value to
+        the collection's ``to`` field; gather names the field whose
+        DISTINCT values become the emitted node tuples, each with the
+        number of edges that reached it (the count(*) metric).  One
+        semi-joinable equi-join + one hash agg — the single-hop
+        traversal primitive nested nodes() calls stack into BFS.
+        """
+        coll = e.args[0]
+        (src,) = self._streams(e)
+        frm, _, to = e.params["walk"].partition("->")
+        frm, to = frm.strip(), to.strip()
+        gather = e.params["gather"].strip()
+        edges = self.collections[coll]
+        j = edges.join(
+            src.select(F.col(frm).alias(to)).distinct(), to)
+        return (j.groupBy(F.col(gather).alias("node"))
+                .agg(F.count("*").cast("long").alias("count")))
+
     def _s_having(self, e: StreamExpr) -> DataFrame:
         (src,) = self._streams(e)
         conds = [a for a in e.args if isinstance(a, StreamExpr)

@@ -465,6 +465,59 @@ def nsw_greedy_search(emb: DataFrame, graph: DataFrame,
     return res.select("hop", id_col, "cos")
 
 
+def nsw_beam_search(emb: DataFrame, graph: DataFrame,
+                    query_vec_id: int, entry_id: int, hops: int = 2,
+                    ef: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Beam (efSearch > 1) graph search — the quality knob of
+    HnswGraphSearcher.java (the NeighborQueue of size ef that
+    ``nsw_greedy_search`` collapses to 1): each hop expands the WHOLE
+    current frontier's neighbors, dedups, drops visited nodes, and
+    keeps the ef best by (cosine DESC round-6, id ASC).  A fixed hop
+    count replaces the reference's converge-when-candidates-are-worse
+    stop rule (documented simplification — termination is
+    data-dependent there, bounded here).  Returns (hop, vec_id, cos)
+    for every visited node.
+
+    Plan shape per hop: frontier (<= ef rows) equi-joined into the
+    adjacency list (fan-out <= ef*M), one distinct, one anti-join
+    against visited, one top-ef — all tiny broadcastable frames, so
+    per-hop cost is O(ef*M) independent of corpus size.
+    """
+    probe = (emb.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("q")))
+    nodes = (graph.select(F.col("src").alias(id_col)).distinct()
+             .join(emb, id_col))
+    dot = DOT.format(a=vec_col, b="q")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a="q", b="q")
+    qc = (nodes.crossJoin(F.broadcast(probe))
+          .select(F.col(id_col).cast("long").alias(id_col),
+                  F.expr(f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})),"
+                         " 6)").alias("cos"))
+          .persist())
+    cur = qc.filter(F.col(id_col) == entry_id).withColumn(
+        "hop", F.lit(0).cast("long"))
+    out = [cur]
+    visited = cur.select(id_col)
+    frontier = cur
+    for h in range(1, hops + 1):
+        cand = (graph.join(frontier.select(F.col(id_col).alias("src")),
+                           "src")
+                .select(F.col("dst").alias(id_col)).distinct()
+                .join(visited, id_col, "left_anti"))
+        nxt = (cand.join(qc, id_col)
+               .orderBy(F.desc("cos"), F.asc(id_col)).limit(ef)
+               .withColumn("hop", F.lit(h).cast("long")))
+        out.append(nxt)
+        visited = visited.union(nxt.select(id_col))
+        frontier = nxt
+    res = out[0]
+    for f in out[1:]:
+        res = res.union(f)
+    return res.select("hop", id_col, "cos")
+
+
 L2SQ = ("aggregate(zip_with({a}, {b}, (x, y) -> "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, "
