@@ -2042,9 +2042,18 @@ def _stream_eval(spark, sf_dir, expr_text):
         return (se.matching(parse_query(qtext))
                 .select(F.col("docid").alias("doc_id")))
 
+    d = _documents(spark, sf_dir)
+    # deterministic branching link graph for the graph streams: every
+    # doc links to doc_id div 2 and doc_id div 3 (two parents => many
+    # equal-length routes; self-loops dropped in the evaluator)
+    links = (d.select(F.col("doc_id").alias("src"),
+                      F.expr("doc_id div 2").alias("dst"))
+             .union(d.select(F.col("doc_id").alias("src"),
+                             F.expr("doc_id div 3").alias("dst"))))
     ev = StreamEvaluator(
-        {"documents": _documents(spark, sf_dir),
-         "events": spark.read.parquet(f"{sf_dir}/events.parquet")},
+        {"documents": d,
+         "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
+         "links": links},
         text_search=text_search)
     return ev.eval(expr_text)
 
@@ -3546,6 +3555,22 @@ def _q_stream_nodes(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_NODES_EXPR)
 
 
+_SP_FROM, _SP_TO, _SP_MAXD = 24, 1, 4
+
+_STREAM_SP_EXPR = (
+    f'shortestPath(links, from="{_SP_FROM}", to="{_SP_TO}", '
+    f'edge="src=dst", maxDepth={_SP_MAXD})')
+
+
+def _q_stream_shortest_path(spark, sf_dir):
+    """ShortestPathStream (solrj/io/graph/ShortestPathStream.java:59):
+    ALL shortest paths from node 24 to node 1 over the deterministic
+    div-2/div-3 link graph (branching => several equal-length routes;
+    see streams._s_shortestPath for the per-level BFS-cut argument that
+    this loses no shortest path while staying join-shaped)."""
+    return _stream_eval(spark, sf_dir, _STREAM_SP_EXPR)
+
+
 _TRUNC_DIM = 8
 
 
@@ -3608,10 +3633,11 @@ WINDOW_ORDER = [
     # cross-engine integer-parity surface). OUT q_bloom (the sketch
     # module's generated-SQL machinery is pinned in-window by
     # t_hll_card; bloom keeps three-scale local records and its
-    # false-positive pytest laws). v_graph_beam and s_stream_nodes
-    # stay past-window: the graph family is pinned by in-window
-    # v_graph_search, the stream evaluator by s_stream_rollup /
-    # s_stream_timeseries / s_stream_having.
+    # false-positive pytest laws). v_graph_beam, s_stream_nodes and
+    # s_stream_shortest_path (round-2t) stay past-window: the graph
+    # family is pinned by in-window v_graph_search, the stream
+    # evaluator by s_stream_rollup / s_stream_timeseries /
+    # s_stream_having.
     "q_random_sort",
     # Round-2q rotation (window stays 50): IN t_entropy (unigram
     # entropy + TTR — LLM quality ops are first-class gradees and the
@@ -4048,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_sort": _q_random_sort,
         "v_graph_beam": _v_graph_beam,
         "s_stream_nodes": _q_stream_nodes,
+        "s_stream_shortest_path": _q_stream_shortest_path,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -6324,5 +6351,27 @@ SELECT hop, CAST(vec_id AS BIGINT) AS vec_id, cos FROM (
   SELECT * FROM h0 UNION ALL SELECT * FROM h1
   UNION ALL SELECT * FROM h2) u
 ORDER BY hop"""
+
+    out["s_stream_shortest_path"] = f"""
+WITH RECURSIVE links AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, doc_id // 3 AS dst FROM documents)
+  WHERE src <> dst
+),
+walk AS (
+  SELECT CAST({_SP_FROM} AS BIGINT) AS node,
+         CAST({_SP_FROM} AS VARCHAR) AS path, 0 AS depth
+  UNION ALL
+  SELECT l.dst, walk.path || '->' || CAST(l.dst AS VARCHAR),
+         walk.depth + 1
+  FROM walk JOIN links l ON l.src = walk.node
+  WHERE walk.depth < {_SP_MAXD}
+),
+hits AS (SELECT path, depth FROM walk WHERE node = {_SP_TO}),
+md AS (SELECT MIN(depth) AS d FROM hits)
+SELECT hits.path, CAST(hits.depth AS BIGINT) AS depth
+FROM hits, md WHERE hits.depth = md.d"""
 
     return out

@@ -47,6 +47,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +375,55 @@ class StreamEvaluator:
                 .select(fld, *[F.coalesce(F.col(c), F.lit(0)).alias(c)
                                for c in names])
                 .orderBy(fld))
+
+    def _s_shortestPath(self, e: StreamExpr) -> DataFrame:
+        """ShortestPathStream (solrj/io/graph/ShortestPathStream.java:59):
+        ALL shortest paths between two nodes of an edge collection,
+        breadth-first with a per-level visited cut, bounded by
+        maxDepth.  Every shortest walk visits each intermediate node at
+        exactly its BFS depth (a shorter splice would otherwise exist),
+        so excluding earlier-visited nodes per level loses no shortest
+        path while keeping the frontier linear in reachable nodes —
+        the property that makes BFS-by-joins scale: each level is ONE
+        equi-join + ONE anti-join, never a path-enumeration blow-up
+        beyond the answer set.
+
+        Emits (path, depth) with path as 'a->b->c'; empty if the
+        target is unreachable within maxDepth.
+        """
+        coll = e.args[0]
+        frm, _, to = e.params["edge"].partition("=")
+        edges = (self.collections[coll]
+                 .select(F.col(frm.strip()).alias("_src"),
+                         F.col(to.strip()).alias("_dst"))
+                 .filter(F.col("_src") != F.col("_dst")).distinct())
+        src_v, dst_v = e.params["from"], e.params["to"]
+        maxd = int(e.params.get("maxDepth", 6))
+        spark = edges.sparkSession
+        cur = spark.createDataFrame([(int(src_v), str(src_v))],
+                                    "node long, path string")
+        visited = cur.select("node")
+        hits = []
+        for depth in range(1, maxd + 1):
+            nxt = (cur.join(edges, cur["node"] == edges["_src"])
+                   .select(F.col("_dst").alias("node"),
+                           F.concat("path", F.lit("->"),
+                                    F.col("_dst").cast("string"))
+                           .alias("path"))
+                   .join(visited, "node", "left_anti"))
+            hits.append(nxt.filter(F.col("node") == int(dst_v))
+                        .select("path",
+                                F.lit(depth).cast("long").alias("depth")))
+            visited = visited.union(nxt.select("node").distinct())
+            cur = nxt
+        allhits = hits[0]
+        for h in hits[1:]:
+            allhits = allhits.union(h)
+        w = Window.partitionBy()
+        return (allhits
+                .withColumn("_min", F.min("depth").over(w))
+                .filter(F.col("depth") == F.col("_min"))
+                .select("path", "depth"))
 
     def _s_nodes(self, e: StreamExpr) -> DataFrame:
         """GatherNodesStream (solrj/io/graph/GatherNodesStream.java:60):

@@ -102,3 +102,30 @@ def test_stream_nodes_tiny_law(spark):
     got = {r.node: r["count"] for r in out}
     # user 9 unreachable; 'a' reached via users 1 and 2
     assert got == {"a": 2, "b": 1}
+
+
+# ---------------------------------------------------------------------------
+# s_stream_shortest_path
+# ---------------------------------------------------------------------------
+
+def test_shortest_path_tiny_law(spark):
+    """ALL shortest paths, per-level visited cut, depth bound: diamond
+    graph a->b->d, a->c->d plus a long route a->x->y->d."""
+    from lucene_solr_spark.search.streams import StreamEvaluator
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)],
+        "src long, dst long")
+    ev = StreamEvaluator({"links": edges})
+    out = ev.eval('shortestPath(links, from="0", to="3", '
+                  'edge="src=dst", maxDepth=5)').collect()
+    got = {(r.path, r.depth) for r in out}
+    assert got == {("0->1->3", 2), ("0->2->3", 2)}
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    from lucene_solr_spark.search.streams import StreamEvaluator
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    ev = StreamEvaluator({"links": edges})
+    out = ev.eval('shortestPath(links, from="1", to="0", '
+                  'edge="src=dst", maxDepth=3)').collect()
+    assert out == []
