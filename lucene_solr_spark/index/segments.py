@@ -624,7 +624,8 @@ def write_commit(path: str, generation: int, doc_count: int, sum_ttf: int,
                  docs_per_segment: int, next_seg_id: int,
                  live_segs: list, lineage: str = "",
                  data_gens: dict | None = None,
-                 extra: dict | None = None) -> None:
+                 extra: dict | None = None,
+                 filename: str = "commit.json") -> None:
     commit = dict(extra or {})
     commit.update({
         "generation": generation,
@@ -637,10 +638,10 @@ def write_commit(path: str, generation: int, doc_count: int, sum_ttf: int,
         "data_gens": {str(g): sorted(int(s) for s in segs)
                       for g, segs in (data_gens or {}).items()},
     })
-    tmp = os.path.join(path, "commit.json.tmp")
+    tmp = os.path.join(path, filename + ".tmp")
     with open(tmp, "w") as f:
         json.dump(commit, f)
-    os.replace(tmp, os.path.join(path, "commit.json"))
+    os.replace(tmp, os.path.join(path, filename))
 
 
 def read_commit(path: str) -> dict:

@@ -48,6 +48,7 @@ from .segments import (
 
 _COMMIT_KEYS = {"generation", "doc_count", "sum_ttf", "docs_per_segment",
                 "next_seg_id", "live_segs", "lineage", "data_gens"}
+_PENDING_COMMIT = "pending_commit.json"
 
 
 class IndexWriter:
@@ -85,6 +86,8 @@ class IndexWriter:
         return {k: v for k, v in st.items() if k not in _COMMIT_KEYS}
 
     def _write_commit(self, st: dict, **updates) -> None:
+        fname = (_PENDING_COMMIT if getattr(self, "_pending_mode", False)
+                 else "commit.json")
         merged = {**st, **updates}
         write_commit(self.path,
                      generation=merged["generation"],
@@ -94,11 +97,12 @@ class IndexWriter:
                      next_seg_id=merged["next_seg_id"],
                      live_segs=merged["live_segs"],
                      lineage=merged.get("lineage", ""),
-                     data_gens=merged.get("data_gens", {}))
+                     data_gens=merged.get("data_gens", {}),
+                     filename=fname)
         extras = self._extras(st)
         if extras:
             import json
-            p = os.path.join(self.path, "commit.json")
+            p = os.path.join(self.path, fname)
             with open(p) as f:
                 c = json.load(f)
             c.update(extras)
@@ -106,6 +110,59 @@ class IndexWriter:
             with open(tmp, "w") as f:
                 json.dump(c, f)
             os.replace(tmp, p)
+
+    # -- two-phase commit -----------------------------------------------
+
+    def prepare_commit(self, batch: DataFrame, text_col: str = "text",
+                       order_cols: list | None = None,
+                       lineage: str = "") -> dict:
+        """IndexWriter.prepareCommit analogue (INDEX/IndexWriter.java
+        prepareCommit: flush + fsync the pending segments_N WITHOUT
+        making it visible; a later commit() finishes it, rollback()
+        abandons it): runs the full append_raw build — segment data
+        lands on disk under the next generation's dirs — but the
+        commit record is written to ``pending_commit.json``; readers
+        (which resolve ``commit.json``) cannot observe any of it.
+
+        The promote step is a single local rename, so the external
+        coordinator of a cross-system transaction (the reason
+        prepareCommit exists) holds only an O(1) second phase.
+        Raises if a prepared commit is already outstanding, like the
+        reference ("prepareCommit was already called")."""
+        if os.path.exists(os.path.join(self.path, _PENDING_COMMIT)):
+            raise RuntimeError("prepareCommit was already called with "
+                               "no corresponding call to commit")
+        self._pending_mode = True
+        try:
+            self.append_raw(batch, text_col=text_col,
+                            order_cols=order_cols,
+                            lineage=lineage or "prepared append")
+        finally:
+            self._pending_mode = False
+        import json
+        with open(os.path.join(self.path, _PENDING_COMMIT)) as f:
+            return json.load(f)
+
+    def commit(self) -> SegmentIndex:
+        """Second phase: atomically promote the prepared commit
+        (IndexWriter.commit after prepareCommit) — one rename, after
+        which readers see the new generation."""
+        pending = os.path.join(self.path, _PENDING_COMMIT)
+        if not os.path.exists(pending):
+            raise RuntimeError("no prepared commit to finish")
+        os.replace(pending, os.path.join(self.path, "commit.json"))
+        return self.reader()
+
+    def rollback(self) -> SegmentIndex:
+        """IndexWriter.rollback analogue: abandon the prepared commit.
+        The unreferenced generation dirs stay on disk exactly like a
+        crashed append's (no commit references them; the next
+        append/prepare to that generation overwrites them) — the same
+        crash-retry story the module docstring documents."""
+        pending = os.path.join(self.path, _PENDING_COMMIT)
+        if os.path.exists(pending):
+            os.remove(pending)
+        return self.reader()
 
     # -- append -------------------------------------------------------------
 
