@@ -3555,6 +3555,46 @@ def _q_stream_nodes(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_NODES_EXPR)
 
 
+_SQL_SELECT = ("SELECT doc_id, lang, n_chars FROM documents "
+               "WHERE text = 'merge' AND n_chars >= 150 "
+               "ORDER BY n_chars DESC, doc_id ASC LIMIT 10")
+_SQL_AGG = ("SELECT lang, count(*), sum(n_chars), max(n_chars) "
+            "FROM documents WHERE text = 'dup' "
+            "GROUP BY lang HAVING count(*) > 3")
+
+
+def _sql_exec(spark, sf_dir, sql):
+    """Parallel SQL handler entry (SQLHandler.java:50): the handler's
+    SQL subset compiled by search/sql_handler.py straight to DataFrame
+    operators — Catalyst plays Calcite's pushdown role natively.
+    Equality on the text field becomes an engine full-text match
+    (SolrFilter.java's translation)."""
+    from lucene_solr_spark.search.sql_handler import SolrSQL
+    se = _searcher(spark, sf_dir)
+
+    def text_search(coll, qtext):
+        return (se.matching(parse_query(qtext))
+                .select(F.col("docid").alias("doc_id")))
+
+    h = SolrSQL(
+        {"documents": _documents(spark, sf_dir),
+         "events": spark.read.parquet(f"{sf_dir}/events.parquet")},
+        text_search=text_search)
+    return h.execute(sql)
+
+
+def _q_sql_select(spark, sf_dir):
+    """SELECT/WHERE/ORDER BY/LIMIT through the SQL handler; the text
+    predicate is a full-text match, the numeric one a pushed filter."""
+    return _sql_exec(spark, sf_dir, _SQL_SELECT)
+
+
+def _q_sql_agg(spark, sf_dir):
+    """GROUP BY/HAVING through the SQL handler (SolrAggregate.java's
+    rollup translation) with RollupStream's flattened agg aliases."""
+    return _sql_exec(spark, sf_dir, _SQL_AGG)
+
+
 _SP_FROM, _SP_TO, _SP_MAXD = 24, 1, 4
 
 _STREAM_SP_EXPR = (
@@ -3627,6 +3667,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-2v rotation (window stays 50): IN q_sql_select (the
+    # Parallel SQL handler — a FIFTH parser family compiling the
+    # SQLHandler subset to DataFrame plans, with SolrFilter.java's
+    # text-equality-is-a-query translation live in the row). OUT
+    # q_explain (debug-explain readout: its score decomposition is
+    # recomputed by every scored in-window row; keeps three-scale
+    # local records). q_sql_agg stays past-window (the parser is
+    # pinned by q_sql_select; the agg shapes by the facet rows).
+    "q_sql_select",
     # Round-2s rotation (window stays 50): IN q_random_sort
     # (RandomSortField — Thomas Wang hash32shift reproduced bit-exactly
     # in dialect-emitted SQL on both engines; a one-of-a-kind
@@ -3738,7 +3787,7 @@ WINDOW_ORDER = [
     # pinned by r1-green q_search_after + in-window q_sort_by_field,
     # and facet.query's matching+count path is pinned by every facet
     # row)
-    "q_bloom",
+    "q_explain", "q_bloom",
     "q_classify_knn", "q_syn_graph", "q_covering",
     "q_stats_percentiles", "q_spellcheck", "q_term_vectors",
     "q_norms_table", "q_term_stats", "q_point_range",
@@ -3751,7 +3800,7 @@ WINDOW_ORDER = [
     "v_quantize", "t_mix_weights", "q_luke",
     "q_span_range", "q_sort_missing", "v_knn_filtered", "q_hybrid_rrf",
     "t_clean_funnel", "q_facet_contains", "q_terms_regex",
-    "q_interval_unordered", "q_explain",
+    "q_interval_unordered",
     # round-2i surfaces (this session, past-window with three-scale
     # verify_contract records as evidence, the round-2h pattern):
     # SpanPayloadCheckQuery (payload family's filter form — the scored
@@ -4075,6 +4124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_graph_beam": _v_graph_beam,
         "s_stream_nodes": _q_stream_nodes,
         "s_stream_shortest_path": _q_stream_shortest_path,
+        "q_sql_select": _q_sql_select,
+        "q_sql_agg": _q_sql_agg,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -6373,5 +6424,22 @@ hits AS (SELECT path, depth FROM walk WHERE node = {_SP_TO}),
 md AS (SELECT MIN(depth) AS d FROM hits)
 SELECT hits.path, CAST(hits.depth AS BIGINT) AS depth
 FROM hits, md WHERE hits.depth = md.d"""
+
+    out["q_sql_select"] = f"""
+WITH {ctes},
+m AS (SELECT DISTINCT docid FROM postings WHERE term = 'merge')
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m ON m.docid = d.doc_id
+WHERE d.n_chars >= 150
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10"""
+
+    out["q_sql_agg"] = f"""
+WITH {ctes},
+m AS (SELECT DISTINCT docid FROM postings WHERE term = 'dup')
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS "count",
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+FROM documents d JOIN m ON m.docid = d.doc_id
+GROUP BY d.lang HAVING COUNT(*) > 3"""
 
     return out

@@ -77,6 +77,11 @@ def main() -> None:
         # round-2o: HLL cardinality sketch (scan + 256-row agg) and the
         # gap-filled timeseries range facet
         "t_hll_card", "s_stream_timeseries",
+        # round-2p..2s: per-bucket stats facet (exact-bigint partials),
+        # corpus n-gram analysis, entropy quality signal, Wang-hash
+        # random sort — the cheap scan-shaped end of the new surface
+        "q_facet_json_stats", "t_topk_ngrams", "t_entropy",
+        "q_random_sort",
     ]
     qs = entrymod.queries()
 
