@@ -186,9 +186,10 @@ class StreamEvaluator:
     """
 
     def __init__(self, collections: dict[str, DataFrame],
-                 text_search=None):
+                 text_search=None, writers: dict | None = None):
         self.collections = collections
         self.text_search = text_search
+        self.writers = writers or {}
 
     # -- q handling ----------------------------------------------------------
 
@@ -375,6 +376,34 @@ class StreamEvaluator:
                 .select(fld, *[F.coalesce(F.col(c), F.lit(0)).alias(c)
                                for c in names])
                 .orderBy(fld))
+
+    def _s_update(self, e: StreamExpr) -> DataFrame:
+        """UpdateStream (solrj/io/stream/UpdateStream.java:45: wraps a
+        stream and indexes its tuples into a destination collection,
+        emitting batch-ack tuples).  The destination is an IndexWriter
+        bound via ``writers`` at evaluator construction; the whole
+        incoming stream is ONE append generation (one atomic commit —
+        Solr's batchSize micro-batching maps to the outer Structured
+        Streaming foreachBatch loop, see streaming/incremental.py for
+        the daemon() analogue).  Emits one tuple: (batchIndexed,
+        generation)."""
+        dest = e.args[0]
+        (src,) = self._streams(e)
+        writers = getattr(self, "writers", None) or {}
+        if dest not in writers:
+            raise ValueError(f"no writer bound for collection {dest!r}")
+        w = writers[dest]
+        order = [c.strip() for c in
+                 e.params.get("order", src.columns[0]).split(",")]
+        before = w.commit_state()["doc_count"]
+        six = w.append_raw(src, text_col=e.params.get("field", "text"),
+                           order_cols=order,
+                           lineage="update() stream")
+        st = w.commit_state()
+        spark = src.sparkSession
+        return spark.createDataFrame(
+            [(int(six.doc_count - before), int(st["generation"]))],
+            "batchIndexed long, generation long")
 
     def _s_shortestPath(self, e: StreamExpr) -> DataFrame:
         """ShortestPathStream (solrj/io/graph/ShortestPathStream.java:59):

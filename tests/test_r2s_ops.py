@@ -129,3 +129,39 @@ def test_shortest_path_unreachable_is_empty(spark):
     out = ev.eval('shortestPath(links, from="1", to="0", '
                   'edge="src=dst", maxDepth=3)').collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# update() stream
+# ---------------------------------------------------------------------------
+
+def test_update_stream_indexes_into_writer(spark, tmp_path):
+    """UpdateStream: the wrapped stream's tuples land in the bound
+    IndexWriter as ONE atomic generation; ack tuple reports the batch
+    size; the destination store is searchable."""
+    from lucene_solr_spark.index.writer import IndexWriter
+    from lucene_solr_spark.search.streams import StreamEvaluator
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma"), (2, "alpha alpha")],
+        "doc_id long, text string")
+    w = IndexWriter.create(spark, str(tmp_path / "dest"),
+                           docs_per_segment=512)
+    ev = StreamEvaluator({"documents": docs}, writers={"dest": w})
+    [ack] = ev.eval('update(dest, search(documents, fl="doc_id,text", '
+                    'sort="doc_id asc"), order="doc_id")').collect()
+    assert ack.batchIndexed == 3 and ack.generation == 1
+    six = w.reader()
+    assert six.doc_count == 3
+    # the indexed store answers a term lookup
+    pk = six.packed.filter("term = 'alpha'").collect()
+    assert len(pk) >= 1 and sum(r.df for r in pk) == 2
+
+
+def test_update_stream_requires_bound_writer(spark):
+    from lucene_solr_spark.search.streams import StreamEvaluator
+    import pytest as _pytest
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    ev = StreamEvaluator({"documents": docs})
+    with _pytest.raises(ValueError, match="no writer bound"):
+        ev.eval('update(dest, search(documents, fl="doc_id,text", '
+                'sort="doc_id asc"))')
