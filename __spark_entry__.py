@@ -3671,8 +3671,9 @@ WINDOW_ORDER = [
     # Parallel SQL handler — a FIFTH parser family compiling the
     # SQLHandler subset to DataFrame plans, with SolrFilter.java's
     # text-equality-is-a-query translation live in the row). OUT
-    # q_explain (debug-explain readout: its score decomposition is
-    # recomputed by every scored in-window row; keeps three-scale
+    # q_drill_sideways (the facet family holds four in-window rows —
+    # range_gap / json / json_stats / collapse — and the tagged-fq
+    # exclusion machinery also has q_facet_multiselect's three-scale
     # local records). q_sql_agg stays past-window (the parser is
     # pinned by q_sql_select; the agg shapes by the facet rows).
     "q_sql_select",
@@ -3774,7 +3775,7 @@ WINDOW_ORDER = [
     # round-2c surfaces: percolator, LM sequence packing, PII counts,
     # drill sideways, payload scoring, synonym-graph expansion,
     # canonical near-dup removal
-    "q_monitor", "t_pack_sequences", "t_pii", "q_drill_sideways",
+    "q_monitor", "t_pack_sequences", "t_pii",
     "q_payload",
     # intervals module
     "q_interval_ordered",
@@ -3787,7 +3788,7 @@ WINDOW_ORDER = [
     # pinned by r1-green q_search_after + in-window q_sort_by_field,
     # and facet.query's matching+count path is pinned by every facet
     # row)
-    "q_explain", "q_bloom",
+    "q_drill_sideways", "q_explain", "q_bloom",
     "q_classify_knn", "q_syn_graph", "q_covering",
     "q_stats_percentiles", "q_spellcheck", "q_term_vectors",
     "q_norms_table", "q_term_stats", "q_point_range",
