@@ -340,3 +340,18 @@ def minimal_stem_py(word: str) -> str:
             return word
         return word[:-1]
     return word[:-1]
+
+
+def common_grams_py(tokens: list, common: set) -> list:
+    """CommonGramsFilter gram tokens (lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/commongrams/CommonGramsFilter.java:38,
+    gramToken :149-176): for every adjacent pair where the previous
+    token was common OR the current token is common, emit
+    ``prev + '_' + cur`` (SEPARATOR :54).  This is the output-only gram
+    list (the grams the filter injects alongside the unigrams; the
+    CommonGramsQueryFilter keeps exactly these for phrase queries)."""
+    out = []
+    for a, b in zip(tokens, tokens[1:]):
+        if a in common or b in common:
+            out.append(f"{a}_{b}")
+    return out

@@ -633,6 +633,82 @@ class IndexWriter:
             return six
         return self.delete_docids(hits, lineage=f"delete term={term!r}")
 
+    def delete_by_query(self, query, lineage: str = "") -> SegmentIndex:
+        """IndexWriter.deleteDocuments(Query..) analogue
+        (INDEX/IndexWriter.java deleteDocuments(Query);
+        BufferedUpdatesStream.java resolves the query against each
+        segment at flush): every live doc matching an arbitrary query
+        AST is marked deleted.  Hit resolution runs through the same
+        pruned SegmentSearcher the readers use and the delete set is
+        written straight from the executors — no driver
+        materialization of the hit list (unlike the convenience
+        delete_by_term), so a delete-by-query matching 10^9 docs
+        streams 10^9 ids through a one-file parquet write, never the
+        driver heap."""
+        from ..search.segment_searcher import SegmentSearcher
+        st = self.commit_state()
+        if not st["doc_count"]:
+            return self.reader()
+        gen = st["generation"] + 1
+        hits = (SegmentSearcher(self.reader())
+                .scored(query).select("docid"))
+        return self._commit_delete_set(
+            st, gen, hits, lineage or f"deleteByQuery {query!r}")
+
+    def expire_docs(self, docvalues: DataFrame, field: str,
+                    now, docid_col: str = "docid") -> SegmentIndex:
+        """DocExpirationUpdateProcessorFactory's reaper sweep
+        (solr/core/src/java/org/apache/solr/update/processor/
+        DocExpirationUpdateProcessorFactory.java: a periodic
+        ``deleteByQuery {expirationField}:[* TO NOW]``): mark every
+        live doc whose ``field`` value is <= ``now`` deleted.
+        ``docvalues`` supplies the expiration docvalue as a
+        (docid, field) table — the role Solr's stored expiration
+        field plays.  The filter + delete-set write are one pushed
+        parquet scan; nothing crosses the driver."""
+        st = self.commit_state()
+        if not st["doc_count"]:
+            return self.reader()
+        gen = st["generation"] + 1
+        hits = (docvalues
+                .filter(F.col(field) <= F.lit(now))
+                .select(F.col(docid_col).cast("long").alias("docid")))
+        return self._commit_delete_set(st, gen, hits,
+                                       f"expire {field} <= {now}")
+
+    def delete_docids_df(self, hits: DataFrame,
+                         lineage: str = "") -> SegmentIndex:
+        """DataFrame-native delete set (the DeleteStream shape,
+        solrj/io/stream/DeleteStream.java:40 — deleteById per incoming
+        tuple): mark every docid in ``hits`` deleted in ONE commit,
+        with the set written executor-side (never the driver heap,
+        unlike the convenience list-based delete_docids)."""
+        st = self.commit_state()
+        ids = hits.select(F.col(hits.columns[0]).cast("long")
+                          .alias("docid")).distinct()
+        return self._commit_delete_set(
+            st, st["generation"] + 1, ids,
+            lineage or "delete docids (df)")
+
+    def _commit_delete_set(self, st: dict, gen: int, hits: DataFrame,
+                           lineage: str) -> SegmentIndex:
+        """Write a distributed delete set as generation ``gen`` and
+        commit it (shared tail of delete_by_query / expire_docs); a
+        no-op commit is skipped when nothing matches."""
+        if not hits.limit(1).count():
+            return self.reader()
+        hits.coalesce(1).write.mode("overwrite").parquet(
+            self._gen_dir("deletes", gen))
+        for sub in ("catalog", "term_stats"):
+            self.spark.read.parquet(
+                f"{self.path}/{sub}/gen={st['generation']}") \
+                .write.mode("overwrite").parquet(
+                    f"{self.path}/{sub}/gen={gen}")
+        st2 = dict(st)
+        st2["del_gens"] = list(st.get("del_gens", [])) + [gen]
+        self._write_commit(st2, generation=gen, lineage=lineage)
+        return self.reader()
+
     def vacuum(self) -> list:
         """Delete generation data dirs whose segments are all dead."""
         st = self.commit_state()

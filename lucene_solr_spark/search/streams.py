@@ -405,6 +405,29 @@ class StreamEvaluator:
             [(int(six.doc_count - before), int(st["generation"]))],
             "batchIndexed long, generation long")
 
+    def _s_delete(self, e: StreamExpr) -> DataFrame:
+        """DeleteStream (solrj/io/stream/DeleteStream.java:40: extends
+        UpdateStream, issuing deleteById for each wrapped tuple's id):
+        the wrapped stream's ``id`` column IS the delete set, committed
+        as one atomic generation through the writer's distributed
+        delete path; emits one (batchDeleted, generation) ack tuple
+        like update()."""
+        dest = e.args[0]
+        (src,) = self._streams(e)
+        writers = getattr(self, "writers", None) or {}
+        if dest not in writers:
+            raise ValueError(f"no writer bound for collection {dest!r}")
+        w = writers[dest]
+        idc = e.params.get("id", src.columns[0])
+        ids = src.select(F.col(idc).cast("long").alias("docid")) \
+            .distinct()
+        n = ids.count()
+        w.delete_docids_df(ids, lineage="delete() stream")
+        st = w.commit_state()
+        return src.sparkSession.createDataFrame(
+            [(int(n), int(st["generation"]))],
+            "batchDeleted long, generation long")
+
     def _s_shortestPath(self, e: StreamExpr) -> DataFrame:
         """ShortestPathStream (solrj/io/graph/ShortestPathStream.java:59):
         ALL shortest paths between two nodes of an edge collection,
@@ -473,6 +496,38 @@ class StreamEvaluator:
             src.select(F.col(frm).alias(to)).distinct(), to)
         return (j.groupBy(F.col(gather).alias("node"))
                 .agg(F.count("*").cast("long").alias("count")))
+
+    def _s_scoreNodes(self, e: StreamExpr) -> DataFrame:
+        """ScoreNodesStream (solrj/io/stream/ScoreNodesStream.java:48):
+        tf-idf score each gathered node.  termFreq is the inner
+        stream's count(*) metric (:85), docFreq/numDocs come from the
+        collection the node terms live in, and the score is :243
+
+            (ln(termFreq) + 1) * (ln((numDocs+1)/(docFreq+1)) + 1)
+
+        ``collection``/``field`` params name where the node terms are
+        counted (the reference reads them from gatherNodes tuple
+        metadata).  docFreq is ONE hash aggregate over the collection
+        joined to the (tiny) node set — the reference instead issues a
+        TermsComponent lookup per batch; the aggregate is the
+        distributed equivalent and broadcasts the node side.
+        """
+        (src,) = self._streams(e)
+        coll = self.collections[e.params["collection"]]
+        fld = e.params["field"]
+        dfreq = (coll.groupBy(F.col(fld).alias("node"))
+                 .agg(F.count("*").cast("long").alias("docFreq")))
+        num_docs = coll.count()
+        out = src.join(F.broadcast(dfreq), "node", "left") \
+            .na.fill({"docFreq": 0})
+        score = ((F.log(F.col("count").cast("double")) + 1.0)
+                 * (F.log((F.lit(float(num_docs + 1)))
+                          / (F.col("docFreq").cast("double") + 1.0))
+                    + 1.0))
+        return out.select(
+            "node", "count", "docFreq",
+            F.lit(num_docs).cast("long").alias("numDocs"),
+            score.alias("nodeScore"))
 
     def _s_having(self, e: StreamExpr) -> DataFrame:
         (src,) = self._streams(e)

@@ -845,3 +845,54 @@ def text_profile_signature(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("profile_sig", F.lit(
                         "d41d8cd98f00b204e9800998ecf8427e"))
                     .alias("profile_sig")))
+
+
+def line_dedup(df: DataFrame, chunk: int = 10, max_count: int = 1,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level duplicate-line removal with reassembly — the C4
+    "three-sentence span" / RefinedWeb line-dedup cleaning step
+    (Raffel et al. 2020 C4 §2.2 dedup of repeated lines across
+    documents; Penedo et al. 2023 RefinedWeb §3.3): a chunk (fixed
+    ``chunk``-token unit — the fixture text carries no sentence
+    separators) occurring more than ``max_count`` times corpus-wide is
+    boilerplate; every occurrence EXCEPT the globally first (lowest
+    doc id, then lowest offset within it) is removed and the surviving
+    chunks are stitched back into the document in order.
+
+    Returns (id, n_chunks, n_removed, cleaned_text).
+
+    Scale shape: one explode + one chunk-count shuffle (partial agg
+    collapses duplicates map-side) + the arg-min keeper resolved by
+    the SAME aggregate (min doc / min offset ride the count row — no
+    second shuffle, no window over the corpus); the join back is
+    chunk-hash equi-join; reassembly is a per-doc sort of its own
+    (tiny) surviving-chunk list, never a global sort.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.split(text_col, " ").alias("toks"))
+            .filter(F.size("toks") >= chunk))
+    parts = toks.select(
+        id_col,
+        F.expr(f"posexplode(transform("
+               f"sequence(0, int(size(toks) / {chunk}) - 1), "
+               f"i -> concat_ws(' ', slice(toks, i * {chunk} + 1, "
+               f"{chunk}))))").alias("idx", "para"))
+    stats = (parts.groupBy("para")
+             .agg(F.count("*").alias("cnt"),
+                  F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("idx").alias("i")))
+                  .alias("keeper")))
+    j = (parts.join(stats, "para")
+         .withColumn("keep",
+                     (F.col("cnt") <= max_count)
+                     | ((F.col(id_col) == F.col("keeper.d"))
+                        & (F.col("idx") == F.col("keeper.i")))))
+    return (j.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_removed"),
+                 F.expr("array_join(transform(array_sort("
+                        "collect_list(CASE WHEN keep THEN "
+                        "struct(idx, para) END)), s -> s.para), ' ')")
+                 .alias("cleaned_text")))

@@ -544,3 +544,104 @@ def l2_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
         F.col(id_col).cast("long").alias(id_col),
         F.expr(f"ROUND(1D / (1D + {d2}), 6)").alias("score"))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bq_sig_sql(vec_col: str, dim: int) -> tuple[str, str]:
+    """Spark-SQL (lo, hi) 32-bit-half sign signatures of ``vec_col``:
+    bit i of the packed BIGINT is set iff dim i's component is > 0 —
+    1-bit (sign) quantization, the identity-basis member of the
+    sign-random-projection family (Charikar 2002 SimHash; the 1-bit
+    end of the scalar-quantization ladder Lucene ships as
+    lucene/core/.../lucene99/Lucene99ScalarQuantizedVectorsFormat.java).
+    Two halves keep every shift < 63 so the identical arithmetic runs
+    on engines that trap on BIGINT shift overflow."""
+    half = dim // 2
+    lo = (f"aggregate(sequence(1, {half}), 0L, (acc, i) -> acc + "
+          f"IF(element_at({vec_col}, i) > 0, shiftleft(1L, i - 1), 0L))")
+    hi = (f"aggregate(sequence({half + 1}, {dim}), 0L, (acc, i) -> acc "
+          f"+ IF(element_at({vec_col}, i) > 0, "
+          f"shiftleft(1L, i - {half + 1}), 0L))")
+    return lo, hi
+
+
+def bq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+            n_candidates: int = 50, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> DataFrame:
+    """Binary-quantized ANN: sign-bit signatures + Hamming-distance
+    candidate generation + exact-cosine rerank of the survivors.
+
+    Scale shape: the signature scan streams 16 bytes/vector instead of
+    256 (the float32 row) — at 100 TB the candidate pass is a
+    memory-bandwidth pass over 1/16th the bytes, XOR+POPCNT per
+    comparison, and only ``n_candidates`` full vectors are ever read
+    for the rerank (a semi-join back to the float table, so column
+    pruning keeps the wide column out of the candidate pass entirely).
+    Returns (vec_id, hamming, cos) — cos is the exact rerank score.
+    """
+    lo, hi = bq_sig_sql(vec_col, dim)
+    sigs = emb.select(F.col(id_col), F.expr(lo).alias("slo"),
+                      F.expr(hi).alias("shi"))
+    qsig = (sigs.filter(F.col(id_col) == query_vec_id)
+            .select(F.col("slo").alias("qlo"), F.col("shi").alias("qhi")))
+    ham = (sigs.filter(F.col(id_col) != query_vec_id)
+           .crossJoin(F.broadcast(qsig))
+           .select(F.col(id_col),
+                   F.expr("bit_count(slo ^ qlo) + bit_count(shi ^ qhi)")
+                   .cast("long").alias("hamming"))
+           .orderBy(F.asc("hamming"), F.asc(id_col))
+           .limit(n_candidates))
+    probe = (emb.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("q")))
+    cand = (emb.join(ham, id_col).crossJoin(F.broadcast(probe)))
+    dot = DOT.format(a=vec_col, b="q")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a="q", b="q")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return (cand.select(F.col(id_col).cast("long").alias(id_col),
+                        "hamming",
+                        F.expr(f"ROUND({cos}, 6)").alias("cos"))
+            .orderBy(F.desc("cos"), F.asc(id_col)).limit(k))
+
+
+def hard_negatives(emb: DataFrame, probe_ids: list, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for retrieval training (DPR, Karpukhin et
+    al. 2020 arXiv:2004.04906 §3.2 "hard negatives from the retriever";
+    ANCE, Xiong et al. 2020 arXiv:2007.00808): for each probe vector,
+    the top-k most-cosine-similar vectors whose ``label_col``
+    DIFFERS from the probe's — the near-misses a contrastive loss
+    learns the most from.
+
+    Returns (probe_id, neg_id, cos, rank) with rank 1..k per probe.
+
+    Scale shape: the probe set (a training micro-batch, O(10^2-10^3)
+    rows) broadcasts against ONE corpus scan — cosine in codegen via
+    zip_with/aggregate, per-probe top-k as a window over probe-
+    partitioned candidates (each partition holds one probe's
+    candidates, so the sort is per-probe, never global).  At 100 TB
+    this is the same plan as brute-force kNN; the documented upgrade
+    is feeding the candidate set from the IVF/LSH/BQ stages above
+    instead of the full scan.
+    """
+    probes = (emb.filter(F.col(id_col).isin([int(p) for p in probe_ids]))
+              .select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("q"),
+                      F.col(label_col).alias("q_label")))
+    cand = (emb.crossJoin(F.broadcast(probes))
+            .filter((F.col(label_col) != F.col("q_label"))
+                    & (F.col(id_col) != F.col("probe_id"))))
+    dot = DOT.format(a=vec_col, b="q")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a="q", b="q")
+    cos = f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    scored = cand.select(F.col("probe_id").cast("long"),
+                         F.col(id_col).cast("long").alias("neg_id"),
+                         F.expr(cos).alias("cos"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"),
+                                               F.asc("neg_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .orderBy("probe_id", "rank"))
