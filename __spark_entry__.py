@@ -2351,6 +2351,35 @@ def _q_ltr(spark, sf_dir):
             .orderBy(F.desc("ltr_score"), F.asc("doc_id")).limit(10))
 
 
+_LTRF_K = 10
+
+
+def _q_ltr_features(spark, sf_dir):
+    """LTR feature logging (solr/contrib/ltr/src/java/org/apache/solr/
+    ltr/response/transform/LTRFeatureLoggerTransformerFactory.java:63 —
+    fl=[features] returns the extracted feature vector per hit, the
+    training-data export side of the LTR loop): the first-pass top-10
+    candidates emitted as (doc, feature, value) rows for the same
+    three features q_ltr's models consume.  One top-k + one stored-
+    fields join + an in-row stack explode — no extra shuffle."""
+    se = _searcher(spark, sf_dir)
+    ast = Bool(should=(Term("merge"), Term("join")))
+    first = (se.scored(ast)
+             .select("docid", F.round("score", 6).alias("f_bm25"))
+             .orderBy(F.desc("f_bm25"), F.asc("docid"))
+             .limit(_LTRF_K))
+    j = first.join(se.ix.source.select("docid", "n_chars", "lang"),
+                   "docid")
+    return (j.select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.expr("stack(3, 'bm25', f_bm25, "
+               "'loglen', round(ln(1.0 + n_chars), 6), "
+               "'isen', CAST(CASE WHEN lang = 'en' "
+               "THEN 1.0 ELSE 0.0 END AS DOUBLE))")
+        .alias("feature", "value"))
+        .orderBy("doc_id", "feature"))
+
+
 _LTRT_SLACK = 1e-6   # MultipleAdditiveTreesModel.NODE_SPLIT_SLACK:124
 
 
@@ -3783,6 +3812,49 @@ def _t_line_dedup(spark, sf_dir):
     return textops.line_dedup(_documents(spark, sf_dir))
 
 
+_T5_SEED = 777
+_T5_RATE = 15  # percent of token positions corrupted
+
+
+def _t_span_corruption(spark, sf_dir):
+    """Deterministic T5-style span-corruption mask (Raffel et al. 2020
+    arXiv:1910.10683 §3.1.4: corrupt a fraction of token positions,
+    consecutive corrupted tokens form spans): per doc, the number of
+    masked positions and contiguous masked spans under a REPRODUCIBLE
+    position mask — masked(doc, pos) iff wang_hash32(doc·2^20 + pos +
+    seed) mod 100 < {_T5_RATE} (the bit-exact Wang hash both engines
+    already share, search/randomsort.py).  Span starts are detected by
+    hashing pos AND pos-1 — two codegen hash evaluations per token, so
+    the whole op is ONE scan + ONE partial-aggregable groupBy: no
+    window, no join, no Python.  (T5's mean-span-3 sampling is the
+    same machinery with a second hash choosing span lengths; the
+    i.i.d. mask is the infrastructure op.)"""
+    from lucene_solr_spark.search.randomsort import wang_hash32_sql
+    d = _documents(spark, sf_dir)
+    px = (textops.with_tokens(d)
+          .select("doc_id", F.posexplode("tokens").alias("pos", "t")))
+
+    def masked(pos_expr):
+        h = wang_hash32_sql(f"(doc_id * 1048576 + {pos_expr})",
+                            _T5_SEED, "spark")
+        return f"((({h}) % 100) + 100) % 100 < {_T5_RATE}"
+
+    m, mp = masked("pos"), masked("pos - 1")
+    flags = px.select(
+        "doc_id",
+        F.expr(m).alias("m"),
+        F.expr(f"CASE WHEN pos = 0 THEN false ELSE {mp} END")
+        .alias("mprev"))
+    return (flags.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("m"), 1).otherwise(0))
+                 .cast("long").alias("n_masked"),
+                 F.sum(F.when(F.col("m") & ~F.col("mprev"), 1)
+                       .otherwise(0)).cast("long").alias("n_spans"),
+                 F.round(F.sum(F.when(F.col("m"), 1.0).otherwise(0.0))
+                         / F.count("*"), 6).alias("rate")))
+
+
 _HN_PROBES = [0, 1, 2]
 
 
@@ -3870,6 +3942,22 @@ WINDOW_ORDER = [
     # window plan is in-window q_collapse's plan with cap>1; both keep
     # three-scale local records).
     "t_line_dedup", "v_hard_negatives",
+    # Round-2aa rotation (window stays 50): IN t_span_corruption (T5
+    # span-corruption masking — the bit-exact Wang hash driven from a
+    # NEW composite key shape (doc, pos) with a pos-1 second
+    # evaluation; cross-engine signed-mod parity is driver-check
+    # material). OUT q_feature_sat (FeatureField saturation is a
+    # closed-form function query; the function-query family keeps
+    # q_func_strdist in-window and feature_sat keeps its three-scale
+    # local records).
+    "t_span_corruption",
+    # Round-2ab rotation (window stays 50): IN q_ltr_features (the LTR
+    # feature-logging transformer, fl=[features] — the training-data
+    # EXPORT side of the LTR loop; its stack-explode row shape is new).
+    # OUT t_pack_sequences (greedy window packing is pinned by its
+    # pytest laws and t_chunk's identical cumulative-window machinery;
+    # keeps three-scale local records).
+    "q_ltr_features",
     # Round-2v rotation (window stays 50): IN q_sql_select (the
     # Parallel SQL handler — a FIFTH parser family compiling the
     # SQLHandler subset to DataFrame plans, with SolrFilter.java's
@@ -3956,7 +4044,7 @@ WINDOW_ORDER = [
     "q_phrase_wildcard",
     # round-2g surfaces: keyset deep paging, static-feature scoring,
     # facet.query
-    "p_simple", "q_feature_sat", "q_spell_wordbreak",
+    "p_simple", "q_spell_wordbreak",
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_regexp", "p_classic_wild",
@@ -3976,7 +4064,7 @@ WINDOW_ORDER = [
     # round-2c surfaces: percolator, LM sequence packing, PII counts,
     # drill sideways, payload scoring, synonym-graph expansion,
     # canonical near-dup removal
-    "q_monitor", "t_pack_sequences",
+    "q_monitor",
     "q_payload",
     # intervals module
     "q_interval_ordered",
@@ -3986,6 +4074,10 @@ WINDOW_ORDER = [
     "q_facet_json", "s_stream_rollup",
     # rotated past-window in 2z (see top-of-list rationale)
     "t_pii", "q_diversified",
+    # rotated past-window in 2aa (see top-of-list rationale)
+    "q_feature_sat",
+    # rotated past-window in 2ab (see top-of-list rationale)
+    "t_pack_sequences",
     # round-2h surfaces past the 50-entry driver window (driver
     # evidence: the committed three-scale verify_contract records;
     # p_simple + q_spell_wordbreak rotated INTO the window above as
@@ -4342,6 +4434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_bq": _v_bq,
         "t_line_dedup": _t_line_dedup,
         "v_hard_negatives": _v_hard_negatives,
+        "t_span_corruption": _t_span_corruption,
+        "q_ltr_features": _q_ltr_features,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -5695,6 +5789,25 @@ SELECT fp.docid AS doc_id, fp.f_bm25,
 FROM fp JOIN documents d ON d.doc_id = fp.docid
 ORDER BY ROUND({_ltr_sql}, 6) DESC, fp.docid ASC LIMIT 10"""
 
+    out["q_ltr_features"] = f"""
+WITH {ctes},
+fp AS (SELECT docid, ROUND(score, 6) AS f_bm25
+       FROM ({ob.scored(_ltr_ast)}) s
+       ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT {_LTRF_K}),
+fx AS (SELECT fp.docid AS doc_id, 'bm25' AS feature,
+              fp.f_bm25 AS value
+       FROM fp
+       UNION ALL
+       SELECT fp.docid, 'loglen',
+              ROUND(ln(1.0 + d.n_chars), 6)
+       FROM fp JOIN documents d ON d.doc_id = fp.docid
+       UNION ALL
+       SELECT fp.docid, 'isen',
+              CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END
+       FROM fp JOIN documents d ON d.doc_id = fp.docid)
+SELECT doc_id, feature, value FROM fx
+ORDER BY doc_id, feature"""
+
     _ltrt_sql = _ltr_trees_sql(
         "fp.f_bm25", "ln(1e0 + CAST(d.n_chars AS DOUBLE))",
         "(CASE WHEN d.lang = 'en' THEN 1e0 ELSE 0e0 END)")
@@ -6764,6 +6877,27 @@ i{it} AS (SELECT SUM(ABS({s} - y)) AS err,
     from lucene_solr_spark.analysis.worddelim import (
         catenate_all_sql, word_delimiter_tokens_sql)
     _wd_derived = "(source || '-' || lang || CAST(n_chars AS VARCHAR))"
+    from lucene_solr_spark.search.randomsort import wang_hash32_sql
+
+    def _t5m(pos_expr):
+        h = wang_hash32_sql(f"(docid * 1048576 + {pos_expr})",
+                            _T5_SEED, "duckdb")
+        return f"((({h}) % 100) + 100) % 100 < {_T5_RATE}"
+
+    out["t_span_corruption"] = f"""
+WITH {ctes},
+fl AS (SELECT docid, {_t5m('pos')} AS m,
+              CASE WHEN pos = 0 THEN false
+                   ELSE {_t5m('pos - 1')} END AS mprev
+       FROM px)
+SELECT docid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(SUM(CASE WHEN m AND NOT mprev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spans,
+       ROUND(SUM(CASE WHEN m THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+           AS rate
+FROM fl GROUP BY docid"""
+
     out["t_line_dedup"] = f"""
 WITH pw AS (SELECT doc_id, string_split(text, ' ') AS toks
             FROM documents),

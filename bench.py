@@ -82,6 +82,11 @@ def main() -> None:
         # random sort — the cheap scan-shaped end of the new surface
         "q_facet_json_stats", "t_topk_ngrams", "t_entropy",
         "q_random_sort",
+        # round-2x..2z: dialect-shared regex sub-word analysis,
+        # binary-quantized ANN (16-byte signature candidate pass),
+        # C4 line dedup with reassembly, information-gain feature
+        # selection — the scan/agg-shaped end of the newest surface
+        "q_word_delim", "v_bq", "t_line_dedup", "s_stream_features",
     ]
     qs = entrymod.queries()
 

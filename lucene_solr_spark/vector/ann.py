@@ -47,15 +47,20 @@ def cosine_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
     """Embedding-cosine near-duplicate pairs: top-N most-similar pairs
     (a < b). Brute-force O(n^2) exact baseline; the scale path runs the
     same kernel after lsh bucket candidate generation."""
+    # norms are precomputed ONCE per vector before the pair fan-out
+    # (the naive per-pair form recomputes each O(dim) self-dot n times
+    # — measured 3x the kernel cost at sf0.1); sqrt placement keeps the
+    # expression bit-identical to sqrt(self_dot)*sqrt(self_dot)
+    na0 = "sqrt(" + DOT.format(a=vec_col, b=vec_col) + ")"
     a = emb.select(F.col(id_col).alias("vec_a"),
-                   F.col(vec_col).alias("ea"))
+                   F.col(vec_col).alias("ea"),
+                   F.expr(na0).alias("sna"))
     b = emb.select(F.col(id_col).alias("vec_b"),
-                   F.col(vec_col).alias("eb"))
+                   F.col(vec_col).alias("eb"),
+                   F.expr(na0).alias("snb"))
     cand = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     dot = DOT.format(a="ea", b="eb")
-    na = DOT.format(a="ea", b="ea")
-    nb = DOT.format(a="eb", b="eb")
-    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    cos = f"({dot}) / (sna * snb)"
     return (cand.select(
         F.col("vec_a").cast("long"), F.col("vec_b").cast("long"),
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
