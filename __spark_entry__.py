@@ -3812,6 +3812,43 @@ def _t_line_dedup(spark, sf_dir):
     return textops.line_dedup(_documents(spark, sf_dir))
 
 
+# Solr JSON Query DSL (request/json/JsonQueryConverter.java:30): one
+# nested object exercising bool + lucene + term + boost + prefix
+_JSON_DSL_SPEC = {"bool": {
+    "must": {"lucene": {"query": "dup OR vector"}},
+    "should": [{"term": {"f": "text", "v": "window"}},
+               {"boost": {"b": 2.0,
+                          "query": {"term": {"f": "text",
+                                             "v": "table"}}}}],
+    "must_not": {"term": {"v": "slow"}},
+    "filter": {"prefix": {"f": "text", "v": "mer"}},
+}}
+
+
+def _p_json_dsl(spark, sf_dir):
+    """JSON Query DSL (solr/core/src/java/org/apache/solr/request/json/
+    JsonQueryConverter.java:30; BoolQParserPlugin.java:43-46): the JSON
+    request body's nested query objects compiled straight to the
+    engine AST (search/json_dsl.py) — the SIXTH parser family, scored
+    identically to the classic-parser rows."""
+    from lucene_solr_spark.search.json_dsl import json_query
+    return _searcher(spark, sf_dir).topk(json_query(_JSON_DSL_SPEC), 10)
+
+
+_MAXSIM_QDOC, _MAXSIM_GROUP = 0, 5
+
+
+def _v_maxsim(spark, sf_dir):
+    """ColBERT MaxSim late interaction (Khattab & Zaharia 2020,
+    arXiv:2004.12832 §3.1): multi-vector docs = groups of 5 consecutive
+    vec_ids; score = sum over query tokens of max doc-token cosine
+    (vector.ann.maxsim_topk)."""
+    from lucene_solr_spark.vector.ann import maxsim_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return maxsim_topk(emb, query_doc=_MAXSIM_QDOC, k=5,
+                       group=_MAXSIM_GROUP)
+
+
 _T5_SEED = 777
 _T5_RATE = 15  # percent of token positions corrupted
 
@@ -3958,6 +3995,17 @@ WINDOW_ORDER = [
     # pytest laws and t_chunk's identical cumulative-window machinery;
     # keeps three-scale local records).
     "q_ltr_features",
+    # Round-2ac rotation (window stays 50): IN p_json_dsl (the JSON
+    # Query DSL — a SIXTH parser family; nested bool/boost/prefix
+    # compiled straight to the AST) and v_maxsim (ColBERT MaxSim late
+    # interaction — a genuinely new two-level max/sum aggregation
+    # shape over multi-vector docs). OUT q_payload (payload scoring
+    # keeps q_payload_check's machinery pytest-pinned plus three-scale
+    # local records) and q_interval_ordered (the intervals module's
+    # minimal-interval algebra is pytest-law-covered and its ordered
+    # form is the one exercised by in-window p_classic_wild's sloppy
+    # machinery; keeps three-scale local records).
+    "p_json_dsl", "v_maxsim",
     # Round-2v rotation (window stays 50): IN q_sql_select (the
     # Parallel SQL handler — a FIFTH parser family compiling the
     # SQLHandler subset to DataFrame plans, with SolrFilter.java's
@@ -4065,9 +4113,6 @@ WINDOW_ORDER = [
     # drill sideways, payload scoring, synonym-graph expansion,
     # canonical near-dup removal
     "q_monitor",
-    "q_payload",
-    # intervals module
-    "q_interval_ordered",
     # rotated past-window in 2x (see top-of-list rationale)
     "t_near_dup", "q_ltr", "t_text_profile", "q_classify_nb",
     # rotated past-window in 2y (see top-of-list rationale)
@@ -4078,6 +4123,8 @@ WINDOW_ORDER = [
     "q_feature_sat",
     # rotated past-window in 2ab (see top-of-list rationale)
     "t_pack_sequences",
+    # rotated past-window in 2ac (see top-of-list rationale)
+    "q_payload", "q_interval_ordered",
     # round-2h surfaces past the 50-entry driver window (driver
     # evidence: the committed three-scale verify_contract records;
     # p_simple + q_spell_wordbreak rotated INTO the window above as
@@ -4436,6 +4483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_hard_negatives": _v_hard_negatives,
         "t_span_corruption": _t_span_corruption,
         "q_ltr_features": _q_ltr_features,
+        "p_json_dsl": _p_json_dsl,
+        "v_maxsim": _v_maxsim,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -6877,6 +6926,29 @@ i{it} AS (SELECT SUM(ABS({s} - y)) AS err,
     from lucene_solr_spark.analysis.worddelim import (
         catenate_all_sql, word_delimiter_tokens_sql)
     _wd_derived = "(source || '-' || lang || CAST(n_chars AS VARCHAR))"
+    from lucene_solr_spark.search.json_dsl import json_query
+    out["p_json_dsl"] = ob.topk_sql(json_query(_JSON_DSL_SPEC), 10)
+
+    out["v_maxsim"] = f"""
+WITH nv AS (SELECT vec_id, vec_id // {_MAXSIM_GROUP} AS doc,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+               AS nn
+        FROM nv GROUP BY vec_id),
+qc AS (SELECT b.doc, a.vec_id AS qtok, b.vec_id AS dtok,
+              SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
+              / (qn.nn * dn.nn) AS cos
+       FROM nv a JOIN nv b ON a.i = b.i
+       JOIN nrm qn ON qn.vec_id = a.vec_id
+       JOIN nrm dn ON dn.vec_id = b.vec_id
+       WHERE a.doc = {_MAXSIM_QDOC} AND b.doc <> {_MAXSIM_QDOC}
+       GROUP BY b.doc, a.vec_id, b.vec_id, qn.nn, dn.nn),
+mx AS (SELECT doc, qtok, MAX(cos) AS m FROM qc GROUP BY doc, qtok)
+SELECT CAST(doc AS BIGINT) AS doc, ROUND(SUM(m), 6) AS maxsim
+FROM mx GROUP BY doc ORDER BY maxsim DESC, doc ASC LIMIT 5"""
+
     from lucene_solr_spark.search.randomsort import wang_hash32_sql
 
     def _t5m(pos_expr):

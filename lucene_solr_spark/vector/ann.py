@@ -650,3 +650,42 @@ def hard_negatives(emb: DataFrame, probe_ids: list, k: int = 5,
                               F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .orderBy("probe_id", "rank"))
+
+
+def maxsim_topk(emb: DataFrame, query_doc: int, k: int = 5,
+                group: int = 5, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020,
+    arXiv:2004.12832 §3.1): a document is a BAG of token vectors and
+    score(q, d) = sum over query tokens of max over doc tokens of the
+    token-pair similarity (cosine here).  Multi-vector documents are
+    synthesized deterministically by grouping ``group`` consecutive
+    vector ids (mvdoc = vec_id div group); the query is one such doc.
+
+    Returns (doc, maxsim) top-k, doc-ASC ties.
+
+    Scale shape: the query's token bag (a handful of rows) broadcasts
+    against ONE corpus scan with per-row norms precomputed before the
+    fan-out; the max and sum are two partial-aggregable groupBys keyed
+    by (doc, qtok) then doc.  At 100 TB the corpus side streams once —
+    the documented upgrade is feeding candidate docs from a first-pass
+    single-vector ANN (the official ColBERT candidate-generation
+    design) so the late interaction touches only survivors.
+    """
+    nrm = "sqrt(" + DOT.format(a=vec_col, b=vec_col) + ")"
+    docs = emb.select(
+        (F.col(id_col) / group).cast("long").alias("doc"),
+        F.col(id_col), F.col(vec_col), F.expr(nrm).alias("nn"))
+    qtoks = (docs.filter(F.col("doc") == query_doc)
+             .select(F.col(id_col).alias("qtok"),
+                     F.col(vec_col).alias("qv"),
+                     F.col("nn").alias("qn")))
+    dot = DOT.format(a=vec_col, b="qv")
+    cand = (docs.filter(F.col("doc") != query_doc)
+            .crossJoin(F.broadcast(qtoks))
+            .select("doc", "qtok",
+                    F.expr(f"({dot}) / (nn * qn)").alias("cos")))
+    mx = cand.groupBy("doc", "qtok").agg(F.max("cos").alias("m"))
+    return (mx.groupBy("doc")
+            .agg(F.round(F.sum("m"), 6).alias("maxsim"))
+            .orderBy(F.desc("maxsim"), F.asc("doc")).limit(k))
