@@ -569,6 +569,22 @@ def bq_sig_sql(vec_col: str, dim: int) -> tuple[str, str]:
     return lo, hi
 
 
+def bq_materialize(emb: DataFrame, dim: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The 10^9+-vector layout for binary quantization: the (id, slo,
+    shi) 16-byte signature table, computed once and written/persisted
+    so every probe's candidate pass scans signatures only (1/16th the
+    float-row bytes) — the quantized sidecar Lucene's
+    Lucene99ScalarQuantizedVectorsFormat keeps next to the raw
+    vectors.  Probe it with the same Hamming expression ``bq_topk``
+    builds, then join survivors back to the float table by id for the
+    exact rerank."""
+    lo, hi = bq_sig_sql(vec_col, dim)
+    return emb.select(F.col(id_col), F.expr(lo).alias("slo"),
+                      F.expr(hi).alias("shi"))
+
+
 def bq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
             n_candidates: int = 50, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding"
@@ -576,13 +592,14 @@ def bq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     """Binary-quantized ANN: sign-bit signatures + Hamming-distance
     candidate generation + exact-cosine rerank of the survivors.
 
-    Scale shape: the signature scan streams 16 bytes/vector instead of
-    256 (the float32 row) — at 100 TB the candidate pass is a
-    memory-bandwidth pass over 1/16th the bytes, XOR+POPCNT per
-    comparison, and only ``n_candidates`` full vectors are ever read
-    for the rerank (a semi-join back to the float table, so column
-    pruning keeps the wide column out of the candidate pass entirely).
-    Returns (vec_id, hamming, cos) — cos is the exact rerank score.
+    Scale shape: only ``n_candidates`` full vectors are reranked, and
+    the candidate pass is XOR+POPCNT per comparison.  NOTE: computed
+    inline (as here) the candidate scan still reads the float column
+    to derive signatures; the 100 TB layout MATERIALIZES the 16-byte
+    signature table once (``bq_materialize``) so the candidate pass
+    streams 1/16th the bytes and the float column is read only for
+    the rerank semi-join.  Returns (vec_id, hamming, cos) — cos is
+    the exact rerank score.
     """
     lo, hi = bq_sig_sql(vec_col, dim)
     sigs = emb.select(F.col(id_col), F.expr(lo).alias("slo"),

@@ -71,6 +71,22 @@ def test_bq_signature_bits(spark):
     assert r.hi == want_hi == 0
 
 
+def test_bq_materialize_matches_inline_sigs(spark):
+    """The materialized signature table must equal the inline
+    signatures bq_topk computes (the 100 TB sidecar layout is a pure
+    precomputation, never a semantics change)."""
+    from pyspark.sql import functions as F
+    from lucene_solr_spark.vector.ann import bq_materialize, bq_sig_sql
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lo, hi = bq_sig_sql("embedding", 64)
+    inline = {r.vec_id: (r.lo, r.hi) for r in emb.select(
+        "vec_id", F.expr(lo).alias("lo"), F.expr(hi).alias("hi"))
+        .collect()}
+    mat = {r.vec_id: (r.slo, r.shi)
+           for r in bq_materialize(emb, dim=64).collect()}
+    assert mat == inline and len(mat) == emb.count()
+
+
 def test_bq_hamming_matches_numpy(spark):
     import numpy as np
     from lucene_solr_spark.vector.ann import bq_topk
