@@ -3747,7 +3747,13 @@ def _q_stream_train(spark, sf_dir):
             .orderBy("iteration_i", "idx"))
 
 
-_WD_DERIVED = "concat(source, '-', lang, CAST(n_chars AS STRING))"
+# initcap makes the DRIVER-checked row exercise the case-transition
+# boundary rules too ('Src3-En142' -> src/3/en/142 + catenateAll),
+# not only the delimiter/digit rules a lowercase corpus would hit
+_WD_DERIVED = ("concat(upper(substring(source, 1, 1)), "
+               "substring(source, 2), '-', "
+               "upper(substring(lang, 1, 1)), substring(lang, 2), "
+               "CAST(n_chars AS STRING))")
 
 
 def _q_word_delim(spark, sf_dir):
@@ -6925,7 +6931,11 @@ i{it} AS (SELECT SUM(ABS({s} - y)) AS err,
 
     from lucene_solr_spark.analysis.worddelim import (
         catenate_all_sql, word_delimiter_tokens_sql)
-    _wd_derived = "(source || '-' || lang || CAST(n_chars AS VARCHAR))"
+    _wd_derived = ("(upper(substring(source, 1, 1)) || "
+                   "substring(source, 2) || '-' || "
+                   "upper(substring(lang, 1, 1)) || "
+                   "substring(lang, 2) || "
+                   "CAST(n_chars AS VARCHAR))")
     from lucene_solr_spark.search.json_dsl import json_query
     out["p_json_dsl"] = ob.topk_sql(json_query(_JSON_DSL_SPEC), 10)
 
