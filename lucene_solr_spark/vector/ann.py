@@ -188,14 +188,19 @@ def ivf_assign(emb: DataFrame, stride: int = 37, id_col: str = "vec_id",
     Ties and float noise are handled the engine's standard way: cosine
     ROUND(,6) DESC then cent_id ASC (same rule in the oracle).
     """
+    # both norms hoisted out of the vector x centroid fan-out (same
+    # bit-identical sqrt(self_dot) expression, computed once per row
+    # instead of once per pair — the cosine_pairs lesson)
+    scn = "sqrt(" + DOT.format(a="cv", b="cv") + ")"
     cents = (emb.filter((F.col(id_col) % stride) == 0)
              .select(F.col(id_col).alias("cent_id"),
-                     F.col(vec_col).alias("cv")))
+                     F.col(vec_col).alias("cv"))
+             .withColumn("scn", F.expr(scn)))
+    svn = "sqrt(" + DOT.format(a=vec_col, b=vec_col) + ")"
     dot = DOT.format(a=vec_col, b="cv")
-    na = DOT.format(a=vec_col, b=vec_col)
-    nc = DOT.format(a="cv", b="cv")
-    ccos = f"ROUND(({dot}) / (sqrt({na}) * sqrt({nc})), 6)"
-    scored = (emb.crossJoin(F.broadcast(cents))
+    ccos = f"ROUND(({dot}) / (svn * scn), 6)"
+    scored = (emb.withColumn("svn", F.expr(svn))
+              .crossJoin(F.broadcast(cents))
               .select(id_col, vec_col, "cent_id",
                       F.expr(ccos).alias("ccos")))
     # argmax via max_by on (ccos, -cent_id): lexicographic struct max =
@@ -227,12 +232,13 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     cents = (emb.filter((F.col(id_col) % stride) == 0)
              .select(F.col(id_col).alias("cent_id"),
                      F.col(vec_col).alias("cv")))
+    sqn = "sqrt(" + DOT.format(a="qv", b="qv") + ")"
     q = (emb.filter(F.col(id_col) == query_vec_id)
-         .select(F.col(vec_col).alias("qv")))
+         .select(F.col(vec_col).alias("qv"))
+         .withColumn("sqn", F.expr(sqn)))
     dot = DOT.format(a="cv", b="qv")
     nc = DOT.format(a="cv", b="cv")
-    nq = DOT.format(a="qv", b="qv")
-    qcos = f"ROUND(({dot}) / (sqrt({nc}) * sqrt({nq})), 6)"
+    qcos = f"ROUND(({dot}) / (sqrt({nc}) * sqn), 6)"
     probe = (cents.crossJoin(F.broadcast(q))
              .select("cent_id", F.expr(qcos).alias("qcos"))
              .orderBy(F.desc("qcos"), F.asc("cent_id")).limit(nprobe)
@@ -242,7 +248,7 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
             .crossJoin(F.broadcast(q)))
     dot = DOT.format(a=vec_col, b="qv")
     na = DOT.format(a=vec_col, b=vec_col)
-    cos = f"({dot}) / (sqrt({na}) * sqrt({nq}))"
+    cos = f"({dot}) / (sqrt({na}) * sqn)"
     return (cand.select(
         F.col(id_col).cast("long").alias(id_col),
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
