@@ -152,17 +152,21 @@ def cosine_pairs_lsh(emb: DataFrame, top_n: int = 20, n_planes: int = 6,
     (tests/test_newops.py pins it on the fixture corpora)."""
     planes = hyperplanes(n_planes, dim)
     sig = lsh_signature_expr(vec_col, planes)
+    # norm hoisted out of the within-bucket pair fan-out (see
+    # cosine_pairs); identical sqrt placement keeps scores bit-equal
+    nrm = "sqrt(" + DOT.format(a=vec_col, b=vec_col) + ")"
     wb = emb.select(F.col(id_col), F.col(vec_col),
-                    F.expr(sig).alias("bucket"))
+                    F.expr(sig).alias("bucket"),
+                    F.expr(nrm).alias("nn"))
     a = wb.select(F.col(id_col).alias("vec_a"),
-                  F.col(vec_col).alias("ea"), "bucket")
+                  F.col(vec_col).alias("ea"), "bucket",
+                  F.col("nn").alias("sna"))
     b = wb.select(F.col(id_col).alias("vec_b"),
-                  F.col(vec_col).alias("eb"), "bucket")
+                  F.col(vec_col).alias("eb"), "bucket",
+                  F.col("nn").alias("snb"))
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     dot = DOT.format(a="ea", b="eb")
-    na = DOT.format(a="ea", b="ea")
-    nb = DOT.format(a="eb", b="eb")
-    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    cos = f"({dot}) / (sna * snb)"
     return (cand.select(
         F.col("vec_a").cast("long"), F.col("vec_b").cast("long"),
         F.expr(f"ROUND({cos}, 6)").alias("cos"))
