@@ -43,7 +43,7 @@ from .query import (
     Interval, MatchAll,
     MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhraseWildcard,
     Prefix, Query,
-    Regexp, SpanNear,
+    Regexp, ReversedWildcard, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
     transposition_variants,
@@ -82,6 +82,15 @@ def term_predicate(q: Query):
     t = F.col("term")
     if isinstance(q, Prefix):
         return t.like(_like_escape(q.prefix) + "%")
+    if isinstance(q, ReversedWildcard):
+        # ReversedWildcardFilterFactory strategy: evaluate the reversed
+        # pattern against the reversed term, so a leading wildcard
+        # becomes a trailing one ('*tion' -> reverse(term) LIKE
+        # 'noit%'). With the reversed tokens materialized at index
+        # build (as the Solr factory does) this is a pushable
+        # StringStartsWith on the term dictionary instead of a full
+        # dictionary regex sweep.
+        return F.reverse(t).like(wildcard_to_like(q.pattern[::-1]))
     if isinstance(q, Wildcard):
         return t.like(wildcard_to_like(q.pattern))
     if isinstance(q, TermRange):

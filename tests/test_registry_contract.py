@@ -28,14 +28,18 @@ def test_every_query_has_oracle_sql():
 
 def test_new_round2_surfaces_inside_driver_window():
     """The grading driver checks only the FIRST 50 registered queries;
-    every operator added in the round-2x..2ac waves must hold a slot
-    there (rotation rationale lives inline in WINDOW_ORDER)."""
+    the newest-machinery operators must hold a slot there (rotation
+    rationale lives inline in WINDOW_ORDER — the round-3 rotation
+    moved six 2x..2ac rows past-window in favor of the round-3 six;
+    every displaced row keeps three-scale local verify records)."""
     window = list(e.queries().keys())[:50]
     new_ops = [
-        "s_stream_scorenodes", "s_stream_features", "s_stream_train",
-        "q_word_delim", "q_common_grams", "v_bq", "t_line_dedup",
-        "v_hard_negatives", "t_span_corruption", "q_ltr_features",
-        "p_json_dsl", "v_maxsim",
+        # round-2x..2ac rows still in-window after the r3 rotation
+        "s_stream_scorenodes", "s_stream_train", "q_word_delim",
+        "v_bq", "p_json_dsl", "v_maxsim",
+        # round-3 wave
+        "p_xml", "v_mmr", "v_ivf_pq", "q_term_automaton",
+        "t_fasttext", "q_rev_wildcard",
     ]
     out = [n for n in new_ops if n not in window]
     assert not out, f"new surfaces fell out of the driver window: {out}"
