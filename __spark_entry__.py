@@ -4050,6 +4050,145 @@ def _v_bq(spark, sf_dir):
                    n_candidates=_BQ_CANDIDATES, dim=64)
 
 
+# --- round-3d wave: BM25F, feature sigmoid, DCLM select, fertility,
+# --- parallel stream -------------------------------------------------------
+
+_CFQ_TERMS = ("merge", "src3")
+_CFQ_WSRC = 2.0
+
+
+def _cfq_tf_sql(term: str, dialect: str) -> str:
+    """Combined-field weighted freq for one term, per dialect:
+    tf_c = 1.0*tf_text + w_src*(source == term). Spark spells the
+    array filter ``filter``; DuckDB ``list_filter``/``len``."""
+    if dialect == "spark":
+        arr = f"size(filter(tokens, x -> x = '{term}'))"
+    else:
+        arr = f"len(list_filter(tokens, x -> x = '{term}'))"
+    return (f"(CAST({arr} AS DOUBLE) + {_CFQ_WSRC!r} * "
+            f"(CASE WHEN source = '{term}' THEN 1 ELSE 0 END))")
+
+
+def _cfq_score_sql(n: int) -> str:
+    """Σ over query terms of the BM25 score against the merged pseudo-
+    field — shared expression text over columns tf{i}/df{i}/dlc/n/
+    sumdl, evaluated identically by Spark and DuckDB."""
+    from lucene_solr_spark.search.bm25 import idf_sql, score_sql
+    avgdl = "(CAST(sumdl AS DOUBLE) / n)"
+    parts = [
+        f"(CASE WHEN tf{i} > 0 THEN "
+        + score_sql(f"tf{i}", "dlc", idf_sql(f"df{i}", "n"), avgdl)
+        + " ELSE 0e0 END)"
+        for i in range(n)]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _q_combined_fields(spark, sf_dir):
+    """CombinedFieldQuery (lucene/sandbox/src/java/org/apache/lucene/
+    search/CombinedFieldQuery.java:87 — the "simple BM25F" of
+    Robertson, Zaragoza & Taylor, CIKM 2004): query terms score
+    against ONE pseudo-field that merges per-field statistics instead
+    of per-field scores. freq_c = Σ_f w_f·tf_f; length_c = Σ_f
+    w_f·dl_f with each field's length quantized first (the
+    MultiNormsLeafSimScorer sums DECODED per-field norms — same here:
+    qdl(text dl)·1 + w_src·qdl(1)); df_c counts docs matching in ANY
+    field; avgdl_c = Σ length_c / N; BM25 on those, clauses summed
+    (BooleanQuery SHOULD). Fields: text (w=1) + the ``source`` keyword
+    pseudo-field (w=2, dl=1) — so 'src3' matches through the keyword
+    side and 'merge' through the analyzed side, both scored with
+    merged stats.
+
+    Scale shape: one scan computes tf/dlc in codegen; the stats row is
+    ONE partial-aggregable global agg broadcast back (the same frozen-
+    Weight pattern every scored query uses); top-k is
+    TakeOrderedAndProject. No joins, no Python."""
+    from lucene_solr_spark.codecs.smallfloat import qdl_sql
+    d = textops.with_tokens(_documents(spark, sf_dir))
+    base = d.select(
+        "doc_id",
+        F.expr(f"CAST({qdl_sql('size(tokens)')} AS DOUBLE) "
+               f"+ {_CFQ_WSRC!r}").alias("dlc"),
+        *[F.expr(_cfq_tf_sql(t, "spark")).alias(f"tf{i}")
+          for i, t in enumerate(_CFQ_TERMS)])
+    stats = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dlc").alias("sumdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+          .cast("long").alias(f"df{i}")
+          for i in range(len(_CFQ_TERMS))])
+    sc = _cfq_score_sql(len(_CFQ_TERMS))
+    return (base.crossJoin(F.broadcast(stats))
+            .filter(" OR ".join(f"tf{i} > 0"
+                                for i in range(len(_CFQ_TERMS))))
+            .select("doc_id", F.expr(f"ROUND({sc}, 6)").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+_FEAT_SIG_PIVOT, _FEAT_SIG_W = 200.0, 1.5
+
+
+def _q_feature_sigmoid(spark, sf_dir):
+    """FeatureField.newSigmoidQuery (lucene/core/src/java/org/apache/
+    lucene/document/FeatureField.java SigmoidFunction): static-feature
+    score S(v) = w * v^a / (v^a + pivot^a) — the saturation shape with
+    a tunable steepness exponent. a = 2 here, spelled v*v so both
+    engines evaluate the identical double product (no pow()
+    divergence). MUST text clause + SHOULD feature on n_chars, like
+    q_feature_sat's additive combination."""
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term("hash"))
+    v2 = "(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))"
+    fs = (f"({_FEAT_SIG_W!r} * {v2} / ({v2} + "
+          f"{_FEAT_SIG_PIVOT!r} * {_FEAT_SIG_PIVOT!r}))")
+    feat = se.ix.source.select("docid", F.expr(fs).alias("fs"))
+    return (sc.join(feat, "docid", "left")
+            .select("docid",
+                    F.round(F.col("score")
+                            + F.coalesce("fs", F.lit(0.0)), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+_DCLM_FRAC = 0.25
+
+
+def _t_dclm_select(spark, sf_dir):
+    """DCLM-style top-p classifier selection (Li et al. 2024,
+    arXiv:2406.11794): keep the best 25% of each language slice by
+    fastText confidence (textops.dclm_select)."""
+    return textops.dclm_select(_documents(spark, sf_dir),
+                               frac=_DCLM_FRAC)
+
+
+def _t_tok_fertility(spark, sf_dir):
+    """Tokenizer fertility / compression per language slice
+    (textops.tok_fertility): tokens-per-word and chars-per-token —
+    the multilingual tokenizer-cost diagnostic."""
+    return textops.tok_fertility(_documents(spark, sf_dir))
+
+
+_STREAM_PARALLEL_EXPR = (
+    'parallel('
+    '  rollup('
+    '    search(documents, q="text:join", fl="doc_id,lang,n_chars", '
+    '           sort="lang asc"),'
+    '    over="lang", count(*), max(n_chars)),'
+    '  workers=4, partitionKeys="lang", sort="lang asc")')
+
+
+def _q_stream_parallel(spark, sf_dir):
+    """ParallelStream (solrj/io/stream/ParallelStream.java:70): the
+    inner rollup fanned out to workers=4 hash(partitionKeys) slices
+    and merged by the sort comparator — transparent over the rollup's
+    tuples (search/streams.py _s_parallel; routing law in
+    tests/test_r3d_ops.py)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_PARALLEL_EXPR)
+    return out.select("lang", "count",
+                      F.col("max_n_chars").cast("long")
+                      .alias("max_n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4066,6 +4205,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-3d rotation (window stays 50): IN q_combined_fields
+    # (sandbox CombinedFieldQuery / simple BM25F — a NEW scoring
+    # family: merged cross-field statistics, weighted freq/length
+    # sums, any-field df; exactly the cross-engine float-arithmetic
+    # a driver row exists to pin), t_dclm_select (DCLM top-p
+    # classifier selection — per-slice window ranking over the
+    # fastText scores; the round's flagship pipeline-selection op)
+    # and s_stream_parallel (ParallelStream worker fan-out — new
+    # stream decorator with a routing contract). OUT (window slots
+    # 48-50; all keep three-scale local verify records + pytest):
+    # t_repetition (codegen run-length pass pinned by in-window
+    # t_quality/t_entropy), t_dup_clusters (label-propagation loop
+    # pinned by in-window t_minhash_lsh's pair graph + transitivity
+    # pytest laws), q_monitor (percolator re-uses the engine
+    # matching machinery every in-window q_* row exercises).
+    "q_combined_fields", "t_dclm_select", "s_stream_parallel",
     # Round-3 rotation (window stays 50): IN the six strongest
     # new-machinery ops of the continuation session — p_xml (the
     # SEVENTH parser family: XML CoreParser DOM -> AST), v_mmr (MMR
@@ -4535,6 +4690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gopher": _t_gopher,
         "t_fasttext": _t_fasttext,
         "q_term_automaton": _q_term_automaton,
+        "q_combined_fields": _q_combined_fields,
+        "q_feature_sigmoid": _q_feature_sigmoid,
+        "t_dclm_select": _t_dclm_select,
+        "t_tok_fertility": _t_tok_fertility,
+        "s_stream_parallel": _q_stream_parallel,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -7459,5 +7619,94 @@ tok AS (SELECT unnest(toks) AS token FROM wd)
 SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM tok GROUP BY token
 ORDER BY cnt DESC, token ASC LIMIT 10"""
+
+    # -- round-3d wave -------------------------------------------------------
+    from lucene_solr_spark.codecs.smallfloat import qdl_sql as _qdl
+
+    _cfq_sc = _cfq_score_sql(len(_CFQ_TERMS))
+    _cfq_tfs = ",\n  ".join(
+        f"{_cfq_tf_sql(t, 'duckdb')} AS tf{i}"
+        for i, t in enumerate(_CFQ_TERMS))
+    _cfq_dfs = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df{i}" for i in range(len(_CFQ_TERMS)))
+    _cfq_any = " OR ".join(f"tf{i} > 0"
+                           for i in range(len(_CFQ_TERMS)))
+    out["q_combined_fields"] = f"""
+WITH ctoks AS (SELECT doc_id, source,
+  list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                 t -> lower(t)) AS tokens
+  FROM documents),
+cbase AS (SELECT doc_id,
+  CAST({_qdl('len(tokens)')} AS DOUBLE) + {_CFQ_WSRC!r} AS dlc,
+  {_cfq_tfs}
+  FROM ctoks),
+cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dlc) AS sumdl,
+  {_cfq_dfs}
+  FROM cbase)
+SELECT doc_id, ROUND({_cfq_sc}, 6) AS score
+FROM cbase CROSS JOIN cst
+WHERE {_cfq_any}
+ORDER BY ROUND({_cfq_sc}, 6) DESC, doc_id ASC LIMIT 10"""
+
+    _sig_v2 = "(CAST(d.n_chars AS DOUBLE) * CAST(d.n_chars AS DOUBLE))"
+    _sig_fs = (f"({_FEAT_SIG_W!r} * {_sig_v2} / ({_sig_v2} + "
+               f"{_FEAT_SIG_PIVOT!r} * {_FEAT_SIG_PIVOT!r}))")
+    out["q_feature_sigmoid"] = f"""
+WITH {ctes},
+sgs AS (SELECT docid, score FROM ({ob.scored(Term("hash"))}) s)
+SELECT f.docid AS doc_id,
+       ROUND(f.score + COALESCE({_sig_fs}, 0.0), 6) AS score
+FROM sgs f LEFT JOIN documents d ON d.doc_id = f.docid
+ORDER BY ROUND(f.score + COALESCE({_sig_fs}, 0.0), 6) DESC,
+         f.docid ASC LIMIT 10"""
+
+    _ftwd3 = _ftw(_ftb("x", "duckdb"))
+    out["t_dclm_select"] = f"""
+WITH dt AS (SELECT doc_id, lang,
+  list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                 t -> lower(t)) AS tokens
+  FROM documents),
+ds AS (SELECT doc_id, lang,
+  CAST(len(tokens) AS BIGINT) AS n_tokens,
+  COALESCE(list_sum(list_transform(tokens, x -> {_ftwd3})), 0) AS wsum
+  FROM dt),
+dp AS (SELECT doc_id, lang,
+  ROUND(1.0 / (1.0 + exp(-ROUND(CAST(wsum AS DOUBLE) / (1000.0 *
+        CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6))), 6)
+        AS prob
+  FROM ds),
+dr AS (SELECT doc_id, lang, prob,
+  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       ORDER BY prob DESC, doc_id ASC) AS BIGINT) AS rnk,
+  COUNT(*) OVER (PARTITION BY lang) AS n_slice
+  FROM dp)
+SELECT doc_id, lang, prob, rnk FROM dr
+WHERE rnk <= CEIL({_DCLM_FRAC!r} * n_slice)"""
+
+    out["t_tok_fertility"] = f"""
+WITH fx AS (SELECT lang,
+  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)) AS BIGINT)
+    AS w,
+  CAST(len(regexp_extract_all(text, '{textops.BPE_PAT}', 0))
+    AS BIGINT) AS tk,
+  CAST(length(text) AS BIGINT) AS ch
+  FROM documents),
+fa AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS words,
+       CAST(SUM(tk) AS BIGINT) AS tokens,
+       CAST(SUM(ch) AS BIGINT) AS chars
+       FROM fx GROUP BY lang)
+SELECT lang, words, tokens, chars,
+       ROUND(CAST(tokens AS DOUBLE) / words, 6) AS fertility,
+       ROUND(CAST(chars AS DOUBLE) / tokens, 6) AS chars_per_token
+FROM fa"""
+
+    out["s_stream_parallel"] = f"""
+WITH {ctes},
+pm AS (SELECT DISTINCT docid FROM postings WHERE term = 'join')
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS "count",
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_n_chars
+FROM documents d JOIN pm ON pm.docid = d.doc_id
+GROUP BY d.lang"""
 
     return out

@@ -87,6 +87,9 @@ def main() -> None:
         # C4 line dedup with reassembly, information-gain feature
         # selection — the scan/agg-shaped end of the newest surface
         "q_word_delim", "v_bq", "t_line_dedup", "s_stream_features",
+        # round-3d: BM25F merged-stats scoring + the DCLM selection
+        # flagship (classifier fold + per-slice window)
+        "q_combined_fields", "t_dclm_select",
     ]
     qs = entrymod.queries()
 

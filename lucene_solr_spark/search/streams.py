@@ -307,6 +307,38 @@ class StreamEvaluator:
         (src,) = self._streams(e)
         return src.orderBy(*_sort_cols(e.params["by"]))
 
+    def _s_parallel(self, e: StreamExpr) -> DataFrame:
+        """ParallelStream (solr/solrj/src/java/org/apache/solr/client/
+        solrj/io/stream/ParallelStream.java:70): ships the inner
+        expression to ``workers`` worker nodes, each evaluating it over
+        the hash(partitionKeys)-routed slice of the tuples (the
+        HashQParserPlugin fq injected at the search() leaves); the
+        aggregator k-way-merges worker outputs by ``sort``.
+
+        Spark realization: the inner expression's Catalyst plan is
+        ALREADY the worker fan-out — every groupBy/join inside it
+        hash-shuffles on its keys, which is exactly the workers=N +
+        partitionKeys contract (Solr requires partitionKeys to cover
+        the inner rollup/unique keys for the same reason a hash shuffle
+        does). parallel() therefore pins the fan-out width: the
+        evaluated stream is repartitioned into ``workers`` hash
+        partitions on the partitionKeys columns — one partition = one
+        worker's tuple slice, keys never straddle workers — and the
+        merge comparator becomes orderBy. Output tuples are the inner
+        stream's, unchanged (the decorator is transparent); the
+        routing law (key-disjoint workers, exact width) is pinned in
+        tests/test_r3d_ops.py.
+        """
+        (src,) = self._streams(e)
+        workers = int(e.params.get("workers", "4"))
+        keys = [k.strip() for k in e.params.get("partitionKeys", "")
+                .split(",") if k.strip()]
+        out = (src.repartition(workers, *[F.col(k) for k in keys])
+               if keys else src.repartition(workers))
+        if "sort" in e.params:
+            out = out.orderBy(*_sort_cols(e.params["sort"]))
+        return out
+
     def _s_fetch(self, e: StreamExpr) -> DataFrame:
         """FetchStream (solr/solrj/src/java/org/apache/solr/client/
         solrj/io/stream/FetchStream.java): decorate a stream with extra

@@ -1060,3 +1060,80 @@ def fasttext_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).withColumn(
         "prob", F.expr("ROUND(1.0 / (1.0 + exp(-logit)), 6)")
     ).withColumn("label", F.col("prob") >= 0.5)
+
+
+def dclm_select(df: DataFrame, frac: float = 0.25,
+                id_col: str = "doc_id", group_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """DCLM-style model-based top-p selection (Li et al. 2024,
+    arXiv:2406.11794 §4.4 "DataComp-LM": keep the top fraction of
+    documents by fastText classifier confidence — the single highest-
+    leverage filtering decision in that ablation; same selection shape
+    as FineWeb-Edu's classifier-score threshold).
+
+    Ranks every doc inside its ``group_col`` slice by the
+    ``fasttext_score`` probability (round-6, ties doc_id ASC — the
+    deterministic cross-engine order) and keeps ``ceil(frac * n)``
+    docs per slice.
+
+    Scale shape: the classifier evaluates inside one codegen fold
+    (see fasttext_score); ranking is a window PARTITIONED BY the
+    slice — per-slice sorts, never a global sort — and the slice
+    count rides the same shuffle. One shuffle total on top of the
+    scan.
+    """
+    t = with_tokens(df.select(id_col, group_col, text_col), text_col)
+    w = fasttext_weight_sql(fasttext_bucket_sql("x", "spark"))
+    scored = t.select(
+        F.col(id_col), F.col(group_col),
+        F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"aggregate(tokens, CAST(0 AS BIGINT), "
+               f"(a, x) -> a + ({w}))").alias("wsum"),
+    ).select(
+        id_col, group_col,
+        F.expr("ROUND(1.0 / (1.0 + exp(-ROUND(CAST(wsum AS DOUBLE) / "
+               "(1000.0 * CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens "
+               "END), 6))), 6)").alias("prob"),
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.desc("prob"), F.asc(id_col))
+    cnt_w = Window.partitionBy(group_col)
+    return (scored
+            .withColumn("rnk", F.row_number().over(rank_w))
+            .withColumn("n_slice", F.count("*").over(cnt_w))
+            .filter(F.col("rnk") <= F.ceil(F.lit(float(frac))
+                                           * F.col("n_slice")))
+            .select(id_col, group_col, "prob",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+def tok_fertility(df: DataFrame, group_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility / compression stats per corpus slice — the
+    standard multilingual-pretraining diagnostic (tokens per word and
+    chars per token; cf. the fertility analyses of mBERT/XLM-R and
+    byte-premium work): a tokenizer that fragments a language inflates
+    its effective sequence length and training cost.
+
+    words = whitespace-delimited runs, tokens = the BPE-ish
+    pre-tokenizer runs (``BPE_PAT``, shared with t_token_bpe),
+    chars = string length. fertility = tokens/words; cpt = chars/token.
+
+    Scale shape: three codegen size() counts per row + ONE
+    partial-aggregable groupBy on the slice key — scan speed.
+    """
+    t = df.select(
+        F.col(group_col),
+        F.expr(f"CAST(size(regexp_extract_all({text_col}, "
+               f"'[^ \\t\\n\\r]+', 0)) AS BIGINT)").alias("w"),
+        F.expr(f"CAST(size(regexp_extract_all({text_col}, "
+               f"'{BPE_PAT}', 0)) AS BIGINT)").alias("tk"),
+        F.expr(f"CAST(length({text_col}) AS BIGINT)").alias("ch"))
+    return (t.groupBy(group_col)
+            .agg(F.sum("w").alias("words"), F.sum("tk").alias("tokens"),
+                 F.sum("ch").alias("chars"))
+            .select(group_col, "words", "tokens", "chars",
+                    F.round(F.col("tokens") / F.col("words"), 6)
+                    .alias("fertility"),
+                    F.round(F.col("chars") / F.col("tokens"), 6)
+                    .alias("chars_per_token")))
