@@ -4189,6 +4189,84 @@ def _q_stream_parallel(spark, sf_dir):
                       .alias("max_n_chars"))
 
 
+# --- round-3e wave: rerank local-params, soft dedup, padding waste,
+# --- ANN recall report -------------------------------------------------------
+
+_RERANK_Q = ('{!rerank reRankQuery=$rqq reRankDocs=20 '
+             'reRankWeight=2.0}join merge')
+_RERANK_PARAMS = {"rqq": '"table hash"'}
+
+
+def _p_rerank(spark, sf_dir):
+    """ReRankQParserPlugin (solr/core/src/java/org/apache/solr/search/
+    ReRankQParserPlugin.java:53; defaults :60-62) through the EIGHTH
+    parser family — Solr local-params syntax with $param dereference
+    (search/localparams.py): the first-pass query ranks everything,
+    the top reRankDocs hits get score + reRankWeight·rerank_score
+    (AbstractReRankQuery's additive combine), hits below the cut keep
+    their first-pass score, and the merged list re-sorts.
+
+    Scale shape: first pass is the ordinary scored plan; the rerank
+    join touches only the reRankDocs-row top slice (broadcastable);
+    the below-cut remainder is one anti join on the same key. One
+    extra narrow shuffle over a plain top-k query."""
+    from lucene_solr_spark.search.localparams import local_query
+    rr = local_query(_RERANK_Q, _RERANK_PARAMS)
+    se = _searcher(spark, sf_dir)
+    main = se.scored(rr.main).select(
+        "docid", F.round(F.col("score"), 6).alias("score"))
+    top = (main.orderBy(F.desc("score"), F.asc("docid"))
+           .limit(rr.docs).persist())
+    rsc = se.scored(rr.rerank).select(
+        "docid", F.col("score").alias("rsc"))
+    rescored = (top.join(rsc, "docid", "left")
+                .select("docid",
+                        F.round(F.col("score") + rr.weight
+                                * F.coalesce("rsc", F.lit(0.0)), 6)
+                        .alias("score")))
+    rest = main.join(top.select("docid"), "docid", "left_anti")
+    return (rescored.unionByName(rest)
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+def _t_soft_dedup(spark, sf_dir):
+    """Duplicate-aware down-weighting (textops.soft_dedup_weights):
+    every doc kept, weight = 1/|near-dup cluster| — each component
+    contributes one unit of training mass."""
+    return textops.soft_dedup_weights(_documents(spark, sf_dir))
+
+
+_PAD_LENGTHS = (64, 256)
+
+
+def _t_pad_waste(spark, sf_dir):
+    """Context-window truncation/padding accounting per candidate
+    sequence length (textops.padding_waste) — the no-packing baseline
+    that motivates t_pack_sequences."""
+    return textops.padding_waste(_documents(spark, sf_dir),
+                                 lengths=_PAD_LENGTHS)
+
+
+def _v_ann_recall(spark, sf_dir):
+    """ANN quality report as an operator: recall@10 of the LSH-bucket
+    path vs exact brute-force cosine for one probe — the acceptance
+    metric every ANN deployment tracks (and the law our pytest recall
+    tests assert offline), surfaced as a one-row plan. Both sides are
+    existing oracle-proven plans; the report is one semi join + one
+    count over k rows."""
+    from lucene_solr_spark.vector.ann import cosine_topk, lsh_bucket_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    approx = (lsh_bucket_topk(emb, query_vec_id=0, k=10,
+                              n_planes=_LSH_PLANES, dim=_EMB_DIM)
+              .select("vec_id"))
+    hits = approx.join(exact, "vec_id", "left_semi")
+    return (hits.agg(F.count("*").cast("long").alias("n_hits"))
+            .select(F.lit(10).cast("long").alias("k"), "n_hits",
+                    F.round(F.col("n_hits") / 10.0, 6).alias("recall")))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4205,6 +4283,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-3e rotation (window stays 50): IN p_rerank (the EIGHTH
+    # parser family — Solr local-params syntax with $param deref,
+    # composed with the two-pass additive rerank combine; new parser
+    # machinery deserves the driver check) and t_soft_dedup
+    # (duplicate-aware 1/|cluster| down-weighting — a new full-corpus
+    # join shape over the cluster labels). OUT (both keep three-scale
+    # local verify records + pytest): q_mlt (its tf-idf term selection
+    # reads the same ts/st stats tables in-window q_common_terms and
+    # q_blended exercise; q_mlt_terms keeps a local record) and
+    # q_sig_terms (relatedness formula pytest-pinned; its
+    # foreground/background agg shape matches in-window
+    # q_facet_json_stats).
+    "p_rerank", "t_soft_dedup",
     # Round-3d rotation (window stays 50): IN q_combined_fields
     # (sandbox CombinedFieldQuery / simple BM25F — a NEW scoring
     # family: merged cross-field statistics, weighted freq/length
@@ -4695,6 +4786,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dclm_select": _t_dclm_select,
         "t_tok_fertility": _t_tok_fertility,
         "s_stream_parallel": _q_stream_parallel,
+        "p_rerank": _p_rerank,
+        "t_soft_dedup": _t_soft_dedup,
+        "t_pad_waste": _t_pad_waste,
+        "v_ann_recall": _v_ann_recall,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -7708,5 +7803,60 @@ SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS "count",
        CAST(MAX(d.n_chars) AS BIGINT) AS max_n_chars
 FROM documents d JOIN pm ON pm.docid = d.doc_id
 GROUP BY d.lang"""
+
+    # -- round-3e wave -------------------------------------------------------
+    from lucene_solr_spark.search.localparams import local_query as _lq
+    _rr = _lq(_RERANK_Q, _RERANK_PARAMS)
+    out["p_rerank"] = f"""
+WITH {ctes},
+prm AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(_rr.main)}) s),
+prt AS (SELECT docid, score FROM prm
+        ORDER BY score DESC, docid ASC LIMIT {_rr.docs}),
+prr AS (SELECT docid, score AS rsc FROM ({ob.scored(_rr.rerank)}) r),
+prs AS (SELECT prt.docid,
+               ROUND(prt.score + {_rr.weight!r}
+                     * COALESCE(prr.rsc, 0.0), 6) AS score
+        FROM prt LEFT JOIN prr ON prr.docid = prt.docid
+        UNION ALL
+        SELECT prm.docid, prm.score FROM prm
+        WHERE prm.docid NOT IN (SELECT docid FROM prt))
+SELECT docid AS doc_id, score FROM prs
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    out["t_soft_dedup"] = _reach_body + """
+, scl AS (SELECT v, MIN(l) AS cluster FROM reach GROUP BY v),
+scs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM scl GROUP BY cluster)
+SELECT d.doc_id,
+       CAST(COALESCE(scl.cluster, d.doc_id) AS BIGINT) AS cluster,
+       ROUND(1.0 / COALESCE(scs.csize, 1), 6) AS weight
+FROM documents d
+LEFT JOIN scl ON scl.v = d.doc_id
+LEFT JOIN scs ON scs.cluster = scl.cluster"""
+
+    _pad_ls = ", ".join(str(int(x)) for x in _PAD_LENGTHS)
+    out["t_pad_waste"] = f"""
+WITH pw AS (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+',
+                 0)) AS BIGINT) AS n FROM documents),
+pe AS (SELECT n, L FROM pw, (SELECT UNNEST([{_pad_ls}]) AS L) ls)
+SELECT CAST(L AS BIGINT) AS L, CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n > L THEN 1 ELSE 0 END) AS BIGINT)
+         AS trunc_docs,
+       FLOOR(CAST(SUM(GREATEST(n - L, 0)) AS DOUBLE) / SUM(n)
+             * 1e6 + 0.5) / 1e6 AS lost_frac,
+       FLOOR(CAST(SUM(L - LEAST(n, L)) AS DOUBLE) / (COUNT(*) * L)
+             * 1e6 + 0.5) / 1e6 AS pad_frac
+FROM pe GROUP BY L"""
+
+    out["v_ann_recall"] = f"""
+WITH rex AS (SELECT vec_id FROM ({out["v_ann_cosine"]}) e),
+rap AS (SELECT vec_id FROM ({out["v_ann_lsh"]}) a),
+rh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM rap
+       WHERE vec_id IN (SELECT vec_id FROM rex))
+SELECT CAST(10 AS BIGINT) AS k, n_hits,
+       ROUND(n_hits / 10.0, 6) AS recall
+FROM rh"""
 
     return out

@@ -1,0 +1,136 @@
+"""Solr local-params query syntax -> engine query AST (+ rerank spec).
+
+The EIGHTH parser family. Solr dispatches ``{!type key=val ...}body``
+strings to named QParser plugins (``QParser.getParser`` /
+``QueryParsing.parseLocalParams`` in
+solr/core/src/java/org/apache/solr/search/QueryParsing.java:103 —
+StrParser scanning: bare first token = parser type, ``key=value``
+pairs with single/double-quoted or bare values, ``$name`` request-
+param dereference, ``v`` local param overriding the trailing body).
+
+Supported qparsers (each cites its plugin):
+
+- ``{!lucene}body`` / no type -> classic QueryParser
+  (LuceneQParserPlugin.java)
+- ``{!term}body``   -> raw Term, NO analysis (TermQParserPlugin.java)
+- ``{!prefix}body`` -> Prefix (PrefixQParserPlugin.java)
+- ``{!boost b=f}body`` -> Boost around the classic parse
+  (BoostQParserPlugin.java)
+- ``{!rerank reRankQuery=$rqq reRankDocs=N reRankWeight=w}body``
+  (ReRankQParserPlugin.java:53; defaults reRankDocs=200,
+  reRankWeight=2.0 per :60-62) -> a ``ReRank`` spec: first-pass
+  ``main`` ranks everything, the top ``docs`` hits are rescored
+  ``score + weight * rerank_score`` (AbstractReRankQuery's additive
+  combine), hits below the cut keep their first-pass score, and the
+  merged list re-sorts. Execution lives with the caller (it composes
+  two scored plans); see __spark_entry__._p_rerank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .parser import parse as parse_query
+from .query import Boost, Prefix, Query, Term
+
+
+class LocalParamsError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class ReRank:
+    main: Query
+    rerank: Query
+    docs: int
+    weight: float
+
+
+def parse_local_params(s: str, params: dict | None = None):
+    """``{!type k=v ...}body`` -> (type, {k: v}, body).
+
+    ``$name`` values dereference ``params`` (the request-parameter map,
+    QueryParsing.java StrParser.getParams); the ``v`` local param
+    overrides the trailing body; ``type=`` overrides the bare name.
+    """
+    params = params or {}
+    s = s.strip()
+    if not s.startswith("{!"):
+        raise LocalParamsError(f"local params must start with '{{!': "
+                               f"{s[:20]!r}")
+    i, n, kv, ptype = 2, len(s), {}, None
+    while i < n and s[i] != "}":
+        if s[i].isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and s[j] not in " =}":
+            j += 1
+        word = s[i:j]
+        if j < n and s[j] == "=":
+            j += 1
+            if j < n and s[j] in "'\"":
+                quote = s[j]
+                j += 1
+                buf = []
+                while j < n and s[j] != quote:
+                    if s[j] == "\\" and j + 1 < n:
+                        j += 1
+                    buf.append(s[j])
+                    j += 1
+                if j >= n:
+                    raise LocalParamsError("unterminated quoted value")
+                j += 1
+                val = "".join(buf)
+            else:
+                k0 = j
+                while j < n and s[j] not in " }":
+                    j += 1
+                val = s[k0:j]
+            if val.startswith("$"):
+                ref = val[1:]
+                if ref not in params:
+                    raise LocalParamsError(f"undefined param ${ref}")
+                val = params[ref]
+            kv[word] = val
+        elif word:
+            if ptype is None:
+                ptype = word
+            else:
+                raise LocalParamsError(
+                    f"unexpected bare token {word!r} after type")
+        i = j
+    if i >= n or s[i] != "}":
+        raise LocalParamsError("unterminated local params (missing '}')")
+    body = s[i + 1:].strip()
+    if "v" in kv:
+        body = kv.pop("v")
+    ptype = kv.pop("type", ptype) or "lucene"
+    return ptype, kv, body
+
+
+def local_query(s: str, params: dict | None = None):
+    """Compile a local-params query string. Returns a Query AST, or a
+    ``ReRank`` spec for ``{!rerank}`` (which composes two plans)."""
+    if not s.strip().startswith("{!"):
+        return parse_query(s)
+    ptype, kv, body = parse_local_params(s, params)
+    if ptype == "lucene":
+        return parse_query(body)
+    if ptype == "term":
+        return Term(body)
+    if ptype == "prefix":
+        return Prefix(body)
+    if ptype == "boost":
+        return Boost(parse_query(body), float(kv.get("b", "1")))
+    if ptype == "rerank":
+        rq = kv.get("reRankQuery")
+        if rq is None:
+            raise LocalParamsError("{!rerank} requires reRankQuery")
+        rerank = local_query(rq, params)
+        if isinstance(rerank, ReRank):
+            raise LocalParamsError("nested {!rerank} is not supported")
+        return ReRank(main=parse_query(body), rerank=rerank,
+                      docs=int(kv.get("reRankDocs", "200")),
+                      weight=float(kv.get("reRankWeight", "2.0")))
+    raise LocalParamsError(f"unknown qparser {ptype!r}")

@@ -1137,3 +1137,76 @@ def tok_fertility(df: DataFrame, group_col: str = "lang",
                     .alias("fertility"),
                     F.round(F.col("chars") / F.col("tokens"), 6)
                     .alias("chars_per_token")))
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                       threshold: float = 0.8) -> DataFrame:
+    """Duplicate-aware down-WEIGHTING — the soft alternative to
+    dropping near-dups (``dedup_keep``): every doc stays, but each
+    near-dup component contributes ONE unit of training mass,
+    weight = 1/|cluster| (singletons weigh 1). Repeating data yields
+    rapidly diminishing value (Muennighoff et al. 2023,
+    arXiv:2305.16264 "Scaling Data-Constrained Language Models"), so
+    pipelines that cannot afford hard removal down-weight instead —
+    this emits the sampling weights for that regime.
+
+    Scale shape: cluster labels cover only edge-touching docs (a
+    small fraction of the corpus) and the per-cluster size is one
+    tiny groupBy over them; the full corpus then takes ONE left join
+    against the small label+size table (broadcastable at skew).
+    Output: (id, cluster, weight) for EVERY input doc.
+    """
+    labels = dup_clusters(df, id_col, threshold=threshold)
+    csize = labels.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("csize"))
+    lab = labels.select(id_col, "cluster").join(csize, "cluster")
+    return (df.select(F.col(id_col).cast("long").alias(id_col))
+            .join(lab, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("cluster"), F.col(id_col))
+                .cast("long").alias("cluster"),
+                F.round(F.lit(1.0)
+                        / F.coalesce(F.col("csize"), F.lit(1)), 6)
+                .alias("weight")))
+
+
+def padding_waste(df: DataFrame, lengths: tuple = (64, 256),
+                  text_col: str = "text") -> DataFrame:
+    """Context-window packing diagnostic: for each candidate training
+    sequence length L, how much is lost to truncation and padding if
+    every doc becomes one fixed-L example (the no-packing baseline
+    that motivates ``pack_sequences``)?
+
+    Per L: docs, total_tokens, trunc_docs (docs longer than L),
+    lost_frac = Σ max(n-L, 0) / Σ n (tokens truncated away),
+    pad_frac = Σ (L - min(n, L)) / (docs·L) (batch slots wasted).
+
+    Scale shape: one codegen token count per row, exploded against
+    the tiny L list, ONE partial-aggregable groupBy — scan speed.
+
+    Fracs are rounded with Math.round semantics (floor(x*1e6+0.5)/1e6,
+    the relatedness.py convention) so Spark and any float64 oracle
+    perform the SAME double ops — ROUND() diverges at half-boundaries
+    (Spark rounds the shortest decimal repr, DuckDB the binary value).
+    """
+    arr = "array(" + ", ".join(str(int(x)) for x in lengths) + ")"
+    t = (with_tokens(df, text_col)
+         .select(F.expr("CAST(size(tokens) AS BIGINT)").alias("n"))
+         .select("n", F.explode(F.expr(arr)).alias("L")))
+    return (t.groupBy("L")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum("n").alias("total_tokens"),
+                 F.sum(F.when(F.col("n") > F.col("L"), 1)
+                       .otherwise(0)).cast("long").alias("trunc_docs"),
+                 F.sum(F.greatest(F.col("n") - F.col("L"), F.lit(0)))
+                 .alias("lost"),
+                 F.sum(F.col("L") - F.least(F.col("n"), F.col("L")))
+                 .alias("pad"))
+            .select(F.col("L").cast("long").alias("L"),
+                    "docs", "total_tokens", "trunc_docs",
+                    (F.floor((F.col("lost") / F.col("total_tokens"))
+                             * 1e6 + 0.5) / 1e6).alias("lost_frac"),
+                    (F.floor((F.col("pad")
+                              / (F.col("docs") * F.col("L")))
+                             * 1e6 + 0.5) / 1e6).alias("pad_frac")))
