@@ -2111,8 +2111,13 @@ def _stream_eval(spark, sf_dir, expr_text):
                       F.expr("doc_id div 2").alias("dst"))
              .union(d.select(F.col("doc_id").alias("src"),
                              F.expr("doc_id div 3").alias("dst"))))
+    from lucene_solr_spark.analysis.analyzers import simple_tokens_col
     ev = StreamEvaluator(
         {"documents": d,
+         # analyzed view: the multivalued-field shape cartesianProduct
+         # consumes (terms = the shared simple-analyzer token array)
+         "docs_terms": d.select("doc_id",
+                                simple_tokens_col().alias("terms")),
          "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
          "links": links},
         text_search=text_search)
@@ -4267,6 +4272,85 @@ def _v_ann_recall(spark, sf_dir):
                     F.round(F.col("n_hits") / 10.0, 6).alias("recall")))
 
 
+# --- round-3f wave: {!knn} qparser, sampled facets, DPO preference
+# --- pairs, cartesianProduct stream ----------------------------------------
+
+# deterministic literal query vector (the {!knn} request body carries
+# the vector; one-decimal rationals parse to identical doubles on both
+# engines)
+_KNN_VEC = tuple(((7 * i + 3) % 19 - 9) / 10.0 for i in range(_EMB_DIM))
+_KNN_Q = ("{!knn f=embedding topK=10}["
+          + ", ".join(f"{v:.1f}" for v in _KNN_VEC) + "]")
+
+
+def _p_knn(spark, sf_dir):
+    """Solr {!knn} dense-vector qparser (solr/core/src/java/org/apache/
+    solr/search/neural/KnnQParserPlugin.java — f required, topK default
+    10, body = the literal query vector) through the local-params
+    family; score = VectorSimilarityFunction.COSINE's (1+cos)/2, the
+    hit score DenseVectorField reports.
+
+    Scale shape: the vector folds into the plan as an array constant —
+    ONE codegen scan, no join; at 10^9+ vectors the same kernel runs
+    behind the LSH/IVF candidate generators (vector/ann.py)."""
+    from lucene_solr_spark.search.localparams import local_query
+    from lucene_solr_spark.vector.ann import cosine_topk_vec
+    kn = local_query(_KNN_Q)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_vec(emb, kn.vector, k=kn.top_k, vec_col=kn.field)
+
+
+_SAMPLE_SEED = 77
+_SAMPLE_TERM = "data"
+
+
+def _q_facet_sampled(spark, sf_dir):
+    """Sampled facet counts (lucene/facet/src/java/org/apache/lucene/
+    facet/RandomSamplingFacetsCollector.java:50 — sample the match set,
+    count facets over the sample, amortizeFacetCounts scales by
+    1/samplingRate). The reference's XORShift sampler is seeded RNG;
+    here the sample is the deterministic Wang-hash quarter of the match
+    set (randomsort.py, bit-exact on both engines), scale factor
+    exactly 4 so the estimate stays integer.
+
+    Scale shape: the sample predicate is one codegen expression on the
+    match set — at 100 TB the facet agg touches 1/4 of the hits and the
+    shuffle still carries one row per facet value."""
+    from lucene_solr_spark.search.randomsort import wang_hash32_sql
+    se = _searcher(spark, sf_dir)
+    m = se.matching(Term(_SAMPLE_TERM))
+    h = wang_hash32_sql("docid", _SAMPLE_SEED, "spark")
+    sample = m.filter(F.expr(f"((({h}) % 4) + 4) % 4 = 0"))
+    return (se.ix.source.join(sample, "docid")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_sampled"))
+            .select("source", "n_sampled",
+                    (F.col("n_sampled") * 4).cast("long")
+                    .alias("n_est")))
+
+
+def _t_pref_pairs(spark, sf_dir):
+    """DPO/RLHF preference pairs (textops.pref_pairs): per derived
+    conversation, chosen/rejected assistant turns by the classifier
+    reward — one codegen reward pass + ONE struct-extreme groupBy."""
+    return textops.pref_pairs(_documents(spark, sf_dir))
+
+
+_STREAM_CART_EXPR = (
+    'top(rollup(cartesianProduct(search(docs_terms, q="*:*", '
+    'fl="doc_id,terms"), terms as term, productSort="term asc"), '
+    'over="term", count(*)), n=15, sort="count desc, term asc")')
+
+
+def _q_stream_cartesian(spark, sf_dir):
+    """CartesianProductStream (solrj/io/stream/CartesianProductStream
+    .java:60) — multivalued field to one tuple per value (explode, no
+    shuffle), composed under rollup + top like the reference's
+    tuple-stream pipelines."""
+    return (_stream_eval(spark, sf_dir, _STREAM_CART_EXPR)
+            .select("term", "count"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4283,6 +4367,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window are unchanged since their green r1 rows
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
+    # Round-3f rotation (window stays 50): IN p_knn (the {!knn} dense-
+    # vector qparser — new literal-vector ANN kernel + Solr's
+    # (1+cos)/2 score normalization), q_facet_sampled (sampled facet
+    # counts — new Wang-hash sampling machinery over a match set),
+    # t_pref_pairs (DPO pair construction — new struct-extreme
+    # argmax/argmin shape), s_stream_cartesian (cartesianProduct
+    # stream — new explode decorator). OUT (all keep three-scale local
+    # verify records + pytest): q_sim_classic (similarity formula
+    # pytest-pinned, same plan as in-window BM25 topk rows),
+    # q_common_terms (stats-table read shape shared with in-window
+    # q_blended), q_collapse (groupBy-argmax shape shared with
+    # in-window q_grouped_topk machinery), p_edismax (parser family
+    # repped in-window by p_classic_wild/p_simple/p_rerank/p_knn).
+    "p_knn", "q_facet_sampled", "t_pref_pairs", "s_stream_cartesian",
     # Round-3e rotation (window stays 50): IN p_rerank (the EIGHTH
     # parser family — Solr local-params syntax with $param deref,
     # composed with the two-pass additive rerank combine; new parser
@@ -4790,6 +4888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_soft_dedup": _t_soft_dedup,
         "t_pad_waste": _t_pad_waste,
         "v_ann_recall": _v_ann_recall,
+        "p_knn": _p_knn,
+        "q_facet_sampled": _q_facet_sampled,
+        "t_pref_pairs": _t_pref_pairs,
+        "s_stream_cartesian": _q_stream_cartesian,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -7858,5 +7960,68 @@ rh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM rap
 SELECT CAST(10 AS BIGINT) AS k, n_hits,
        ROUND(n_hits / 10.0, 6) AS recall
 FROM rh"""
+
+    # -- round-3f wave -------------------------------------------------------
+    _kvals = ", ".join(f"{v:.1f}" for v in _KNN_VEC)
+    out["p_knn"] = f"""
+WITH kq AS (SELECT unnest([{_kvals}]) AS qv,
+                   generate_subscripts([{_kvals}], 1) AS i),
+ke AS (SELECT vec_id, unnest(embedding) AS ev,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+kd AS (SELECT ke.vec_id,
+              SUM(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+              SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na
+       FROM ke JOIN kq ON ke.i = kq.i GROUP BY ke.vec_id),
+kn AS (SELECT SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nb
+       FROM kq)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND((1.0 + dot / (sqrt(na) * sqrt(nb))) / 2.0, 6) AS score
+FROM kd, kn
+ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+    from lucene_solr_spark.search.randomsort import wang_hash32_sql
+    _sh = wang_hash32_sql("docid", _SAMPLE_SEED, "duckdb")
+    out["q_facet_sampled"] = f"""
+WITH {ctes},
+fsm AS (SELECT DISTINCT docid FROM postings
+        WHERE term = '{_SAMPLE_TERM}'),
+fsk AS (SELECT docid FROM fsm WHERE ((({_sh}) % 4) + 4) % 4 = 0)
+SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) * 4 AS BIGINT) AS n_est
+FROM documents d JOIN fsk ON fsk.docid = d.doc_id
+GROUP BY d.source"""
+
+    out["t_pref_pairs"] = f"""
+WITH ftp AS ({out["t_fasttext"]}),
+ppa AS (SELECT doc_id // 8 AS conv_id, doc_id, prob FROM ftp
+        WHERE (doc_id % 8) % 2 = 1),
+ppr AS (SELECT conv_id, doc_id, prob,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                   ORDER BY prob DESC, doc_id ASC) AS rc,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                   ORDER BY prob ASC, doc_id DESC) AS rr,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM ppa)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(MAX(n) AS BIGINT) AS n_asst,
+       CAST(MAX(CASE WHEN rc = 1 THEN doc_id END) AS BIGINT)
+         AS chosen_id,
+       CAST(MAX(CASE WHEN rr = 1 THEN doc_id END) AS BIGINT)
+         AS rejected_id,
+       MAX(CASE WHEN rc = 1 THEN prob END) AS chosen_prob,
+       MAX(CASE WHEN rr = 1 THEN prob END) AS rejected_prob,
+       ROUND(MAX(CASE WHEN rc = 1 THEN prob END)
+             - MAX(CASE WHEN rr = 1 THEN prob END), 6) AS margin
+FROM ppr GROUP BY conv_id HAVING MAX(n) >= 2"""
+
+    out["s_stream_cartesian"] = """
+WITH cpt AS (SELECT doc_id,
+  unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                        t -> lower(t))) AS term
+  FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS "count"
+FROM cpt GROUP BY term
+ORDER BY "count" DESC, term ASC LIMIT 15"""
 
     return out

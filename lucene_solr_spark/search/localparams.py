@@ -24,6 +24,13 @@ Supported qparsers (each cites its plugin):
   combine), hits below the cut keep their first-pass score, and the
   merged list re-sorts. Execution lives with the caller (it composes
   two scored plans); see __spark_entry__._p_rerank.
+- ``{!knn f=field topK=N}[v1, v2, ...]``
+  (solr/core/src/java/org/apache/solr/search/neural/
+  KnnQParserPlugin.java: ``f`` required, ``topK`` default 10; body =
+  the literal query vector) -> a ``Knn`` spec. Solr scores dense
+  cosine fields with VectorSimilarityFunction.COSINE's normalized
+  ``(1 + cos) / 2`` (lucene/core/.../index/VectorSimilarityFunction
+  .java); execution composes vector.ann.cosine_topk_vec.
 """
 
 from __future__ import annotations
@@ -44,6 +51,13 @@ class ReRank:
     rerank: Query
     docs: int
     weight: float
+
+
+@dataclass(frozen=True)
+class Knn:
+    field: str
+    top_k: int
+    vector: tuple
 
 
 def parse_local_params(s: str, params: dict | None = None):
@@ -123,6 +137,18 @@ def local_query(s: str, params: dict | None = None):
         return Prefix(body)
     if ptype == "boost":
         return Boost(parse_query(body), float(kv.get("b", "1")))
+    if ptype == "knn":
+        if "f" not in kv:
+            raise LocalParamsError("{!knn} requires f")
+        body = body.strip()
+        if not (body.startswith("[") and body.endswith("]")):
+            raise LocalParamsError("{!knn} body must be a [..] vector")
+        try:
+            vec = tuple(float(x) for x in body[1:-1].split(","))
+        except ValueError as exc:
+            raise LocalParamsError(f"bad knn vector: {exc}") from None
+        return Knn(field=kv["f"], top_k=int(kv.get("topK", "10")),
+                   vector=vec)
     if ptype == "rerank":
         rq = kv.get("reRankQuery")
         if rq is None:

@@ -25,6 +25,7 @@ becomes Spark's shuffle:
 | intersect(a, b, on=)  | IntersectStream               | left_semi join |
 | complement(a, b, on=) | ComplementStream              | left_anti join |
 | sort(s, by=)          | SortStream (full re-sort)     | orderBy    |
+| cartesianProduct(s, f as a) | CartesianProductStream  | explode    |
 | having(s, cond)       | HavingStream (gt/lt/eq/...)   | filter     |
 
 Scale notes: Solr executes these on a single aggregator node pulling
@@ -292,6 +293,31 @@ class StreamEvaluator:
                 cols.append(F.col(m.group(1)).alias(m.group(2)) if m
                             else F.col(a))
         return src.select(*cols)
+
+    def _s_cartesianProduct(self, e: StreamExpr) -> DataFrame:
+        """CartesianProductStream (solrj/io/stream/
+        CartesianProductStream.java:60): one outgoing tuple per value
+        of a multivalued field, the scalar fields repeated.
+        ``productSort`` orders the emission WITHIN each incoming tuple
+        (the reference sorts the generated mini-batch, :151) — here
+        sort_array before the explode, so no global shuffle is added;
+        only ``<alias> asc|desc`` specs are meaningful per-tuple.
+        """
+        inner = self._streams(e)[0]
+        spec = next(a for a in e.args if isinstance(a, str))
+        m = re.match(r"^(\S+)(?:\s+as\s+(\S+))?$", spec)
+        fld, alias = m.group(1), m.group(2) or m.group(1)
+        ps = e.params.get("productSort")
+        col = F.col(fld)
+        if ps:
+            toks = ps.split()
+            if toks[0] != alias:
+                raise ValueError(
+                    f"productSort must order by {alias!r}, got {ps!r}")
+            col = F.sort_array(col, asc=not (
+                len(toks) > 1 and toks[1].lower() == "desc"))
+        keep = [c for c in inner.columns if c != fld]
+        return inner.select(*keep, F.explode(col).alias(alias))
 
     def _s_intersect(self, e: StreamExpr) -> DataFrame:
         a, b = self._streams(e)

@@ -1171,6 +1171,52 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
                 .alias("weight")))
 
 
+def pref_pairs(df: DataFrame, turns_per_conv: int = 8,
+               id_col: str = "doc_id") -> DataFrame:
+    """RLHF/DPO preference-pair construction (Ouyang et al. 2022
+    arXiv:2203.02155 §3.4 comparison data; Rafailov et al. 2023
+    arXiv:2305.18290 DPO — training needs (prompt, chosen, rejected)
+    triples): within each conversation the ASSISTANT turns are the
+    alternative responses, ranked by the fastText-classifier reward
+    stand-in (``fasttext_score``); chosen = highest prob (ties: LOWEST
+    doc id), rejected = lowest prob (ties: HIGHEST doc id — so a fully
+    tied conversation still yields two DISTINCT docs), conversations
+    with < 2 assistant turns drop.
+
+    The conversation key derives from the doc id exactly like
+    ``conv_signals`` (conv = id DIV turns_per_conv, turn = id MOD,
+    role = turn parity), so the oracle rebuilds the same structure.
+
+    Scale shape: reward evaluates inside one codegen fold (see
+    fasttext_score); the argmax/argmin pair is ONE groupBy carrying
+    two struct extremes — lexicographic struct min/max, so map-side
+    combine applies and the shuffle moves one row per conversation
+    (no window, no per-conv sort).
+    """
+    k = turns_per_conv
+    s = fasttext_score(df, id_col=id_col)
+    a = (s.select((F.col(id_col) / k).cast("long").alias("conv_id"),
+                  F.col(id_col).alias("did"), "prob")
+         .filter((F.col("did") % k) % 2 == 1))
+    g = a.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_asst"),
+        F.max(F.struct(F.col("prob"),
+                       (-F.col("did")).alias("nid"))).alias("ch"),
+        F.min(F.struct(F.col("prob"),
+                       (-F.col("did")).alias("nid"))).alias("rj"))
+    return (g.filter(F.col("n_asst") >= 2)
+            .select("conv_id", "n_asst",
+                    (-F.col("ch.nid")).cast("long").alias("chosen_id"),
+                    (-F.col("rj.nid")).cast("long").alias("rejected_id"),
+                    F.col("ch.prob").alias("chosen_prob"),
+                    F.col("rj.prob").alias("rejected_prob"),
+                    # rejected ties break to the HIGHEST id (min over
+                    # (prob, -id)), chosen to the LOWEST — a fully
+                    # tied conversation still yields distinct docs
+                    F.round(F.col("ch.prob") - F.col("rj.prob"), 6)
+                    .alias("margin")))
+
+
 def padding_waste(df: DataFrame, lengths: tuple = (64, 256),
                   text_col: str = "text") -> DataFrame:
     """Context-window packing diagnostic: for each candidate training

@@ -42,6 +42,33 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     return (scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k))
 
 
+def cosine_topk_vec(emb: DataFrame, qvec, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k vs a LITERAL query vector — the Solr ``{!knn}``
+    execution shape (solr/core/.../search/neural/KnnQParserPlugin.java:
+    the request carries the vector; no corpus row is the probe).
+    Score is VectorSimilarityFunction.COSINE's normalized
+    ``(1 + cos) / 2`` (lucene/core/.../index/VectorSimilarityFunction
+    .java), the value DenseVectorField reports as the hit score.
+
+    The literal folds into the plan as an array constant, so the scan
+    is ONE whole-stage-codegen pass with no join at all — at 10^9+
+    vectors route the same kernel through the LSH/IVF candidate
+    generators instead of the full scan.
+    """
+    lit = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                               for x in qvec) + ")"
+    dot = DOT.format(a=vec_col, b=lit)
+    na = DOT.format(a=vec_col, b=vec_col)
+    nb = DOT.format(a=lit, b=lit)
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    scored = emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(f"ROUND((1.0 + {cos}) / 2.0, 6)").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def cosine_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: top-N most-similar pairs
