@@ -4351,6 +4351,56 @@ def _q_stream_cartesian(spark, sf_dir):
             .select("term", "count"))
 
 
+# --- round-3g wave: facet stream, seeded random stream, FIM split,
+# --- alpha-sampling ----------------------------------------------------------
+
+_STREAM_FACET_EXPR = (
+    'facet(documents, q="*:*", buckets="lang,source", '
+    'bucketSorts="count(*) desc, lang asc, source asc", '
+    'bucketSizeLimit=12, count(*), sum(n_chars), avg(n_chars))')
+
+
+def _q_stream_facet(spark, sf_dir):
+    """FacetStream (solrj/io/stream/FacetStream.java:63): buckets +
+    metrics pushed down to the engine — here ONE partial+final hash
+    aggregate + TakeOrderedAndProject for bucketSizeLimit (the
+    reference pushes to the JSON facet API for exactly this shape)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_FACET_EXPR)
+    return out.select("lang", "source", "count",
+                      F.col("sum_n_chars").cast("long")
+                      .alias("sum_n_chars"),
+                      F.round("avg_n_chars", 6).alias("avg_n_chars"))
+
+
+_STREAM_RANDOM_EXPR = ('random(documents, q="*:*", rows=20, '
+                       'fl="doc_id,source", seed=13)')
+
+
+def _q_stream_random(spark, sf_dir):
+    """RandomStream (solrj/io/stream/RandomStream.java:54) with an
+    explicit seed over the bit-exact hash32shift order (the reference
+    sorts on random_<seed>; its seed comes from Random(), here it is a
+    parameter so the sample reproduces). One codegen key + top-k."""
+    return (_stream_eval(spark, sf_dir, _STREAM_RANDOM_EXPR)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "source"))
+
+
+def _t_fim_split(spark, sf_dir):
+    """Fill-in-the-middle split plan (textops.fim_split,
+    arXiv:2207.14255 §2): per doc — FIM applies?, PSM/SPM mode, and
+    the (prefix, middle, suffix) lengths from two Wang-hash uniform
+    character points. Zero joins; scan speed."""
+    return textops.fim_split(_documents(spark, sf_dir))
+
+
+def _t_alpha_sample(spark, sf_dir):
+    """Multilingual temperature sampling (textops.alpha_sample,
+    XLM-R arXiv:1911.02116 §3.1): q_l = sqrt(p_l)/Z per language +
+    the per-language repetition boost a sampler applies."""
+    return textops.alpha_sample(_documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4380,6 +4430,17 @@ WINDOW_ORDER = [
     # q_blended), q_collapse (groupBy-argmax shape shared with
     # in-window q_grouped_topk machinery), p_edismax (parser family
     # repped in-window by p_classic_wild/p_simple/p_rerank/p_knn).
+    # Round-3g rotation (window stays 50): IN s_stream_facet (the
+    # FacetStream push-down decorator — new buckets/bucketSorts/
+    # metric-identifier machinery) and t_fim_split (FIM split plan —
+    # a new four-hash codegen shape). OUT (both keep three-scale
+    # local verify records + pytest): q_highlight_best (passage
+    # machinery pytest-pinned; the q_highlight snippet shape stays
+    # repped by its local records) and v_ann_ivf (IVF machinery is a
+    # strict subset of in-window v_ivf_pq). s_stream_random and
+    # t_alpha_sample enter out-of-window with three-scale local
+    # records.
+    "s_stream_facet", "t_fim_split",
     "p_knn", "q_facet_sampled", "t_pref_pairs", "s_stream_cartesian",
     # Round-3e rotation (window stays 50): IN p_rerank (the EIGHTH
     # parser family — Solr local-params syntax with $param deref,
@@ -4892,6 +4953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_sampled": _q_facet_sampled,
         "t_pref_pairs": _t_pref_pairs,
         "s_stream_cartesian": _q_stream_cartesian,
+        "s_stream_facet": _q_stream_facet,
+        "s_stream_random": _q_stream_random,
+        "t_fim_split": _t_fim_split,
+        "t_alpha_sample": _t_alpha_sample,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -8023,5 +8088,56 @@ WITH cpt AS (SELECT doc_id,
 SELECT term, CAST(COUNT(*) AS BIGINT) AS "count"
 FROM cpt GROUP BY term
 ORDER BY "count" DESC, term ASC LIMIT 15"""
+
+    # -- round-3g wave -------------------------------------------------------
+    out["s_stream_facet"] = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS "count",
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+         AS avg_n_chars
+FROM documents GROUP BY lang, source
+ORDER BY COUNT(*) DESC, lang ASC, source ASC LIMIT 12"""
+
+    _rnd = wang_hash32_sql("doc_id", 13, "duckdb")
+    out["s_stream_random"] = f"""
+WITH rnd AS (SELECT doc_id, source, {_rnd} AS rk FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM rnd
+ORDER BY rk ASC LIMIT 20"""
+
+    def _dpm(expr, m):
+        return f"((({expr}) % {m}) + {m}) % {m}"
+
+    _fn = "CAST(n_chars AS BIGINT)"
+    _fh1 = _dpm(wang_hash32_sql("doc_id", 101, "duckdb"), f"({_fn} + 1)")
+    _fh2 = _dpm(wang_hash32_sql("doc_id", 202, "duckdb"), f"({_fn} + 1)")
+    _fh3 = wang_hash32_sql("doc_id", 303, "duckdb")
+    _ffim = f"({_dpm(_fh3, 100)} < 50)"
+    _fmode = (f"CASE WHEN NOT {_ffim} THEN 'none' "
+              f"WHEN {_dpm(f'(({_fh3}) >> 1)', 2)} = 0 THEN 'psm' "
+              f"ELSE 'spm' END")
+    _fu = f"LEAST({_fh1}, {_fh2})"
+    _fv = f"GREATEST({_fh1}, {_fh2})"
+    out["t_fim_split"] = f"""
+SELECT doc_id, {_ffim} AS fim, {_fmode} AS mode,
+       CAST(CASE WHEN {_ffim} THEN {_fu} ELSE {_fn} END AS BIGINT)
+         AS p_len,
+       CAST(CASE WHEN {_ffim} THEN ({_fv}) - ({_fu}) ELSE 0 END
+            AS BIGINT) AS m_len,
+       CAST(CASE WHEN {_ffim} THEN {_fn} - ({_fv}) ELSE 0 END
+            AS BIGINT) AS s_len
+FROM documents"""
+
+    out["t_alpha_sample"] = """
+WITH ap AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)))
+       AS BIGINT) AS tokens
+  FROM documents GROUP BY lang),
+at AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS t_total FROM ap),
+ab AS (SELECT lang, docs, tokens, tokens / t_total AS p,
+              sqrt(tokens / t_total) AS sp FROM ap, at),
+az AS (SELECT SUM(sp) AS z FROM ab)
+SELECT lang, docs, tokens, ROUND(p, 6) AS p,
+       ROUND(sp / z, 6) AS q, ROUND(sp / z / p, 6) AS boost
+FROM ab, az"""
 
     return out

@@ -26,6 +26,8 @@ becomes Spark's shuffle:
 | complement(a, b, on=) | ComplementStream              | left_anti join |
 | sort(s, by=)          | SortStream (full re-sort)     | orderBy    |
 | cartesianProduct(s, f as a) | CartesianProductStream  | explode    |
+| facet(coll, buckets=, aggs) | FacetStream (JSON facet push-down) | groupBy.agg + TakeOrdered |
+| random(coll, q=, rows=, seed=) | RandomStream (random_<seed> sort) | top-k on hash32shift key |
 | having(s, cond)       | HavingStream (gt/lt/eq/...)   | filter     |
 
 Scale notes: Solr executes these on a single aggregator node pulling
@@ -293,6 +295,58 @@ class StreamEvaluator:
                 cols.append(F.col(m.group(1)).alias(m.group(2)) if m
                             else F.col(a))
         return src.select(*cols)
+
+    def _s_facet(self, e: StreamExpr) -> DataFrame:
+        """FacetStream (solrj/io/stream/FacetStream.java:63): push-down
+        facet aggregation — buckets + metrics + bucketSorts +
+        bucketSizeLimit. The reference pushes the work to Solr's JSON
+        facet API precisely so the aggregation happens engine-side
+        instead of streaming tuples; here "engine-side" is one
+        partial+final hash aggregate, and bucketSizeLimit becomes
+        TakeOrderedAndProject. Sort specs accept both the Solr metric
+        identifier ('count(*) desc', 'sum(f) asc') and the flattened
+        alias ('count desc', 'sum_f asc')."""
+        coll = e.args[0]
+        df = self._apply_q(coll, self.collections[coll],
+                           e.params.get("q", "*:*"))
+        buckets = [b.strip() for b in e.params["buckets"].split(",")]
+        aggs = [_agg_col(a) for a in e.args[1:]
+                if isinstance(a, StreamExpr) and a.name in _AGG_FNS]
+        out = df.groupBy(*buckets).agg(*aggs)
+        sort_spec = e.params.get("bucketSorts", f"{buckets[0]} asc")
+        sort_spec = re.sub(
+            r"([a-z]+)\((\*|[A-Za-z0-9_]+)\)",
+            lambda m: "count" if m.group(1) == "count"
+            else f"{m.group(1)}_{m.group(2)}", sort_spec)
+        out = out.orderBy(*_sort_cols(sort_spec))
+        if "bucketSizeLimit" in e.params:
+            out = out.limit(int(e.params["bucketSizeLimit"]))
+        return out
+
+    def _s_random(self, e: StreamExpr) -> DataFrame:
+        """RandomStream (solrj/io/stream/RandomStream.java:54): a
+        pseudo-random sample of the match set. The reference sorts on
+        ``random_<seed>`` — Solr's RandomSortField — with the seed
+        derived from Random(); here the seed is an explicit ``seed``
+        parameter over the SAME bit-exact hash32shift order
+        (randomsort.py), so the sample is reproducible. hash32shift is
+        a 32-bit bijection: distinct ids get distinct keys, the order
+        is total, and the 'sample' is one TakeOrderedAndProject over a
+        codegen key — no RAND(), no shuffle beyond top-k."""
+        from .randomsort import wang_hash32_sql
+        coll = e.args[0]
+        df = self._apply_q(coll, self.collections[coll],
+                           e.params.get("q", "*:*"))
+        key = df.columns[0]
+        seed = int(e.params.get("seed", "0"))
+        h = wang_hash32_sql(key, seed, "spark")
+        out = df.withColumn("__rk", F.expr(h)).orderBy("__rk")
+        if "rows" in e.params:
+            out = out.limit(int(e.params["rows"]))
+        fl = e.params.get("fl")
+        if fl:
+            return out.select(*[c.strip() for c in fl.split(",")])
+        return out.drop("__rk")
 
     def _s_cartesianProduct(self, e: StreamExpr) -> DataFrame:
         """CartesianProductStream (solrj/io/stream/

@@ -1171,6 +1171,93 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
                 .alias("weight")))
 
 
+def fim_split(df: DataFrame, id_col: str = "doc_id",
+              len_col: str = "n_chars", fim_rate_pct: int = 50,
+              seeds: tuple = (101, 202, 303)) -> DataFrame:
+    """Fill-in-the-middle transformation accounting (Bavarian et al.
+    2022, arXiv:2207.14255 "Efficient Training of Language Models to
+    Fill in the Middle" §2): each selected document splits at two
+    uniform character points into (prefix, middle, suffix), reordered
+    PSM or SPM — the paper's 50/50 joint — with sentinel tokens; the
+    rest pass through untouched (FIM rate).
+
+    This emits the deterministic split plan per doc: whether FIM
+    applies, the mode, and the three segment lengths (p+m+s = doc
+    length). Split points come from the bit-exact Wang hash
+    (randomsort.py) on (id + seed) mod (len+1), so the DuckDB oracle
+    reproduces the identical plan — no RNG, no Python.
+
+    Scale shape: four codegen hash evaluations per row, zero
+    joins/shuffles — scan speed on a 100 TB corpus.
+    """
+    from ..search.randomsort import wang_hash32_sql
+
+    def pm(expr, m):
+        return f"((({expr}) % {m}) + {m}) % {m}"
+
+    # stage the three hashes as columns first — inlining each use
+    # re-expands the 6-step hash chain and the resulting expression
+    # tree is ~50x larger (measured: 14.6s vs <1s codegen at sf0.01)
+    n = f"CAST({len_col} AS BIGINT)"
+    staged = df.select(
+        F.col(id_col), F.expr(n).alias("__n"),
+        F.expr(pm(wang_hash32_sql(id_col, seeds[0], "spark"),
+                  f"({n} + 1)")).alias("__u0"),
+        F.expr(pm(wang_hash32_sql(id_col, seeds[1], "spark"),
+                  f"({n} + 1)")).alias("__v0"),
+        F.expr(wang_hash32_sql(id_col, seeds[2], "spark"))
+        .alias("__h3"))
+    fim = f"({pm('__h3', 100)} < {int(fim_rate_pct)})"
+    mode = (f"CASE WHEN NOT {fim} THEN 'none' "
+            f"WHEN {pm('shiftright(__h3, 1)', 2)} = 0 THEN 'psm' "
+            f"ELSE 'spm' END")
+    u = "LEAST(__u0, __v0)"
+    v = "GREATEST(__u0, __v0)"
+    return staged.select(
+        F.col(id_col),
+        F.expr(fim).alias("fim"),
+        F.expr(mode).alias("mode"),
+        F.expr(f"CAST(CASE WHEN {fim} THEN {u} ELSE __n END AS BIGINT)")
+        .alias("p_len"),
+        F.expr(f"CAST(CASE WHEN {fim} THEN ({v}) - ({u}) "
+               f"ELSE 0 END AS BIGINT)").alias("m_len"),
+        F.expr(f"CAST(CASE WHEN {fim} THEN __n - ({v}) "
+               f"ELSE 0 END AS BIGINT)").alias("s_len"))
+
+
+def alpha_sample(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Multilingual temperature sampling (Conneau et al. 2020 XLM-R,
+    arXiv:1911.02116 §3.1; Lample & Conneau 2019 XLM §3.1): resampled
+    language share q_l = p_l^alpha / SUM_j p_j^alpha — low-resource
+    languages up-sample, high-resource down-sample. alpha is fixed at
+    0.5 (sqrt) so both engines evaluate the identical double op (a
+    general pow() routes through exp/ln whose last-bit behavior is
+    library-specific); the paper's 0.3 is one exp/ln away if a
+    divergence-tolerant consumer wants it.
+
+    Output per slice: docs, tokens, p (natural share), q (resampled
+    share), boost = q/p (the per-language repetition factor a sampler
+    applies). ONE scan + ONE groupBy; the two corpus totals ride a
+    1-row broadcast each (language count is tiny by construction).
+    """
+    per = (with_tokens(df)
+           .select(group_col, F.size("tokens").alias("dl"))
+           .groupBy(group_col)
+           .agg(F.count("*").cast("long").alias("docs"),
+                F.sum("dl").cast("long").alias("tokens")))
+    tot = per.agg(F.sum("tokens").cast("double").alias("t_total"))
+    base = (per.crossJoin(F.broadcast(tot))
+            .withColumn("p", F.col("tokens") / F.col("t_total"))
+            .withColumn("sp", F.sqrt("p")))
+    z = base.agg(F.sum("sp").alias("z"))
+    return (base.crossJoin(F.broadcast(z))
+            .select(group_col, "docs", "tokens",
+                    F.round("p", 6).alias("p"),
+                    F.round(F.col("sp") / F.col("z"), 6).alias("q"),
+                    F.round(F.col("sp") / F.col("z") / F.col("p"), 6)
+                    .alias("boost")))
+
+
 def pref_pairs(df: DataFrame, turns_per_conv: int = 8,
                id_col: str = "doc_id") -> DataFrame:
     """RLHF/DPO preference-pair construction (Ouyang et al. 2022
