@@ -117,8 +117,14 @@ def parse_stream(text: str) -> StreamExpr:
     node = StreamExpr(m.group(1))
     for part in _split_top(inner):
         if _NAME_RE.match(part):
-            node.args.append(parse_stream(part))
-            continue
+            try:
+                node.args.append(parse_stream(part))
+                continue
+            except ValueError:
+                # looks like an expression but has a trailing tail
+                # ("add(a,b) as c") — an evaluator spec, kept as a
+                # string for the operator (e.g. select) to interpret
+                pass
         pm = _PARAM_RE.match(part)
         # key=value only when the value isn't itself a nested expression
         if pm and not _NAME_RE.match(pm.group(1)):
@@ -285,16 +291,123 @@ class StreamEvaluator:
         return a.unionByName(b).orderBy(*_sort_cols(e.params["on"]))
 
     def _s_select(self, e: StreamExpr) -> DataFrame:
+        """SelectStream (solrj/io/stream/SelectStream.java) including
+        evaluator operands (the solrj/io/eval RecursiveEvaluator
+        family — Add/Subtract/Multiply/Divide/Modulo/AbsoluteValue/
+        NaturalLog/Power/SquareRoot/GreaterThan/.../IfThenElse/And/Or/
+        Not Evaluator.java): ``select(s, f, add(a,b) as c, ...)``.
+        Every evaluator compiles to the equivalent Catalyst expression
+        — whole-stage codegen, never a per-tuple interpreter."""
         src = None
         cols = []
         for a in e.args:
             if isinstance(a, StreamExpr):
                 src = self.eval(a)
+                continue
+            if " as " in a:
+                expr_txt, alias = a.rsplit(" as ", 1)
+                expr_txt, alias = expr_txt.strip(), alias.strip()
+                col = (self._eval_col(parse_stream(expr_txt))
+                       if "(" in expr_txt else F.col(expr_txt))
+                cols.append(col.alias(alias))
             else:
-                m = re.match(r"^(\S+)\s+as\s+(\S+)$", a)
-                cols.append(F.col(m.group(1)).alias(m.group(2)) if m
-                            else F.col(a))
+                cols.append(F.col(a))
         return src.select(*cols)
+
+    def _eval_col(self, node):
+        """solrj/io/eval evaluator tree -> Catalyst Column."""
+        if isinstance(node, str):
+            if re.match(r"^-?\d+$", node):
+                return F.lit(int(node))
+            if re.match(r"^-?\d*\.\d+$", node):
+                return F.lit(float(node))
+            if node in ("true", "false"):
+                return F.lit(node == "true")
+            return F.col(node)
+        a = [self._eval_col(x) for x in node.args]
+        fn = node.name
+        if fn == "add":
+            out = a[0]
+            for x in a[1:]:
+                out = out + x
+            return out
+        if fn == "sub":
+            return a[0] - a[1]
+        if fn == "mult":
+            out = a[0]
+            for x in a[1:]:
+                out = out * x
+            return out
+        if fn == "div":
+            # DivideEvaluator promotes to double
+            return a[0].cast("double") / a[1]
+        if fn == "mod":
+            return a[0] % a[1]
+        if fn == "abs":
+            return F.abs(a[0])
+        if fn == "log":
+            return F.log(a[0])              # natural log
+        if fn == "pow":
+            return F.pow(a[0], a[1])
+        if fn == "sqrt":
+            return F.sqrt(a[0])
+        if fn == "gt":
+            return a[0] > a[1]
+        if fn == "gteq":
+            return a[0] >= a[1]
+        if fn == "lt":
+            return a[0] < a[1]
+        if fn == "lteq":
+            return a[0] <= a[1]
+        if fn == "eq":
+            return a[0] == a[1]
+        if fn == "and":
+            return a[0] & a[1]
+        if fn == "or":
+            return a[0] | a[1]
+        if fn == "not":
+            return ~a[0]
+        if fn == "if":
+            return F.when(a[0], a[1]).otherwise(a[2])
+        raise ValueError(f"unknown evaluator {fn!r}")
+
+    def _s_let(self, e: StreamExpr) -> DataFrame:
+        """LetStream (solrj/io/stream/LetStream.java:42): bind named
+        cells to stream results, evaluate the body with the bindings
+        in scope; ``get(name)`` (GetStream.java) replays a cell. Here
+        a cell binds the stream's *plan* (lazy, like every DataFrame)
+        rather than a materialized tuple list — Catalyst reuses or
+        recomputes it per reference exactly as it would any shared
+        subplan."""
+        vars_prev = getattr(self, "_lets", {})
+        self._lets = dict(vars_prev)
+        try:
+            for name, txt in e.params.items():
+                self._lets[name] = self.eval(parse_stream(txt))
+            body = [a for a in e.args if isinstance(a, StreamExpr)]
+            if len(body) != 1:
+                raise ValueError("let() needs exactly one body stream")
+            return self.eval(body[0])
+        finally:
+            self._lets = vars_prev
+
+    def _s_get(self, e: StreamExpr) -> DataFrame:
+        name = e.args[0]
+        cells = getattr(self, "_lets", {})
+        if name not in cells:
+            raise ValueError(f"get({name!r}): no such let cell")
+        return cells[name]
+
+    def _s_stats(self, e: StreamExpr) -> DataFrame:
+        """StatsStream (solrj/io/stream/StatsStream.java:57): metrics
+        over the whole match set, ONE tuple out — a partial+final
+        aggregate with no grouping key (the degenerate FacetStream)."""
+        coll = e.args[0]
+        df = self._apply_q(coll, self.collections[coll],
+                           e.params.get("q", "*:*"))
+        aggs = [_agg_col(a) for a in e.args[1:]
+                if isinstance(a, StreamExpr) and a.name in _AGG_FNS]
+        return df.agg(*aggs)
 
     def _s_facet(self, e: StreamExpr) -> DataFrame:
         """FacetStream (solrj/io/stream/FacetStream.java:63): push-down

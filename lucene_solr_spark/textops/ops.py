@@ -1258,6 +1258,42 @@ def alpha_sample(df: DataFrame, group_col: str = "lang") -> DataFrame:
                     .alias("boost")))
 
 
+def tfidf_keywords(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF keyword extraction (Sparck Jones 1972
+    term specificity; the classic tf·idf keyword scorer Lucene's
+    MoreLikeThis uses to pick interesting terms,
+    lucene/queries/src/java/org/apache/lucene/queries/mlt/
+    MoreLikeThis.java createQueue): score = tf · ln(N / df), top k
+    terms per doc, ties by term ASC.
+
+    Scale shape: explode -> (doc, term, tf) groupBy (one shuffle,
+    map-side combine) -> df table from a second groupBy over the SAME
+    exploded frame -> equi-join (term table is corpus-vocabulary-sized
+    — broadcastable for natural-language vocabularies) -> top-k via a
+    window PARTITIONED BY doc (per-doc sorts, never global).
+    """
+    toks = (with_tokens(df, text_col)
+            .select(F.col(id_col), F.explode("tokens").alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    nd = df.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(nd))
+              .select(id_col, "term", "tf", "df",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs") / F.col("df")),
+                              6).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "score"))
+
+
 def pref_pairs(df: DataFrame, turns_per_conv: int = 8,
                id_col: str = "doc_id") -> DataFrame:
     """RLHF/DPO preference-pair construction (Ouyang et al. 2022
