@@ -41,7 +41,8 @@ from .payloads import payload_check_tf_sql, payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     Interval, MatchAll,
-    MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhraseWildcard,
+    MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhrasePositions,
+    PhraseWildcard,
     Prefix, Query,
     Regexp, ReversedWildcard, SpanNear,
     SpanNot, SpanOr,
@@ -170,6 +171,28 @@ class Searcher:
                              .filter(F.col(fld) == value).count())
         return cache[key]
 
+    def scoring_bool_rewrite(self, q: Query) -> Bool:
+        """MultiTermQuery.SCORING_BOOLEAN_REWRITE (SEARCH/
+        MultiTermQuery.java rewrite methods; ScoringRewrite.java:41):
+        expand the multi-term query against the term dictionary and
+        score it as a SHOULD disjunction of TermQueries — each matched
+        term contributes its own BM25, unlike the default
+        CONSTANT_SCORE rewrite the engine's multi-term path uses.
+        Expansion is the same driver-side weight-construction scan as
+        every Lucene rewrite (one filtered pass over the tiny
+        term_stats table), capped at maxClauseCount
+        (IndexSearcher.TooManyClauses)."""
+        pred = term_predicate(q)
+        if pred is None:
+            raise TypeError(f"not a multi-term query: {type(q).__name__}")
+        rows = (self.ix.term_stats.filter(pred)
+                .select("term").limit(MAX_CLAUSE_COUNT + 1).collect())
+        if len(rows) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"{type(q).__name__} expands past {MAX_CLAUSE_COUNT}")
+        terms = tuple(sorted(r["term"] for r in rows))
+        return Bool(should=tuple(Term(t) for t in terms))
+
     def common_terms(self, terms: tuple, max_term_frequency: float = 0.01,
                      low_msm: int = 0) -> Query:
         """CommonTermsQuery.buildQuery
@@ -261,6 +284,9 @@ class Searcher:
 
         if isinstance(q, Phrase):
             return self._scored_phrase(q)
+
+        if isinstance(q, PhrasePositions):
+            return self._scored_phrase_positions(q)
 
         if isinstance(q, MultiPhrase):
             return self._scored_multiphrase(q)
@@ -471,6 +497,35 @@ class Searcher:
             out = (joined.select("docid",
                                  F.expr(freq).cast("long").alias("tf"))
                    .filter(F.col("tf") > 0))
+        return (self._with_qdl(out)
+                .select("docid",
+                        self._clause_score("tf", stats_list)
+                        .alias("score")))
+
+    def _scored_phrase_positions(self, q: PhrasePositions) -> DataFrame:
+        """Exact phrase with EXPLICIT positions (PhraseQuery.Builder
+        .add(Term, position)): term i must sit at base + (positions[i]
+        - positions[0]) — the gap-aware variant of _scored_phrase; the
+        consecutive case IS positions=(0,1,2,...)."""
+        terms = list(q.terms)
+        offs = [p - q.positions[0] for p in q.positions]
+        st = self._resolve_stats(set(terms))
+        if any(st[t][0] == 0 for t in terms):
+            return self._empty_scored()
+        stats_list = [st[t] for t in terms]
+        joined = None
+        for i, t in enumerate(terms):
+            p = (self.ix.postings.filter(F.col("term") == t)
+                 .select("docid", F.col("positions").alias(f"pos{i}")))
+            joined = p if joined is None else joined.join(p, "docid")
+        conds = " AND ".join(
+            f"array_contains(pos{i}, x + {offs[i]})"
+            for i in range(1, len(terms)))
+        freq = (f"size(filter(pos0, x -> {conds}))" if conds
+                else "size(pos0)")
+        out = (joined.select("docid",
+                             F.expr(freq).cast("long").alias("tf"))
+               .filter(F.col("tf") > 0))
         return (self._with_qdl(out)
                 .select("docid",
                         self._clause_score("tf", stats_list)

@@ -24,7 +24,8 @@ from .payloads import payload_check_tf_sql, payload_factor_sql
 from .query import (
     Bool, Boost, ConstantScore, DisMax, FieldExists, FieldTerm, Fuzzy,
     MatchAll,
-    MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhraseWildcard,
+    MultiPhrase, PayloadCheck, PayloadScore, Phrase, PhrasePositions,
+    PhraseWildcard,
     Prefix, Query,
     Regexp, SpanNear,
     SpanNot, SpanOr,
@@ -147,6 +148,9 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
                 return self._scored_phrase_sloppy(q)
             return self._scored_phrase(q)
 
+        if isinstance(q, PhrasePositions):
+            return self._scored_phrase_positions(q)
+
         if isinstance(q, MultiPhrase):
             return self._scored_multiphrase(q)
 
@@ -223,6 +227,34 @@ ts AS (SELECT term, COUNT(*) AS df, SUM(tf) AS ttf FROM postings GROUP BY term)
                     f"WHERE p.term = {_q(q.term)} AND ({tf2}) > 0")
 
         raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _scored_phrase_positions(self, q: PhrasePositions) -> str:
+        """Exact phrase with explicit positions (PhraseQuery.Builder
+        .add(Term, position)) — _scored_phrase with per-term offsets
+        positions[i] - positions[0] instead of i."""
+        terms = list(q.terms)
+        offs = [p - q.positions[0] for p in q.positions]
+        idf_parts = " + ".join(f"({self.term_idf_sql(t)})" for t in terms)
+        joins = ["postings g0"]
+        for i in range(1, len(terms)):
+            joins.append(
+                f"JOIN postings g{i} ON g{i}.docid = g0.docid "
+                f"AND g{i}.term = {_q(terms[i])}")
+        conds = " AND ".join(
+            f"list_contains(g{i}.positions, x + {offs[i]})"
+            for i in range(1, len(terms)))
+        freq = (f"len(list_filter(g0.positions, x -> {conds}))"
+                if conds else "len(g0.positions)")
+        if self.sim is not None:
+            sc = self._sim_score_sql("f.tf", "d.qdl", terms)
+        else:
+            sc = score_sql("f.tf", "d.qdl", f"({idf_parts})",
+                           self.avgdl_sql)
+        return (
+            f"SELECT f.docid, {sc} AS score FROM ("
+            f"SELECT g0.docid, CAST({freq} AS BIGINT) AS tf "
+            f"FROM {' '.join(joins)} WHERE g0.term = {_q(terms[0])}) f "
+            f"JOIN docs d ON d.docid = f.docid WHERE f.tf > 0")
 
     def _scored_phrase(self, q: Phrase) -> str:
         terms = list(q.terms)

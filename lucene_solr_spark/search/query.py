@@ -72,6 +72,28 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class PhrasePositions:
+    """PhraseQuery built with EXPLICIT term positions
+    (PhraseQuery.Builder.add(Term, position), SEARCH/PhraseQuery.java
+    builder — positions must be non-decreasing; gaps encode removed
+    stopwords / position increments). A doc matches at base position p
+    when term i occurs at p + (positions[i] - positions[0]); freq =
+    number of such p, scored like an exact phrase (sum of idfs).
+    Positions here must be STRICTLY increasing (equal positions are
+    MultiPhrase's slot territory)."""
+
+    terms: Tuple[str, ...]
+    positions: Tuple[int, ...]
+
+    def __post_init__(self):
+        if len(self.terms) != len(self.positions):
+            raise ValueError("terms/positions length mismatch")
+        if any(b <= a for a, b in zip(self.positions,
+                                      self.positions[1:])):
+            raise ValueError("positions must be strictly increasing")
+
+
+@dataclass(frozen=True)
 class MultiPhrase:
     """Phrase with term alternatives per slot (MultiPhraseQuery,
     SEARCH/MultiPhraseQuery.java:56). freq = number of start positions
@@ -379,7 +401,8 @@ def collect_terms(q: Query) -> set:
     """All literal terms referenced by the tree (for stats resolution)."""
     if isinstance(q, Term):
         return {q.term}
-    if isinstance(q, (Phrase, Synonym, TermInSet, SpanNear)):
+    if isinstance(q, (Phrase, PhrasePositions, Synonym, TermInSet,
+                      SpanNear)):
         return set(q.terms)
     if isinstance(q, MultiPhrase):
         return {t for slot in q.slots for t in slot}

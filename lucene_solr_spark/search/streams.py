@@ -195,10 +195,12 @@ class StreamEvaluator:
     """
 
     def __init__(self, collections: dict[str, DataFrame],
-                 text_search=None, writers: dict | None = None):
+                 text_search=None, writers: dict | None = None,
+                 mlt=None):
         self.collections = collections
         self.text_search = text_search
         self.writers = writers or {}
+        self.mlt = mlt
 
     # -- q handling ----------------------------------------------------------
 
@@ -370,6 +372,75 @@ class StreamEvaluator:
         if fn == "if":
             return F.when(a[0], a[1]).otherwise(a[2])
         raise ValueError(f"unknown evaluator {fn!r}")
+
+    def _s_knn(self, e: StreamExpr) -> DataFrame:
+        """KnnStream (solrj/io/stream/KnnStream.java:63): the k most
+        similar docs to ``id`` via MoreLikeThis over ``qf`` — the
+        reference issues an MLT request; here the engine's in-plan MLT
+        (interesting-term selection + scored disjunction, no driver
+        round-trip) plugs in through the ``mlt`` callable exactly like
+        full-text ``q`` plugs in through ``text_search``."""
+        if self.mlt is None:
+            raise ValueError("knn() needs an mlt callable")
+        qf = e.params.get("qf", "text")
+        if qf != "text":
+            raise ValueError("knn(): only the analyzed 'text' field "
+                             "is indexed")
+        return self.mlt(e.args[0], int(e.params["id"]),
+                        int(e.params.get("k", "10")))
+
+    def _s_significantTerms(self, e: StreamExpr) -> DataFrame:
+        """SignificantTermsStream (solrj/io/stream/
+        SignificantTermsStream.java; scoring in solr/core/.../search/
+        SignificantTermsQParserPlugin.java:206): per dictionary term,
+        fg = number of FOREGROUND (q-matched) docs containing it,
+        background docFreq over the whole collection, and
+
+            score = (float)ln(fg) * (float)(ln((numDocs+1)/(df+1)) + 1)
+
+        with the reference's exact float32 cast points (:206 — the
+        ratio is computed in FLOAT because (float)(numDocs+1) infects
+        the division; float-via-double double-rounding is exact for
+        p=24 in 53-bit, so the CAST chain reproduces the bits).
+        minDocFreq/maxDocFreq are absolute when >= 1, fractions of
+        numDocs when < 1 (:167-178); minTermLength (:182); top
+        numTerms by score (ties term ASC).
+
+        Scale shape: two explode+groupBy passes (fg over the matched
+        slice, df over the corpus — both map-side combinable), one
+        vocabulary-sized equi-join, numDocs as a 1-row broadcast, and
+        a TakeOrderedAndProject for the top slice."""
+        from ..analysis.analyzers import simple_tokens_col
+        coll = e.args[0]
+        full = self.collections[coll]
+        fgd = self._apply_q(coll, full, e.params.get("q", "*:*"))
+        field = e.params.get("field", "text")
+        tok = F.explode(F.array_distinct(
+            simple_tokens_col(field))).alias("term")
+        fg = (fgd.select(tok).groupBy("term")
+              .agg(F.count("*").cast("long").alias("fg")))
+        bg = (full.select(tok).groupBy("term")
+              .agg(F.count("*").cast("long").alias("df")))
+        nd = full.agg(F.count("*").cast("long").alias("num_docs"))
+        j = fg.join(bg, "term").crossJoin(F.broadcast(nd))
+        min_df = float(e.params.get("minDocFreq", "5"))
+        max_df = float(e.params.get("maxDocFreq", "0.3"))
+        min_len = int(e.params.get("minTermLength", "4"))
+        lo = (F.col("df") >= min_df if min_df >= 1.0
+              else F.col("df") / F.col("num_docs") >= min_df)
+        hi = (F.col("df") <= max_df if max_df >= 1.0
+              else F.col("df") / F.col("num_docs") <= max_df)
+        score = (
+            "CAST(CAST(ln(CAST(fg AS DOUBLE)) AS FLOAT) * CAST(ln("
+            "CAST(CAST(CAST(num_docs + 1 AS FLOAT) AS DOUBLE) / "
+            "CAST(CAST(df + 1 AS FLOAT) AS DOUBLE) AS FLOAT)) + 1.0 "
+            "AS FLOAT) AS FLOAT)")
+        out = (j.filter(lo & hi & (F.length("term") >= min_len))
+               .select("term", "fg", "df", F.expr(score).alias("score"))
+               .orderBy(F.desc("score"), F.asc("term")))
+        if "numTerms" in e.params:
+            out = out.limit(int(e.params["numTerms"]))
+        return out
 
     def _s_let(self, e: StreamExpr) -> DataFrame:
         """LetStream (solrj/io/stream/LetStream.java:42): bind named

@@ -1258,6 +1258,47 @@ def alpha_sample(df: DataFrame, group_col: str = "lang") -> DataFrame:
                     .alias("boost")))
 
 
+def ict_pairs(df: DataFrame, span: int = 8, id_col: str = "doc_id",
+              seed: int = 7) -> DataFrame:
+    """Inverse-Cloze-Task positive-pair construction (Lee et al. 2019
+    arXiv:1906.00300 "Latent Retrieval for Weakly Supervised Open
+    Domain QA" §3.2; the self-supervised crop-pair shape Contriever
+    uses, Izacard et al. 2022 arXiv:2112.09118): per document, a
+    deterministic ``span``-token window is the pseudo-QUERY and the
+    document WITH THAT WINDOW REMOVED is the pseudo-context — the
+    retriever's positive pair. Docs shorter than span+4 drop (no
+    meaningful context remains).
+
+    The window start comes from the bit-exact Wang hash mod
+    (n - span + 1), so the DuckDB oracle rebuilds the identical pair;
+    the context rides as (token count, md5 of the re-joined text) to
+    keep rows narrow.
+
+    Scale shape: one tokenize + two array slices + one hash per row —
+    zero joins/shuffles, scan speed on a 100 TB corpus.
+    """
+    from ..search.randomsort import wang_hash32_sql
+
+    h = wang_hash32_sql(id_col, seed, "spark")
+    staged = (with_tokens(df)
+              .select(F.col(id_col), "tokens",
+                      F.expr("CAST(size(tokens) AS BIGINT)").alias("__n"))
+              .filter(F.col("__n") >= span + 4)
+              .withColumn("__qs", F.expr(
+                  f"((({h}) % (__n - {span} + 1)) + (__n - {span} + 1))"
+                  f" % (__n - {span} + 1)")))
+    ctx = (f"concat(slice(tokens, 1, CAST(__qs AS INT)), "
+           f"slice(tokens, CAST(__qs + {span} + 1 AS INT), "
+           f"CAST(__n - __qs - {span} AS INT)))")
+    return staged.select(
+        F.col(id_col),
+        F.col("__qs").alias("q_start"),
+        F.expr(f"concat_ws(' ', slice(tokens, CAST(__qs + 1 AS INT), "
+               f"{span}))").alias("query_text"),
+        F.expr(f"CAST(size({ctx}) AS BIGINT)").alias("ctx_n"),
+        F.expr(f"md5(concat_ws(' ', {ctx}))").alias("ctx_md5"))
+
+
 def tfidf_keywords(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Per-document top-k TF-IDF keyword extraction (Sparck Jones 1972
