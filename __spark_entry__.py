@@ -4559,6 +4559,31 @@ def _q_facet_uniqueblock(spark, sf_dir):
                  .alias("unique_convs")))
 
 
+# --- round-3k wave: exact-substring window dedup, LSH recall report,
+# --- winnowing overlap pairs -------------------------------------------------
+
+_WD_SPAN = 16
+
+
+def _t_window_dedup(spark, sf_dir):
+    """Exact-substring duplicate windows (textops.window_dedup,
+    arXiv:2107.06499 ExactSubstr at span-16 token granularity)."""
+    return textops.window_dedup(_documents(spark, sf_dir),
+                                span=_WD_SPAN)
+
+
+def _t_lsh_recall(spark, sf_dir):
+    """Banded-LSH pair recall vs exact Jaccard (textops.lsh_recall) —
+    the dedup stack's acceptance metric as a one-row plan."""
+    return textops.lsh_recall(_documents(spark, sf_dir))
+
+
+def _t_winnow_overlap(spark, sf_dir):
+    """MOSS-style fingerprint-overlap pairs (textops.winnow_overlap,
+    Schleimer et al. 2003)."""
+    return textops.winnow_overlap(_documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4621,6 +4646,16 @@ WINDOW_ORDER = [
     # in-window by s_stream_eval/facet/cartesian/parallel/timeseries/
     # scorenodes/train). s_stream_knn enters out-of-window with
     # three-scale local records.
+    # Round-3k rotation (window stays 50): IN t_window_dedup (the
+    # canonical ExactSubstr dedup of Lee et al. 2022 — a new sliding-
+    # window corpus-frequency shape) and t_lsh_recall (the dedup
+    # stack's recall acceptance report — new pair-set comparison
+    # plan). OUT (both keep three-scale local records + pytest):
+    # t_entropy (token-stat family repped in-window by t_quality) and
+    # q_random_sort (the bit-exact Wang-hash machinery is exercised
+    # in-window by q_facet_sampled). t_winnow_overlap enters
+    # out-of-window with three-scale local records.
+    "t_window_dedup", "t_lsh_recall",
     "q_facet_uniqueblock", "t_ict_pairs",
     "q_prefix_scoring", "q_phrase_gap",
     "s_stream_eval", "t_tfidf_keywords",
@@ -4788,7 +4823,6 @@ WINDOW_ORDER = [
     # family is pinned by in-window v_graph_search, the stream
     # evaluator by s_stream_rollup / s_stream_timeseries /
     # s_stream_having.
-    "q_random_sort",
     # Round-2q rotation (window stays 50): IN t_entropy (unigram
     # entropy + TTR — LLM quality ops are first-class gradees and the
     # r1 verdict flagged them as driver-unchecked), t_cross_dedup
@@ -4805,7 +4839,6 @@ WINDOW_ORDER = [
     # pinned by r1-green q_bool_msm2; the per-doc threshold variant
     # keeps its local records). q_facet_pivot_stats stays past-window:
     # ROLLUP machinery is r1-green via q_facet_pivot.
-    "t_entropy",
     # Round-2p rotation (window stays 50): IN q_func_strdist (strdist
     # function query — the Lucene LevenshteinDistance similarity kernel
     # as a ranked function query, a new ValueSource family),
@@ -5160,6 +5193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_uniqueblock": _q_facet_uniqueblock,
         "t_ict_pairs": _t_ict_pairs,
         "s_stream_knn": _q_stream_knn,
+        "t_window_dedup": _t_window_dedup,
+        "t_lsh_recall": _t_lsh_recall,
+        "t_winnow_overlap": _t_winnow_overlap,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -8488,5 +8524,60 @@ WITH {ctes},
 {_knn_mlt_ctes}
 SELECT docid AS doc_id, ROUND(score, 6) AS score FROM kms
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10"""
+
+    # -- round-3k wave -------------------------------------------------------
+    out["t_window_dedup"] = f"""
+WITH wt AS (SELECT doc_id,
+  list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                 t -> lower(t)) AS tokens
+  FROM documents),
+ww AS (SELECT doc_id,
+              array_to_string(tokens[CAST(g AS INT):
+                                     CAST(g + {_WD_SPAN} - 1 AS INT)],
+                              ' ') AS w
+       FROM (SELECT doc_id, tokens,
+                    unnest(range(1, len(tokens) - {_WD_SPAN} + 2)) AS g
+             FROM wt WHERE len(tokens) >= {_WD_SPAN}) s),
+wo AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS occ FROM ww GROUP BY w),
+wp AS (SELECT ww.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+              CAST(SUM(CASE WHEN wo.occ >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dup_windows
+       FROM ww JOIN wo USING (w) GROUP BY ww.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(wp.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(wp.dup_windows, 0) AS BIGINT) AS dup_windows,
+       ROUND(CAST(COALESCE(wp.dup_windows, 0) AS DOUBLE)
+             / GREATEST(COALESCE(wp.n_windows, 0), 1), 6) AS dup_frac,
+       (COALESCE(wp.dup_windows, 0) > 0) AS flagged
+FROM documents d LEFT JOIN wp ON wp.doc_id = d.doc_id"""
+
+    out["t_lsh_recall"] = f"""
+WITH lre AS (SELECT doc_a, doc_b FROM ({out["t_near_dup"]}) x),
+lrl AS (SELECT doc_a, doc_b FROM ({out["t_minhash_lsh"]}) y),
+lne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM lre),
+lnl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lrl),
+lnh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM lrl JOIN lre USING (doc_a, doc_b))
+SELECT n_exact, n_lsh, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / GREATEST(n_exact, 1), 6)
+         AS recall
+FROM lne, lnl, lnh"""
+
+    out["t_winnow_overlap"] = """
+WITH vt AS (SELECT doc_id,
+  list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                 t -> lower(t)) AS tokens
+  FROM documents),
+vsh AS (SELECT DISTINCT doc_id,
+               tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                 AS shingle
+        FROM vt, unnest(range(1, len(tokens) - 1)) t(i)
+        WHERE len(tokens) >= 3),
+vh AS (SELECT doc_id, md5(shingle) AS h FROM vsh
+       WHERE substring(md5(shingle), 1, 1) = '0')
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM vh a JOIN vh b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
 
     return out

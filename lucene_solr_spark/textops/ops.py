@@ -1258,6 +1258,108 @@ def alpha_sample(df: DataFrame, group_col: str = "lang") -> DataFrame:
                     .alias("boost")))
 
 
+def window_dedup(df: DataFrame, span: int = 16,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplicate detection at token-window granularity
+    (Lee et al. 2022, arXiv:2107.06499 "Deduplicating Training Data
+    Makes Language Models Better" — ExactSubstr marks substrings of
+    >= 50 tokens occurring twice anywhere in the corpus): every
+    sliding ``span``-token window is hashed; a window whose string
+    occurs >= 2 times corpus-wide (including within one doc) is
+    duplicated; per doc — window count, duplicated-window count,
+    fraction, and the removal flag.
+
+    Scale shape: the paper builds a suffix array; the Spark-practical
+    form is ONE window explode (n_tokens rows) + ONE count groupBy +
+    ONE equi-join back — two shuffles of token-order magnitude, both
+    map-side combinable and AQE-splittable on hot windows. Docs
+    shorter than span emit zeros (nothing to match).
+    """
+    t = with_tokens(df)
+    parts = ", ".join(f"tokens[i + {j}]" for j in range(span))
+    w = (t.filter(F.expr(f"size(tokens) >= {span}"))
+         .select(F.col(id_col),
+                 F.explode(F.expr(
+                     f"transform(sequence(0, size(tokens) - {span}), "
+                     f"i -> concat_ws(' ', {parts}))")).alias("w")))
+    occ = w.groupBy("w").agg(F.count("*").cast("long").alias("occ"))
+    per = (w.join(occ, "w")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_windows"),
+                F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+                .cast("long").alias("dup_windows")))
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_windows", F.lit(0)).cast("long")
+                .alias("n_windows"),
+                F.coalesce("dup_windows", F.lit(0)).cast("long")
+                .alias("dup_windows"))
+            .withColumn(
+                "dup_frac",
+                F.round(F.col("dup_windows")
+                        / F.greatest("n_windows", F.lit(1)), 6))
+            .withColumn("flagged", F.col("dup_windows") > 0))
+
+
+def lsh_recall(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Banded-LSH acceptance report: pair recall of the MinHash+LSH
+    candidate path vs the exact shingle-Jaccard pairs at the same
+    threshold (the S-curve validation of Leskovec, Rajaraman & Ullman,
+    "Mining of Massive Datasets" ch. 3.4 — banding trades a known
+    false-negative rate for never touching non-colliding pairs).
+    Both sides verify candidates against exact Jaccard, so LSH pairs
+    are a SUBSET of the exact pairs and the single number that can
+    degrade is recall — the metric this report surfaces.
+
+    One row: n_exact, n_lsh, n_hits, recall. Three 1-row aggregates
+    cross-joined — the report costs nothing over the two pair plans.
+    """
+    exact = near_dup_pairs(df, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(df, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    ne = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    nh = (lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+          .agg(F.count("*").cast("long").alias("n_hits")))
+    return (ne.crossJoin(nl).crossJoin(nh)
+            .select("n_exact", "n_lsh", "n_hits",
+                    F.round(F.col("n_hits")
+                            / F.greatest("n_exact", F.lit(1)), 6)
+                    .alias("recall")))
+
+
+def winnow_overlap(df: DataFrame, n: int = 3, min_shared: int = 2,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint-overlap candidate pairs — the MOSS shape (Schleimer,
+    Wilkerson & Aiken 2003, SIGMOD, "Winnowing: Local Algorithms for
+    Document Fingerprinting"): docs are compared ONLY through their
+    SELECTED fingerprints (here the mod-16 md5 sample shared with
+    ``fingerprint``), pairs ranked by how many selected prints they
+    share. Plagiarism/overlap detection at 1/16 of the shingle volume.
+
+    Scale shape: the selected-print inverted index is 1/16 of the
+    shingle index; the pair fan-out touches only docs sharing a
+    selected print (the winnowing guarantee) — one self-join + one
+    pair groupBy, both on the sampled table.
+
+    Output: (doc_a, doc_b, shared) with doc_a < doc_b,
+    shared >= min_shared.
+    """
+    sh = (shingles(df, id_col, n)
+          .withColumn("h", F.md5(F.col("shingle")))
+          .filter(F.expr("substring(h, 1, 1) = '0'"))
+          .select(id_col, "h"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "h")
+    b = sh.select(F.col(id_col).alias("doc_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
 def ict_pairs(df: DataFrame, span: int = 8, id_col: str = "doc_id",
               seed: int = 7) -> DataFrame:
     """Inverse-Cloze-Task positive-pair construction (Lee et al. 2019
