@@ -4584,6 +4584,82 @@ def _t_winnow_overlap(spark, sf_dir):
     return textops.winnow_overlap(_documents(spark, sf_dir))
 
 
+# --- round-3l wave: {!parent}/{!child} qparsers, cross-collection
+# --- join, best-of-n selection ----------------------------------------------
+
+_PARENT_Q = "{!parent which=conv score=max}dup"
+_CHILD_Q = "{!child of=conv}dup"
+_BLK = 8  # derived turns per conv (the conv_signals contract)
+
+
+def _p_parent(spark, sf_dir):
+    """{!parent} block-join qparser (BlockJoinParentQParserPlugin
+    .java:40; ToParentBlockJoinQuery.java:72 with ScoreMode.Max):
+    conv-level parents of turns matching the child query, parent
+    score = max child score. ONE scored plan + ONE partial-aggregable
+    groupBy per conv."""
+    from lucene_solr_spark.search.localparams import local_query
+    pb = local_query(_PARENT_Q)
+    se = _searcher(spark, sf_dir)
+    sc = (se.scored(pb.child)
+          .select(F.expr(f"docid div {_BLK}").alias("conv_id"),
+                  F.round("score", 6).alias("score")))
+    return (sc.groupBy("conv_id")
+            .agg(F.round(F.max("score"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("conv_id")).limit(10))
+
+
+def _p_child(spark, sf_dir):
+    """{!child} block-join qparser (BlockJoinChildQParserPlugin.java;
+    ToChildBlockJoinQuery.java): every turn of a conv whose block
+    matches the parent-side query — match set rolled to conv (one
+    distinct projection) then ONE semi join back to the turns."""
+    from lucene_solr_spark.search.localparams import local_query
+    cb = local_query(_CHILD_Q)
+    se = _searcher(spark, sf_dir)
+    convs = (se.matching(cb.parent)
+             .select(F.expr(f"docid div {_BLK}").alias("conv_id"))
+             .distinct())
+    kids = se.ix.source.select(
+        F.col("docid").alias("doc_id"),
+        F.expr(f"docid div {_BLK}").alias("conv_id"))
+    return (kids.join(convs, "conv_id", "left_semi")
+            .select("doc_id", "conv_id")
+            .orderBy(F.asc("doc_id")).limit(40))
+
+
+_XCJ_TYPE = "error"
+_XCJ_MIN_VALUE = 150.0
+
+
+def _q_xc_join(spark, sf_dir):
+    """Cross-collection join (solr/core/src/java/org/apache/solr/
+    search/join/CrossCollectionJoinQuery.java — {!join
+    method=crossCollection fromIndex=events from=user_id to=doc_id}):
+    a scored text clause filtered by the id set streamed from the
+    OTHER collection. The from-side reduces to a distinct key
+    projection (pushed filters on the events scan) and the join is a
+    semi join — at scale the reference streams the id set for
+    exactly this shape; broadcastable when the from-side is small."""
+    se = _searcher(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keys = (ev.filter((F.col("event_type") == _XCJ_TYPE)
+                      & (F.col("value") >= _XCJ_MIN_VALUE))
+            .select(F.col("user_id").alias("docid")).distinct())
+    sc = se.scored(Term("join")).select(
+        "docid", F.round("score", 6).alias("score"))
+    return (sc.join(keys, "docid", "left_semi")
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+def _t_best_of_n(spark, sf_dir):
+    """Rejection-sampling winners (textops.best_of_n, Llama 2
+    arXiv:2307.09288 §3.2.2): the top-reward assistant turn per
+    conversation."""
+    return textops.best_of_n(_documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4655,6 +4731,16 @@ WINDOW_ORDER = [
     # q_random_sort (the bit-exact Wang-hash machinery is exercised
     # in-window by q_facet_sampled). t_winnow_overlap enters
     # out-of-window with three-scale local records.
+    # Round-3l rotation (window stays 50): IN p_parent (the {!parent}
+    # block-join qparser — parser family + ScoreMode machinery in one
+    # row) and q_xc_join (cross-collection join — a new two-table
+    # semi-join shape against the events collection). OUT (both keep
+    # three-scale local records + pytest): t_quality (heuristic scan
+    # shape repped in-window by t_fasttext/t_dclm_select) and
+    # s_stream_timeseries (stream family amply repped in-window).
+    # p_child and t_best_of_n enter out-of-window with three-scale
+    # local records.
+    "p_parent", "q_xc_join",
     "t_window_dedup", "t_lsh_recall",
     "q_facet_uniqueblock", "t_ict_pairs",
     "q_prefix_scoring", "q_phrase_gap",
@@ -4872,9 +4958,7 @@ WINDOW_ORDER = [
     # t_contamination (broadcast shingle membership over the shingle
     # plumbing t_near_dup/t_minhash_lsh pin).
     "q_ltr_tree", "t_hll_card",
-    "s_stream_timeseries",
     # r1-unchecked
-    "t_quality",
     "t_minhash_lsh",
     # new in round 2
     "q_phrase_sloppy", "q_fuzzy_tr", "q_span_not",
@@ -5196,6 +5280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_window_dedup": _t_window_dedup,
         "t_lsh_recall": _t_lsh_recall,
         "t_winnow_overlap": _t_winnow_overlap,
+        "p_parent": _p_parent,
+        "p_child": _p_child,
+        "q_xc_join": _q_xc_join,
+        "t_best_of_n": _t_best_of_n,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -8579,5 +8667,53 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS shared
 FROM vh a JOIN vh b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+
+    # -- round-3l wave -------------------------------------------------------
+    out["p_parent"] = f"""
+WITH {ctes},
+bps AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term("dup"))}) s),
+bpg AS (SELECT docid // {_BLK} AS conv_id,
+               ROUND(MAX(score), 6) AS score
+        FROM bps GROUP BY 1)
+SELECT CAST(conv_id AS BIGINT) AS conv_id, score FROM bpg
+ORDER BY score DESC, conv_id ASC LIMIT 10"""
+
+    out["p_child"] = f"""
+WITH {ctes},
+bcm AS (SELECT DISTINCT docid // {_BLK} AS conv_id
+        FROM postings WHERE term = 'dup')
+SELECT d.doc_id,
+       CAST(d.doc_id // {_BLK} AS BIGINT) AS conv_id
+FROM documents d
+WHERE d.doc_id // {_BLK} IN (SELECT conv_id FROM bcm)
+ORDER BY d.doc_id ASC LIMIT 40"""
+
+    out["q_xc_join"] = f"""
+WITH {ctes},
+xck AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = '{_XCJ_TYPE}'
+          AND value >= {_XCJ_MIN_VALUE!r}),
+xcs AS (SELECT docid, ROUND(score, 6) AS score
+        FROM ({ob.scored(Term("join"))}) s
+        WHERE docid IN (SELECT user_id FROM xck))
+SELECT docid AS doc_id, score FROM xcs
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    out["t_best_of_n"] = f"""
+WITH ftp AS ({out["t_fasttext"]}),
+boa AS (SELECT doc_id // 8 AS conv_id, doc_id, prob FROM ftp
+        WHERE (doc_id % 8) % 2 = 1),
+bor AS (SELECT conv_id, doc_id, prob,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                   ORDER BY prob DESC, doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM boa)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(MAX(n) AS BIGINT) AS n_candidates,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+         AS best_id,
+       MAX(CASE WHEN rk = 1 THEN prob END) AS best_prob
+FROM bor GROUP BY conv_id"""
 
     return out

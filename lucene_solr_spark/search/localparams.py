@@ -60,6 +60,32 @@ class Knn:
     vector: tuple
 
 
+@dataclass(frozen=True)
+class ParentBlock:
+    """{!parent which=conv score=...}child_query
+    (solr/core/src/java/org/apache/solr/search/join/
+    BlockJoinParentQParserPlugin.java:40): parents whose block
+    contains a child matching the body; ``score`` = the join
+    ScoreMode (none|max|min|total|avg, :47). In the transcript tier
+    blocks are the DERIVED conv groups (doc_id div turns_per_conv —
+    the conv_signals contract), so ``which`` must be the literal
+    ``conv``; arbitrary parent-filter queries would need interleaved
+    parent docs the input shape does not have (documented
+    divergence)."""
+    child: Query
+    score_mode: str = "none"
+
+
+@dataclass(frozen=True)
+class ChildBlock:
+    """{!child of=conv}parent_query (BlockJoinChildQParserPlugin
+    .java): children of blocks whose parent matches. With derived
+    blocks the parent-side body is evaluated as 'some turn of the
+    conv matches' (EXISTS at conv level) — the closest faithful
+    reading when parents are rollups, not stored docs."""
+    parent: Query
+
+
 def parse_local_params(s: str, params: dict | None = None):
     """``{!type k=v ...}body`` -> (type, {k: v}, body).
 
@@ -149,6 +175,19 @@ def local_query(s: str, params: dict | None = None):
             raise LocalParamsError(f"bad knn vector: {exc}") from None
         return Knn(field=kv["f"], top_k=int(kv.get("topK", "10")),
                    vector=vec)
+    if ptype == "parent":
+        if kv.get("which") != "conv":
+            raise LocalParamsError(
+                "{!parent} requires which=conv (derived blocks)")
+        mode = kv.get("score", "none")
+        if mode not in ("none", "max", "min", "total", "avg"):
+            raise LocalParamsError(f"bad ScoreMode {mode!r}")
+        return ParentBlock(parse_query(body), score_mode=mode)
+    if ptype == "child":
+        if kv.get("of") != "conv":
+            raise LocalParamsError(
+                "{!child} requires of=conv (derived blocks)")
+        return ChildBlock(parse_query(body))
     if ptype == "rerank":
         rq = kv.get("reRankQuery")
         if rq is None:

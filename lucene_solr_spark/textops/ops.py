@@ -1437,6 +1437,34 @@ def tfidf_keywords(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "rank", "term", "score"))
 
 
+def best_of_n(df: DataFrame, turns_per_conv: int = 8,
+              id_col: str = "doc_id") -> DataFrame:
+    """Best-of-n / rejection-sampling selection (Touvron et al. 2023
+    Llama 2 arXiv:2307.09288 §3.2.2 Rejection Sampling fine-tuning;
+    Nakano et al. 2021 WebGPT arXiv:2112.09332 best-of-n): per
+    conversation keep ONLY the highest-reward assistant turn — the
+    selected sample an RSFT pass trains on. Unlike ``pref_pairs``
+    (which needs >= 2 candidates to form a comparison), every
+    conversation with >= 1 assistant turn emits its winner.
+
+    Same derived structure and reward as pref_pairs (conv = id DIV
+    turns_per_conv, reward = fasttext_score prob, ties doc id ASC);
+    ONE struct-extreme groupBy, map-side combinable.
+    """
+    k = turns_per_conv
+    s = fasttext_score(df, id_col=id_col)
+    a = (s.select((F.col(id_col) / k).cast("long").alias("conv_id"),
+                  F.col(id_col).alias("did"), "prob")
+         .filter((F.col("did") % k) % 2 == 1))
+    g = a.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.max(F.struct(F.col("prob"),
+                       (-F.col("did")).alias("nid"))).alias("ch"))
+    return g.select("conv_id", "n_candidates",
+                    (-F.col("ch.nid")).cast("long").alias("best_id"),
+                    F.col("ch.prob").alias("best_prob"))
+
+
 def pref_pairs(df: DataFrame, turns_per_conv: int = 8,
                id_col: str = "doc_id") -> DataFrame:
     """RLHF/DPO preference-pair construction (Ouyang et al. 2022
