@@ -4660,6 +4660,51 @@ def _t_best_of_n(spark, sf_dir):
     return textops.best_of_n(_documents(spark, sf_dir))
 
 
+# --- round-3m wave: ComplexPhrase parser, point-in-set, length-bias ---------
+
+_CPX_Q = '+"ha* join" "table (hash merge)"'
+
+
+def _p_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser (lucene/queryparser/src/java/org/
+    apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser
+    .java:63) — the NINTH parser family: quoted phrases with embedded
+    wildcard and alternation subclauses compile to the oracle-proven
+    PhraseWildcard / MultiPhrase nodes (search/complexphrase.py)."""
+    from lucene_solr_spark.search.complexphrase import (
+        parse_complex_phrase)
+    return _searcher(spark, sf_dir).topk(
+        parse_complex_phrase(_CPX_Q), 10)
+
+
+_PIS_VALUES = tuple(range(60, 400, 7))
+
+
+def _q_point_in_set(spark, sf_dir):
+    """PointInSetQuery (lucene/core/src/java/org/apache/lucene/
+    search/PointInSetQuery.java — exact numeric set membership, the
+    BKD cousin of TermInSet) as a constant-score FILTER on a scored
+    clause. The In(n_chars, ...) predicate pushes to the parquet scan
+    (row-group stats prune), so at 100 TB the filter rides the scan
+    instead of a post-join."""
+    se = _searcher(spark, sf_dir)
+    keys = (se.ix.source
+            .filter(F.col("n_chars").isin(list(_PIS_VALUES)))
+            .select("docid"))
+    sc = se.scored(Term("scan")).select(
+        "docid", F.round("score", 6).alias("score"))
+    return (sc.join(keys, "docid", "left_semi")
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+def _t_len_bias(spark, sf_dir):
+    """RLHF length-bias diagnostic (textops.len_bias,
+    arXiv:2310.03716): per-language Pearson r between the classifier
+    reward and token length."""
+    return textops.len_bias(_documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4740,6 +4785,16 @@ WINDOW_ORDER = [
     # s_stream_timeseries (stream family amply repped in-window).
     # p_child and t_best_of_n enter out-of-window with three-scale
     # local records.
+    # Round-3m rotation (window stays 50): IN p_complex_phrase (the
+    # NINTH parser family — embedded multi-term subclauses inside
+    # quoted phrases) and t_len_bias (the RLHF verbosity-bias
+    # diagnostic — a new five-sum correlation aggregate). OUT (both
+    # keep three-scale local records + pytest): s_stream_train (ML
+    # streams repped in-window by s_stream_scorenodes) and v_bq (the
+    # v-family stays repped by v_ivf_pq/v_mmr/v_maxsim/v_embed_lsh).
+    # q_point_in_set enters out-of-window with three-scale local
+    # records.
+    "p_complex_phrase", "t_len_bias",
     "p_parent", "q_xc_join",
     "t_window_dedup", "t_lsh_recall",
     "q_facet_uniqueblock", "t_ict_pairs",
@@ -4839,7 +4894,7 @@ WINDOW_ORDER = [
     # (NB scorer reads the same stats tables every scored in-window
     # row exercises; the classify tuple shape matches q_classify_knn's
     # r2 local records).
-    "s_stream_scorenodes", "s_stream_train",
+    "s_stream_scorenodes",
     "q_word_delim",
     # Round-2y rotation (window stays 50): IN q_common_grams
     # (CommonGramsFilter grams with an in-plan common-word set — new
@@ -4853,7 +4908,6 @@ WINDOW_ORDER = [
     # s_stream_having/timeseries/scorenodes/features/train — and
     # rollup's groupBy shape is pinned by every facet row; all keep
     # three-scale local records).
-    "v_bq",
     # Round-2z rotation (window stays 50): IN t_line_dedup (C4/
     # RefinedWeb duplicate-line removal WITH document reassembly — a
     # new keep/arg-min + stitch-back plan shape) and v_hard_negatives
@@ -5284,6 +5338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_child": _p_child,
         "q_xc_join": _q_xc_join,
         "t_best_of_n": _t_best_of_n,
+        "p_complex_phrase": _p_complex_phrase,
+        "q_point_in_set": _q_point_in_set,
+        "t_len_bias": _t_len_bias,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -8715,5 +8772,46 @@ SELECT CAST(conv_id AS BIGINT) AS conv_id,
          AS best_id,
        MAX(CASE WHEN rk = 1 THEN prob END) AS best_prob
 FROM bor GROUP BY conv_id"""
+
+    # -- round-3m wave -------------------------------------------------------
+    from lucene_solr_spark.search.complexphrase import (
+        parse_complex_phrase as _pcp)
+    out["p_complex_phrase"] = ob.topk_sql(_pcp(_CPX_Q), 10)
+
+    _pis = ", ".join(str(v) for v in _PIS_VALUES)
+    out["q_point_in_set"] = f"""
+WITH {ctes},
+piss AS (SELECT s.docid, ROUND(s.score, 6) AS score
+         FROM ({ob.scored(Term("scan"))}) s
+         JOIN documents d ON d.doc_id = s.docid
+         WHERE d.n_chars IN ({_pis}))
+SELECT docid AS doc_id, score FROM piss
+ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    out["t_len_bias"] = f"""
+WITH lb AS (SELECT lang,
+  list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                 t -> lower(t)) AS tokens
+  FROM documents),
+lb2 AS (SELECT lang, CAST(len(tokens) AS DOUBLE) AS y,
+  ROUND(1.0 / (1.0 + exp(-ROUND(
+    CAST(COALESCE(list_sum(list_transform(tokens, x -> {_ftwd})), 0)
+         AS DOUBLE) /
+    (1000.0 * CASE WHEN len(tokens) = 0 THEN 1
+              ELSE len(tokens) END), 6))), 6) AS x
+  FROM lb),
+lb3 AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM lb2 GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       ROUND(sy / n, 6) AS mean_len,
+       ROUND(sx / n, 6) AS mean_reward,
+       ROUND(CASE WHEN (n * sxx - sx * sx) <= 0
+                  OR (n * syy - sy * sy) <= 0 THEN 0.0
+             ELSE (n * sxy - sx * sy) /
+                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END, 6) AS len_reward_corr
+FROM lb3"""
 
     return out

@@ -1437,6 +1437,51 @@ def tfidf_keywords(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "rank", "term", "score"))
 
 
+def len_bias(df: DataFrame, group_col: str = "lang",
+             id_col: str = "doc_id") -> DataFrame:
+    """Reward-length correlation — the RLHF verbosity-bias diagnostic
+    (Singhal et al. 2023, arXiv:2310.03716 "A Long Way to Go:
+    Investigating Length Correlations in RLHF"): per slice, the
+    Pearson correlation between the reward-model stand-in
+    (fasttext_score prob) and response token length. A strongly
+    positive r means the reward can be gamed by verbosity.
+
+    Pearson r is assembled from five partial-aggregable sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) — ONE scan + ONE groupBy, the same
+    formula text on both engines (a builtin corr() would pin us to
+    each engine's accumulation strategy). Zero-variance slices
+    report r = 0.
+    """
+    t = with_tokens(df)
+    w = fasttext_weight_sql(fasttext_bucket_sql("x", "spark"))
+    base = t.select(
+        F.col(group_col),
+        F.expr("CAST(size(tokens) AS DOUBLE)").alias("y"),
+        F.expr(f"aggregate(tokens, CAST(0 AS BIGINT), "
+               f"(a, x) -> a + ({w}))").alias("wsum"),
+        F.expr("CAST(size(tokens) AS BIGINT)").alias("nt"),
+    ).select(
+        group_col, "y",
+        F.expr("ROUND(1.0 / (1.0 + exp(-ROUND(CAST(wsum AS DOUBLE) / "
+               "(1000.0 * CASE WHEN nt = 0 THEN 1 ELSE nt END), 6))), "
+               "6)").alias("x"))
+    g = base.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"))
+    corr = ("CASE WHEN (n * sxx - sx * sx) <= 0 "
+            "OR (n * syy - sy * sy) <= 0 THEN 0.0 "
+            "ELSE (n * sxy - sx * sy) / "
+            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END")
+    return g.select(
+        group_col, F.col("n").cast("long").alias("n"),
+        F.expr("ROUND(sy / n, 6)").alias("mean_len"),
+        F.expr("ROUND(sx / n, 6)").alias("mean_reward"),
+        F.expr(f"ROUND({corr}, 6)").alias("len_reward_corr"))
+
+
 def best_of_n(df: DataFrame, turns_per_conv: int = 8,
               id_col: str = "doc_id") -> DataFrame:
     """Best-of-n / rejection-sampling selection (Touvron et al. 2023
