@@ -4705,6 +4705,53 @@ def _t_len_bias(spark, sf_dir):
     return textops.len_bias(_documents(spark, sf_dir))
 
 
+# --- round-3n wave: D4 prototype pruning, facet2D stream, context
+# --- suggester ---------------------------------------------------------------
+
+def _v_ssl_prune(spark, sf_dir):
+    """D4 stage-2 prototype pruning (vector.ann.ssl_prune,
+    arXiv:2308.12284 + arXiv:2206.14486): keep the least-prototypical
+    half of each embedding cluster."""
+    from lucene_solr_spark.vector.ann import ssl_prune
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ssl_prune(emb, stride=37, keep_frac=0.5)
+
+
+_STREAM_F2D_EXPR = ('facet2D(documents, q="*:*", x="lang", '
+                    'y="source", dimensions="3,4", count(*))')
+
+
+def _q_stream_facet2d(spark, sf_dir):
+    """Facet2DStream (solrj/io/stream/Facet2DStream.java:63): top-3
+    langs by doc count, top-4 sources within each."""
+    return _stream_eval(spark, sf_dir, _STREAM_F2D_EXPR)
+
+
+_SGC_PREFIX = "s"
+_SGC_LANG = "en"
+
+
+def _q_suggest_context(spark, sf_dir):
+    """Context-filtered completion (lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/document/ContextQuery.java:64 —
+    completions restricted to suggestions whose context matches):
+    prefix completions weighted by term frequency WITHIN the context
+    slice (lang='en') rather than the whole collection — the weight
+    itself is context-scoped, not post-filtered.
+
+    Scale shape: pushed term-prefix filter on the postings scan +
+    context semi join + ONE partial-aggregable per-term sum."""
+    se = _searcher(spark, sf_dir)
+    ctx = (se.ix.source.filter(F.col("lang") == _SGC_LANG)
+           .select("docid"))
+    return (se.ix.postings
+            .filter(F.col("term").like(_SGC_PREFIX + "%"))
+            .join(ctx, "docid")
+            .groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(10))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -4794,6 +4841,16 @@ WINDOW_ORDER = [
     # v-family stays repped by v_ivf_pq/v_mmr/v_maxsim/v_embed_lsh).
     # q_point_in_set enters out-of-window with three-scale local
     # records.
+    # Round-3n rotation (window stays 50): IN v_ssl_prune (D4
+    # prototype pruning — a new per-cluster ranking shape over the
+    # IVF assignment) and s_stream_facet2d (two-level facet cross-tab
+    # — a new nested top-k shape). OUT (both keep three-scale local
+    # records + pytest): t_hll_card (sketch machinery pytest-pinned;
+    # q_bloom keeps the sketch family repped where it sits) and
+    # q_ltr_tree (LTR family repped by in-window q_ltr rows in local
+    # records; tree-walk pytest-pinned). q_suggest_context enters
+    # out-of-window with three-scale local records.
+    "v_ssl_prune", "s_stream_facet2d",
     "p_complex_phrase", "t_len_bias",
     "p_parent", "q_xc_join",
     "t_window_dedup", "t_lsh_recall",
@@ -5011,7 +5068,6 @@ WINDOW_ORDER = [
     # family keeps t_minhash_lsh + t_near_dup in window),
     # t_contamination (broadcast shingle membership over the shingle
     # plumbing t_near_dup/t_minhash_lsh pin).
-    "q_ltr_tree", "t_hll_card",
     # r1-unchecked
     "t_minhash_lsh",
     # new in round 2
@@ -5341,6 +5397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_complex_phrase": _p_complex_phrase,
         "q_point_in_set": _q_point_in_set,
         "t_len_bias": _t_len_bias,
+        "v_ssl_prune": _v_ssl_prune,
+        "s_stream_facet2d": _q_stream_facet2d,
+        "q_suggest_context": _q_suggest_context,
         "q_date_math": _q_date_math,
         "q_boost_recency": _q_boost_recency,
         "q_feature_sat": _q_feature_sat,
@@ -8813,5 +8872,57 @@ SELECT lang, CAST(n AS BIGINT) AS n,
                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
              END, 6) AS len_reward_corr
 FROM lb3"""
+
+    # -- round-3n wave -------------------------------------------------------
+    out["v_ssl_prune"] = f"""
+WITH ee AS (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+en AS (SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ne
+       FROM ee GROUP BY vec_id),
+ce AS (SELECT vec_id AS cent_id, v, i FROM ee
+       WHERE vec_id % {_IVF_STRIDE} = 0),
+cn AS (SELECT cent_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nc
+       FROM ce GROUP BY cent_id),
+cdots AS (SELECT e.vec_id, c.cent_id,
+                 SUM(CAST(e.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot
+          FROM ee e JOIN ce c ON e.i = c.i GROUP BY e.vec_id, c.cent_id),
+spa AS (SELECT vec_id, cent_id, proto FROM (
+          SELECT d.vec_id, d.cent_id,
+                 ROUND(d.dot / (sqrt(en.ne) * sqrt(cn.nc)), 6) AS proto,
+                 ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                   ORDER BY ROUND(d.dot / (sqrt(en.ne) * sqrt(cn.nc)),
+                                  6) DESC, d.cent_id ASC) AS rn
+          FROM cdots d
+          JOIN en ON en.vec_id = d.vec_id
+          JOIN cn ON cn.cent_id = d.cent_id) t WHERE rn = 1),
+spr AS (SELECT vec_id, cent_id, proto,
+               ROW_NUMBER() OVER (PARTITION BY cent_id
+                   ORDER BY proto ASC, vec_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY cent_id) AS ncl
+        FROM spa)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cent_id AS BIGINT) AS cent_id, proto,
+       (rk <= CEIL(ncl * 0.5)) AS kept
+FROM spr"""
+
+    out["s_stream_facet2d"] = """
+WITH f2g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS "count"
+             FROM documents GROUP BY 1, 2),
+f2x AS (SELECT lang FROM (
+          SELECT lang, SUM("count") AS tot FROM f2g GROUP BY lang
+          ORDER BY tot DESC, lang ASC LIMIT 3) t),
+f2r AS (SELECT f2g.lang, f2g.source, f2g."count",
+               ROW_NUMBER() OVER (PARTITION BY f2g.lang
+                   ORDER BY f2g."count" DESC, f2g.source ASC) AS rk
+        FROM f2g JOIN f2x USING (lang))
+SELECT lang, source, "count" FROM f2r WHERE rk <= 4"""
+
+    out["q_suggest_context"] = f"""
+WITH {ctes}
+SELECT p.term, CAST(SUM(p.tf) AS BIGINT) AS weight
+FROM postings p JOIN documents d ON d.doc_id = p.docid
+WHERE p.term LIKE '{_SGC_PREFIX}%' AND d.lang = '{_SGC_LANG}'
+GROUP BY p.term ORDER BY weight DESC, p.term ASC LIMIT 10"""
 
     return out

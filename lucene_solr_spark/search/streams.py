@@ -507,6 +507,37 @@ class StreamEvaluator:
             out = out.limit(int(e.params["bucketSizeLimit"]))
         return out
 
+    def _s_facet2D(self, e: StreamExpr) -> DataFrame:
+        """Facet2DStream (solrj/io/stream/Facet2DStream.java:63): a
+        two-dimensional facet cross-tab — the top ``nx`` x-buckets by
+        their metric total, and within each, the top ``ny`` y-buckets
+        (``dimensions="nx,ny"``; one metric, count(*) default). The
+        nested JSON facet the reference pushes down becomes one
+        (x,y) hash aggregate + a tiny x-total top-k + ONE window
+        PARTITIONED BY x for the per-x y ranking (per-bucket sorts,
+        never global)."""
+        coll = e.args[0]
+        df = self._apply_q(coll, self.collections[coll],
+                           e.params.get("q", "*:*"))
+        x, y = e.params["x"], e.params["y"]
+        nx, ny = (int(v) for v in
+                  e.params.get("dimensions", "10,10").split(","))
+        metrics = [a for a in e.args[1:]
+                   if isinstance(a, StreamExpr) and a.name in _AGG_FNS]
+        mcol = _agg_col(metrics[0]) if metrics else \
+            F.count("*").cast("long").alias("count")
+        g = df.groupBy(x, y).agg(mcol)
+        mname = g.columns[-1]
+        topx = (g.groupBy(x)
+                .agg(F.sum(mname).alias("__tot"))
+                .orderBy(F.desc("__tot"), F.asc(x)).limit(nx)
+                .select(x))
+        w = Window.partitionBy(x).orderBy(F.desc(mname), F.asc(y))
+        return (g.join(F.broadcast(topx), x)
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= ny)
+                .select(x, y, mname))
+
     def _s_random(self, e: StreamExpr) -> DataFrame:
         """RandomStream (solrj/io/stream/RandomStream.java:54): a
         pseudo-random sample of the match set. The reference sorts on

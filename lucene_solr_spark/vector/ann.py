@@ -251,6 +251,54 @@ def ivf_assign(emb: DataFrame, stride: int = 37, id_col: str = "vec_id",
             .select(id_col, vec_col, "cent_id"))
 
 
+def ssl_prune(emb: DataFrame, stride: int = 37, keep_frac: float = 0.5,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """SSL-prototype data pruning — D4's second stage (Tirumala et al.
+    2023, arXiv:2308.12284 "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification"; metric from Sorscher et al.
+    2022, arXiv:2206.14486 "Beyond neural scaling laws"): cluster the
+    embeddings, score each point by its cosine to the assigned
+    centroid (prototypicality), and PRUNE the most prototypical —
+    easy, redundant — examples, keeping the ``keep_frac`` least
+    prototypical per cluster (ceil, ties id ASC).
+
+    Clustering reuses the deterministic IVF stride codebook
+    (:func:`ivf_assign` — the papers use k-means; same shape, no
+    training RNG, so the DuckDB oracle rebuilds it exactly).
+
+    Scale shape: assignment is the ivf_assign broadcast fan-out +
+    map-side argmax; prototypicality adds ONE broadcast join to the
+    tiny centroid table; ranking is a window PARTITIONED BY cell
+    (per-cell sorts, never global).
+
+    Output: (vec_id, cent_id, proto, kept).
+    """
+    a = ivf_assign(emb, stride, id_col, vec_col)
+    scn = "sqrt(" + DOT.format(a="cv", b="cv") + ")"
+    cents = (emb.filter((F.col(id_col) % stride) == 0)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cv"))
+             .withColumn("scn", F.expr(scn)))
+    svn = "sqrt(" + DOT.format(a=vec_col, b=vec_col) + ")"
+    dot = DOT.format(a=vec_col, b="cv")
+    proto = f"ROUND(({dot}) / (({svn}) * scn), 6)"
+    p = (a.join(F.broadcast(cents), "cent_id")
+         .select(F.col(id_col), "cent_id",
+                 F.expr(proto).alias("proto")))
+    w_rank = Window.partitionBy("cent_id").orderBy(
+        F.asc("proto"), F.asc(id_col))
+    w_all = Window.partitionBy("cent_id")
+    return (p.withColumn("rk", F.row_number().over(w_rank))
+            .withColumn("nc", F.count("*").over(w_all))
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col("cent_id").cast("long").alias("cent_id"),
+                    "proto",
+                    (F.col("rk") <= F.ceil(F.col("nc")
+                                           * float(keep_frac)))
+                    .alias("kept")))
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
              stride: int = 37, nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
