@@ -38,7 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .parser import parse as parse_query
-from .query import Boost, Prefix, Query, Term
+from .query import Bool, Boost, Prefix, Query, Term, TermInSet
 
 
 class LocalParamsError(ValueError):
@@ -175,6 +175,36 @@ def local_query(s: str, params: dict | None = None):
             raise LocalParamsError(f"bad knn vector: {exc}") from None
         return Knn(field=kv["f"], top_k=int(kv.get("topK", "10")),
                    vector=vec)
+    if ptype == "terms":
+        # TermsQParserPlugin.java:62 — comma-separated raw terms, NO
+        # analysis, constant-score set membership (method param is an
+        # access-path hint the planner owns here)
+        terms = tuple(t.strip() for t in body.split(kv.get(
+            "separator", ",")) if t.strip())
+        if not terms:
+            raise LocalParamsError("{!terms} requires a non-empty list")
+        return TermInSet(terms)
+    if ptype == "bool":
+        # BoolQParserPlugin.java:43-46 — must/should/must_not/filter
+        # params each hold a subquery string (usually via $refs)
+        def _clauses(key):
+            vals = [v for k, v in kv.items() if k == key]
+            out = tuple(local_query(v, params) for v in vals)
+            for q in out:
+                if isinstance(q, (ReRank, Knn)):
+                    raise LocalParamsError(
+                        f"{{!bool}} clause cannot be a "
+                        f"{type(q).__name__} spec")
+            return out
+        must = _clauses("must")
+        should = _clauses("should")
+        must_not = _clauses("must_not")
+        filt = _clauses("filter")
+        if not (must or should or filt):
+            raise LocalParamsError("{!bool} needs a positive clause")
+        msm = int(kv.get("mm", "0"))
+        return Bool(must=must, should=should, must_not=must_not,
+                    filter=filt, minimum_should_match=msm)
     if ptype == "parent":
         if kv.get("which") != "conv":
             raise LocalParamsError(

@@ -442,6 +442,24 @@ class StreamEvaluator:
             out = out.limit(int(e.params["numTerms"]))
         return out
 
+    def _s_tuple(self, e: StreamExpr) -> DataFrame:
+        """TupStream (solrj/io/stream/TupStream.java:52): ONE tuple of
+        named values — the leaf the math-expression guide pairs with
+        let(). Each value is an evaluator tree or literal compiled to
+        a Catalyst expression over a 1-row relation (spark.range(1)),
+        so the whole tuple is a single whole-stage-codegen project on
+        one row — no data scan at all. (The reference also allows a
+        value to be a bound let() cell or stream; those land in cells
+        as DataFrames and replay via get(), not tuple().)"""
+        spark = next(iter(self.collections.values())).sparkSession
+        cols = []
+        for name, txt in e.params.items():
+            node = parse_stream(txt) if _NAME_RE.match(txt) else txt
+            cols.append(self._eval_col(node).alias(name))
+        if not cols:
+            raise ValueError("tuple() needs at least one named value")
+        return spark.range(1).select(*cols)
+
     def _s_let(self, e: StreamExpr) -> DataFrame:
         """LetStream (solrj/io/stream/LetStream.java:42): bind named
         cells to stream results, evaluate the body with the bindings
@@ -601,6 +619,105 @@ class StreamEvaluator:
     def _s_sort(self, e: StreamExpr) -> DataFrame:
         (src,) = self._streams(e)
         return src.orderBy(*_sort_cols(e.params["by"]))
+
+    def _s_reduce(self, e: StreamExpr) -> DataFrame:
+        """ReducerStream + GroupOperation (solrj/io/stream/
+        ReducerStream.java:31, solrj/io/ops/GroupOperation.java:108):
+        one tuple per ``by`` group; the group operation keeps the
+        top-``n`` tuples of the group under its ``sort`` comparator,
+        the emitted tuple carries the comparator-best tuple's fields
+        plus a ``group`` list of the kept tuples in comparator order.
+
+        Spark realization: the reference requires the underlying
+        stream pre-sorted by ``by`` because it reduces ADJACENT runs
+        on one node; a hash aggregate needs no such contract, so the
+        sort requirement disappears — one row_number window
+        partitioned by the group keys (per-partition sorts, never
+        global) keeps rank<=n, then ONE groupBy assembles the ordered
+        ``group`` array. Two key-local shuffles on the group keys,
+        both map-side combinable at the window stage; at 100 TB each
+        group's candidate set is bounded by n before the collect, so
+        no group ever materializes unbounded state (the reference's
+        PriorityQueue bound, kept).
+
+        Determinism note: GroupOperation's PriorityQueue breaks
+        comparator ties arbitrarily; here ties break by the remaining
+        columns ascending so both engines agree (documented
+        divergence, pinned in tests)."""
+        group_ops = [a for a in e.args if isinstance(a, StreamExpr)
+                     and a.name == "group"]
+        if len(group_ops) != 1:
+            raise ValueError("reduce() needs exactly one group(...) op")
+        gop = group_ops[0]
+        srcs = [a for a in e.args if isinstance(a, StreamExpr)
+                and a.name != "group"
+                and a.name not in _NON_STREAM_FNS]
+        if len(srcs) != 1:
+            raise ValueError("reduce() needs exactly one stream source")
+        src = self.eval(srcs[0])
+        by = [c.split()[0].strip() for c in e.params["by"].split(",")
+              if c.strip()]
+        n = int(gop.params["n"])
+        if n <= 0:
+            raise ValueError("group() n must be > 0")
+        order = _sort_cols(gop.params["sort"])
+        # deterministic tie-break: every remaining column ascending
+        sort_names = {p.split()[0].strip()
+                      for p in gop.params["sort"].split(",") if p.strip()}
+        ties = [F.col(c).asc() for c in src.columns
+                if c not in sort_names and c not in by]
+        w = Window.partitionBy(*by).orderBy(*order, *ties)
+        other = [c for c in src.columns if c not in by]
+        ranked = (src.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= n))
+        head = [F.max(F.when(F.col("_rk") == 1, F.col(c))).alias(c)
+                for c in other]
+        grp = F.sort_array(F.collect_list(
+            F.struct(F.col("_rk").alias("rk"),
+                     *[F.col(c) for c in other]))).alias("group")
+        return ranked.groupBy(*by).agg(*head, grp)
+
+    def _s_list(self, e: StreamExpr) -> DataFrame:
+        """ListStream (solrj/io/stream/ListStream.java:36): opens each
+        wrapped stream in turn and emits its tuples — stream
+        concatenation. Spark realization: unionByName with
+        allowMissingColumns (the reference's tuples are schemaless
+        maps; missing fields read as null), which stays a UNION node —
+        no shuffle, each leg keeps its own plan. The reference
+        guarantees leg ORDER (stream i fully drains before i+1); a
+        distributed union interleaves partitions instead, so a
+        ``_list_src`` ordinal column records the leg a tuple came from
+        (sorting by it restores the contract when a consumer needs
+        it)."""
+        srcs = self._streams(e)
+        if not srcs:
+            raise ValueError("list() needs at least one stream")
+        legs = [s.withColumn("_list_src", F.lit(i))
+                for i, s in enumerate(srcs)]
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg, allowMissingColumns=True)
+        return out
+
+    def _s_null(self, e: StreamExpr) -> DataFrame:
+        """NullStream (solrj/io/stream/NullStream.java:42): drains the
+        wrapped stream and emits ONE tuple — the tuple count — the
+        reference's parallel-optimization harness (it also reports a
+        wall-clock ``timer`` field; a deterministic engine contract
+        can't hash wall time, so the count is the tuple and timing
+        lives in bench.py). Compiles to a groupless COUNT(*) — partial
+        + final aggregate, no data movement beyond one long per
+        partition."""
+        (src,) = self._streams(e)
+        return src.agg(F.count("*").cast("long").alias("nullCount"))
+
+    def _s_echo(self, e: StreamExpr) -> DataFrame:
+        """EchoStream (solrj/io/stream/EchoStream.java): one tuple
+        {echo: <text>} — the hello-world leaf of the expression
+        language (useful to probe a worker round-trip)."""
+        spark = next(iter(self.collections.values())).sparkSession
+        txt = _unquote(e.args[0]) if e.args else ""
+        return spark.range(1).select(F.lit(txt).alias("echo"))
 
     def _s_parallel(self, e: StreamExpr) -> DataFrame:
         """ParallelStream (solr/solrj/src/java/org/apache/solr/client/
