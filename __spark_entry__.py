@@ -4991,6 +4991,16 @@ WINDOW_ORDER = [
     # s_stream_tuple enters out-of-window with three-scale local
     # records. q_regexp and q_spell_wordbreak stay pinned in-window
     # (round-1 judge hot spots).
+    # Round-3p rotation (window stays 50): IN s_stream_reduce (the
+    # ReducerStream + GroupOperation pair — a new reduce-operation
+    # parse surface AND a new bounded per-group list-assembly shape:
+    # rank window + collect of <= n structs, the reference's
+    # PriorityQueue bound kept). OUT t_fim_split (keeps three-scale
+    # local records + pytest; its staged Wang-hash machinery is
+    # pinned in-window by q_facet_sampled's identical hash columns).
+    # s_stream_list and s_stream_null enter out-of-window with
+    # three-scale local records.
+    "s_stream_reduce",
     "p_bool", "p_terms",
     "v_ssl_prune", "s_stream_facet2d",
     "p_complex_phrase", "t_len_bias",
@@ -5009,7 +5019,7 @@ WINDOW_ORDER = [
     # strict subset of in-window v_ivf_pq). s_stream_random and
     # t_alpha_sample enter out-of-window with three-scale local
     # records.
-    "s_stream_facet", "t_fim_split",
+    "s_stream_facet",
     "p_knn", "q_facet_sampled", "t_pref_pairs",
     # Round-3e rotation (window stays 50): IN p_rerank (the EIGHTH
     # parser family — Solr local-params syntax with $param deref,
@@ -5260,6 +5270,8 @@ WINDOW_ORDER = [
     "v_hard_negatives", "t_span_corruption", "q_ltr_features",
     # rotated past-window in 3o (see top-of-list rationale)
     "p_simple", "s_stream_cartesian",
+    # rotated past-window in 3p (see top-of-list rationale)
+    "t_fim_split",
     # round-2h surfaces past the 50-entry driver window (driver
     # evidence: the committed three-scale verify_contract records;
     # p_simple + q_spell_wordbreak rotated INTO the window above as

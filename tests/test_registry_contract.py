@@ -37,6 +37,8 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
+        # round-3p rotation
+        "s_stream_reduce",
         # round-3o rotation
         "p_bool", "p_terms",
         # round-3n rotation
