@@ -4877,6 +4877,47 @@ def _q_stream_null(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_NULL_EXPR)
 
 
+# --- round-3q wave: math-expression array surface ---------------------------
+
+_STREAM_MATH_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), b=col(a, n_chars), '
+    'tuple(n=length(b), mean=mean(b), sd=stddev(b), '
+    'p75=percentile(b, 75), mavg1=valueAt(movingAvg(b, 3), 0), '
+    'dd=dotProduct(diff(b), diff(b)), '
+    'cossim=cosineSimilarity(b, rev(b))))')
+
+
+def _q_stream_math(spark, sf_dir):
+    """The Solr math-expressions workflow (ColumnEvaluator.java,
+    PercentileEvaluator.java:47, MovingAverageEvaluator.java:54,
+    TimeDifferencingEvaluator.java:64, DotProduct/CosineSimilarity/
+    Reverse/ValueAt evaluators): pull a series with col(), analyze it
+    with array math. The reference materializes java.util.Lists on
+    the driver and loops; here col() is ONE aggregated array row that
+    broadcasts into tuple(), and every evaluator is a Catalyst
+    higher-order function (aggregate/transform/zip_with/slice) — a
+    single whole-stage-codegen project, no Python, no driver lists.
+
+    Cross-engine determinism: every sum folds integer-valued doubles
+    (exact, order-independent), percentile uses the commons-math
+    LEGACY interpolation reproduced verbatim in SQL, and all doubles
+    round via FLOOR(x*1e6+0.5)/1e6 on both engines (relatedness.py
+    convention).
+
+    Scale shape: col() is one bounded collect to a single reducer —
+    it belongs on aggregated/sampled series (here the per-doc length
+    series at test scale; at 100 TB you col() a timeseries/facet
+    table, never the raw corpus), then the math rides a broadcast."""
+    out = _stream_eval(spark, sf_dir, _STREAM_MATH_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select("n", r6("mean"), r6("sd"), r6("p75"),
+                      r6("mavg1"), r6("dd"), r6("cossim"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -5000,6 +5041,18 @@ WINDOW_ORDER = [
     # pinned in-window by q_facet_sampled's identical hash columns).
     # s_stream_list and s_stream_null enter out-of-window with
     # three-scale local records.
+    # Round-3q rotation (window stays 50): IN s_stream_math (the
+    # math-expressions surface — col() value cells broadcast into
+    # tuple(), and mean/stddev/percentile/movingAvg/diff/dotProduct/
+    # cosineSimilarity/rev/valueAt compiled to Catalyst higher-order
+    # functions; ONE row pins commons-math LEGACY percentile
+    # interpolation + exact-sum folds cross-engine). OUT
+    # s_stream_scorenodes (keeps three-scale local records + pytest;
+    # the stream family holds SEVEN in-window rows — eval, facet,
+    # facet2d, parallel, reduce, cartesian-successor tuple machinery
+    # via s_stream_eval, and now math — and scorenodes' tf-idf node
+    # scoring formula is pytest-pinned).
+    "s_stream_math",
     "s_stream_reduce",
     "p_bool", "p_terms",
     "v_ssl_prune", "s_stream_facet2d",
@@ -5687,6 +5740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_reduce": _q_stream_reduce,
         "s_stream_list": _q_stream_list,
         "s_stream_null": _q_stream_null,
+        "s_stream_math": _q_stream_math,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9126,5 +9180,38 @@ SELECT CAST(1 AS BIGINT) AS leg, CAST(NULL AS VARCHAR) AS lang,
 WITH {ctes}
 SELECT CAST(COUNT(*) AS BIGINT) AS nullCount FROM documents
 WHERE doc_id IN (SELECT docid FROM postings WHERE term = 'spark')"""
+
+    # -- round-3q wave -------------------------------------------------------
+    out["s_stream_math"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s,
+              SUM(v * v) AS ssq FROM mx),
+srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) AS rk FROM mx),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+pp AS (SELECT CAST(0.75 AS DOUBLE) * (n + 1) AS pos, n FROM ms),
+pct AS (SELECT CASE
+          WHEN pos < 1 THEN (SELECT v FROM srt WHERE rk = 1)
+          WHEN pos >= n THEN (SELECT v FROM srt ORDER BY rk DESC LIMIT 1)
+          ELSE (SELECT a.v + (pos - FLOOR(pos)) * (b.v - a.v)
+                FROM srt a JOIN srt b ON b.rk = a.rk + 1
+                WHERE a.rk = CAST(FLOOR(pos) AS BIGINT))
+        END AS p75 FROM pp),
+mv AS (SELECT SUM(v) / 3 AS mavg1 FROM sq WHERE rn <= 3),
+dfq AS (SELECT SUM((nv - v) * (nv - v)) AS dd FROM
+         (SELECT v, LEAD(v) OVER (ORDER BY rn ASC) AS nv FROM sq) t
+        WHERE nv IS NOT NULL),
+cx AS (SELECT SUM(x.v * y.v) AS dot
+       FROM sq x JOIN sq y ON y.rn = (SELECT n + 1 FROM ms) - x.rn)
+SELECT ms.n,
+  FLOOR(ms.s / ms.n * 1e6 + 0.5) / 1e6 AS mean,
+  FLOOR(sqrt((ms.ssq - ms.s * ms.s / ms.n) / (ms.n - 1.0)) * 1e6
+        + 0.5) / 1e6 AS sd,
+  FLOOR(pct.p75 * 1e6 + 0.5) / 1e6 AS p75,
+  FLOOR(mv.mavg1 * 1e6 + 0.5) / 1e6 AS mavg1,
+  FLOOR(dfq.dd * 1e6 + 0.5) / 1e6 AS dd,
+  FLOOR(cx.dot / (sqrt(ms.ssq) * sqrt(ms.ssq)) * 1e6 + 0.5) / 1e6
+    AS cossim
+FROM ms, pct, mv, dfq, cx"""
 
     return out

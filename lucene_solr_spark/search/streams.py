@@ -316,6 +316,48 @@ class StreamEvaluator:
                 cols.append(F.col(a))
         return src.select(*cols)
 
+    # -- array math (the math-expressions guide surface) ---------------------
+
+    @staticmethod
+    def _arr_sum(c):
+        return F.aggregate(c, F.lit(0.0),
+                           lambda s, x: s + x.cast("double"))
+
+    @classmethod
+    def _arr_mean(cls, c):
+        return cls._arr_sum(c) / F.size(c)
+
+    @classmethod
+    def _arr_var_sample(cls, c):
+        """Sample variance (n-1), commons-math Variance default —
+        from exact integer-safe sums so both engines fold
+        order-independently."""
+        n = F.size(c).cast("double")
+        s = cls._arr_sum(c)
+        ssq = F.aggregate(c, F.lit(0.0),
+                          lambda a, x: a + x.cast("double")
+                          * x.cast("double"))
+        return (ssq - s * s / n) / (n - F.lit(1.0))
+
+    @staticmethod
+    def _arr_percentile(c, p):
+        """commons-math3 Percentile LEGACY estimation
+        (PercentileEvaluator.java:47): pos = p/100*(n+1) over the
+        sorted values (1-indexed); < 1 -> min, >= n -> max, else
+        linear interpolation between floor(pos) and floor(pos)+1."""
+        s = F.sort_array(c)
+        n = F.size(c)
+        pos = F.lit(p / 100.0) * (n + F.lit(1)).cast("double")
+        ip = F.floor(pos).cast("int")
+        d = pos - F.floor(pos)
+        lo = F.element_at(s, ip).cast("double")
+        hi = F.element_at(s, ip + F.lit(1)).cast("double")
+        return (F.when(n == 1, F.element_at(s, 1).cast("double"))
+                .when(pos < 1, F.element_at(s, 1).cast("double"))
+                .when(pos >= n.cast("double"),
+                      F.element_at(s, n).cast("double"))
+                .otherwise(lo + d * (hi - lo)))
+
     def _eval_col(self, node):
         """solrj/io/eval evaluator tree -> Catalyst Column."""
         if isinstance(node, str):
@@ -371,6 +413,68 @@ class StreamEvaluator:
             return ~a[0]
         if fn == "if":
             return F.when(a[0], a[1]).otherwise(a[2])
+        # -- array evaluators (the math-expressions guide; each maps
+        # to a Catalyst higher-order function — no driver lists, no
+        # UDFs; the reference evaluates java.util.List driver-side) --
+        if fn == "array":                # ArrayEvaluator.java
+            return F.array(*a)
+        if fn == "sequence":             # SequenceEvaluator: len,start,stride
+            ln, st, sd = (int(node.args[i]) for i in range(3))
+            return F.sequence(F.lit(st), F.lit(st + (ln - 1) * sd),
+                              F.lit(sd))
+        if fn == "length":               # LengthEvaluator
+            return F.size(a[0]).cast("long")
+        if fn == "rev":                  # ReverseEvaluator
+            return F.reverse(a[0])
+        if fn == "valueAt":              # ValueAtEvaluator.java:37 (0-based)
+            return F.get(a[0], a[1])
+        if fn == "mean":
+            return self._arr_mean(a[0])
+        if fn == "variance":
+            return self._arr_var_sample(a[0])
+        if fn == "stddev":
+            return F.sqrt(self._arr_var_sample(a[0]))
+        if fn == "percentile":           # PercentileEvaluator.java:47
+            return self._arr_percentile(a[0], float(node.args[1]))
+        if fn == "movingAvg":            # MovingAverageEvaluator.java:54
+            w = int(node.args[1])
+            idx = F.sequence(F.lit(1), F.size(a[0]) - F.lit(w - 1))
+            arr = a[0]
+            return F.transform(
+                idx, lambda i: self._arr_sum(F.slice(arr, i, w)) / w)
+        if fn == "diff":                 # TimeDifferencingEvaluator.java:64
+            lag = int(node.args[1]) if len(node.args) > 1 else 1
+            n = F.size(a[0])
+            return F.zip_with(
+                F.slice(a[0], lag + 1, n - F.lit(lag)),
+                F.slice(a[0], 1, n - F.lit(lag)),
+                lambda x, y: x.cast("double") - y.cast("double"))
+        if fn in ("ebeAdd", "ebeSubtract", "ebeMultiply", "ebeDivide"):
+            op = {"ebeAdd": lambda x, y: x.cast("double") + y,
+                  "ebeSubtract": lambda x, y: x.cast("double") - y,
+                  "ebeMultiply": lambda x, y: x.cast("double") * y,
+                  "ebeDivide": lambda x, y: x.cast("double") / y}[fn]
+            return F.zip_with(a[0], a[1], op)
+        if fn == "dotProduct":           # DotProductEvaluator
+            return self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+        if fn == "cosineSimilarity":     # CosineSimilarityEvaluator
+            dot = self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            na = F.sqrt(self._arr_sum(F.zip_with(
+                a[0], a[0],
+                lambda x, y: x.cast("double") * y.cast("double"))))
+            nb = F.sqrt(self._arr_sum(F.zip_with(
+                a[1], a[1],
+                lambda x, y: x.cast("double") * y.cast("double"))))
+            return dot / (na * nb)
+        if fn == "zscores":              # NormalizeEvaluator family
+            m = self._arr_mean(a[0])
+            sd = F.sqrt(self._arr_var_sample(a[0]))
+            return F.transform(a[0],
+                               lambda x: (x.cast("double") - m) / sd)
         raise ValueError(f"unknown evaluator {fn!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:
@@ -452,13 +556,56 @@ class StreamEvaluator:
         value to be a bound let() cell or stream; those land in cells
         as DataFrames and replay via get(), not tuple().)"""
         spark = next(iter(self.collections.values())).sparkSession
+        base = spark.range(1)
+        # inject referenced value cells (col()-bound arrays) as 1-row
+        # broadcast columns so evaluator trees can name them
+        cells = getattr(self, "_lets", {})
+        for name in sorted(getattr(self, "_value_cells", set())):
+            if any(re.search(rf"\b{re.escape(name)}\b", txt)
+                   for txt in e.params.values()):
+                cdf = cells[name]
+                base = base.crossJoin(F.broadcast(
+                    cdf.select(F.col(cdf.columns[0]).alias(name))))
         cols = []
         for name, txt in e.params.items():
             node = parse_stream(txt) if _NAME_RE.match(txt) else txt
             cols.append(self._eval_col(node).alias(name))
         if not cols:
             raise ValueError("tuple() needs at least one named value")
-        return spark.range(1).select(*cols)
+        return base.select(*cols)
+
+    def _s_col(self, e: StreamExpr) -> DataFrame:
+        """ColumnEvaluator (solrj/io/eval/ColumnEvaluator.java):
+        ``col(cell, field)`` — pull one field of a let-bound stream
+        into an array. The reference materializes a java.util.List on
+        the driver (the math-expressions guide's working set is always
+        a pulled series); here the array is ONE aggregated row that
+        stays executor-side and broadcasts into tuple() consumers.
+
+        Ordering: the reference keeps stream order; a hash aggregate
+        has none, so elements sort by the cell's REMAINING columns
+        ascending (for the canonical ``search(..., sort="id asc")``
+        cell those coincide; documented divergence otherwise, pinned
+        in tests).
+
+        Scale shape: one collect_list shuffle to a single reducer —
+        bounded by the SERIES length, so col() belongs on aggregated
+        or sampled streams (a timeseries, a facet table), never the
+        raw corpus; the array then rides broadcast joins."""
+        cells = getattr(self, "_lets", {})
+        cell = e.args[0] if e.args else None
+        if not isinstance(cell, str) or cell not in cells:
+            raise ValueError("col() first arg must be a bound let cell")
+        field = e.args[1]
+        df = cells[cell]
+        if field not in df.columns:
+            raise ValueError(f"col(): no field {field!r} in cell")
+        order = [c for c in df.columns if c != field] or [field]
+        st = F.struct(*[F.col(c) for c in order],
+                      F.col(field).alias("_v"))
+        arr = F.transform(F.sort_array(F.collect_list(st)),
+                          lambda s: s["_v"])
+        return df.agg(arr.alias("value"))
 
     def _s_let(self, e: StreamExpr) -> DataFrame:
         """LetStream (solrj/io/stream/LetStream.java:42): bind named
@@ -469,16 +616,24 @@ class StreamEvaluator:
         recomputes it per reference exactly as it would any shared
         subplan."""
         vars_prev = getattr(self, "_lets", {})
+        vc_prev = getattr(self, "_value_cells", set())
         self._lets = dict(vars_prev)
+        self._value_cells = set(vc_prev)
         try:
             for name, txt in e.params.items():
-                self._lets[name] = self.eval(parse_stream(txt))
+                node = parse_stream(txt)
+                self._lets[name] = self.eval(node)
+                if node.name == "col":
+                    # a value cell: guaranteed 1-row array, eligible
+                    # for broadcast injection into tuple()
+                    self._value_cells.add(name)
             body = [a for a in e.args if isinstance(a, StreamExpr)]
             if len(body) != 1:
                 raise ValueError("let() needs exactly one body stream")
             return self.eval(body[0])
         finally:
             self._lets = vars_prev
+            self._value_cells = vc_prev
 
     def _s_get(self, e: StreamExpr) -> DataFrame:
         name = e.args[0]
