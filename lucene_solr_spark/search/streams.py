@@ -475,6 +475,157 @@ class StreamEvaluator:
             sd = F.sqrt(self._arr_var_sample(a[0]))
             return F.transform(a[0],
                                lambda x: (x.cast("double") - m) / sd)
+        # -- statistical evaluators (solrj/io/eval) — all computed from
+        # exact raw-moment sums (integer-valued doubles fold exactly in
+        # any order) with fixed textual formula shapes mirrored verbatim
+        # by the DuckDB oracle, so both engines perform the identical
+        # IEEE operation sequence ----------------------------------------
+        if fn == "cov":                  # CovarianceEvaluator.java —
+            # commons-math Covariance, biasCorrected=true (n-1)
+            n = F.size(a[0]).cast("double")
+            sx, sy = self._arr_sum(a[0]), self._arr_sum(a[1])
+            sxy = self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            return (sxy - sx * sy / n) / (n - F.lit(1.0))
+        if fn == "corr":                 # CorrelationEvaluator.java,
+            # type=pearsons default: centered-sums Pearson (the n-1
+            # bias corrections cancel)
+            if node.params.get("type", "pearsons") != "pearsons":
+                raise ValueError("corr: only type=pearsons supported")
+            n = F.size(a[0]).cast("double")
+            sx, sy = self._arr_sum(a[0]), self._arr_sum(a[1])
+            sxx = self._arr_sum(F.zip_with(
+                a[0], a[0],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            syy = self._arr_sum(F.zip_with(
+                a[1], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            sxy = self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            return ((sxy - sx * sy / n)
+                    / (F.sqrt(sxx - sx * sx / n)
+                       * F.sqrt(syy - sy * sy / n)))
+        if fn == "regress":              # RegressionEvaluator.java —
+            # commons-math SimpleRegression OLS; emits the tuple fields
+            # the reference maps (slope/intercept/R/N/RSquared/
+            # totalSumSquares/regressionSumSquares/meanSquareError)
+            n = F.size(a[0]).cast("double")
+            sx, sy = self._arr_sum(a[0]), self._arr_sum(a[1])
+            sxx = self._arr_sum(F.zip_with(
+                a[0], a[0],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            syy = self._arr_sum(F.zip_with(
+                a[1], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            sxy = self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") * y.cast("double")))
+            cxx = sxx - sx * sx / n
+            cyy = syy - sy * sy / n
+            cxy = sxy - sx * sy / n
+            slope = cxy / cxx
+            icept = sy / n - slope * (sx / n)
+            ssr = slope * cxy
+            r2 = slope * cxy / cyy
+            return F.struct(
+                slope.alias("slope"), icept.alias("intercept"),
+                (F.when(slope < 0, -F.sqrt(r2))
+                 .otherwise(F.sqrt(r2))).alias("R"),
+                F.size(a[0]).cast("long").alias("N"),
+                r2.alias("RSquared"),
+                cyy.alias("totalSumSquares"),
+                ssr.alias("regressionSumSquares"),
+                ((cyy - slope * cxy) / (n - F.lit(2.0)))
+                .alias("meanSquareError"))
+        if fn == "predict":              # PredictEvaluator.java over a
+            # regress() tuple: scalar for a numeric literal, element-
+            # wise for an array operand (the reference dispatches on
+            # runtime type; here on the operand's syntactic shape)
+            reg = a[0]
+            lit = (isinstance(node.args[1], str)
+                   and re.match(r"^-?\d+(\.\d+)?$", node.args[1]))
+            if lit:
+                return reg["intercept"] + reg["slope"] * a[1]
+            return F.transform(
+                a[1], lambda x: reg["intercept"]
+                + reg["slope"] * x.cast("double"))
+        if fn == "getValue":             # GetValueEvaluator.java —
+            # pull one field of an evaluator tuple (regress/describe)
+            return a[0][str(node.args[1])]
+        if fn == "expMovingAvg":         # ExponentialMovingAverage-
+            # Evaluator.java: seed = mean of the first w observations,
+            # then ema = alpha*(x - last) + last over the remainder;
+            # alpha defaults to 2/(w+1). Sequential left fold — the
+            # oracle replays the identical recurrence in a recursive
+            # CTE, so the op order (hence every rounding) matches.
+            w = int(node.args[1])
+            alpha = (float(node.args[2]) if len(node.args) > 2
+                     else 2.0 / (w + 1.0))
+            arr = a[0]
+            seed = self._arr_sum(F.slice(arr, 1, w)) / w
+            rest = F.slice(arr, F.lit(w + 1),
+                           F.greatest(F.size(arr) - F.lit(w), F.lit(0)))
+            return F.aggregate(
+                rest, F.array(seed),
+                lambda acc, x: F.concat(acc, F.array(
+                    F.lit(alpha)
+                    * (x.cast("double") - F.element_at(acc, -1))
+                    + F.element_at(acc, -1))))
+        if fn == "freqTable":            # FrequencyTableEvaluator.java
+            # — commons-math Frequency over longValue()s, ascending
+            # value order; pct/cumPct are proportions in [0,1]
+            arr = F.transform(a[0], lambda x: x.cast("long"))
+            vals = F.array_sort(F.array_distinct(arr))
+            n = F.size(arr).cast("double")
+            return F.transform(vals, lambda v: F.struct(
+                v.alias("value"),
+                F.size(F.filter(arr, lambda x: x == v))
+                .cast("long").alias("count"),
+                F.size(F.filter(arr, lambda x: x <= v))
+                .cast("long").alias("cumFreq"),
+                (F.size(F.filter(arr, lambda x: x <= v)) / n)
+                .alias("cumPct"),
+                (F.size(F.filter(arr, lambda x: x == v)) / n)
+                .alias("pct")))
+        if fn == "describe":             # DescribeEvaluator.java —
+            # commons-math DescriptiveStatistics summary; skewness and
+            # kurtosis per Skewness.java / Kurtosis.java (bias-
+            # corrected), central moments expanded from raw sums
+            arr = F.transform(a[0], lambda x: x.cast("double"))
+            n = F.size(arr).cast("double")
+            s = self._arr_sum(arr)
+            ssq = F.aggregate(arr, F.lit(0.0), lambda c, x: c + x * x)
+            scb = F.aggregate(arr, F.lit(0.0),
+                              lambda c, x: c + x * x * x)
+            sq4 = F.aggregate(arr, F.lit(0.0),
+                              lambda c, x: c + x * x * x * x)
+            m = s / n
+            var = (ssq - s * s / n) / (n - F.lit(1.0))
+            sd = F.sqrt(var)
+            m3 = scb - F.lit(3.0) * m * ssq + F.lit(2.0) * n * m * m * m
+            m4 = (sq4 - F.lit(4.0) * m * scb
+                  + F.lit(6.0) * m * m * ssq
+                  - F.lit(3.0) * n * m * m * m * m)
+            skew = (n / ((n - F.lit(1.0)) * (n - F.lit(2.0)))
+                    * m3 / (sd * sd * sd))
+            kurt = ((n * (n + F.lit(1.0))
+                     / ((n - F.lit(1.0)) * (n - F.lit(2.0))
+                        * (n - F.lit(3.0)))) * m4 / (var * var)
+                    - (F.lit(3.0) * (n - F.lit(1.0))
+                       * (n - F.lit(1.0)))
+                    / ((n - F.lit(2.0)) * (n - F.lit(3.0))))
+            gmean = F.exp(F.aggregate(
+                arr, F.lit(0.0), lambda c, x: c + F.log(x)) / n)
+            return F.struct(
+                F.array_max(arr).alias("max"), m.alias("mean"),
+                F.array_min(arr).alias("min"), sd.alias("stdev"),
+                s.alias("sum"), F.size(arr).cast("long").alias("N"),
+                var.alias("var"), kurt.alias("kurtosis"),
+                skew.alias("skewness"),
+                ((ssq - s * s / n) / n).alias("popVar"),
+                gmean.alias("geometricMean"), ssq.alias("sumsq"))
         raise ValueError(f"unknown evaluator {fn!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:

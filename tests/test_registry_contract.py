@@ -37,6 +37,10 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
+        # round-3r rotation
+        "s_stream_regress",
+        # round-3q rotation
+        "s_stream_math",
         # round-3p rotation
         "s_stream_reduce",
         # round-3o rotation
