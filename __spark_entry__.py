@@ -2122,6 +2122,12 @@ def _stream_eval(spark, sf_dir, expr_text):
              .union(d.select(F.col("doc_id").alias("src"),
                              F.expr("doc_id div 3").alias("dst"))))
     from lucene_solr_spark.analysis.analyzers import simple_tokens_col
+    # stored expressions for EvalStream (expressions-as-data, the
+    # reference's eval() use case) — config-sized by construction
+    exprs = spark.createDataFrame(
+        [("stored_q", 'search(documents, q="text:merge", '
+                      'fl="doc_id,lang", sort="doc_id asc")')],
+        "id string, expr_s string")
     ev = StreamEvaluator(
         {"documents": d,
          # analyzed view: the multivalued-field shape cartesianProduct
@@ -2129,6 +2135,7 @@ def _stream_eval(spark, sf_dir, expr_text):
          "docs_terms": d.select("doc_id",
                                 simple_tokens_col().alias("terms")),
          "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
+         "exprs": exprs,
          "links": links},
         text_search=text_search,
         mlt=lambda coll, did, k: _mlt_plan(se, did, k))
@@ -5006,6 +5013,76 @@ def _q_stream_freqtable(spark, sf_dir):
                     r6("cumPct"), r6("pct"))
 
 
+# --- round-3s wave: cell / hashRollup / eval / plot streams ------------------
+
+_STREAM_CELL_EXPR = (
+    'cell(c, search(documents, q="text:merge", fl="doc_id,lang", '
+    'sort="doc_id asc"))')
+
+
+def _q_stream_cell(spark, sf_dir):
+    """CellStream (streams._s_cell, CellStream.java:42): the wrapped
+    stream's tuples as ONE array-of-structs cell. The registry row
+    explodes the cell back to rows — a round trip that pins BOTH the
+    cell's content and its ascending-by-all-columns order convention
+    against the plain match-set oracle."""
+    out = _stream_eval(spark, sf_dir, _STREAM_CELL_EXPR)
+    return (out.select(F.explode("c").alias("t"))
+            .select(F.col("t.doc_id").alias("doc_id"),
+                    F.col("t.lang").alias("lang")))
+
+
+_STREAM_HASHROLLUP_EXPR = (
+    'hashRollup(search(documents, q="*:*", '
+    'fl="lang,source,n_chars", sort="lang asc"), '
+    'over="lang,source", count(*), sum(n_chars), max(n_chars))')
+
+
+def _q_stream_hashrollup(spark, sf_dir):
+    """HashRollupStream (streams._s_hashRollup,
+    HashRollupStream.java:41): rollup without the sorted-input
+    contract — compiles to the SAME partial+final HashAggregate the
+    rollup surface uses (the hash-vs-sorted distinction is Catalyst's
+    to make). Two-key grouping with exact-integer metrics."""
+    out = _stream_eval(spark, sf_dir, _STREAM_HASHROLLUP_EXPR)
+    return out.select("lang", "source", "count",
+                      F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+                      F.col("max_n_chars").cast("long").alias("max_n_chars"))
+
+
+_STREAM_EVALEXPR_EXPR = (
+    'eval(search(exprs, q="*:*", fl="expr_s", sort="expr_s asc"))')
+
+
+def _q_stream_evalexpr(spark, sf_dir):
+    """EvalStream (streams._s_eval, EvalStream.java:40): evaluate the
+    expression STORED IN the first tuple's expr_s field — the
+    expressions-as-data surface. The exprs collection holds
+    'search(documents, q="text:merge", ...)', so the oracle is that
+    inner search's match set; a green row pins the read-parse-
+    re-enter loop itself."""
+    return _stream_eval(spark, sf_dir, _STREAM_EVALEXPR_EXPR)
+
+
+_STREAM_PLOT_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'plot(type=scatter, x=x, y=rev(x)))')
+
+
+def _q_stream_plot(spark, sf_dir):
+    """PlotStream (streams._s_plot, PlotStream.java): the
+    {plot, data=[[x,y],...]} tuple zipped from value cells. The
+    registry row explodes the pair list with its position so the
+    oracle (series paired with its reverse by row number) pins both
+    the zip and the cell order."""
+    out = _stream_eval(spark, sf_dir, _STREAM_PLOT_EXPR)
+    return (out.select("plot", F.posexplode("data").alias("i", "p"))
+            .select("plot", F.col("i").cast("long").alias("i"),
+                    F.col("p")[0].cast("long").alias("px"),
+                    F.col("p")[1].cast("long").alias("py")))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -5152,6 +5229,16 @@ WINDOW_ORDER = [
     # by the q_facet_* rows). s_stream_freqtable enters out-of-window
     # with three-scale local records. q_regexp and q_spell_wordbreak
     # stay pinned in-window (round-1 judge hot spots).
+    # Round-3s rotation (window stays 50): IN s_stream_evalexpr (the
+    # EvalStream expressions-as-data surface — the only row whose
+    # PLAN is read from a tuple at run time: drain one config tuple,
+    # parse its expr_s, re-enter the evaluator; no other row
+    # exercises that loop). OUT t_pref_pairs (keeps three-scale local
+    # records + pytest; the struct-extreme argmax/argmin shape is
+    # shared with t_best_of_n's local records and the DPO twin laws).
+    # s_stream_cell, s_stream_hashrollup and s_stream_plot enter
+    # out-of-window with three-scale local records.
+    "s_stream_evalexpr",
     "s_stream_regress",
     "s_stream_math",
     "s_stream_reduce",
@@ -5174,7 +5261,9 @@ WINDOW_ORDER = [
     # t_alpha_sample enter out-of-window with three-scale local
     # records. (Round-3r rotates s_stream_facet OUT of the window —
     # see the 3r note at the head of this list.)
-    "p_knn", "q_facet_sampled", "t_pref_pairs",
+    "p_knn", "q_facet_sampled",
+    # (t_pref_pairs rotated OUT in round 3s — see the 3s note at the
+    # head of this list.)
     # Round-3e rotation (window stays 50): IN p_rerank (the EIGHTH
     # parser family — Solr local-params syntax with $param deref,
     # composed with the two-pass additive rerank combine; new parser
@@ -5848,6 +5937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_math": _q_stream_math,
         "s_stream_regress": _q_stream_regress,
         "s_stream_freqtable": _q_stream_freqtable,
+        "s_stream_cell": _q_stream_cell,
+        "s_stream_hashrollup": _q_stream_hashrollup,
+        "s_stream_evalexpr": _q_stream_evalexpr,
+        "s_stream_plot": _q_stream_plot,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9385,5 +9478,33 @@ SELECT value,
   FLOOR(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) * 1e6 + 0.5)
         / 1e6 AS pct
 FROM mx GROUP BY value"""
+
+    # -- round-3s wave -------------------------------------------------------
+    out["s_stream_cell"] = f"""
+WITH {ctes}
+SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'merge')"""
+
+    out["s_stream_hashrollup"] = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+FROM documents GROUP BY lang, source"""
+
+    # eval() re-enters the evaluator on the stored expression — the
+    # oracle is the stored search's match set
+    out["s_stream_evalexpr"] = f"""
+WITH {ctes}
+SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'merge')"""
+
+    out["s_stream_plot"] = """
+WITH sq AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM documents)
+SELECT 'scatter' AS plot, CAST(x.rn - 1 AS BIGINT) AS i,
+       x.v AS px, y.v AS py
+FROM sq x JOIN sq y ON y.rn = x.n + 1 - x.rn"""
 
     return out

@@ -793,6 +793,93 @@ class StreamEvaluator:
             raise ValueError(f"get({name!r}): no such let cell")
         return cells[name]
 
+    def _s_cell(self, e: StreamExpr) -> DataFrame:
+        """CellStream (solrj/io/stream/CellStream.java:42):
+        ``cell(name, stream)`` — drain the wrapped stream and emit ONE
+        tuple ``{name: [tuples...]}``, the whole-tuple sibling of
+        col()'s single-field cell (the zplot / matrix workflows
+        consume it). The reference materializes the tuple list on one
+        node; here it is ONE aggregated array-of-structs row that
+        stays executor-side and can broadcast.
+
+        Ordering: the reference keeps stream order; a hash aggregate
+        has none, so tuples sort by ALL columns ascending — for the
+        canonical ``search(..., sort="id asc")`` source those
+        coincide (documented divergence otherwise, pinned in tests).
+
+        Scale shape: one collect_list shuffle to a single reducer,
+        bounded by the wrapped stream's size — cell() belongs on
+        aggregated/sampled streams, never the raw corpus."""
+        name = (e.args[0] if e.args
+                and not isinstance(e.args[0], StreamExpr) else None)
+        if not name:
+            raise ValueError("cell() needs a name as its first argument")
+        srcs = self._streams(e)
+        if len(srcs) != 1:
+            raise ValueError("cell() wraps exactly one stream")
+        df = srcs[0]
+        st = F.struct(*[F.col(c) for c in df.columns])
+        return df.agg(F.sort_array(F.collect_list(st)).alias(str(name)))
+
+    def _s_hashRollup(self, e: StreamExpr) -> DataFrame:
+        """HashRollupStream (solrj/io/stream/HashRollupStream.java:41):
+        RollupStream WITHOUT the sorted-input contract — the reference
+        keeps an in-memory hash of group accumulators instead of
+        reducing adjacent runs. Spark's groupBy already IS that hash
+        aggregate (partial+final HashAggregate, no sort), so both
+        parse surfaces compile to the identical distributed plan —
+        the sorted-vs-hashed distinction is an execution detail
+        Catalyst owns (and chooses per-plan)."""
+        return self._s_rollup(e)
+
+    def _s_eval(self, e: StreamExpr) -> DataFrame:
+        """EvalStream (solrj/io/stream/EvalStream.java:40): read the
+        FIRST tuple of the wrapped stream, parse its ``expr_s`` field
+        as a streaming expression, and evaluate THAT — expressions
+        stored as data. The single-tuple ``limit(1).collect()`` is a
+        bounded driver round-trip by the operator's contract (the
+        inner stream carries config-sized expression strings); the
+        evaluated expression itself stays a fully distributed plan."""
+        srcs = self._streams(e)
+        if len(srcs) != 1:
+            raise ValueError("eval() wraps exactly one stream")
+        src = srcs[0]
+        if "expr_s" not in src.columns:
+            raise ValueError("eval() needs a stream with an expr_s field")
+        rows = src.limit(1).collect()
+        if not rows:
+            raise ValueError("eval(): wrapped stream produced no tuple")
+        return self.eval(parse_stream(rows[0]["expr_s"]))
+
+    def _s_plot(self, e: StreamExpr) -> DataFrame:
+        """PlotStream (solrj/io/stream/PlotStream.java): one tuple
+        ``{plot: type, data: [[x1,y1], [x2,y2], ...]}`` zipped from
+        x/y evaluator arrays (array literals, col() value cells, or
+        any array evaluator). Catalyst zip_with over the two arrays —
+        one codegen project on one row, no driver lists."""
+        ptype = e.params.get("type", "scatter")
+        if "x" not in e.params or "y" not in e.params:
+            raise ValueError("plot() needs x= and y= array values")
+        spark = next(iter(self.collections.values())).sparkSession
+        base = spark.range(1)
+        cells = getattr(self, "_lets", {})
+        for name in sorted(getattr(self, "_value_cells", set())):
+            if any(re.search(rf"\b{re.escape(name)}\b", txt)
+                   for txt in (e.params["x"], e.params["y"])):
+                cdf = cells[name]
+                base = base.crossJoin(F.broadcast(
+                    cdf.select(F.col(cdf.columns[0]).alias(name))))
+        xs = self._eval_col(parse_stream(e.params["x"])
+                            if _NAME_RE.match(e.params["x"])
+                            else e.params["x"])
+        ys = self._eval_col(parse_stream(e.params["y"])
+                            if _NAME_RE.match(e.params["y"])
+                            else e.params["y"])
+        data = F.zip_with(xs, ys, lambda x, y: F.array(
+            x.cast("double"), y.cast("double")))
+        return base.select(F.lit(ptype).alias("plot"),
+                           data.alias("data"))
+
     def _s_stats(self, e: StreamExpr) -> DataFrame:
         """StatsStream (solrj/io/stream/StatsStream.java:57): metrics
         over the whole match set, ONE tuple out — a partial+final

@@ -37,6 +37,8 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
+        # round-3s rotation
+        "s_stream_evalexpr",
         # round-3r rotation
         "s_stream_regress",
         # round-3q rotation
