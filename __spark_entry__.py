@@ -5083,6 +5083,60 @@ def _q_stream_plot(spark, sf_dir):
                     F.col("p")[1].cast("long").alias("py")))
 
 
+# --- round-3t wave: matrix / normalization evaluators ------------------------
+
+_STREAM_MATRIX_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple(rc=rowCount(matrix(x, rev(x))), '
+    'cc=columnCount(matrix(x, rev(x))), '
+    'gs=grandSum(matrix(x, rev(x))), '
+    'sr0=valueAt(sumRows(matrix(x, rev(x))), 0), '
+    'sc0=valueAt(sumColumns(matrix(x, rev(x))), 0), '
+    'tr=valueAt(rowAt(transpose(matrix(x, rev(x))), 0), 1), '
+    'ca=valueAt(columnAt(matrix(x, rev(x)), 2), 1), '
+    'd_eu=distance(x, rev(x)), '
+    'd_ma=distance(x, rev(x), type=manhattan), '
+    'mm=valueAt(minMaxScale(x), 3), '
+    'un=valueAt(unitize(x), 3), '
+    'ns=valueAt(normalizeSum(x), 3), '
+    'sc=valueAt(scale(2.5, x), 3), '
+    'lg=valueAt(log10(x), 3)))')
+
+
+def _q_stream_matrix(spark, sf_dir):
+    """The math-expressions matrix + normalization surface (solrj/io/
+    eval/: MatrixEvaluator, TransposeEvaluator, RowAt/ColumnAt,
+    SumRows/SumColumns/GrandSum, RowCount/ColumnCount,
+    ScaleEvaluator (MathArrays.scale), MinMaxScaleEvaluator,
+    UnitEvaluator, NormalizeSumEvaluator, Log10Evaluator,
+    DistanceEvaluator euclidean/manhattan): a matrix is an
+    array<array<double>> value and every operator is a Catalyst
+    higher-order function over the bounded col() cell — the reference
+    materializes double[][] on the driver.
+
+    Cross-engine determinism: the series is integer-valued, so every
+    matrix sum / distance accumulates exactly in any fold order;
+    min-max / unit / sum normalizations are single int-ratio
+    divisions; euclidean is sqrt of an exact integer (IEEE-exact);
+    log10 of one element rounds at 1e-6 far from any boundary.
+    canberra distance (a sum of non-integer ratios whose fold order
+    differs between engines) is deliberately pytest-only.
+
+    Scale shape: everything rides the one bounded cell broadcast —
+    matrix math belongs on aggregated series, never the raw corpus
+    (the corpus-scale analogues are the v_* vector ops)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_MATRIX_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select("rc", "cc", r6("gs"), r6("sr0"), r6("sc0"),
+                      r6("tr"), r6("ca"), r6("d_eu"), r6("d_ma"),
+                      r6("mm"), r6("un"), r6("ns"), r6("sc"),
+                      r6("lg"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -5941,6 +5995,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_hashrollup": _q_stream_hashrollup,
         "s_stream_evalexpr": _q_stream_evalexpr,
         "s_stream_plot": _q_stream_plot,
+        # round-3t: enters out-of-window with three-scale local
+        # records (the math family's cross-engine determinism
+        # machinery is already pinned in-window by s_stream_math and
+        # s_stream_regress)
+        "s_stream_matrix": _q_stream_matrix,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9506,5 +9565,39 @@ WITH sq AS (SELECT CAST(n_chars AS BIGINT) AS v,
 SELECT 'scatter' AS plot, CAST(x.rn - 1 AS BIGINT) AS i,
        x.v AS px, y.v AS py
 FROM sq x JOIN sq y ON y.rn = x.n + 1 - x.rn"""
+
+    # -- round-3t wave -------------------------------------------------------
+    # Matrix rows are [x, rev(x)]; every scalar below expands from the
+    # series' exact integer sums / single elements with formula shapes
+    # mirroring streams._eval_col verbatim.
+    out["s_stream_matrix"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s,
+              SUM(v * v) AS ssq, MIN(v) AS mn, MAX(v) AS mx FROM sq),
+pr AS (SELECT SUM((x.v - y.v) * (x.v - y.v)) AS dsq,
+              SUM(ABS(x.v - y.v)) AS dab
+       FROM sq x JOIN sq y ON y.rn = (SELECT n FROM ms) + 1 - x.rn),
+e1 AS (SELECT v FROM sq WHERE rn = 1),
+e4 AS (SELECT v FROM sq WHERE rn = 4),
+en AS (SELECT v FROM sq WHERE rn = (SELECT n FROM ms)),
+e3b AS (SELECT v FROM sq WHERE rn = (SELECT n FROM ms) - 2)
+SELECT CAST(2 AS BIGINT) AS rc, n AS cc,
+  FLOOR((s + s) * 1e6 + 0.5) / 1e6 AS gs,
+  FLOOR(s * 1e6 + 0.5) / 1e6 AS sr0,
+  FLOOR(((SELECT v FROM e1) + (SELECT v FROM en)) * 1e6 + 0.5) / 1e6
+    AS sc0,
+  FLOOR((SELECT v FROM en) * 1e6 + 0.5) / 1e6 AS tr,
+  FLOOR((SELECT v FROM e3b) * 1e6 + 0.5) / 1e6 AS ca,
+  FLOOR(SQRT((SELECT dsq FROM pr)) * 1e6 + 0.5) / 1e6 AS d_eu,
+  FLOOR((SELECT dab FROM pr) * 1e6 + 0.5) / 1e6 AS d_ma,
+  FLOOR((0.0 + ((SELECT v FROM e4) - mn) * (1.0 - 0.0) / (mx - mn))
+        * 1e6 + 0.5) / 1e6 AS mm,
+  FLOOR(((SELECT v FROM e4) / SQRT(ssq)) * 1e6 + 0.5) / 1e6 AS un,
+  FLOOR(((SELECT v FROM e4) / s) * 1e6 + 0.5) / 1e6 AS ns,
+  FLOOR((2.5 * (SELECT v FROM e4)) * 1e6 + 0.5) / 1e6 AS sc,
+  FLOOR(LOG10((SELECT v FROM e4)) * 1e6 + 0.5) / 1e6 AS lg
+FROM ms"""
 
     return out

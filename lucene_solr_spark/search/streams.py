@@ -626,6 +626,97 @@ class StreamEvaluator:
                 skew.alias("skewness"),
                 ((ssq - s * s / n) / n).alias("popVar"),
                 gmean.alias("geometricMean"), ssq.alias("sumsq"))
+        # -- matrix / normalization evaluators (solrj/io/eval) — the
+        # math-expressions matrix surface. A matrix is an
+        # array<array<double>> value; every operator is a Catalyst
+        # higher-order function over the bounded cell (the reference
+        # materializes double[][] on the driver) ---------------------------
+        if fn == "matrix":               # MatrixEvaluator.java — rows
+            return F.array(*a)
+        if fn == "transpose":            # TransposeEvaluator.java
+            m = a[0]
+            return F.transform(
+                F.sequence(F.lit(0), F.size(F.get(m, 0)) - F.lit(1)),
+                lambda i: F.transform(m, lambda r: F.get(r, i)))
+        if fn == "rowAt":                # RowAtEvaluator.java (0-based)
+            return F.get(a[0], a[1])
+        if fn == "columnAt":             # ColumnAtEvaluator.java
+            m, i = a[0], a[1]
+            return F.transform(m, lambda r: F.get(r, i))
+        if fn == "rowCount":             # RowCountEvaluator.java
+            return F.size(a[0]).cast("long")
+        if fn == "columnCount":          # ColumnCountEvaluator.java
+            return F.size(F.get(a[0], 0)).cast("long")
+        if fn == "sumRows":              # SumRowsEvaluator.java
+            return F.transform(a[0], lambda r: self._arr_sum(r))
+        if fn == "sumColumns":           # SumColumnsEvaluator.java
+            m = a[0]
+            t = F.transform(
+                F.sequence(F.lit(0), F.size(F.get(m, 0)) - F.lit(1)),
+                lambda i: F.transform(m, lambda r: F.get(r, i)))
+            return F.transform(t, lambda r: self._arr_sum(r))
+        if fn == "grandSum":             # GrandSumEvaluator.java
+            return self._arr_sum(
+                F.transform(a[0], lambda r: self._arr_sum(r)))
+        if fn == "scale":                # ScaleEvaluator.java —
+            # commons-math MathArrays.scale(factor, arr); factor first
+            return F.transform(
+                a[1], lambda v: a[0] * v.cast("double"))
+        if fn == "minMaxScale":          # MinMaxScaleEvaluator.java —
+            # rescale to [lo, hi] (default [0,1]):
+            # lo + (x - min) * (hi - lo) / (max - min)
+            lo = a[1] if len(a) > 1 else F.lit(0.0)
+            hi = a[2] if len(a) > 2 else F.lit(1.0)
+            mn = F.array_min(a[0]).cast("double")
+            mx = F.array_max(a[0]).cast("double")
+            return F.transform(
+                a[0], lambda v: lo + (v.cast("double") - mn)
+                * (hi - lo) / (mx - mn))
+        if fn == "unitize":              # UnitEvaluator.java — scale
+            # to the unit vector x / ||x||
+            nrm = F.sqrt(self._arr_sum(F.zip_with(
+                a[0], a[0],
+                lambda x, y: x.cast("double") * y.cast("double"))))
+            return F.transform(a[0],
+                               lambda v: v.cast("double") / nrm)
+        if fn == "normalizeSum":         # NormalizeSumEvaluator.java —
+            # scale to sum = 1 (a probability distribution)
+            s = self._arr_sum(a[0])
+            return F.transform(a[0], lambda v: v.cast("double") / s)
+        if fn == "log10":                # Log10Evaluator.java —
+            # element-wise over an array operand, scalar for a literal
+            lit = (isinstance(node.args[0], str)
+                   and re.match(r"^-?\d+(\.\d+)?$", node.args[0]))
+            if lit:
+                return F.log10(a[0])
+            return F.transform(a[0],
+                               lambda v: F.log10(v.cast("double")))
+        if fn == "distance":             # DistanceEvaluator.java over
+            # two vectors; type=euclidean (default) / manhattan /
+            # canberra (commons-math *Distance classes)
+            typ = node.params.get("type", "euclidean")
+            if typ == "euclidean":
+                return F.sqrt(self._arr_sum(F.zip_with(
+                    a[0], a[1],
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")))))
+            if typ == "manhattan":
+                return self._arr_sum(F.zip_with(
+                    a[0], a[1],
+                    lambda x, y: F.abs(x.cast("double")
+                                       - y.cast("double"))))
+            if typ == "canberra":
+                # 0/0 terms contribute 0 (commons-math
+                # CanberraDistance.java)
+                return self._arr_sum(F.zip_with(
+                    a[0], a[1],
+                    lambda x, y: F.when(
+                        (x == 0) & (y == 0), F.lit(0.0))
+                    .otherwise(F.abs(x.cast("double")
+                                     - y.cast("double"))
+                               / (F.abs(x.cast("double"))
+                                  + F.abs(y.cast("double"))))))
+            raise ValueError(f"distance: unknown type {typ!r}")
         raise ValueError(f"unknown evaluator {fn!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:
