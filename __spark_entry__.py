@@ -5137,6 +5137,78 @@ def _q_stream_matrix(spark, sf_dir):
                       r6("lg"))
 
 
+# --- round-3u wave: array/scalar utility + string evaluators -----------------
+
+_STREAM_ARRAYOPS_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple(la=length(append(x, rev(x))), '
+    'co=valueAt(copyOf(x, 7), 3), '
+    'cz=valueAt(copyOf(rev(x), 7), 6), '
+    'cr=valueAt(copyOfRange(x, 2, 9), 0), '
+    'rp=valueAt(repeat(4.25, 5), 4), '
+    'on=sumSq(ones(6)), zr=length(zeros(8)), '
+    'as3=valueAt(asc(x), 3), '
+    'md=valueAt(mode(x), 0), mdn=length(mode(x)), '
+    'sq=sumSq(x), nr=norm(x), l1=l1Norm(x), li=lInfNorm(x), '
+    'mdf=meanDifference(x, scalarMultiply(2, rev(x))), '
+    'sdf=sumDifference(x, scalarMultiply(2, rev(x))), '
+    'io=indexOf(x, valueAt(x, 5)), '
+    'ce=valueAt(ceil(scalarDivide(3, x)), 3), '
+    'fl=valueAt(floor(scalarDivide(3, x)), 3), '
+    'rn=valueAt(round(scalarDivide(3, x)), 3), '
+    'rc=valueAt(recip(x), 3), '
+    'pv=precision(variance(x), 2), '
+    'sa=valueAt(scalarAdd(1.5, x), 3), '
+    'ss=valueAt(scalarSubtract(1.5, x), 3), '
+    'sm=valueAt(scalarMultiply(1.5, x), 3)))')
+
+
+def _q_stream_arrayops(spark, sf_dir):
+    """The math-expressions array/scalar utility surface (solrj/io/
+    eval/: AppendEvaluator, CopyOfEvaluator (Arrays.copyOf zero-pad
+    semantics), CopyOfRangeEvaluator, RepeatEvaluator, Ones/Zeros,
+    AscEvaluator, ModeEvaluator (StatUtils.mode — ALL tied modes
+    ascending), SumSq/Norm/L1Norm/LInfNorm, MeanDifference/
+    SumDifference, IndexOf, Ceiling/Floor/RoundEvaluator (Math.round
+    = floor(x+0.5), NOT SQL half-away-from-zero), RecipEvaluator,
+    PrecisionEvaluator (Precision.round HALF_UP), Scalar{Add,
+    Subtract,Multiply,Divide}): every operator is a Catalyst
+    higher-order function / arithmetic projection over the bounded
+    col() cell. All outputs are exact-integer folds, int-ratio
+    divisions, or IEEE-exact sqrt — bit-identical cross-engine;
+    doubles round FLOOR(x*1e6+0.5)/1e6."""
+    out = _stream_eval(spark, sf_dir, _STREAM_ARRAYOPS_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select("la", r6("co"), r6("cz"), r6("cr"), r6("rp"),
+                      r6("on"), "zr", r6("as3"), r6("md"), "mdn",
+                      r6("sq"), r6("nr"), r6("l1"), r6("li"),
+                      r6("mdf"), r6("sdf"), "io", r6("ce"), r6("fl"),
+                      r6("rn"), r6("rc"), r6("pv"), r6("sa"),
+                      r6("ss"), r6("sm"))
+
+
+_STREAM_STROPS_EXPR = (
+    'select(search(documents, q="*:*", fl="doc_id,lang,source", '
+    'sort="doc_id asc"), doc_id, upper(lang) as lang_u, '
+    'lower(source) as src_l, concat(lang, source, delim=-) as ls, '
+    'if(matches(source, "a"), 1, 0) as has_a, '
+    'if(notNull(lang), 1, 0) as nn)')
+
+
+def _q_stream_strops(spark, sf_dir):
+    """String evaluators in select() (solrj/io/eval/: UpperEvaluator,
+    LowerEvaluator, ConcatEvaluator with delim=, MatchesEvaluator —
+    java.util.regex find(), UNANCHORED substring search
+    (MatchesEvaluator.java:50), NotNullEvaluator): per-tuple string
+    projections compiled to Catalyst expressions — whole-stage
+    codegen over the scan, no per-tuple interpreter, no Python."""
+    return _stream_eval(spark, sf_dir, _STREAM_STROPS_EXPR)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6000,6 +6072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery is already pinned in-window by s_stream_math and
         # s_stream_regress)
         "s_stream_matrix": _q_stream_matrix,
+        # round-3u: same pattern — out-of-window with three-scale
+        # local records
+        "s_stream_arrayops": _q_stream_arrayops,
+        "s_stream_strops": _q_stream_strops,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9599,5 +9675,65 @@ SELECT CAST(2 AS BIGINT) AS rc, n AS cc,
   FLOOR((2.5 * (SELECT v FROM e4)) * 1e6 + 0.5) / 1e6 AS sc,
   FLOOR(LOG10((SELECT v FROM e4)) * 1e6 + 0.5) / 1e6 AS lg
 FROM ms"""
+
+    # -- round-3u wave -------------------------------------------------------
+    out["s_stream_arrayops"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s,
+              SUM(v * v) AS ssq, SUM(ABS(v)) AS sab,
+              MAX(ABS(v)) AS mab FROM sq),
+pr AS (SELECT SUM(x.v - 2.0 * y.v) AS sdf
+       FROM sq x JOIN sq y ON y.rn = (SELECT n FROM ms) + 1 - x.rn),
+e4 AS (SELECT v FROM sq WHERE rn = 4),
+e3 AS (SELECT v FROM sq WHERE rn = 3),
+e6 AS (SELECT v FROM sq WHERE rn = 6),
+ez AS (SELECT v FROM sq WHERE rn = (SELECT n FROM ms) - 6),
+a4 AS (SELECT v FROM sq ORDER BY v ASC LIMIT 1 OFFSET 3),
+mo AS (SELECT v, COUNT(*) AS c FROM sq GROUP BY v),
+mom AS (SELECT MAX(c) AS mc FROM mo),
+io AS (SELECT MIN(rn) - 1 AS pos FROM sq
+       WHERE v = (SELECT v FROM e6)),
+vr AS (SELECT (ssq - s * s / n) / (n - 1.0) AS var FROM ms)
+SELECT CAST((SELECT n + n FROM ms) AS BIGINT) AS la,
+  FLOOR((SELECT v FROM e4) * 1e6 + 0.5) / 1e6 AS co,
+  FLOOR((SELECT v FROM ez) * 1e6 + 0.5) / 1e6 AS cz,
+  FLOOR((SELECT v FROM e3) * 1e6 + 0.5) / 1e6 AS cr,
+  FLOOR(4.25 * 1e6 + 0.5) / 1e6 AS rp,
+  FLOOR(6.0 * 1e6 + 0.5) / 1e6 AS "on",
+  CAST(8 AS BIGINT) AS zr,
+  FLOOR((SELECT v FROM a4) * 1e6 + 0.5) / 1e6 AS as3,
+  FLOOR((SELECT MIN(v) FROM mo WHERE c = (SELECT mc FROM mom))
+        * 1e6 + 0.5) / 1e6 AS md,
+  CAST((SELECT COUNT(*) FROM mo WHERE c = (SELECT mc FROM mom))
+       AS BIGINT) AS mdn,
+  FLOOR((SELECT ssq FROM ms) * 1e6 + 0.5) / 1e6 AS sq,
+  FLOOR(SQRT((SELECT ssq FROM ms)) * 1e6 + 0.5) / 1e6 AS nr,
+  FLOOR((SELECT sab FROM ms) * 1e6 + 0.5) / 1e6 AS l1,
+  FLOOR((SELECT mab FROM ms) * 1e6 + 0.5) / 1e6 AS li,
+  FLOOR((SELECT sdf FROM pr) / (SELECT n FROM ms) * 1e6 + 0.5)
+    / 1e6 AS mdf,
+  FLOOR((SELECT sdf FROM pr) * 1e6 + 0.5) / 1e6 AS sdf,
+  CAST((SELECT pos FROM io) AS BIGINT) AS io,
+  FLOOR(CAST(CEIL((SELECT v FROM e4) / 3.0) AS DOUBLE) * 1e6 + 0.5)
+    / 1e6 AS ce,
+  FLOOR(CAST(FLOOR((SELECT v FROM e4) / 3.0) AS DOUBLE) * 1e6 + 0.5)
+    / 1e6 AS fl,
+  FLOOR(CAST(FLOOR((SELECT v FROM e4) / 3.0 + 0.5) AS DOUBLE) * 1e6
+        + 0.5) / 1e6 AS rn,
+  FLOOR((1.0 / (SELECT v FROM e4)) * 1e6 + 0.5) / 1e6 AS rc,
+  FLOOR((FLOOR((SELECT var FROM vr) * 100.0 + 0.5) / 100.0) * 1e6
+        + 0.5) / 1e6 AS pv,
+  FLOOR(((SELECT v FROM e4) + 1.5) * 1e6 + 0.5) / 1e6 AS sa,
+  FLOOR(((SELECT v FROM e4) - 1.5) * 1e6 + 0.5) / 1e6 AS ss,
+  FLOOR(((SELECT v FROM e4) * 1.5) * 1e6 + 0.5) / 1e6 AS sm"""
+
+    out["s_stream_strops"] = """
+SELECT doc_id, UPPER(lang) AS lang_u, LOWER(source) AS src_l,
+       lang || '-' || source AS ls,
+       CASE WHEN regexp_matches(source, 'a') THEN 1 ELSE 0 END AS has_a,
+       CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END AS nn
+FROM documents"""
 
     return out

@@ -717,6 +717,126 @@ class StreamEvaluator:
                                / (F.abs(x.cast("double"))
                                   + F.abs(y.cast("double"))))))
             raise ValueError(f"distance: unknown type {typ!r}")
+        # -- array / scalar utilities (solrj/io/eval) ----------------------
+        if fn in ("ceil", "floor", "round"):
+            # Ceiling/Floor/RoundEvaluator.java — element-wise over an
+            # array operand, scalar for a literal. round is
+            # Math.round = floor(x + 0.5) (half-UP even for negatives
+            # — NOT SQL ROUND's half-away-from-zero), mirrored as the
+            # same floor expression on both engines.
+            op = {"ceil": lambda v: F.ceil(v).cast("double"),
+                  "floor": lambda v: F.floor(v).cast("double"),
+                  "round": lambda v: F.floor(v + F.lit(0.5))
+                  .cast("double")}[fn]
+            if (isinstance(node.args[0], str)
+                    and re.match(r"^-?\d+(\.\d+)?$", node.args[0])):
+                return op(a[0].cast("double"))
+            return F.transform(a[0], lambda v: op(v.cast("double")))
+        if fn == "precision":            # PrecisionEvaluator.java —
+            # commons-math Precision.round(x, d) HALF_UP, the same
+            # floor(x*10^d + 0.5)/10^d shape both engines share
+            d = int(node.args[1])
+            p = float(10 ** d)
+            return (F.floor(a[0].cast("double") * F.lit(p) + F.lit(0.5))
+                    / F.lit(p))
+        if fn == "recip":                # RecipEvaluator.java — 1/x
+            if (isinstance(node.args[0], str)
+                    and re.match(r"^-?\d+(\.\d+)?$", node.args[0])):
+                return F.lit(1.0) / a[0].cast("double")
+            return F.transform(
+                a[0], lambda v: F.lit(1.0) / v.cast("double"))
+        if fn in ("scalarAdd", "scalarSubtract", "scalarMultiply",
+                  "scalarDivide"):       # Scalar*Evaluator.java —
+            # scalar first, applied to each element (subtract/divide:
+            # element op scalar)
+            s, arr = a[0].cast("double"), a[1]
+            op = {"scalarAdd": lambda v: v + s,
+                  "scalarSubtract": lambda v: v - s,
+                  "scalarMultiply": lambda v: v * s,
+                  "scalarDivide": lambda v: v / s}[fn]
+            return F.transform(arr, lambda v: op(v.cast("double")))
+        if fn == "append":               # AppendEvaluator.java
+            return F.concat(*a)
+        if fn == "copyOf":               # CopyOfEvaluator.java —
+            # Arrays.copyOf semantics: truncate or ZERO-pad to length
+            n = int(node.args[1])
+            padded = F.concat(
+                a[0].cast("array<double>"),
+                F.array_repeat(F.lit(0.0),
+                               F.greatest(F.lit(n) - F.size(a[0]),
+                                          F.lit(0))))
+            return F.slice(padded, 1, n)
+        if fn == "copyOfRange":          # CopyOfRangeEvaluator.java —
+            # [from, to) 0-based like Arrays.copyOfRange
+            lo, hi = int(node.args[1]), int(node.args[2])
+            return F.slice(a[0], lo + 1, hi - lo)
+        if fn == "repeat":               # RepeatEvaluator.java
+            return F.array_repeat(a[0].cast("double"),
+                                  int(node.args[1]))
+        if fn == "ones":                 # OnesEvaluator.java
+            return F.array_repeat(F.lit(1.0), int(node.args[0]))
+        if fn == "zeros":                # ZerosEvaluator.java
+            return F.array_repeat(F.lit(0.0), int(node.args[0]))
+        if fn == "asc":                  # AscEvaluator.java — sort asc
+            return F.sort_array(a[0])
+        if fn == "mode":                 # ModeEvaluator.java —
+            # commons-math StatUtils.mode: ALL most-frequent values,
+            # ascending
+            arr = F.transform(a[0], lambda x: x.cast("double"))
+            vals = F.array_sort(F.array_distinct(arr))
+            cnt = F.transform(
+                vals, lambda v: F.size(F.filter(arr, lambda x: x == v)))
+            mxc = F.array_max(cnt)
+            return F.filter(
+                vals, lambda v: F.size(
+                    F.filter(arr, lambda x: x == v)) == mxc)
+        if fn == "sumSq":                # SumSqEvaluator.java
+            return self._arr_sum(F.zip_with(
+                a[0], a[0],
+                lambda x, y: x.cast("double") * y.cast("double")))
+        if fn == "norm":                 # NormEvaluator.java — L2
+            return F.sqrt(self._arr_sum(F.zip_with(
+                a[0], a[0],
+                lambda x, y: x.cast("double") * y.cast("double"))))
+        if fn == "l1Norm":               # L1NormEvaluator.java
+            return self._arr_sum(F.transform(
+                a[0], lambda v: F.abs(v.cast("double"))))
+        if fn == "lInfNorm":             # LInfNormEvaluator.java
+            return F.array_max(F.transform(
+                a[0], lambda v: F.abs(v.cast("double"))))
+        if fn == "meanDifference":       # MeanDifferenceEvaluator —
+            # StatUtils.meanDifference = sum(a-b)/n
+            return self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") - y.cast("double"))) \
+                / F.size(a[0])
+        if fn == "sumDifference":        # SumDifferenceEvaluator
+            return self._arr_sum(F.zip_with(
+                a[0], a[1],
+                lambda x, y: x.cast("double") - y.cast("double")))
+        if fn == "indexOf":              # IndexOfEvaluator — 0-based
+            # first position of the value, -1 when absent
+            return (F.coalesce(F.array_position(
+                a[0], a[1]), F.lit(0)) - F.lit(1)).cast("long")
+        # -- string evaluators (solrj/io/eval) -----------------------------
+        if fn == "upper":                # UpperEvaluator.java
+            return F.upper(a[0])
+        if fn == "lower":                # LowerEvaluator.java
+            return F.lower(a[0])
+        if fn == "trim":                 # TrimEvaluator.java
+            return F.trim(a[0])
+        if fn == "concat":               # ConcatEvaluator.java —
+            # delim= param (default "")
+            return F.concat_ws(node.params.get("delim", ""), *a)
+        if fn == "matches":              # MatchesEvaluator.java —
+            # java.util.regex find() (UNANCHORED substring search)
+            return a[0].rlike(str(node.args[1]))
+        if fn == "coalesce":             # CoalesceEvaluator.java
+            return F.coalesce(*a)
+        if fn == "isNull":               # IsNullEvaluator.java
+            return a[0].isNull()
+        if fn == "notNull":              # NotNullEvaluator.java
+            return a[0].isNotNull()
         raise ValueError(f"unknown evaluator {fn!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:
