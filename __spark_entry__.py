@@ -5209,6 +5209,79 @@ def _q_stream_strops(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_STROPS_EXPR)
 
 
+# --- round-3v wave: statistics + linear-algebra evaluators -------------------
+
+_STREAM_HIST_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple(h=hist(x, 8)))')
+
+
+def _q_stream_hist(spark, sf_dir):
+    """HistogramEvaluator (solrj/io/eval/HistogramEvaluator.java:69 —
+    commons-math EmpiricalDistribution(bins): delta = (max-min)/bins,
+    findBin = min(max(ceil((v-min)/delta)-1, 0), bins-1), per-bin
+    SummaryStatistics). The bin table is a Catalyst transform over
+    the bounded col() cell; per-bin mean/var expand from exact
+    integer sums (commons-math accumulates incrementally — same
+    values up to final-ulp, and the oracle mirrors the raw-moment
+    form). prob/cumProb (kernel-smoothed from the fitted
+    distribution) are not emitted."""
+    out = _stream_eval(spark, sf_dir, _STREAM_HIST_EXPR)
+    r = out.select(F.posexplode("h").alias("i", "b"))
+
+    def r6(c):
+        return F.expr(f"FLOOR(b.{c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return r.select(F.col("i").cast("long").alias("i"),
+                    F.col("b.N").alias("N"), r6("min"), r6("max"),
+                    r6("sum"), r6("mean"), r6("stdev"), r6("var"))
+
+
+_STREAM_STATTESTS_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple(rk=valueAt(rank(copyOfRange(x, 0, 100)), 3), '
+    'tt=getValue(ttest(x, copyOfRange(asc(x), 0, 200)), t-statistic), '
+    'pt=getValue(pairedTtest(x, scalarMultiply(0.5, asc(x))), '
+    't-statistic), '
+    'mw=getValue(mannWhitney(copyOfRange(x, 0, 150), '
+    'copyOfRange(x, 150, 400)), u-statistic), '
+    'av=getValue(anova(copyOfRange(x, 0, 150), '
+    'copyOfRange(x, 150, 300), copyOfRange(x, 300, 450)), f-ratio), '
+    'cv=valueAt(conv(copyOfRange(x, 0, 20), copyOfRange(x, 0, 10)), '
+    '15), '
+    'mm=valueAt(rowAt(matrixMult(matrix(copyOfRange(x, 0, 20), '
+    'copyOfRange(x, 20, 40)), transpose(matrix('
+    'copyOfRange(x, 0, 20), copyOfRange(x, 20, 40)))), 0), 1)))')
+
+
+def _q_stream_stattests(spark, sf_dir):
+    """Hypothesis-test statistics + linear algebra (solrj/io/eval/:
+    RankEvaluator — NaturalRanking ties AVERAGE; TTestEvaluator —
+    commons-math TTest.t Welch statistic; PairedTTestEvaluator;
+    MannWhitneyUEvaluator — U = max(U1,U2) over pooled average
+    ranks; AnovaEvaluator — OneWayAnova F ratio;
+    ConvolutionEvaluator — MathArrays.convolve full convolution;
+    MatrixMultiplyEvaluator). p-values are deliberately omitted
+    (regularized-incomplete-beta / erf special functions are not
+    cross-engine-stable); every emitted statistic expands from exact
+    integer sums and half-integer ranks, with the summation ORDER of
+    the anova group terms mirrored textually in the oracle (those
+    partial terms are non-integer).
+
+    Scale shape: all of it rides the bounded col() cell; conv and
+    matrixMult run on slices (O(n*m) higher-order folds belong on
+    bounded series — corpus-scale analogues are the v_* ops)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_STATTESTS_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select(r6("rk"), r6("tt"), r6("pt"), r6("mw"),
+                      r6("av"), r6("cv"), r6("mm"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6076,6 +6149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local records
         "s_stream_arrayops": _q_stream_arrayops,
         "s_stream_strops": _q_stream_strops,
+        # round-3v: same pattern
+        "s_stream_hist": _q_stream_hist,
+        "s_stream_stattests": _q_stream_stattests,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9735,5 +9811,98 @@ SELECT doc_id, UPPER(lang) AS lang_u, LOWER(source) AS src_l,
        CASE WHEN regexp_matches(source, 'a') THEN 1 ELSE 0 END AS has_a,
        CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END AS nn
 FROM documents"""
+
+    # -- round-3v wave -------------------------------------------------------
+    out["s_stream_hist"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+bs AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM sq),
+bi AS (SELECT v, CAST(LEAST(GREATEST(
+         CEIL((v - (SELECT mn FROM bs))
+              / (((SELECT mx FROM bs) - (SELECT mn FROM bs)) / 8.0))
+         - 1, 0), 7) AS BIGINT) AS i FROM sq),
+g AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS N,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             MIN(v) AS mnv, MAX(v) AS mxv,
+             SUM(v) AS s, SUM(v * v) AS ssq
+      FROM bi GROUP BY i)
+SELECT i, N,
+  FLOOR(mnv * 1e6 + 0.5) / 1e6 AS min,
+  FLOOR(mxv * 1e6 + 0.5) / 1e6 AS max,
+  FLOOR(s * 1e6 + 0.5) / 1e6 AS sum,
+  FLOOR(s / nn * 1e6 + 0.5) / 1e6 AS mean,
+  FLOOR(SQRT((ssq - s * s / nn) / (nn - 1.0)) * 1e6 + 0.5) / 1e6
+    AS stdev,
+  FLOOR((ssq - s * s / nn) / (nn - 1.0) * 1e6 + 0.5) / 1e6 AS var
+FROM g"""
+
+    # Statistic formula shapes mirror streams._eval_col verbatim —
+    # including the ORDER of the anova group-term additions (those
+    # partials are non-integer doubles, so associativity matters).
+    out["s_stream_stattests"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+ms AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s,
+              SUM(v * v) AS ssq FROM sq),
+e4 AS (SELECT v FROM sq WHERE rn = 4),
+rk AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM sq
+               WHERE rn <= 100 AND v < (SELECT v FROM e4))
+            + ((SELECT CAST(COUNT(*) AS DOUBLE) FROM sq
+                WHERE rn <= 100 AND v = (SELECT v FROM e4))
+               + 1.0) / 2.0 AS rk),
+b2 AS (SELECT SUM(v) AS sb, SUM(v * v) AS qb FROM
+        (SELECT v FROM sq ORDER BY v ASC LIMIT 200)),
+tt AS (SELECT ((s / n) - (sb / 200.0))
+             / SQRT(((ssq - s * s / n) / (n - 1.0)) / n
+                    + ((qb - sb * sb / 200.0) / (200.0 - 1.0))
+                      / 200.0) AS tt
+       FROM ms, b2),
+srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) AS rk FROM sq),
+ds AS (SELECT x.v - 0.5 * y.v AS d
+       FROM sq x JOIN srt y ON y.rk = x.rn),
+dm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, SUM(d) AS sd,
+              SUM(d * d) AS qd FROM ds),
+pt AS (SELECT (sd / nd)
+             / SQRT(((qd - sd * sd / nd) / (nd - 1.0)) / nd) AS pt
+       FROM dm),
+pool AS (SELECT v FROM sq WHERE rn <= 400),
+r1 AS (SELECT SUM(CAST((SELECT COUNT(*) FROM pool p
+                        WHERE p.v < a.v) AS DOUBLE)
+                + ((SELECT CAST(COUNT(*) AS DOUBLE) FROM pool p
+                    WHERE p.v = a.v) + 1.0) / 2.0) AS r1
+       FROM sq a WHERE a.rn <= 150),
+mw AS (SELECT GREATEST(r1 - 150.0 * (150.0 + 1.0) / 2.0,
+                       150.0 * 250.0
+                       - (r1 - 150.0 * (150.0 + 1.0) / 2.0)) AS mw
+       FROM r1),
+g1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1, SUM(v) AS s1,
+              SUM(v * v) AS q1 FROM sq WHERE rn BETWEEN 1 AND 150),
+g2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n2, SUM(v) AS s2,
+              SUM(v * v) AS q2 FROM sq WHERE rn BETWEEN 151 AND 300),
+g3 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n3, SUM(v) AS s3,
+              SUM(v * v) AS q3 FROM sq WHERE rn BETWEEN 301 AND 450),
+av AS (SELECT ((((s1 * s1 / n1 + s2 * s2 / n2) + s3 * s3 / n3)
+               - ((s1 + s2) + s3) * ((s1 + s2) + s3)
+                 / ((n1 + n2) + n3)) / 2.0)
+             / ((((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                 + (q3 - s3 * s3 / n3))
+                / (((n1 + n2) + n3) - 3.0)) AS av
+       FROM g1, g2, g3),
+cv AS (SELECT SUM(xx.v * yy.v) AS cv
+       FROM range(6, 16) t(i)
+       JOIN sq xx ON xx.rn = t.i + 1
+       JOIN sq yy ON yy.rn = 15 - t.i + 1),
+mm AS (SELECT SUM(x.v * y.v) AS mm
+       FROM sq x JOIN sq y ON y.rn = x.rn + 20
+       WHERE x.rn <= 20)
+SELECT FLOOR((SELECT rk FROM rk) * 1e6 + 0.5) / 1e6 AS rk,
+  FLOOR((SELECT tt FROM tt) * 1e6 + 0.5) / 1e6 AS tt,
+  FLOOR((SELECT pt FROM pt) * 1e6 + 0.5) / 1e6 AS pt,
+  FLOOR((SELECT mw FROM mw) * 1e6 + 0.5) / 1e6 AS mw,
+  FLOOR((SELECT av FROM av) * 1e6 + 0.5) / 1e6 AS av,
+  FLOOR((SELECT cv FROM cv) * 1e6 + 0.5) / 1e6 AS cv,
+  FLOOR((SELECT mm FROM mm) * 1e6 + 0.5) / 1e6 AS mm"""
 
     return out

@@ -781,15 +781,24 @@ class StreamEvaluator:
             return F.sort_array(a[0])
         if fn == "mode":                 # ModeEvaluator.java —
             # commons-math StatUtils.mode: ALL most-frequent values,
-            # ascending
+            # ascending. The max count is zipped in through an
+            # array_repeat const (evaluated once) — referencing it
+            # inside a filter lambda would re-derive every per-value
+            # count per element, O(d^2 * n) on the interpreted HOF
+            # path.
             arr = F.transform(a[0], lambda x: x.cast("double"))
             vals = F.array_sort(F.array_distinct(arr))
             cnt = F.transform(
                 vals, lambda v: F.size(F.filter(arr, lambda x: x == v)))
-            mxc = F.array_max(cnt)
-            return F.filter(
-                vals, lambda v: F.size(
-                    F.filter(arr, lambda x: x == v)) == mxc)
+            keep = F.zip_with(
+                cnt, F.array_repeat(F.array_max(cnt), F.size(cnt)),
+                lambda c, m: c == m)
+            packed = F.zip_with(
+                vals, keep,
+                lambda v, k: F.struct(v.alias("v"), k.alias("k")))
+            return F.transform(
+                F.filter(packed, lambda p: p["k"]),
+                lambda p: p["v"])
         if fn == "sumSq":                # SumSqEvaluator.java
             return self._arr_sum(F.zip_with(
                 a[0], a[0],
@@ -837,6 +846,177 @@ class StreamEvaluator:
             return a[0].isNull()
         if fn == "notNull":              # NotNullEvaluator.java
             return a[0].isNotNull()
+        # -- statistics + linear algebra (solrj/io/eval) -------------------
+        # p-values are deliberately OMITTED from ttest/pairedTtest/
+        # mannWhitney/anova: they need the regularized incomplete
+        # beta / erf special functions, whose library implementations
+        # are not cross-engine-stable; the statistic fields (exact
+        # arithmetic over raw-moment sums / integer ranks) carry the
+        # decision weight and ARE emitted. Where commons-math uses
+        # incremental (Welford) accumulation the raw-moment expansion
+        # here can differ in the last ulps — documented, and the
+        # oracle mirrors this form.
+        if fn == "rank":                 # RankEvaluator.java —
+            # commons-math NaturalRanking, ties AVERAGE: rank(v) =
+            # (first + last)/2 over the sorted positions of v's tie
+            # block == |{y < v}| + (|{y == v}| + 1)/2, 1-based.
+            # Computed with two native array_position scans per
+            # element (not nested filter() lambdas — the interpreted
+            # HOF path makes that O(n^2) with a catastrophic
+            # constant; measured minutes at a 5k series).
+            arr = F.transform(a[0], lambda x: x.cast("double"))
+            srt = F.sort_array(arr)
+            rsrt = F.reverse(srt)
+            n1 = F.size(arr) + F.lit(1)
+            return F.transform(
+                arr, lambda v:
+                (F.array_position(srt, v)
+                 + (n1 - F.array_position(rsrt, v))).cast("double")
+                / F.lit(2.0))
+        if fn == "hist":                 # HistogramEvaluator.java —
+            # commons-math EmpiricalDistribution(bins): delta =
+            # (max-min)/bins, findBin = min(max(ceil((v-min)/delta)-1,
+            # 0), bins-1); per-bin SummaryStatistics
+            bins = int(node.args[1]) if len(node.args) > 1 else 10
+            arr = F.transform(a[0], lambda x: x.cast("double"))
+            mn = F.array_min(arr)
+            delta = (F.array_max(arr) - mn) / F.lit(float(bins))
+            # The interpreted HOF path re-evaluates lambda
+            # subexpressions PER ELEMENT, so referencing array_min /
+            # array_max inside a transform or filter lambda costs
+            # O(n) per element — O(n^2) per pass (measured minutes at
+            # a 5k series). array_repeat evaluates its child ONCE, so
+            # packing (min, delta) into a repeated const array and
+            # zipping keeps every pass O(n).
+            consts = F.array_repeat(
+                F.struct(mn.alias("mn"), delta.alias("d")),
+                F.size(arr))
+            pairs = F.zip_with(
+                arr, consts,
+                lambda v, c: F.struct(
+                    v.alias("v"),
+                    F.least(F.greatest(
+                        F.ceil((v - c["mn"]) / c["d"]) - F.lit(1),
+                        F.lit(0)), F.lit(bins - 1)).alias("i")))
+
+            def _stats(i):
+                sel = F.transform(
+                    F.filter(pairs, lambda p: p["i"] == i),
+                    lambda p: p["v"])
+                nn = F.size(sel).cast("double")
+                s = F.aggregate(sel, F.lit(0.0), lambda c, x: c + x)
+                ssq = F.aggregate(sel, F.lit(0.0),
+                                  lambda c, x: c + x * x)
+                var = (ssq - s * s / nn) / (nn - F.lit(1.0))
+                return F.struct(
+                    F.array_max(sel).alias("max"),
+                    (s / nn).alias("mean"),
+                    F.array_min(sel).alias("min"),
+                    F.sqrt(var).alias("stdev"), s.alias("sum"),
+                    F.size(sel).cast("long").alias("N"),
+                    var.alias("var"))
+
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(bins - 1)),
+                lambda i: _stats(i.cast("long")))
+        if fn == "ttest":                # TTestEvaluator.java —
+            # commons-math TTest.t(a, b): Welch two-sample statistic
+            # (m1-m2)/sqrt(v1/n1 + v2/n2) from raw moments
+            def _mv(c):
+                nn = F.size(c).cast("double")
+                s = self._arr_sum(c)
+                ssq = F.aggregate(c, F.lit(0.0),
+                                  lambda acc, x: acc
+                                  + x.cast("double") * x.cast("double"))
+                return nn, s / nn, (ssq - s * s / nn) / (nn - F.lit(1.0))
+            n1, m1, v1 = _mv(a[0])
+            n2, m2, v2 = _mv(a[1])
+            t = (m1 - m2) / F.sqrt(v1 / n1 + v2 / n2)
+            return F.struct(t.alias("t-statistic"))
+        if fn == "pairedTtest":          # PairedTTestEvaluator.java —
+            # TTest.pairedT: meanDiff / sqrt(varDiff / n)
+            d = F.zip_with(a[0], a[1],
+                           lambda x, y: x.cast("double")
+                           - y.cast("double"))
+            nn = F.size(d).cast("double")
+            s = self._arr_sum(d)
+            ssq = F.aggregate(d, F.lit(0.0), lambda c, x: c + x * x)
+            vd = (ssq - s * s / nn) / (nn - F.lit(1.0))
+            t = (s / nn) / F.sqrt(vd / nn)
+            return F.struct(t.alias("t-statistic"))
+        if fn == "mannWhitney":          # MannWhitneyUEvaluator.java —
+            # commons-math MannWhitneyUTest.mannWhitneyU =
+            # max(U1, U2), ranks over the pooled sample, ties average
+            both = F.concat(
+                F.transform(a[0], lambda x: x.cast("double")),
+                F.transform(a[1], lambda x: x.cast("double")))
+            n1 = F.size(a[0]).cast("double")
+            n2 = F.size(a[1]).cast("double")
+            r1 = self._arr_sum(F.transform(
+                F.transform(a[0], lambda x: x.cast("double")),
+                lambda v:
+                F.size(F.filter(both, lambda y: y < v)).cast("double")
+                + (F.size(F.filter(both, lambda y: y == v))
+                   .cast("double") + F.lit(1.0)) / F.lit(2.0)))
+            u1 = r1 - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+            u2 = n1 * n2 - u1
+            return F.struct(F.greatest(u1, u2).alias("u-statistic"))
+        if fn == "anova":                # AnovaEvaluator.java —
+            # commons-math OneWayAnova.anovaFValue over k groups:
+            # F = (ssbg/(k-1)) / (sswg/(n-k)) from raw sums
+            k = float(len(a))
+            ns, ss, qs = [], [], []
+            for arr in a:
+                ns.append(F.size(arr).cast("double"))
+                ss.append(self._arr_sum(arr))
+                qs.append(F.aggregate(
+                    arr, F.lit(0.0),
+                    lambda c, x: c + x.cast("double")
+                    * x.cast("double")))
+            tot_n = ns[0]
+            tot_s = ss[0]
+            for x in ns[1:]:
+                tot_n = tot_n + x
+            for x in ss[1:]:
+                tot_s = tot_s + x
+            ssbg = None
+            sswg = None
+            for nn, s, q in zip(ns, ss, qs):
+                term = s * s / nn
+                ssbg = term if ssbg is None else ssbg + term
+                w = q - s * s / nn
+                sswg = w if sswg is None else sswg + w
+            ssbg = ssbg - tot_s * tot_s / tot_n
+            f = (ssbg / F.lit(k - 1.0)) / (sswg / (tot_n - F.lit(k)))
+            return F.struct(f.alias("f-ratio"))
+        if fn == "conv":                 # ConvolutionEvaluator.java —
+            # commons-math MathArrays.convolve: full convolution,
+            # out[k] = sum_i x[i]*y[k-i], length n+m-1
+            x, y = a[0], a[1]
+            n = F.size(x)
+            m = F.size(y)
+            return F.transform(
+                F.sequence(F.lit(0), n + m - F.lit(2)),
+                lambda k: F.aggregate(
+                    F.sequence(F.greatest(F.lit(0), k - m + F.lit(1)),
+                               F.least(n - F.lit(1), k)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.get(x, i).cast("double")
+                    * F.get(y, k - i).cast("double")))
+        if fn == "matrixMult":           # MatrixMultiplyEvaluator.java
+            A, Bm = a[0], a[1]
+            r = F.size(F.get(Bm, 0))
+            q = F.size(Bm)
+            return F.transform(
+                A, lambda row: F.transform(
+                    F.sequence(F.lit(0), r - F.lit(1)),
+                    lambda j: F.aggregate(
+                        F.sequence(F.lit(0), q - F.lit(1)),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.get(row, i).cast("double")
+                        * F.get(F.get(Bm, i), j).cast("double"))))
         raise ValueError(f"unknown evaluator {fn!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:
