@@ -5282,6 +5282,49 @@ def _q_stream_stattests(spark, sf_dir):
                       r6("av"), r6("cv"), r6("mm"))
 
 
+# --- round-3w wave: interpolation / combinatorics / distance markers ---------
+
+_STREAM_INTERP_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple(lp=predict(lerp(copyOfRange(x, 0, 50)), 7.25), '
+    'kr=predict(knnRegress(x, rev(x), 5), 300), '
+    'dm=distance(x, rev(x), manhattan()), '
+    'dc=distance(copyOfRange(x, 0, 100), copyOfRange(x, 100, 200), '
+    'chebyshev()), '
+    'de=distance(x, rev(x), earthMovers()), '
+    'lt=valueAt(ltrim(x, 5), 0), ltl=length(ltrim(x, 5)), '
+    'rt=valueAt(rtrim(x, 5), sub(length(rtrim(x, 5)), 1)), '
+    'fc=factorial(12), bc=binomialCoefficient(20, 7), '
+    'p9=valueAt(primes(10, 2), 9), '
+    'ps=valueAt(sumRows(matrix(primes(10, 2))), 0)))')
+
+
+def _q_stream_interp(spark, sf_dir):
+    """Interpolation, combinatorics and distance-measure markers
+    (solrj/io/eval/: LerpEvaluator — commons-math LinearInterpolator
+    over (x,y) knots, x = 0..n-1 in the y-only form; KnnRegression-
+    Evaluator — mean y of the k nearest knots; the distance-measure
+    marker pattern distance(a, b, manhattan()) of
+    DistanceEvaluator.java:65 with Manhattan/Chebyshev/EarthMovers
+    (EarthMoversDistance's running-flow fold mirrored step-for-step);
+    LeftShift/RightShiftEvaluator (ltrim/rtrim — drop first/last n);
+    FactorialEvaluator, BinomialCoefficientEvaluator (the exact
+    multiplicative form c = c*(n-k+i)/i), PrimesEvaluator).
+
+    Every output is exact integer / half-integer arithmetic except
+    lerp's single segment (one int-ratio multiply); oracle mirrors
+    each formula shape verbatim. Bounded-cell ops throughout."""
+    out = _stream_eval(spark, sf_dir, _STREAM_INTERP_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select(r6("lp"), r6("kr"), r6("dm"), r6("dc"),
+                      r6("de"), r6("lt"), "ltl", r6("rt"), r6("fc"),
+                      r6("bc"), r6("p9"), r6("ps"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6152,6 +6195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3v: same pattern
         "s_stream_hist": _q_stream_hist,
         "s_stream_stattests": _q_stream_stattests,
+        # round-3w: same pattern
+        "s_stream_interp": _q_stream_interp,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9904,5 +9949,43 @@ SELECT FLOOR((SELECT rk FROM rk) * 1e6 + 0.5) / 1e6 AS rk,
   FLOOR((SELECT av FROM av) * 1e6 + 0.5) / 1e6 AS av,
   FLOOR((SELECT cv FROM cv) * 1e6 + 0.5) / 1e6 AS cv,
   FLOOR((SELECT mm FROM mm) * 1e6 + 0.5) / 1e6 AS mm"""
+
+    # -- round-3w wave -------------------------------------------------------
+    # 479001600 = 12!, 77520 = C(20,7); primes fixed: 2..29 sum 129.
+    out["s_stream_interp"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sq),
+lp AS (SELECT (SELECT v FROM sq WHERE rn = 8)
+             + (7.25 - 7.0)
+               * ((SELECT v FROM sq WHERE rn = 9)
+                  - (SELECT v FROM sq WHERE rn = 8)) / (8.0 - 7.0)
+         AS lp),
+kp AS (SELECT ABS(x.v - CAST(300 AS DOUBLE)) AS d, y.v AS y
+       FROM sq x JOIN sq y ON y.rn = (SELECT n FROM ms) + 1 - x.rn),
+kr AS (SELECT SUM(y) / 5.0 AS kr FROM
+        (SELECT y FROM kp ORDER BY d ASC, y ASC LIMIT 5)),
+dd AS (SELECT x.v - y.v AS d, x.rn AS rn
+       FROM sq x JOIN sq y ON y.rn = (SELECT n FROM ms) + 1 - x.rn),
+dm AS (SELECT SUM(ABS(d)) AS dm FROM dd),
+de AS (SELECT SUM(ABS(run)) AS de FROM
+        (SELECT SUM(d) OVER (ORDER BY rn ASC) AS run FROM dd)),
+dc AS (SELECT MAX(ABS(x.v - y.v)) AS dc
+       FROM sq x JOIN sq y ON y.rn = x.rn + 100
+       WHERE x.rn <= 100)
+SELECT FLOOR((SELECT lp FROM lp) * 1e6 + 0.5) / 1e6 AS lp,
+  FLOOR((SELECT kr FROM kr) * 1e6 + 0.5) / 1e6 AS kr,
+  FLOOR((SELECT dm FROM dm) * 1e6 + 0.5) / 1e6 AS dm,
+  FLOOR((SELECT dc FROM dc) * 1e6 + 0.5) / 1e6 AS dc,
+  FLOOR((SELECT de FROM de) * 1e6 + 0.5) / 1e6 AS de,
+  FLOOR((SELECT v FROM sq WHERE rn = 6) * 1e6 + 0.5) / 1e6 AS lt,
+  CAST((SELECT n - 5 FROM ms) AS BIGINT) AS ltl,
+  FLOOR((SELECT v FROM sq WHERE rn = (SELECT n FROM ms) - 5)
+        * 1e6 + 0.5) / 1e6 AS rt,
+  FLOOR(479001600.0 * 1e6 + 0.5) / 1e6 AS fc,
+  FLOOR(77520.0 * 1e6 + 0.5) / 1e6 AS bc,
+  FLOOR(29.0 * 1e6 + 0.5) / 1e6 AS p9,
+  FLOOR(129.0 * 1e6 + 0.5) / 1e6 AS ps"""
 
     return out

@@ -540,17 +540,75 @@ class StreamEvaluator:
                 ((cyy - slope * cxy) / (n - F.lit(2.0)))
                 .alias("meanSquareError"))
         if fn == "predict":              # PredictEvaluator.java over a
-            # regress() tuple: scalar for a numeric literal, element-
-            # wise for an array operand (the reference dispatches on
-            # runtime type; here on the operand's syntactic shape)
-            reg = a[0]
+            # regress() tuple, a lerp() interpolator or a knnRegress()
+            # model: scalar for a numeric literal, element-wise for an
+            # array operand (the reference dispatches on runtime type;
+            # here on the operand's syntactic shape)
+            model = node.args[0]
+            kind = model.name if isinstance(model, StreamExpr) else ""
             lit = (isinstance(node.args[1], str)
                    and re.match(r"^-?\d+(\.\d+)?$", node.args[1]))
+
+            if kind == "lerp":
+                # LerpEvaluator.java — commons-math LinearInterpolator
+                # over (x, y) knots (x = 0..n-1 when only y given);
+                # evaluation clamps to the outermost segment (the
+                # reference throws OutOfRangeException outside
+                # [x0, xn] — documented divergence). Bounded-cell op:
+                # each evaluation scans the knot arrays.
+                m = a[0]
+                lx, ly = m["lx"], m["ly"]
+
+                def _interp(z):
+                    idx = F.size(F.filter(lx, lambda v: v <= z))
+                    i = F.least(F.greatest(idx, F.lit(1)),
+                                F.size(lx) - F.lit(1))
+                    x0 = F.get(lx, i - F.lit(1)).cast("double")
+                    x1 = F.get(lx, i).cast("double")
+                    y0 = F.get(ly, i - F.lit(1)).cast("double")
+                    y1 = F.get(ly, i).cast("double")
+                    return y0 + (z - x0) * (y1 - y0) / (x1 - x0)
+
+                if lit:
+                    return _interp(a[1].cast("double"))
+                return F.transform(
+                    a[1], lambda t: _interp(t.cast("double")))
+            if kind == "knnRegress":
+                # KnnRegressionEvaluator.java — mean y of the k
+                # nearest x knots by |x - z|; ties sort by (distance,
+                # y) ascending (the reference keeps first-found order
+                # — documented tie divergence). Bounded-cell op.
+                m = a[0]
+                k = int(model.args[2]) if len(model.args) > 2 else 3
+
+                def _knn(z):
+                    pairs = F.zip_with(
+                        m["lx"], m["ly"],
+                        lambda xv, yv: F.struct(
+                            F.abs(xv.cast("double") - z).alias("d"),
+                            yv.cast("double").alias("y")))
+                    top = F.slice(F.sort_array(pairs), 1, k)
+                    return F.aggregate(
+                        top, F.lit(0.0),
+                        lambda acc, p: acc + p["y"]) / F.lit(float(k))
+
+                if lit:
+                    return _knn(a[1].cast("double"))
+                return F.transform(
+                    a[1], lambda t: _knn(t.cast("double")))
+            reg = a[0]
             if lit:
                 return reg["intercept"] + reg["slope"] * a[1]
             return F.transform(
                 a[1], lambda x: reg["intercept"]
                 + reg["slope"] * x.cast("double"))
+        if fn in ("lerp", "knnRegress"):  # model leaves for predict()
+            ys = a[1] if len(a) > 1 else a[0]
+            xs = (a[0] if len(a) > 1 else
+                  F.transform(F.sequence(F.lit(0), F.size(a[0])
+                                         - F.lit(1)),
+                              lambda i: i.cast("double")))
+            return F.struct(xs.alias("lx"), ys.alias("ly"))
         if fn == "getValue":             # GetValueEvaluator.java —
             # pull one field of an evaluator tuple (regress/describe)
             return a[0][str(node.args[1])]
@@ -691,10 +749,43 @@ class StreamEvaluator:
                 return F.log10(a[0])
             return F.transform(a[0],
                                lambda v: F.log10(v.cast("double")))
+        if fn in ("manhattan", "canberra", "euclidean", "earthMovers",
+                  "chebyshev"):
+            # distance-measure MARKERS (Manhattan/Canberra/Euclidean/
+            # EarthMovers/ChebyshevEvaluator.java — they construct the
+            # commons-math DistanceMeasure passed to distance()/knn();
+            # their own doWork is never called)
+            if node.args:
+                raise ValueError(f"{fn}() takes no arguments")
+            return F.lit(fn)
         if fn == "distance":             # DistanceEvaluator.java over
-            # two vectors; type=euclidean (default) / manhattan /
-            # canberra (commons-math *Distance classes)
-            typ = node.params.get("type", "euclidean")
+            # two vectors; measure from a marker argument
+            # (distance(a, b, manhattan()) — the reference pattern,
+            # default EuclideanDistance) or the type= alias
+            typ = next((x.name for x in node.args
+                        if isinstance(x, StreamExpr)
+                        and x.name in ("manhattan", "canberra",
+                                       "euclidean", "earthMovers",
+                                       "chebyshev")),
+                       node.params.get("type", "euclidean"))
+            if typ == "chebyshev":       # ChebyshevDistance: max|a-b|
+                return F.array_max(F.zip_with(
+                    a[0], a[1],
+                    lambda x, y: F.abs(x.cast("double")
+                                       - y.cast("double"))))
+            if typ == "earthMovers":     # EarthMoversDistance.java —
+                # lastDistance += a[i] - b[i]; total += |lastDistance|
+                acc = F.aggregate(
+                    F.zip_with(a[0], a[1],
+                               lambda x, y: x.cast("double")
+                               - y.cast("double")),
+                    F.struct(F.lit(0.0).alias("last"),
+                             F.lit(0.0).alias("total")),
+                    lambda s, d: F.struct(
+                        (s["last"] + d).alias("last"),
+                        (s["total"] + F.abs(s["last"] + d))
+                        .alias("total")))
+                return acc["total"]
             if typ == "euclidean":
                 return F.sqrt(self._arr_sum(F.zip_with(
                     a[0], a[1],
@@ -1017,6 +1108,62 @@ class StreamEvaluator:
                         lambda acc, i: acc
                         + F.get(row, i).cast("double")
                         * F.get(F.get(Bm, i), j).cast("double"))))
+        if fn == "ltrim":                # LeftShiftEvaluator.java —
+            # drop the first n elements
+            n = int(node.args[1])
+            return F.slice(a[0], n + 1,
+                           F.greatest(F.size(a[0]) - F.lit(n),
+                                      F.lit(0)))
+        if fn == "rtrim":                # RightShiftEvaluator.java —
+            # drop the last n elements
+            n = int(node.args[1])
+            return F.slice(a[0], 1,
+                           F.greatest(F.size(a[0]) - F.lit(n),
+                                      F.lit(0)))
+        if fn == "factorial":            # FactorialEvaluator.java —
+            # CombinatoricsUtils.factorial; exact below 2^53
+            return F.aggregate(
+                F.sequence(F.lit(1),
+                           F.greatest(a[0].cast("int"), F.lit(1))),
+                F.lit(1.0), lambda acc, i: acc * i.cast("double"))
+        if fn == "binomialCoefficient":  # BinomialCoefficient-
+            # Evaluator.java — CombinatoricsUtils.binomialCoefficient
+            # via the multiplicative form c = c*(n-k+i)/i (each step
+            # an exact integer, the same order commons-math uses)
+            nn, kk = int(node.args[0]), int(node.args[1])
+            kk = min(kk, nn - kk)
+            if kk <= 0:
+                return F.lit(1.0)
+            return F.aggregate(
+                F.sequence(F.lit(1), F.lit(kk)), F.lit(1.0),
+                lambda acc, i: acc * (F.lit(float(nn - kk))
+                                      + i.cast("double"))
+                / i.cast("double"))
+        if fn == "primes":               # PrimesEvaluator.java —
+            # the first `count` primes >= start (commons-math
+            # Primes.nextPrime loop). Candidate bound count*20+start+
+            # 100 is generous for the count sizes the surface serves
+            # (config-sized literals).
+            count, start = int(node.args[0]), int(node.args[1])
+            hi = start + count * 20 + 100
+            cand = F.sequence(F.lit(max(2, start)), F.lit(hi))
+            pr = F.filter(
+                cand, lambda v: ~F.exists(
+                    F.sequence(F.lit(2), F.greatest(
+                        F.floor(F.sqrt(v.cast("double"))).cast("int"),
+                        F.lit(2))),
+                    lambda d: (v % d == 0) & (d < v)))
+            return F.transform(F.slice(pr, 1, count),
+                               lambda v: v.cast("double"))
+        if fn == "oscillate":            # OscillateEvaluator.java —
+            # amp*sin(freq*i + phase) for i in 0..127 (a sine wave
+            # carrier; library sin -> pytest-pinned, not oracle-able)
+            amp, freq, phase = (float(node.args[i]) for i in range(3))
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(127)),
+                lambda i: F.lit(amp) * F.sin(F.lit(freq)
+                                             * i.cast("double")
+                                             + F.lit(phase)))
         raise ValueError(f"unknown evaluator {fn!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:
