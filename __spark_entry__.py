@@ -2122,11 +2122,14 @@ def _stream_eval(spark, sf_dir, expr_text):
              .union(d.select(F.col("doc_id").alias("src"),
                              F.expr("doc_id div 3").alias("dst"))))
     from lucene_solr_spark.analysis.analyzers import simple_tokens_col
-    # stored expressions for EvalStream (expressions-as-data, the
-    # reference's eval() use case) — config-sized by construction
+    # stored expressions for EvalStream / ExecutorStream
+    # (expressions-as-data, jobs-as-data — config-sized by
+    # construction; ids sort the drain order)
     exprs = spark.createDataFrame(
         [("stored_q", 'search(documents, q="text:merge", '
-                      'fl="doc_id,lang", sort="doc_id asc")')],
+                      'fl="doc_id,lang", sort="doc_id asc")'),
+         ("z_exec_q", 'search(documents, q="text:join", '
+                      'fl="doc_id", sort="doc_id asc")')],
         "id string, expr_s string")
     ev = StreamEvaluator(
         {"documents": d,
@@ -5051,7 +5054,7 @@ def _q_stream_hashrollup(spark, sf_dir):
 
 
 _STREAM_EVALEXPR_EXPR = (
-    'eval(search(exprs, q="*:*", fl="expr_s", sort="expr_s asc"))')
+    'eval(search(exprs, q="*:*", fl="id,expr_s", sort="id asc"))')
 
 
 def _q_stream_evalexpr(spark, sf_dir):
@@ -5323,6 +5326,56 @@ def _q_stream_interp(spark, sf_dir):
     return out.select(r6("lp"), r6("kr"), r6("dm"), r6("dc"),
                       r6("de"), r6("lt"), "ltl", r6("rt"), r6("fc"),
                       r6("bc"), r6("p9"), r6("ps"))
+
+
+# --- round-3x wave: daemon / priority / executor streams ---------------------
+
+_STREAM_PRIORITY_EXPR = (
+    'priority('
+    'search(documents, q="text:zzzabsentterm", fl="doc_id,lang", '
+    'sort="doc_id asc"), '
+    'search(documents, q="text:merge", fl="doc_id,lang", '
+    'sort="doc_id asc"))')
+
+
+def _q_stream_priority(spark, sf_dir):
+    """PriorityStream (streams._s_priority,
+    PriorityStream.java:36): emit the high-priority stream's tuples;
+    read the low stream only when high is EMPTY — scheduling, not
+    merging. Here the high topic has no matches, so the row pins the
+    fall-through leg; the high-nonempty leg is pytest-pinned."""
+    return _stream_eval(spark, sf_dir, _STREAM_PRIORITY_EXPR)
+
+
+_STREAM_DAEMON_EXPR = (
+    'daemon(id=d1, runInterval=1000, '
+    'search(documents, q="text:merge", fl="doc_id", '
+    'sort="doc_id asc"))')
+
+
+def _q_stream_daemon(spark, sf_dir):
+    """DaemonStream (streams._s_daemon, DaemonStream.java:57): the
+    daemon() call registers the wrapped plan under its id and
+    answers with the info tuple (id/state/iterations) exactly like
+    the reference's admin surface; run_once()/list/stop semantics
+    are pytest-pinned (the real interval scheduler is Structured
+    Streaming, streaming/incremental.py)."""
+    return _stream_eval(spark, sf_dir, _STREAM_DAEMON_EXPR)
+
+
+_STREAM_EXECUTOR_EXPR = (
+    'executor(search(exprs, q="*:*", fl="id,expr_s", '
+    'sort="id asc"))')
+
+
+def _q_stream_executor(spark, sf_dir):
+    """ExecutorStream (streams._s_executor,
+    ExecutorStream.java:53): drain a config-sized stream of stored
+    expressions (jobs-as-data) and execute each — one {id, n} tuple
+    per executed job. Each job's plan stays fully distributed; only
+    the job LIST is driver-side (bounded by the operator's
+    contract)."""
+    return _stream_eval(spark, sf_dir, _STREAM_EXECUTOR_EXPR)
 
 
 # ---------------------------------------------------------------------------
@@ -6197,6 +6250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_stattests": _q_stream_stattests,
         # round-3w: same pattern
         "s_stream_interp": _q_stream_interp,
+        # round-3x: same pattern
+        "s_stream_priority": _q_stream_priority,
+        "s_stream_daemon": _q_stream_daemon,
+        "s_stream_executor": _q_stream_executor,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -9987,5 +10044,24 @@ SELECT FLOOR((SELECT lp FROM lp) * 1e6 + 0.5) / 1e6 AS lp,
   FLOOR(77520.0 * 1e6 + 0.5) / 1e6 AS bc,
   FLOOR(29.0 * 1e6 + 0.5) / 1e6 AS p9,
   FLOOR(129.0 * 1e6 + 0.5) / 1e6 AS ps"""
+
+    # -- round-3x wave -------------------------------------------------------
+    out["s_stream_priority"] = f"""
+WITH {ctes}
+SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d
+WHERE d.doc_id IN (SELECT docid FROM postings WHERE term = 'merge')"""
+
+    out["s_stream_daemon"] = """
+SELECT 'd1' AS id, 'STOPPED' AS state, CAST(0 AS BIGINT) AS iterations"""
+
+    out["s_stream_executor"] = f"""
+WITH {ctes}
+SELECT 'stored_q' AS id,
+       CAST((SELECT COUNT(DISTINCT docid) FROM postings
+             WHERE term = 'merge') AS BIGINT) AS n
+UNION ALL
+SELECT 'z_exec_q' AS id,
+       CAST((SELECT COUNT(DISTINCT docid) FROM postings
+             WHERE term = 'join') AS BIGINT) AS n"""
 
     return out

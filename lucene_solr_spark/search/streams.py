@@ -184,6 +184,32 @@ def _agg_col(e: StreamExpr):
     return col.alias(f"{fn}_{arg}")
 
 
+class _Daemon:
+    """A registered daemon (DaemonStream.java:57): the wrapped
+    expression's plan plus an iteration counter. ``run_once()``
+    replays the plan and forces it — the deterministic stand-in for
+    the reference's interval thread (iterations is the logical
+    clock; there is deliberately no wall-clock state)."""
+
+    def __init__(self, ev, expr: "StreamExpr", run_interval: str):
+        self.ev = ev
+        self.expr = expr
+        self.run_interval = run_interval
+        self.iterations = 0
+        self.state = "STOPPED"
+
+    def run_once(self) -> int:
+        self.state = "RUNNING"
+        n = self.ev.eval(self.expr).count()
+        self.iterations += 1
+        self.state = "STOPPED"
+        return int(n)
+
+    def info(self) -> dict:
+        return {"id": None, "state": self.state,
+                "iterations": self.iterations}
+
+
 class StreamEvaluator:
     """Evaluates a parsed streaming expression against named collections.
 
@@ -1330,6 +1356,68 @@ class StreamEvaluator:
         if name not in cells:
             raise ValueError(f"get({name!r}): no such let cell")
         return cells[name]
+
+    def _s_daemon(self, e: StreamExpr) -> DataFrame:
+        """DaemonStream (solr/solrj/src/java/org/apache/solr/client/
+        solrj/io/stream/DaemonStream.java:57): wrap a stream and
+        re-run it on an interval in the background — the continuous-
+        indexing pattern daemon(update(topic(...))). Here the daemon
+        is registered under its id with the wrapped expression's
+        PLAN; ``run_once()`` replays it deterministically (no wall
+        clock, no thread — Spark's real scheduler analogue is
+        Structured Streaming's triggers, streaming/incremental.py;
+        this surface keeps the reference's admin contract: the
+        daemon() call answers with the info tuple, and the registry
+        supports list/stop like the DaemonStream admin API). The
+        runInterval param is recorded, never slept on."""
+        did = e.params.get("id")
+        if not did:
+            raise ValueError("daemon() requires an id= param")
+        body = [x for x in e.args if isinstance(x, StreamExpr)]
+        if len(body) != 1:
+            raise ValueError("daemon() wraps exactly one stream")
+        if not hasattr(self, "daemons"):
+            self.daemons = {}
+        self.daemons[did] = _Daemon(self, body[0],
+                                    e.params.get("runInterval", "0"))
+        spark = next(iter(self.collections.values())).sparkSession
+        return spark.createDataFrame(
+            [(did, "STOPPED", 0)],
+            "id string, state string, iterations long")
+
+    def _s_priority(self, e: StreamExpr) -> DataFrame:
+        """PriorityStream (solrj/io/stream/PriorityStream.java:36):
+        wraps a high-priority and a low-priority stream (topics, in
+        the reference); emits the HIGH stream's tuples, and reads the
+        low stream only when high is empty — scheduling, not
+        merging. The emptiness probe is a bounded count on the high
+        stream (topic pulls are incremental batches by contract)."""
+        hi, lo = self._streams(e)
+        if hi.limit(1).count() > 0:
+            return hi
+        return lo
+
+    def _s_executor(self, e: StreamExpr) -> DataFrame:
+        """ExecutorStream (solrj/io/stream/ExecutorStream.java:53):
+        drain the wrapped stream's tuples, each carrying an
+        ``expr_s`` streaming expression, and execute them (the
+        reference fans them across a thread pool and emits nothing;
+        jobs-as-data). Here each job's plan is evaluated and forced,
+        and one tuple per job reports {id, n} — the job list is
+        config-sized by the operator's contract, so the driver-side
+        drain is bounded; each executed expression stays a fully
+        distributed plan."""
+        (src,) = self._streams(e)
+        if "expr_s" not in src.columns:
+            raise ValueError("executor() needs a stream with expr_s")
+        rows = src.collect()
+        out = []
+        for r in rows:
+            n = self.eval(parse_stream(r["expr_s"])).count()
+            out.append((r["id"] if "id" in src.columns else "",
+                        int(n)))
+        spark = next(iter(self.collections.values())).sparkSession
+        return spark.createDataFrame(out, "id string, n long")
 
     def _s_cell(self, e: StreamExpr) -> DataFrame:
         """CellStream (solrj/io/stream/CellStream.java:42):
