@@ -46,6 +46,7 @@ Expression grammar (StreamExpressionParser.java:46 shape):
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -222,11 +223,12 @@ class StreamEvaluator:
 
     def __init__(self, collections: dict[str, DataFrame],
                  text_search=None, writers: dict | None = None,
-                 mlt=None):
+                 mlt=None, chroot: str | None = None):
         self.collections = collections
         self.text_search = text_search
         self.writers = writers or {}
         self.mlt = mlt
+        self.chroot = chroot
 
     # -- q handling ----------------------------------------------------------
 
@@ -439,6 +441,40 @@ class StreamEvaluator:
             return ~a[0]
         if fn == "if":
             return F.when(a[0], a[1]).otherwise(a[2])
+        # -- temporal evaluators (solrj/io/eval/
+        # RecursiveTemporalEvaluator.java + TemporalEvaluator{Year,
+        # Month,Day,DayOfYear,DayOfQuarter,Quarter,Week,Hour,Minute,
+        # Second,Epoch}.java; Lang.java registers the lowercase
+        # field-accessor names). Each extracts a UTC date part from a
+        # timestamp (or ISO-8601 string — cast handles both); the
+        # engine runs with spark.sql.session.timeZone=UTC so the
+        # parts match java.time's LocalDateTime view. Scalar fields
+        # only (the reference's list recursion is the bounded col()
+        # cell path)."""
+        if fn in ("year", "month", "day", "dayOfYear", "dayOfQuarter",
+                  "quarter", "week", "hour", "minute", "second",
+                  "epoch"):
+            ts = a[0].cast("timestamp")
+            part = {
+                "year": lambda: F.year(ts),
+                "month": lambda: F.month(ts),
+                "day": lambda: F.dayofmonth(ts),
+                "dayOfYear": lambda: F.dayofyear(ts),
+                # IsoFields.DAY_OF_QUARTER (1-based)
+                "dayOfQuarter": lambda: (
+                    F.dayofyear(ts)
+                    - F.dayofyear(F.date_trunc("quarter", ts))
+                    + F.lit(1)),
+                "quarter": lambda: F.quarter(ts),
+                # IsoFields.WEEK_OF_WEEK_BASED_YEAR == weekofyear
+                "week": lambda: F.weekofyear(ts),
+                "hour": lambda: F.hour(ts),
+                "minute": lambda: F.minute(ts),
+                "second": lambda: F.second(ts),
+                # TemporalEvaluatorEpoch.java:42 — UTC millis
+                "epoch": lambda: F.unix_millis(ts),
+            }[fn]()
+            return part.cast("long")
         # -- array evaluators (the math-expressions guide; each maps
         # to a Catalyst higher-order function — no driver lists, no
         # UDFs; the reference evaluates java.util.List driver-side) --
@@ -1418,6 +1454,280 @@ class StreamEvaluator:
                         int(n)))
         spark = next(iter(self.collections.values())).sparkSession
         return spark.createDataFrame(out, "id string, n long")
+
+    def _s_topic(self, e: StreamExpr) -> DataFrame:
+        """TopicStream (solr/solrj/src/java/org/apache/solr/client/
+        solrj/io/stream/TopicStream.java:75): checkpointed pub/sub —
+        ``topic(checkpointCollection, collection, id=.., q=..,
+        fl=.., initialCheckpoint=.., rows=..)``. Each call emits the
+        next batch of matching tuples whose version EXCEEDS the
+        stored checkpoint, ordered by version ASC and capped at
+        ``rows`` (the reference's per-pull page, default 500), then
+        advances the checkpoint to the max version emitted
+        (TopicStream.getCheckpoints/persistCheckpoints semantics:
+        initialCheckpoint=-1 starts at the collection's CURRENT max
+        version so only new docs flow; initialCheckpoint=0 replays
+        everything, mirroring Solr's strictly-positive _version_
+        invariant). The checkpoint registry is keyed by
+        (checkpointCollection, id) exactly like the reference's
+        checkpoint doc; ``checkpointEvery`` is recorded, never slept
+        on. 100 TB shape: the pull is a pushed range filter
+        (version > cp) + global top-rows — one narrow sort of a
+        bounded page; the durable-checkpoint analogue is the
+        commit.json high-water mark in streaming/incremental.py."""
+        chk, coll = e.args[0], e.args[1]
+        tid = e.params.get("id")
+        if not tid:
+            raise ValueError("topic() requires an id= param")
+        df = self.collections[coll]
+        vf = e.params.get("versionField", "_version_")
+        if vf not in df.columns:
+            raise ValueError(
+                f"topic(): no version field {vf!r} in {coll!r}")
+        rows_cap = int(e.params.get("rows", "500"))
+        df = self._apply_q(coll, df, e.params.get("q", "*:*"))
+        if not hasattr(self, "topic_checkpoints"):
+            self.topic_checkpoints = {}
+        key = (chk, tid)
+        if key not in self.topic_checkpoints:
+            init = int(e.params.get("initialCheckpoint", "-1"))
+            if init > -1:
+                cp = init
+            else:
+                m = df.agg(F.max(F.col(vf)).alias("m")).first()["m"]
+                cp = int(m) if m is not None else 0
+            self.topic_checkpoints[key] = cp
+        cp = self.topic_checkpoints[key]
+        batch = (df.where(F.col(vf) > F.lit(cp))
+                 .orderBy(F.col(vf).asc()).limit(rows_cap))
+        mx = batch.agg(F.max(F.col(vf)).alias("m")).first()["m"]
+        if mx is not None:
+            self.topic_checkpoints[key] = int(mx)
+        fl = e.params.get("fl")
+        if fl:
+            batch = batch.select(*[c.strip() for c in fl.split(",")])
+        return batch
+
+    def _s_commit(self, e: StreamExpr) -> DataFrame:
+        """CommitStream (solrj/io/stream/CommitStream.java:44):
+        ``commit(collection, batchSize=N, updateStream)`` — pass the
+        wrapped update stream's tuples through unchanged, issuing a
+        commit to the destination every batchSize indexed docs and a
+        final commit at EOF. In this engine every update() append is
+        already ONE atomic durable generation (commit.json swap), so
+        the explicit commit maps to the NRT-reopen side: force a
+        fresh reader snapshot and record the commit cadence the
+        reference would have produced (floor(docs/batchSize) + the
+        EOF commit). The ack tuples flow through untouched
+        (CommitStream.read contract)."""
+        dest = e.args[0]
+        batch = int(e.params.get("batchSize", "0"))
+        if batch < 0:
+            raise ValueError("commit(): batchSize cannot be < 0")
+        writers = getattr(self, "writers", None) or {}
+        if dest not in writers:
+            raise ValueError(f"no writer bound for collection {dest!r}")
+        (src,) = self._streams(e)
+        docs = 0
+        if "batchIndexed" in src.columns:
+            got = src.agg(
+                F.sum("batchIndexed").alias("s")).first()["s"]
+            docs = int(got or 0)
+        six = writers[dest].reader()  # the NRT reopen
+        self.last_commit = {
+            "collection": dest,
+            "commits": (docs // batch if batch > 0 else 0) + 1,
+            "doc_count": int(six.doc_count)}
+        return src
+
+    def _s_plist(self, e: StreamExpr) -> DataFrame:
+        """ParallelListStream (solrj/io/stream/
+        ParallelListStream.java:109): like list(), but the wrapped
+        streams are OPENED concurrently (a thread pool in the
+        reference) while tuples still drain in listed order. Under
+        Spark the open is a lazy plan, so plist() and list() compile
+        to the same UNION — the concurrent open IS the scheduler
+        running the union's legs as parallel stages; the ``_list_src``
+        ordinal keeps the reference's drain order observable."""
+        return self._s_list(e)
+
+    def _s_calc(self, e: StreamExpr) -> DataFrame:
+        """CalculatorStream (solrj/io/stream/CalculatorStream.java:87):
+        the zero-field one-tuple source — emits exactly ONE empty
+        tuple so ``select(calc(), add(1, 2) as s)`` evaluates pure
+        math with no collection behind it."""
+        spark = next(iter(self.collections.values())).sparkSession
+        return spark.range(1).select()
+
+    def _s_noop(self, e: StreamExpr) -> DataFrame:
+        """NoOpStream (solrj/io/stream/NoOpStream.java:90): emits EOF
+        immediately — zero tuples, zero fields (the reference's
+        placeholder leg for parallel plumbing tests)."""
+        spark = next(iter(self.collections.values())).sparkSession
+        return spark.range(0).select()
+
+    def _s_cat(self, e: StreamExpr) -> DataFrame:
+        """CatStream (solr/core/src/java/org/apache/solr/handler/
+        CatStream.java:49): ``cat("a.csv,b.txt", maxLines=N)`` — emit
+        one (file, line) tuple per text line of each named file under
+        the configured chroot (Solr's userfiles dir), files drained in
+        listed order, capped at maxLines ACROSS files. DataFrame
+        extension: a 1-based ``line_no`` ordinal materializes the
+        arrival order the reference carries implicitly (parseCSV's
+        header contract needs it). Each file is read wholetext (one
+        row) then split — the reference also streams each file off
+        ONE node; user files are config-sized by contract, and
+        corpus-scale line data enters through spark.read.text
+        proper. A trailing newline yields no empty last line
+        (BufferedReader.lines parity); interior empty lines are
+        kept."""
+        if self.chroot is None:
+            raise ValueError("cat(): no chroot configured")
+        spec = _unquote(e.args[0])
+        names = [s.strip() for s in spec.split(",") if s.strip()]
+        if not names:
+            raise ValueError("cat(): no files named")
+        spark = next(iter(self.collections.values())).sparkSession
+        legs = []
+        for ordinal, name in enumerate(names):
+            path = os.path.join(self.chroot, name)
+            if not os.path.exists(path):
+                raise ValueError(f"cat(): file not found under "
+                                 f"chroot: {name!r}")
+            raw = spark.read.text(path, wholetext=True)
+            arr = F.split(F.col("value"), "\n")
+            arr = F.when(F.element_at(arr, -1) == "",
+                         F.slice(arr, 1, F.size(arr) - 1)
+                         ).otherwise(arr)
+            legs.append(raw.select(
+                F.lit(ordinal).alias("_file_ord"),
+                F.lit(name).alias("file"),
+                F.posexplode(arr).alias("_pos", "line")))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        out = out.select(
+            "_file_ord", "file",
+            (F.col("_pos") + F.lit(1)).alias("line_no"), "line")
+        max_lines = int(e.params.get("maxLines", "-1"))
+        if max_lines >= 0:
+            out = (out.orderBy("_file_ord", "line_no")
+                   .limit(max_lines))
+        return out.select("file", "line_no", "line")
+
+    # quote-aware CSV field split (CsvStream.java:160 — split on
+    # commas outside double quotes, then strip surrounding quotes)
+    _CSV_SPLIT = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+    def _parse_lines(self, e: StreamExpr, sep_regex: str,
+                     strip_quotes: bool) -> DataFrame:
+        (src,) = self._streams(e)
+        for c in ("file", "line_no", "line"):
+            if c not in src.columns:
+                raise ValueError(
+                    f"parse stream needs a (file, line_no, line) "
+                    f"source (cat()); missing {c!r}")
+        import re as _re
+        files = sorted(r["file"] for r in
+                       src.select("file").distinct().collect())
+        legs, bad_checks = [], []
+        for fname in files:
+            part = src.where(F.col("file") == fname)
+            head = part.orderBy("line_no").first()
+            headers = _re.split(sep_regex, head["line"])
+            if strip_quotes:
+                headers = [h[1:-1] if h.startswith('"')
+                           and h.endswith('"') else h for h in headers]
+            data = part.where(F.col("line_no") > head["line_no"])
+            arr = F.split(F.col("line"), sep_regex, -1)
+            cols = [F.concat(F.col("file"), F.lit("_"),
+                             F.col("line_no")).alias("id")]
+            for i, h in enumerate(headers):
+                c = F.element_at(arr, i + 1)
+                if strip_quotes:
+                    c = F.regexp_replace(c, '^"(.*)"$', "$1")
+                cols.append(F.when(c == "", None).otherwise(c)
+                            .alias(h))
+            legs.append(data.select(*cols))
+            bad_checks.append(data.select(
+                F.lit(fname).alias("file"),
+                F.col("line_no"),
+                (F.size(arr) != F.lit(len(headers))).alias("bad")))
+        # CsvStream.java:131 — header/line field-count mismatch is an
+        # error, enforced with ONE job over the union of legs
+        bad = bad_checks[0]
+        for b in bad_checks[1:]:
+            bad = bad.unionByName(b)
+        first_bad = bad.where("bad").orderBy("file", "line_no").first()
+        if first_bad is not None:
+            raise ValueError(
+                "Headers and lines must have the same number of "
+                f"fields [file:{first_bad['file']} line number:"
+                f"{first_bad['line_no']}]")
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg, allowMissingColumns=True)
+        return out
+
+    def _s_parseCSV(self, e: StreamExpr) -> DataFrame:
+        """CsvStream (solrj/io/stream/CsvStream.java:120): wrap a
+        (file, line) stream — the FIRST line of each file is its
+        header; every later line splits on commas OUTSIDE double
+        quotes (the reference's lookahead regex, used verbatim JVM-
+        side), surrounding quotes stripped, empty fields null
+        (tuple key omitted in the reference), plus an
+        ``id = file_lineNumber`` key. Per-file headers may differ:
+        legs union with allowMissingColumns, the DataFrame face of
+        schemaless tuples. Header reads are one driver row per FILE
+        (config-sized); the line parsing itself is a distributed
+        split projection."""
+        return self._parse_lines(e, self._CSV_SPLIT,
+                                 strip_quotes=True)
+
+    def _s_parseTSV(self, e: StreamExpr) -> DataFrame:
+        """TsvStream (solrj/io/stream/TsvStream.java:76): parseCSV's
+        contract with a plain tab split and NO quote handling."""
+        return self._parse_lines(e, "\t", strip_quotes=False)
+
+    def _s_shuffle(self, e: StreamExpr) -> DataFrame:
+        """ShuffleStream (solrj/io/stream/ShuffleStream.java — Lang
+        registration solrj/io/Lang.java:84): search()'s expression
+        surface over the /export handler — the FULL sorted match set
+        (no rows page), hash-routed across workers by partitionKeys.
+        Spark realization: the full-export scan with an explicit
+        repartition(partitionKeys) + sortWithinPartitions when
+        partition keys are given (the worker-slice contract parallel()
+        consumes), else one global sort. sort= is mandatory exactly
+        as the export handler requires."""
+        if "sort" not in e.params:
+            raise ValueError("shuffle() requires a sort= param")
+        out = self._s_search(e)
+        pk = e.params.get("partitionKeys")
+        if pk:
+            keys = [c.strip() for c in pk.split(",")]
+            out = (out.repartition(*[F.col(k) for k in keys])
+                   .sortWithinPartitions(
+                       *_sort_cols(e.params["sort"])))
+        return out
+
+    def _s_sql(self, e: StreamExpr) -> DataFrame:
+        """SqlStream (solrj/io/stream/SqlStream.java:221 — Lang
+        registration Lang.java:95): ``sql(collection, stmt="...")``
+        routes the statement to the /sql handler and streams the
+        result tuples. Here the handler is SolrSQL
+        (search/sql_handler.py) over this evaluator's collections,
+        sharing its text_search hook — same push-down rules, same
+        Catalyst plan as the handler's own tests."""
+        from .sql_handler import SolrSQL
+        coll = e.args[0]
+        if coll not in self.collections:
+            raise ValueError(f"sql(): unknown collection {coll!r}")
+        stmt = e.params.get("stmt")
+        if not stmt:
+            raise ValueError("sql() requires a stmt= param")
+        return SolrSQL(self.collections,
+                       text_search=self.text_search).execute(
+                           _unquote(stmt))
 
     def _s_cell(self, e: StreamExpr) -> DataFrame:
         """CellStream (solrj/io/stream/CellStream.java:42):
