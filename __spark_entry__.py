@@ -5514,6 +5514,49 @@ def _q_stream_temporal(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_TEMPORAL_EXPR)
 
 
+# --- round-3ab wave: moving-window / pair-sort / finddelay evaluators ---------
+
+_STREAM_MOVING_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple(mm0=valueAt(movingMedian(copyOfRange(x, 0, 60), 4), 0), '
+    'mml=valueAt(movingMedian(copyOfRange(x, 0, 60), 4), 56), '
+    'mms=l1Norm(movingMedian(copyOfRange(x, 0, 60), 4)), '
+    'md0=valueAt(movingMAD(copyOfRange(x, 0, 60), 4), 0), '
+    'mds=l1Norm(movingMAD(copyOfRange(x, 0, 60), 4)), '
+    'px=valueAt(rowAt(pairSort(copyOfRange(x, 0, 40), '
+    'rev(copyOfRange(x, 0, 40))), 0), 0), '
+    'py=valueAt(rowAt(pairSort(copyOfRange(x, 0, 40), '
+    'rev(copyOfRange(x, 0, 40))), 1), 0), '
+    'pxl=valueAt(rowAt(pairSort(copyOfRange(x, 0, 40), '
+    'rev(copyOfRange(x, 0, 40))), 0), 39), '
+    'fd=finddelay(array(1, 2, 3, 9, 3, 2, 1, 0, 0, 0), '
+    'array(1, 2, 3)), '
+    'fd2=finddelay(array(0, 0, 1, 5, 1), array(1, 5, 1))))')
+
+
+def _q_stream_moving(spark, sf_dir):
+    """Moving-window / pair-sort / finddelay evaluators
+    (streams._eval_col; solrj/io/eval/MovingMedianEvaluator.java:37 —
+    commons-math LEGACY percentile-50 per full window,
+    MovingMADEvaluator.java:36 — window mean absolute deviation,
+    PairSortEvaluator.java:37 — (x,y) pairs sorted x-then-y into a
+    2-row matrix, FindDelayEvaluator.java:40 — argmax |conv(a,
+    rev(b))| with first-max tie rule, result (idx+1)-len(b)). The
+    w=4 windows make every median a half-integer midpoint (exact
+    cross-engine); MAD is the exact sum |w*d - S| / w^2 form; the
+    finddelay inputs are literal arrays with a hand-computed oracle
+    (the conv fold itself is the pinned machinery)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_MOVING_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select(r6("mm0"), r6("mml"), r6("mms"), r6("md0"),
+                      r6("mds"), r6("px"), r6("py"), r6("pxl"),
+                      r6("fd"), r6("fd2"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6421,6 +6464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_shuffle": _q_stream_shuffle,
         # round-3aa: same pattern
         "s_stream_temporal": _q_stream_temporal,
+        # round-3ab: same pattern
+        "s_stream_moving": _q_stream_moving,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -10288,5 +10333,41 @@ SELECT event_id,
        CAST(second(ts) AS BIGINT) AS s,
        CAST(epoch_ms(ts) AS BIGINT) AS ep
 FROM events"""
+
+    # -- round-3ab wave ------------------------------------------------------
+    # fd/fd2 are hand-computed: conv([1,2,3,9,3,2,1,0,0,0],[3,2,1])
+    # peaks (|35|) at 0-based idx 3 -> (3+1)-3 = 1; conv([0,0,1,5,1],
+    # [1,5,1]) peaks (|27|) at idx 4 -> (4+1)-3 = 2.
+    out["s_stream_moving"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
+ww AS (SELECT rn,
+              list(v) OVER (ORDER BY rn ASC
+                            ROWS BETWEEN CURRENT ROW
+                            AND 3 FOLLOWING) AS w
+       FROM sq WHERE rn <= 60),
+wm AS (SELECT rn, list_sort(w) AS s,
+              list_sum(w) AS t, w
+       FROM ww WHERE rn <= 57),
+md AS (SELECT rn, (s[2] + s[3]) / 2.0 AS med,
+              list_sum(list_transform(w, u -> ABS(4 * u - t)))
+              / 16.0 AS mad
+       FROM wm),
+pr AS (SELECT x.v AS a, y.v AS b
+       FROM sq x JOIN sq y ON y.rn = 41 - x.rn WHERE x.rn <= 40),
+po AS (SELECT a, b,
+              ROW_NUMBER() OVER (ORDER BY a ASC, b ASC) AS k FROM pr)
+SELECT
+  FLOOR((SELECT med FROM md WHERE rn = 1) * 1e6 + 0.5) / 1e6 AS mm0,
+  FLOOR((SELECT med FROM md WHERE rn = 57) * 1e6 + 0.5) / 1e6 AS mml,
+  FLOOR((SELECT SUM(ABS(med)) FROM md) * 1e6 + 0.5) / 1e6 AS mms,
+  FLOOR((SELECT mad FROM md WHERE rn = 1) * 1e6 + 0.5) / 1e6 AS md0,
+  FLOOR((SELECT SUM(ABS(mad)) FROM md) * 1e6 + 0.5) / 1e6 AS mds,
+  FLOOR((SELECT a FROM po WHERE k = 1) * 1e6 + 0.5) / 1e6 AS px,
+  FLOOR((SELECT b FROM po WHERE k = 1) * 1e6 + 0.5) / 1e6 AS py,
+  FLOOR((SELECT a FROM po WHERE k = 40) * 1e6 + 0.5) / 1e6 AS pxl,
+  FLOOR(1.0 * 1e6 + 0.5) / 1e6 AS fd,
+  FLOOR(2.0 * 1e6 + 0.5) / 1e6 AS fd2"""
 
     return out

@@ -504,6 +504,69 @@ class StreamEvaluator:
             arr = a[0]
             return F.transform(
                 idx, lambda i: self._arr_sum(F.slice(arr, i, w)) / w)
+        if fn == "movingMedian":         # MovingMedianEvaluator.java:37
+            # sliding window of the LAST w values; once full, the
+            # commons-math LEGACY percentile-50 of the window (the
+            # same interpolation _arr_percentile already pins) —
+            # output length n-w+1, matching DescriptiveStatistics'
+            # ramp-up suppression. The source array is staged through
+            # array_repeat (child evaluated ONCE) so the interpreted
+            # HOF doesn't rebuild it per window.
+            w = int(node.args[1])
+            arr = a[0]
+            idx = F.sequence(F.lit(1), F.size(arr) - F.lit(w - 1))
+            reps = F.array_repeat(arr, F.size(arr) - F.lit(w - 1))
+            return F.zip_with(
+                idx, reps,
+                lambda i, s: self._arr_percentile(F.slice(s, i, w),
+                                                  50))
+        if fn == "movingMAD":            # MovingMADEvaluator.java:36
+            # mean absolute deviation around the window mean. The
+            # reference folds |d - S/w|; here each term is the exact
+            # integer |w*d - S| with ONE final division by w^2 —
+            # algebraically equal, cross-engine stable (documented
+            # few-ulp divergence from the reference's fold). Source
+            # staged via array_repeat like movingMedian.
+            w = int(node.args[1])
+            arr = a[0]
+            idx = F.sequence(F.lit(1), F.size(arr) - F.lit(w - 1))
+            reps = F.array_repeat(arr, F.size(arr) - F.lit(w - 1))
+
+            def mad(i, srep):
+                win = F.slice(srep, i, w)
+                s = self._arr_sum(win)
+                return self._arr_sum(F.transform(
+                    win,
+                    lambda d: F.abs(d.cast("double") * w - s))
+                ) / F.lit(float(w * w))
+
+            return F.zip_with(idx, reps, mad)
+        if fn == "pairSort":             # PairSortEvaluator.java:37
+            # sort (x,y) pairs by x then y; returns the 2-row matrix
+            # [sorted x; y carried along] — array_sort on structs is
+            # exactly the reference's PairComp lexicographic order
+            pairs = F.array_sort(F.zip_with(
+                a[0], a[1],
+                lambda x, y: F.struct(x.cast("double").alias("a"),
+                                      y.cast("double").alias("b"))))
+            return F.array(F.transform(pairs, lambda p: p["a"]),
+                           F.transform(pairs, lambda p: p["b"]))
+        if fn == "finddelay":            # FindDelayEvaluator.java:40
+            # argmax |conv(a, reverse(b))| with FIRST-max tie rule
+            # (strict > scan), result (idx+1) - len(b)
+            arr, brev = a[0], F.reverse(a[1])
+            la, lb = F.size(arr), F.size(brev)
+            ks = F.sequence(F.lit(1), la + lb - F.lit(1))
+            conv = F.transform(ks, lambda k: self._arr_sum(
+                F.transform(
+                    F.sequence(F.greatest(F.lit(1), k - lb + F.lit(1)),
+                               F.least(k, la)),
+                    lambda i: F.element_at(arr, i).cast("double")
+                    * F.element_at(brev, (k - i + F.lit(1))
+                                   .cast("int")))))
+            absconv = F.transform(conv, F.abs)
+            first_max = F.array_position(absconv, F.array_max(absconv))
+            return (first_max - lb).cast("double")
         if fn == "diff":                 # TimeDifferencingEvaluator.java:64
             lag = int(node.args[1]) if len(node.args) > 1 else 1
             n = F.size(a[0])
