@@ -5557,6 +5557,61 @@ def _q_stream_moving(spark, sf_dir):
                       r6("fd"), r6("fd2"))
 
 
+# --- round-3ac wave: scalar trig / utility evaluators -------------------------
+
+_STREAM_SCALARFNS_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars,lang", '
+    'sort="doc_id asc"), x=col(a, n_chars), l=col(a, lang), '
+    'tuple(sn=sin(div(valueAt(x, 0), 1000)), '
+    'cs=cos(div(valueAt(x, 1), 1000)), '
+    'tn=tan(div(valueAt(x, 2), 10000)), '
+    'asn=asin(div(1, valueAt(x, 0))), '
+    'acs=acos(div(1, valueAt(x, 1))), '
+    'atn=atan(div(valueAt(x, 2), 1000)), '
+    'sh=sinh(div(valueAt(x, 3), 10000)), '
+    'ch=cosh(div(valueAt(x, 4), 10000)), '
+    'th=tanh(div(valueAt(x, 5), 1000)), '
+    'cb=cbrt(valueAt(x, 6)), '
+    'eo=if(eor(gt(valueAt(x, 0), valueAt(x, 1)), '
+    'gt(valueAt(x, 1), valueAt(x, 2)), '
+    'eq(valueAt(x, 0), valueAt(x, 0))), 1, 0), '
+    'tr=trunc(valueAt(l, 0), 1), '
+    'sp=length(split(val("a,b,,c"), ",")), '
+    'dt=dateTime(val("2021-07-04 10:30:00"), "yyyy-MM-dd HH:mm:ss"), '
+    'cv=convert(miles, kilometers, valueAt(x, 3)), '
+    'aa=l1norm(addAll(copyOfRange(x, 0, 5), copyOfRange(x, 5, 10))), '
+    'nt=l1norm(natural(10)), '
+    'ca=l2norm(colAt(matrix(array(3, 1, 4), array(1, 5, 9)), 1))))')
+
+
+def _q_stream_scalarfns(spark, sf_dir):
+    """Scalar trig / utility evaluators (streams._eval_col round-3ac
+    branch; solrj/io/eval/{Sine,ArcSine,HyperbolicSine,Cosine,
+    ArcCosine,HyperbolicCosine,Tangent,ArcTangent,HyperbolicTangent,
+    CubedRoot,ExclusiveOr,Trunc,Split,Date,Conversion,RawValue,
+    Append,Natural,ColumnAt}Evaluator.java, Lang.java registrations
+    incl. the lowercase l1norm/l2norm/linfnorm names). Trig operands
+    are corpus-derived but scaled small (arg < ~10) so no large-arg
+    reduction divergence enters; every float lands through the
+    FLOOR(x*1e6+0.5)/1e6 staging. eor is the exactly-one-true count;
+    dateTime re-formats a parsed SimpleDateFormat template to the
+    reference's fixed UTC ISO shape; convert uses the verbatim
+    length-factor table; addAll/natural/colAt are exact-integer
+    list ops. All Catalyst expressions over one col() cell — no
+    per-tuple interpreter, no UDFs."""
+    out = _stream_eval(spark, sf_dir, _STREAM_SCALARFNS_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select(
+        r6("sn"), r6("cs"), r6("tn"), r6("asn"), r6("acs"), r6("atn"),
+        r6("sh"), r6("ch"), r6("th"), r6("cb"),
+        F.col("eo").cast("long").alias("eo"), F.col("tr"),
+        F.col("sp").cast("long").alias("sp"), F.col("dt"),
+        r6("cv"), r6("aa"), r6("nt"), r6("ca"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -5730,6 +5785,17 @@ WINDOW_ORDER = [
     # sql/shuffle (3z) enter out-of-window with three-scale local
     # records. q_regexp and q_spell_wordbreak stay pinned in-window
     # (round-1 judge hot spots).
+    # Round-3ac rotation (window stays 50): IN s_stream_scalarfns
+    # (the scalar trig/utility evaluator branch — sin..tanh/cbrt,
+    # eor, trunc/split, dateTime SimpleDateFormat parse+ISO
+    # re-format, the convert length-factor table, val/addAll/
+    # natural/colAt, and the lowercase l1norm/l2norm/linfnorm
+    # Lang.java names; the densest single-row spread of NEW
+    # cross-engine libm arithmetic this round). OUT t_len_bias
+    # (keeps three-scale local records + pytest; its five-sum
+    # correlation aggregate is the same exact-raw-moment corr
+    # machinery in-window s_stream_regress pins).
+    "s_stream_scalarfns",
     "s_stream_topic", "s_stream_parsecsv",
     "s_stream_evalexpr",
     "s_stream_regress",
@@ -5737,7 +5803,9 @@ WINDOW_ORDER = [
     "s_stream_reduce",
     "p_bool", "p_terms",
     "v_ssl_prune", "s_stream_facet2d",
-    "p_complex_phrase", "t_len_bias",
+    "p_complex_phrase",
+    # (t_len_bias rotated OUT in round 3ac — see the 3ac note at the
+    # head of this list.)
     "p_parent", "q_xc_join",
     "t_window_dedup", "t_lsh_recall",
     "q_facet_uniqueblock", "t_ict_pairs",
@@ -6466,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_temporal": _q_stream_temporal,
         # round-3ab: same pattern
         "s_stream_moving": _q_stream_moving,
+        "s_stream_scalarfns": _q_stream_scalarfns,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -10369,5 +10438,54 @@ SELECT
   FLOOR((SELECT a FROM po WHERE k = 40) * 1e6 + 0.5) / 1e6 AS pxl,
   FLOOR(1.0 * 1e6 + 0.5) / 1e6 AS fd,
   FLOOR(2.0 * 1e6 + 0.5) / 1e6 AS fd2"""
+
+    # -- round-3ac wave ------------------------------------------------------
+    # DuckDB has no sinh/cosh/tanh: composed from exp() — measured
+    # <= 2 ulp from libm hyperbolics at these small arguments, far
+    # inside the 1e-6 staging. sp (split count) and dt (dateTime
+    # ISO re-format) are hand-computed like fd/fd2 above: Java
+    # "a,b,,c".split(",", -1) has 4 elements; the parsed template
+    # re-formats to the fixed UTC ISO shape. ca = l2norm([1,5]) =
+    # sqrt(26); nt = sum(0..9) = 45.
+    out["s_stream_scalarfns"] = """
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v, lang FROM documents),
+sq AS (SELECT v, lang, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn
+       FROM mx),
+vv AS (SELECT
+         (SELECT v FROM sq WHERE rn = 1) AS v0,
+         (SELECT v FROM sq WHERE rn = 2) AS v1,
+         (SELECT v FROM sq WHERE rn = 3) AS v2,
+         (SELECT v FROM sq WHERE rn = 4) AS v3,
+         (SELECT v FROM sq WHERE rn = 5) AS v4,
+         (SELECT v FROM sq WHERE rn = 6) AS v5,
+         (SELECT v FROM sq WHERE rn = 7) AS v6,
+         (SELECT lang FROM sq WHERE rn = 1) AS l0,
+         (SELECT SUM(v) FROM sq WHERE rn <= 10) AS s10)
+SELECT
+  FLOOR(sin(v0 / 1000) * 1e6 + 0.5) / 1e6 AS sn,
+  FLOOR(cos(v1 / 1000) * 1e6 + 0.5) / 1e6 AS cs,
+  FLOOR(tan(v2 / 10000) * 1e6 + 0.5) / 1e6 AS tn,
+  FLOOR(asin(1.0 / v0) * 1e6 + 0.5) / 1e6 AS asn,
+  FLOOR(acos(1.0 / v1) * 1e6 + 0.5) / 1e6 AS acs,
+  FLOOR(atan(v2 / 1000) * 1e6 + 0.5) / 1e6 AS atn,
+  FLOOR((exp(v3 / 10000) - exp(-(v3 / 10000))) / 2 * 1e6 + 0.5) / 1e6
+    AS sh,
+  FLOOR((exp(v4 / 10000) + exp(-(v4 / 10000))) / 2 * 1e6 + 0.5) / 1e6
+    AS ch,
+  FLOOR((exp(2 * (v5 / 1000)) - 1) / (exp(2 * (v5 / 1000)) + 1)
+        * 1e6 + 0.5) / 1e6 AS th,
+  FLOOR(cbrt(v6) * 1e6 + 0.5) / 1e6 AS cb,
+  CAST(CASE WHEN (CASE WHEN v0 > v1 THEN 1 ELSE 0 END
+                + CASE WHEN v1 > v2 THEN 1 ELSE 0 END + 1) = 1
+       THEN 1 ELSE 0 END AS BIGINT) AS eo,
+  substr(l0, 1, 1) AS tr,
+  CAST(4 AS BIGINT) AS sp,
+  '2021-07-04T10:30:00Z' AS dt,
+  FLOOR(v3 * 1.61 * 1e6 + 0.5) / 1e6 AS cv,
+  FLOOR(s10 * 1e6 + 0.5) / 1e6 AS aa,
+  FLOOR(45.0 * 1e6 + 0.5) / 1e6 AS nt,
+  FLOOR(sqrt(26.0) * 1e6 + 0.5) / 1e6 AS ca
+FROM vv"""
 
     return out

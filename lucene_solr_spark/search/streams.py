@@ -595,7 +595,8 @@ class StreamEvaluator:
                 a[1], a[1],
                 lambda x, y: x.cast("double") * y.cast("double"))))
             return dot / (na * nb)
-        if fn == "zscores":              # NormalizeEvaluator family
+        if fn in ("zscores", "standardize"):  # NormalizeEvaluator —
+            # Lang.java:135,266 registers BOTH names on the same class
             m = self._arr_mean(a[0])
             sd = F.sqrt(self._arr_var_sample(a[0]))
             return F.transform(a[0],
@@ -1019,14 +1020,17 @@ class StreamEvaluator:
             return self._arr_sum(F.zip_with(
                 a[0], a[0],
                 lambda x, y: x.cast("double") * y.cast("double")))
-        if fn == "norm":                 # NormEvaluator.java — L2
+        if fn in ("norm", "l2norm"):     # NormEvaluator.java — L2;
+            # Lang.java:240 registers the lowercase "l2norm" name
             return F.sqrt(self._arr_sum(F.zip_with(
                 a[0], a[0],
                 lambda x, y: x.cast("double") * y.cast("double"))))
-        if fn == "l1Norm":               # L1NormEvaluator.java
+        if fn in ("l1Norm", "l1norm"):   # L1NormEvaluator.java
+            # (Lang.java:241 name is all-lowercase)
             return self._arr_sum(F.transform(
                 a[0], lambda v: F.abs(v.cast("double"))))
-        if fn == "lInfNorm":             # LInfNormEvaluator.java
+        if fn in ("lInfNorm", "linfnorm"):  # LInfNormEvaluator.java
+            # (Lang.java:242 name is all-lowercase)
             return F.array_max(F.transform(
                 a[0], lambda v: F.abs(v.cast("double"))))
         if fn == "meanDifference":       # MeanDifferenceEvaluator —
@@ -1062,6 +1066,102 @@ class StreamEvaluator:
             return a[0].isNull()
         if fn == "notNull":              # NotNullEvaluator.java
             return a[0].isNotNull()
+        # -- scalar math / trig / utility evaluators (round-3ac wave) ------
+        # solrj/io/eval/{Sine,ArcSine,HyperbolicSine,Cosine,ArcCosine,
+        # HyperbolicCosine,Tangent,ArcTangent,HyperbolicTangent,
+        # CubedRoot}Evaluator.java — each doWork is the matching
+        # java.lang.Math call (scalar; the reference's List recursion
+        # is the bounded col() cell path — arrays route through the
+        # array evaluators above). Library trig/cbrt is sub-ulp
+        # cross-engine; registry rows stage results through the
+        # FLOOR(x*1e6+0.5)/1e6 convention like every float row.
+        if fn in ("sin", "asin", "sinh", "cos", "acos", "cosh",
+                  "tan", "atan", "tanh", "cbrt"):
+            impl = {"sin": F.sin, "asin": F.asin, "sinh": F.sinh,
+                    "cos": F.cos, "acos": F.acos, "cosh": F.cosh,
+                    "tan": F.tan, "atan": F.atan, "tanh": F.tanh,
+                    "cbrt": F.cbrt}[fn]
+            return impl(a[0].cast("double"))
+        if fn == "eor":                  # ExclusiveOrEvaluator.java —
+            # true iff EXACTLY ONE of >=2 booleans is true (the
+            # reference counts trues and compares == 1)
+            if len(a) < 2:
+                raise ValueError("eor() needs at least 2 values")
+            cnt = a[0].cast("int")
+            for x in a[1:]:
+                cnt = cnt + x.cast("int")
+            return cnt == F.lit(1)
+        if fn == "trunc":                # TruncEvaluator.java —
+            # value.toString().substring(0, n). Java substring throws
+            # past the end; Catalyst substring clamps (documented —
+            # the reference path is an error, not a value).
+            return F.substring(a[0], 1, int(node.args[1]))
+        if fn == "split":                # SplitEvaluator.java —
+            # String.split(p, -1): split on a Java regex, trailing
+            # empty strings KEPT (limit -1). F.split shares the JVM
+            # regex dialect and limit semantics exactly.
+            return F.split(a[0], str(node.args[1]), -1)
+        if fn == "dateTime":             # DateEvaluator.java — parse
+            # with the SimpleDateFormat template (UTC unless a third
+            # tz operand names a zone) and re-format as the
+            # reference's fixed yyyy-MM-dd'T'HH:mm:ss'Z' UTC shape
+            ts = F.to_timestamp(a[0], str(node.args[1]))
+            if len(node.args) > 2:
+                ts = F.to_utc_timestamp(ts, str(node.args[2]))
+            return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if fn == "convert":              # ConversionEvaluator.java —
+            # the fixed length-unit factor table (constructConverter);
+            # unsupported pairs raise like the reference's
+            # EvaluatorException
+            frm = str(node.args[0]).upper()
+            to = str(node.args[1]).upper()
+            factors = {
+                ("INCHES", "MILLIMETERS"): 25.4,
+                ("INCHES", "CENTIMETERS"): 2.54,
+                ("INCHES", "METERS"): 0.0254,
+                ("FEET", "METERS"): 0.30,
+                ("YARDS", "METERS"): 0.91,
+                ("YARDS", "KILOMETERS"): 0.00091,
+                ("MILES", "KILOMETERS"): 1.61,
+                ("MILLIMETERS", "INCHES"): 0.039,
+                ("CENTIMETERS", "INCHES"): 0.39,
+                ("METERS", "FEET"): 3.28,
+                ("KILOMETERS", "MILES"): 0.62,
+                ("KILOMETERS", "FEET"): 3280.8,
+            }
+            if (frm, to) not in factors:
+                raise ValueError(
+                    f"convert: no conversion from {frm} to {to}")
+            return a[2].cast("double") * F.lit(factors[(frm, to)])
+        if fn == "val":                  # RawValueEvaluator.java —
+            # one literal; Integer promotes to Long, Float to Double
+            raw = str(node.args[0])
+            if re.match(r"^-?\d+$", raw):
+                return F.lit(int(raw))
+            if re.match(r"^-?\d*\.\d+$", raw):
+                return F.lit(float(raw))
+            return F.lit(raw)
+        if fn == "addAll":               # AppendEvaluator.java
+            # ("addAll" in Lang.java:143) — concatenate the operand
+            # lists, SKIPPING null operands. Numeric lists (the
+            # math-expression contract; the reference also passes
+            # through bare objects — col() cells here are numeric).
+            arrs = F.array(*[
+                F.transform(x, lambda v: v.cast("double")) for x in a])
+            return F.flatten(F.filter(arrs, lambda r: r.isNotNull()))
+        if fn == "natural":              # NaturalEvaluator.java —
+            # the list [0, 1, .., n-1]
+            c = a[0].cast("long")
+            return F.when(c > 0, F.sequence(F.lit(0).cast("long"),
+                                            c - 1)) \
+                .otherwise(F.expr("array()").cast("array<long>"))
+        if fn == "colAt":                # ColumnAtEvaluator.java —
+            # column i of a (row-major) matrix as a list
+            return F.transform(a[0], lambda r: F.get(r, a[1]))
+        if fn == "uuid":                 # UuidEvaluator.java —
+            # UUID.randomUUID(); random by contract (pytest pins the
+            # format law, never a value — excluded from oracle rows)
+            return F.expr("uuid()")
         # -- statistics + linear algebra (solrj/io/eval) -------------------
         # p-values are deliberately OMITTED from ttest/pairedTtest/
         # mannWhitney/anova: they need the regularized incomplete
