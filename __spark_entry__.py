@@ -5612,6 +5612,133 @@ def _q_stream_scalarfns(spark, sf_dir):
         r6("cv"), r6("aa"), r6("nt"), r6("ca"))
 
 
+# --- round-3ad wave: probability-distribution evaluators ----------------------
+
+_STREAM_DIST_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple('
+    'nc=cumulativeProbability(normalDistribution(500, 150), '
+    'valueAt(x, 0)), '
+    'nd=density(normalDistribution(500, 150), valueAt(x, 1)), '
+    'npr=probability(normalDistribution(500, 150), valueAt(x, 2), '
+    'add(valueAt(x, 2), 100)), '
+    'uc=cumulativeProbability(uniformDistribution(0, 2000), '
+    'valueAt(x, 3)), '
+    'udn=density(uniformDistribution(0, 2000), valueAt(x, 3)), '
+    'uic=cumulativeProbability(uniformIntegerDistribution(0, 999), '
+    'mod(valueAt(x, 4), 1000)), '
+    'uip=probability(uniformIntegerDistribution(0, 999), '
+    'mod(valueAt(x, 4), 1000)), '
+    'bp=probability(binomialDistribution(20, 0.25), '
+    'mod(valueAt(x, 0), 21)), '
+    'bc=cumulativeProbability(binomialDistribution(20, 0.25), '
+    'mod(valueAt(x, 1), 21)), '
+    'pp=probability(poissonDistribution(4.0), mod(valueAt(x, 2), 12)), '
+    'pc=cumulativeProbability(poissonDistribution(4.0), '
+    'mod(valueAt(x, 3), 12)), '
+    'gp=probability(geometricDistribution(0.3), mod(valueAt(x, 4), 8)), '
+    'gc=cumulativeProbability(geometricDistribution(0.3), '
+    'mod(valueAt(x, 5), 8)), '
+    'zp=probability(zipFDistribution(50, 2), '
+    'add(mod(valueAt(x, 0), 49), 1)), '
+    'zc=cumulativeProbability(zipFDistribution(50, 2), '
+    'add(mod(valueAt(x, 1), 49), 1)), '
+    'cc=cumulativeProbability(constantDistribution(500), valueAt(x, 2)), '
+    'cc2=cumulativeProbability(constantDistribution(42), valueAt(x, 3)), '
+    'tc=cumulativeProbability(triangularDistribution(0, 400, 2000), '
+    'valueAt(x, 3)), '
+    'tdn=density(triangularDistribution(0, 400, 2000), valueAt(x, 4)), '
+    'lc=cumulativeProbability(logNormalDistribution(6, 0.5), '
+    'valueAt(x, 5)), '
+    'ldn=density(logNormalDistribution(6, 0.5), valueAt(x, 0)), '
+    'wc=cumulativeProbability(weibullDistribution(2, 500), '
+    'valueAt(x, 1)), '
+    'wdn=density(weibullDistribution(2, 500), valueAt(x, 2)), '
+    'gac=cumulativeProbability(gammaDistribution(3, 100), '
+    'valueAt(x, 3)), '
+    'gadn=density(gammaDistribution(3, 100), valueAt(x, 4)), '
+    'bec=cumulativeProbability(betaDistribution(2, 3), '
+    'div(mod(valueAt(x, 5), 997), 1000)), '
+    'bedn=density(betaDistribution(2, 3), '
+    'div(mod(valueAt(x, 0), 997), 1000)), '
+    'ep=probability(enumeratedDistribution(copyOfRange(x, 0, 25)), '
+    'valueAt(x, 2)), '
+    'ec=cumulativeProbability(enumeratedDistribution('
+    'copyOfRange(x, 0, 25)), valueAt(x, 7))))')
+
+
+def _q_stream_dist(spark, sf_dir):
+    """Probability-distribution evaluators (streams round-3ad wave;
+    solrj/io/eval/{Normal,Uniform,UniformInteger,Binomial,Poisson,
+    Geometric,ZipF,Constant,Triangular,LogNormal,Weibull,Gamma,Beta,
+    Enumerated}DistributionEvaluator.java constructors consumed by
+    CumulativeProbabilityEvaluator.java / ProbabilityEvaluator.java /
+    DensityEvaluator.java). Every column is a commons-math closed
+    form compiled to whole-stage-codegen Catalyst (no UDF): erf by
+    the A&S 7.1.26 polynomial (same arithmetic embedded in the
+    oracle — engine==oracle bit-exact; <=1.5e-7 from the reference's
+    high-precision Erf, inside round-6), discrete cdfs as ascending
+    pmf folds, gamma/beta cdfs as the exact finite integer-shape
+    sums, powers as exp(k ln x) with k=0/x=0 guards (library pow
+    avoided). Query points are corpus-derived (n_chars order
+    statistics); parameters are config literals, mirroring how the
+    reference's math guide parameterizes distributions. At 100 TB
+    the same expressions run as a projected scan over the column —
+    distribution scoring is shuffle-free and embarrassingly
+    parallel."""
+    out = _stream_eval(spark, sf_dir, _STREAM_DIST_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select(*[r6(c) for c in (
+        "nc", "nd", "npr", "uc", "udn", "uic", "uip", "bp", "bc",
+        "pp", "pc", "gp", "gc", "zp", "zc", "cc", "cc2", "tc", "tdn",
+        "lc", "ldn", "wc", "wdn", "gac", "gadn", "bec", "bedn",
+        "ep", "ec")])
+
+
+_STREAM_DISTOPS_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    'tuple('
+    'ks=kolmogorovSmirnov(uniformDistribution(0, 2000), '
+    'copyOfRange(x, 0, 20)), '
+    'ol=outliers(normalDistribution(800, 300), copyOfRange(x, 0, 30), '
+    '0.1, 0.9)))')
+
+
+def _q_stream_distops(spark, sf_dir):
+    """Distribution-consuming test/filter evaluators (round-3ad;
+    solrj/io/eval/KolmogorovSmirnovEvaluator.java:24,
+    OutliersEvaluator.java:30). ksd is the exact one-sample KS
+    d-statistic — sup of max((i+1)/n - F(x_(i)), F(x_(i)) - i/n)
+    over the sorted slice against the uniform cdf, pure Catalyst
+    order-statistics arithmetic. The outliers columns project the
+    flagged set (count / value sum / cumulative-probability sum)
+    of the low<=0.1 / high>=0.9 tails under a normal cdf. The KS
+    p-value (Marsaglia H-matrix power) and the two-sample exact-P
+    lattice count are pytest-pinned (tests/test_r3ad_ops.py) —
+    library-approximation floats stay out of oracle rows by repo
+    convention. Scale shape: both are per-cell array kernels over a
+    bounded slice; at 100 TB the same evaluators run per-group
+    inside select() projections — no shuffle, no driver."""
+    out = _stream_eval(spark, sf_dir, _STREAM_DISTOPS_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR(({c}) * 1e6 + 0.5) / 1e6")
+
+    ol = F.col("ol")
+    return out.select(
+        r6("ks['d-statistic']").alias("ksd"),
+        F.size(ol).cast("long").alias("olc"),
+        r6("aggregate(ol, cast(0.0 as double), "
+           "(acc, s) -> acc + s.value)").alias("olv"),
+        r6("aggregate(ol, cast(0.0 as double), "
+           "(acc, s) -> acc + s.cumulativeProbablity_d)").alias("olp"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -5795,12 +5922,27 @@ WINDOW_ORDER = [
     # (keeps three-scale local records + pytest; its five-sum
     # correlation aggregate is the same exact-raw-moment corr
     # machinery in-window s_stream_regress pins).
+    # Round-3ad rotation (window stays 50): IN s_stream_dist (the
+    # probability-distribution family — 14 commons-math constructor
+    # evaluators consumed by cumulativeProbability/probability/
+    # density, all compiled to closed-form Catalyst incl. the shared
+    # A&S-7.1.26 erf; the widest single-row spread of NEW
+    # cross-engine arithmetic in the repo) and s_stream_distops
+    # (kolmogorovSmirnov one-sample d-statistic + outliers tail
+    # filtering — new order-statistic / cdf-filter machinery). OUT
+    # (both keep three-scale local records + pytest):
+    # s_stream_math (the core math-evaluator branch stays repped
+    # in-window by s_stream_evalexpr/s_stream_scalarfns/
+    # s_stream_regress) and s_stream_reduce (its groupBy-fold shape
+    # is the same grouped-aggregation machinery in-window
+    # q_sql_select's RollupStream rows pin).
+    "s_stream_dist", "s_stream_distops",
     "s_stream_scalarfns",
     "s_stream_topic", "s_stream_parsecsv",
     "s_stream_evalexpr",
     "s_stream_regress",
-    "s_stream_math",
-    "s_stream_reduce",
+    # (s_stream_math and s_stream_reduce rotated OUT in round 3ad —
+    # see the 3ad note at the head of this list.)
     "p_bool", "p_terms",
     "v_ssl_prune", "s_stream_facet2d",
     "p_complex_phrase",
@@ -6535,6 +6677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3ab: same pattern
         "s_stream_moving": _q_stream_moving,
         "s_stream_scalarfns": _q_stream_scalarfns,
+        "s_stream_dist": _q_stream_dist,
+        "s_stream_distops": _q_stream_distops,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -10447,6 +10591,209 @@ SELECT
     # "a,b,,c".split(",", -1) has 4 elements; the parsed template
     # re-formats to the fixed UTC ISO shape. ca = l2norm([1,5]) =
     # sqrt(26); nt = sum(0..9) = 45.
+    # -- round-3ad: probability distributions --------------------------------
+    # SQL-text twins of streams._erf/_powi/_binom_pmf/_dist_* — the
+    # SAME association order as the Catalyst expressions so
+    # engine == oracle is bit-exact before the round-6 staging.
+    # Literal-literal arithmetic is kept in DOUBLE via CAST (DuckDB
+    # would otherwise fold it in DECIMAL, which can round differently
+    # from the JVM's IEEE fold).
+    def _serf(z):
+        t = f"(1.0 / (1.0 + 0.3275911 * abs({z})))"
+        y = (f"(((((1.061405429 * {t} - 1.453152027) * {t} "
+             f"+ 1.421413741) * {t} - 0.284496736) * {t} "
+             f"+ 0.254829592) * {t})")
+        e = f"(1.0 - {y} * exp(-(abs({z}) * abs({z}))))"
+        return f"(CASE WHEN {z} < 0 THEN -{e} ELSE {e} END)"
+
+    def _spowi(base, k):
+        return (f"(CASE WHEN ({k}) = 0 THEN 1.0 "
+                f"WHEN ({base}) = 0 THEN 0.0 "
+                f"ELSE exp(({k}) * ln({base})) END)")
+
+    def _sfact(n):
+        return f"CAST(factorial(CAST({n} AS INT)) AS DOUBLE)"
+
+    def _sbinom_pmf(n, p, q, k):
+        c = (f"({_sfact(n)} / ({_sfact(k)} * "
+             f"{_sfact(f'({n}) - ({k})')}))")
+        return (f"(CASE WHEN ({k}) < 0 OR ({k}) > ({n}) THEN 0.0 "
+                f"ELSE {c} * {_spowi(p, k)} "
+                f"* {_spowi(q, f'({n}) - ({k})')} END)")
+
+    def _sfold(term_of_i, lo, hi):
+        # ascending left fold, seed 0.0 — the same order as
+        # F.aggregate(F.sequence(lo, hi), 0.0, acc + term)
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series({lo}, {hi}), "
+                f"i -> CAST({term_of_i} AS DOUBLE))), "
+                f"(acc, t) -> acc + t)")
+
+    def _sncdf(x, m, s):
+        z = f"((({x}) - {m}) / ({s} * sqrt(CAST(2.0 AS DOUBLE))))"
+        return f"(0.5 * (1.0 + {_serf(z)}))"
+
+    def _sndens(x, m, s):
+        z = f"((({x}) - {m}) / {s})"
+        return (f"(exp(-0.5 * {z} * {z}) "
+                f"/ ({s} * sqrt(2.0 * pi())))")
+
+    _ppmf = (f"(exp(-CAST(4.0 AS DOUBLE)) * {_spowi('4.0', 'i')}) "
+             f"/ {_sfact('i')}")
+    _zterm = "1.0 / " + _spowi("CAST(i AS DOUBLE)", "2.0")
+    _h50 = _sfold(_zterm, 1, 50)
+    _bx = "(CAST((w5 % 997) AS DOUBLE) / 1000)"
+    _bx0 = "(CAST((w0 % 997) AS DOUBLE) / 1000)"
+    _gy = "(v3 / 100.0)"
+    _gy4 = "(v4 / 100.0)"
+    _wxs = "(v2 / 500.0)"
+    _wxp = _spowi(_wxs, "1.0")
+
+    def _r6(expr, name):
+        return f"FLOOR(({expr}) * 1e6 + 0.5) / 1e6 AS {name}"
+
+    _dist_cols = ",\n  ".join([
+        _r6(_sncdf("v0", "500.0", "150.0"), "nc"),
+        _r6(_sndens("v1", "500.0", "150.0"), "nd"),
+        _r6(f"({_sncdf('(v2 + 100.0)', '500.0', '150.0')} "
+            f"- {_sncdf('v2', '500.0', '150.0')})", "npr"),
+        _r6("CASE WHEN v3 <= 0.0 THEN 0.0 WHEN v3 >= 2000.0 THEN 1.0 "
+            "ELSE (v3 - 0.0) / (2000.0 - 0.0) END", "uc"),
+        _r6("CASE WHEN v3 < 0.0 OR v3 > 2000.0 THEN 0.0 "
+            "ELSE 1.0 / CAST(2000.0 AS DOUBLE) END", "udn"),
+        _r6("CASE WHEN (w4 % 1000) < 0 THEN 0.0 "
+            "WHEN (w4 % 1000) >= 999 THEN 1.0 "
+            "ELSE (CAST(w4 % 1000 AS DOUBLE) - 0.0 + 1.0) "
+            "/ (999.0 - 0.0 + 1.0) END", "uic"),
+        _r6("CASE WHEN (w4 % 1000) < 0 OR (w4 % 1000) > 999 THEN 0.0 "
+            "ELSE 1.0 / (999.0 - 0.0 + 1.0) END", "uip"),
+        _r6(_sbinom_pmf("20", "CAST(0.25 AS DOUBLE)",
+                        "(1.0 - CAST(0.25 AS DOUBLE))", "(w0 % 21)"),
+            "bp"),
+        _r6("CASE WHEN (w1 % 21) < 0 THEN 0.0 "
+            "WHEN (w1 % 21) >= 20 THEN 1.0 ELSE "
+            + _sfold(_sbinom_pmf("20", "CAST(0.25 AS DOUBLE)",
+                                 "(1.0 - CAST(0.25 AS DOUBLE))", "i"),
+                     0, "CAST(w1 % 21 AS INT)") + " END", "bc"),
+        _r6(f"(exp(-CAST(4.0 AS DOUBLE)) "
+            f"* {_spowi('4.0', '(w2 % 12)')}) "
+            f"/ {_sfact('(w2 % 12)')}", "pp"),
+        _r6("CASE WHEN (w3 % 12) < 0 THEN 0.0 ELSE "
+            + _sfold(_ppmf, 0, "CAST(w3 % 12 AS INT)") + " END", "pc"),
+        _r6(f"CASE WHEN (w4 % 8) < 0 THEN 0.0 ELSE "
+            f"CAST(0.3 AS DOUBLE) * "
+            f"{_spowi('(1.0 - CAST(0.3 AS DOUBLE))', '(w4 % 8)')} "
+            f"END", "gp"),
+        _r6(f"CASE WHEN (w5 % 8) < 0 THEN 0.0 ELSE 1.0 - "
+            f"{_spowi('(1.0 - CAST(0.3 AS DOUBLE))', '(CAST(w5 % 8 AS DOUBLE) + 1.0)')} "
+            f"END", "gc"),
+        _r6(f"CASE WHEN ((w0 % 49) + 1) < 1 "
+            f"OR ((w0 % 49) + 1) > 50 THEN 0.0 ELSE "
+            f"(1.0 / {_spowi('CAST((w0 % 49) + 1 AS DOUBLE)', '2.0')}) "
+            f"/ ({_h50}) END", "zp"),
+        _r6(f"CASE WHEN ((w1 % 49) + 1) < 1 THEN 0.0 "
+            f"WHEN ((w1 % 49) + 1) >= 50 THEN 1.0 ELSE "
+            f"({_sfold(_zterm, 1, 'CAST((w1 % 49) + 1 AS INT)')}) "
+            f"/ ({_h50}) END", "zc"),
+        _r6("CASE WHEN v2 < 500.0 THEN 0.0 ELSE 1.0 END", "cc"),
+        _r6("CASE WHEN v3 < 42.0 THEN 0.0 ELSE 1.0 END", "cc2"),
+        _r6("CASE WHEN v3 < 0.0 THEN 0.0 "
+            "WHEN v3 < 400.0 THEN (v3 - 0.0) * (v3 - 0.0) "
+            "/ ((2000.0 - 0.0) * (400.0 - 0.0)) "
+            "WHEN v3 = 400.0 THEN (400.0 - 0.0) / (2000.0 - 0.0) "
+            "WHEN v3 <= 2000.0 THEN 1.0 - (2000.0 - v3) "
+            "* (2000.0 - v3) / ((2000.0 - 0.0) * (2000.0 - 400.0)) "
+            "ELSE 1.0 END", "tc"),
+        _r6("CASE WHEN v4 < 0.0 THEN 0.0 "
+            "WHEN v4 < 400.0 THEN 2.0 * (v4 - 0.0) "
+            "/ ((2000.0 - 0.0) * (400.0 - 0.0)) "
+            "WHEN v4 = 400.0 THEN 2.0 / (2000.0 - CAST(0.0 AS DOUBLE)) "
+            "WHEN v4 <= 2000.0 THEN 2.0 * (2000.0 - v4) "
+            "/ ((2000.0 - 0.0) * (2000.0 - 400.0)) "
+            "ELSE 0.0 END", "tdn"),
+        _r6(f"CASE WHEN v5 <= 0.0 THEN 0.0 ELSE 0.5 + 0.5 * "
+            + _serf("((ln(v5) - 6.0) / (0.5 * sqrt(CAST(2.0 AS DOUBLE))))")
+            + " END", "lc"),
+        _r6("CASE WHEN v0 <= 0.0 THEN 0.0 ELSE "
+            "exp(-0.5 * ((ln(v0) - 6.0) / 0.5) "
+            "* ((ln(v0) - 6.0) / 0.5)) "
+            "/ (v0 * 0.5 * sqrt(2.0 * pi())) END", "ldn"),
+        _r6(f"CASE WHEN v1 <= 0.0 THEN 0.0 ELSE 1.0 - "
+            f"exp(-({_spowi('(v1 / 500.0)', '2.0')})) END", "wc"),
+        _r6(f"CASE WHEN v2 < 0.0 THEN 0.0 ELSE "
+            f"(CAST(2.0 AS DOUBLE) / 500.0) * {_wxp} "
+            f"* exp(-({_wxp} * {_wxs})) END", "wdn"),
+        _r6(f"CASE WHEN v3 <= 0.0 THEN 0.0 ELSE 1.0 - exp(-{_gy}) * "
+            + _sfold(f"{_spowi(_gy, 'i')} / {_sfact('i')}", 0, 2)
+            + " END", "gac"),
+        _r6(f"CASE WHEN v4 <= 0.0 THEN 0.0 ELSE "
+            f"{_spowi(_gy4, '2.0')} * exp(-{_gy4}) "
+            f"/ ({_sfact('2')} * 100.0) END", "gadn"),
+        _r6(f"CASE WHEN {_bx} <= 0.0 THEN 0.0 "
+            f"WHEN {_bx} >= 1.0 THEN 1.0 ELSE "
+            + _sfold(_sbinom_pmf("4", _bx, f"(1.0 - {_bx})", "i"),
+                     2, 4) + " END", "bec"),
+        _r6(f"CASE WHEN {_bx0} <= 0.0 OR {_bx0} >= 1.0 THEN 0.0 ELSE "
+            f"{_spowi(_bx0, '1.0')} * {_spowi(f'(1.0 - {_bx0})', '2.0')} "
+            f"* ({_sfact('4')} / ({_sfact('1')} * {_sfact('2')})) "
+            f"END", "bedn"),
+        _r6("CAST((SELECT count(*) FROM sq WHERE rn <= 25 AND v = v2) "
+            "AS DOUBLE) / CAST(25 AS DOUBLE)", "ep"),
+        _r6("CAST((SELECT count(*) FROM sq WHERE rn <= 25 AND v <= v7) "
+            "AS DOUBLE) / CAST(25 AS DOUBLE)", "ec"),
+    ])
+
+    out["s_stream_dist"] = f"""
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v,
+                   CAST(n_chars AS BIGINT) AS w FROM documents),
+sq AS (SELECT v, w, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn
+       FROM mx),
+vv AS (SELECT
+         (SELECT v FROM sq WHERE rn = 1) AS v0,
+         (SELECT v FROM sq WHERE rn = 2) AS v1,
+         (SELECT v FROM sq WHERE rn = 3) AS v2,
+         (SELECT v FROM sq WHERE rn = 4) AS v3,
+         (SELECT v FROM sq WHERE rn = 5) AS v4,
+         (SELECT v FROM sq WHERE rn = 6) AS v5,
+         (SELECT v FROM sq WHERE rn = 8) AS v7,
+         (SELECT w FROM sq WHERE rn = 1) AS w0,
+         (SELECT w FROM sq WHERE rn = 2) AS w1,
+         (SELECT w FROM sq WHERE rn = 3) AS w2,
+         (SELECT w FROM sq WHERE rn = 4) AS w3,
+         (SELECT w FROM sq WHERE rn = 5) AS w4,
+         (SELECT w FROM sq WHERE rn = 6) AS w5)
+SELECT
+  {_dist_cols}
+FROM vv"""
+
+    _ucdf20 = ("(CASE WHEN {x} <= 0.0 THEN 0.0 "
+               "WHEN {x} >= 2000.0 THEN 1.0 "
+               "ELSE ({x} - 0.0) / (2000.0 - 0.0) END)")
+    out["s_stream_distops"] = f"""
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn
+       FROM mx),
+ks1 AS (SELECT v FROM sq WHERE rn <= 20),
+ks2 AS (SELECT v,
+               CAST(ROW_NUMBER() OVER (ORDER BY v ASC) AS DOUBLE) AS i,
+               CAST(COUNT(*) OVER () AS DOUBLE) AS n FROM ks1),
+ksd AS (SELECT max(greatest(
+            i / n - {_ucdf20.format(x='v')},
+            {_ucdf20.format(x='v')} - (i - 1.0) / n)) AS d FROM ks2),
+ob AS (SELECT v, {_sncdf('v', '800.0', '300.0')} AS cp FROM sq
+       WHERE rn <= 30),
+ofl AS (SELECT v, cp FROM ob
+        WHERE cp <= CAST(0.1 AS DOUBLE) OR cp >= CAST(0.9 AS DOUBLE))
+SELECT
+  FLOOR((SELECT d FROM ksd) * 1e6 + 0.5) / 1e6 AS ksd,
+  (SELECT CAST(count(*) AS BIGINT) FROM ofl) AS olc,
+  FLOOR(COALESCE((SELECT sum(v) FROM ofl), 0.0) * 1e6 + 0.5) / 1e6
+    AS olv,
+  FLOOR(COALESCE((SELECT sum(cp) FROM ofl), 0.0) * 1e6 + 0.5) / 1e6
+    AS olp"""
+
     out["s_stream_scalarfns"] = """
 WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(n_chars AS DOUBLE) AS v, lang FROM documents),

@@ -46,12 +46,169 @@ Expression grammar (StreamExpressionParser.java:46 shape):
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def _d(c):
+    """Cast an evaluator operand Column to double (the reference's
+    Number.doubleValue() at every distribution constructor)."""
+    return c.cast("double")
+
+
+def _require_int_literal(raw, what: str) -> None:
+    """Reject non-integral literal shape parameters (the exact
+    finite-sum closed forms for gamma/beta hold for integer shapes
+    only — documented engine domain; raising beats a silent
+    truncation to int)."""
+    if isinstance(raw, str) and re.match(r"^-?\d*\.\d+$", raw) \
+            and not float(raw).is_integer():
+        raise ValueError(f"{what} must be an integer "
+                         f"(got {raw}; the closed-form engine domain)")
+
+
+def _ks_one_sample_p(dstat, n):
+    """One-sample Kolmogorov-Smirnov p-value 1 - P(D_n < d) via the
+    Marsaglia-Tsang-Wang H-matrix power (the double path of
+    commons-math KolmogorovSmirnovTest.cdf; JSS 8(18) 2003). A
+    bounded per-cell scalar — the reference computes it on the
+    /stream worker node; here an Arrow-batched pandas UDF keeps it
+    executor-side (pytest-pinned laws; excluded from oracle rows
+    like every library-approximation float)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _p(ds: pd.Series, ns: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def cdf(d, n):
+            if d <= 0:
+                return 0.0
+            if d >= 1:
+                return 1.0
+            k = int(math.ceil(n * d))
+            m = 2 * k - 1
+            h = k - n * d
+            big = np.zeros((m, m))
+            for i in range(m):
+                for j in range(m):
+                    if i - j + 1 >= 0:
+                        big[i][j] = 1.0
+            for i in range(m):
+                big[i][0] -= h ** (i + 1)
+                big[m - 1][i] -= h ** (m - i)
+            big[m - 1][0] += (2 * h - 1) ** m if 2 * h - 1 > 0 else 0
+            for i in range(m):
+                for j in range(m):
+                    if i - j + 1 > 0:
+                        for g in range(1, i - j + 2):
+                            big[i][j] /= g
+            # H^n with the commons-math scaling-by-1e140 guard
+            e_v = 0
+            hp = np.eye(m)
+            ev_hp = 0
+            p = n
+            b = big.copy()
+            e_b = 0
+            while p > 0:
+                if p % 2 == 1:
+                    hp = hp @ b
+                    ev_hp += e_b
+                    if hp[k - 1][k - 1] > 1e140:
+                        hp *= 1e-140
+                        ev_hp += 140
+                b = b @ b
+                e_b *= 2
+                if b[k - 1][k - 1] > 1e140:
+                    b *= 1e-140
+                    e_b += 140
+                p //= 2
+            e_v = ev_hp
+            t = hp[k - 1][k - 1]
+            for i in range(1, n + 1):
+                t = t * i / n
+                if t < 1e-140:
+                    t *= 1e140
+                    e_v -= 140
+            return t * (10.0 ** e_v) if e_v else t
+
+        out = []
+        for d, n in zip(ds, ns):
+            out.append(None if d is None or n is None
+                       else 1.0 - cdf(float(d), int(n)))
+        return pd.Series(out, dtype="float64")
+
+    return _p(dstat.cast("double"), n.cast("long"))
+
+
+def _ks_two_sample_p(xs, ys):
+    """Two-sample KS: the reference stores
+    kolmogorovSmirnovTest(x, y) — the exact P-VALUE — under the
+    "d-statistic" key (KolmogorovSmirnovEvaluator.java:40; mirrored
+    bug-compatibly). Exact P by the commons-math lattice count: the
+    fraction of C(n+m, n) interleavings whose path deviation
+    reaches d (non-strict), computed with integer arithmetic."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _p(xa: pd.Series, ya: pd.Series) -> pd.Series:
+        from fractions import Fraction
+
+        def dstat(x, y):
+            n, m = len(x), len(y)
+            xs_, ys_ = sorted(x), sorted(y)
+            i = j = 0
+            best = 0  # |i*m - j*n| numerator over lcm n*m
+            while i < n and j < m:
+                z = min(xs_[i], ys_[j])
+                while i < n and xs_[i] == z:
+                    i += 1
+                while j < m and ys_[j] == z:
+                    j += 1
+                best = max(best, abs(i * m - j * n))
+            return best  # d = best / (n*m)
+
+        def exact_p(dnm, n, m):
+            # paths (0,0)->(n,m); count those with ALL interior
+            # |i*m - j*n| < dnm (strict interior => P of reaching d
+            # non-strictly = 1 - count/C). commons-math exactP with
+            # strict=false counts paths that stay strictly inside.
+            from functools import lru_cache
+
+            @lru_cache(maxsize=None)
+            def cnt(i, j):
+                if abs(i * m - j * n) >= dnm and not (
+                        (i == 0 and j == 0) or (i == n and j == m)):
+                    return 0
+                if i == n and j == m:
+                    return 1
+                t = 0
+                if i < n:
+                    t += cnt(i + 1, j)
+                if j < m:
+                    t += cnt(i, j + 1)
+                return t
+
+            total = math.comb(n + m, n)
+            return float(1 - Fraction(cnt(0, 0), total))
+
+        out = []
+        for x, y in zip(xa, ya):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            x, y = list(x), list(y)
+            out.append(exact_p(dstat(x, y), len(x), len(y)))
+        return pd.Series(out, dtype="float64")
+
+    return _p(xs, ys)
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +340,28 @@ def _agg_col(e: StreamExpr):
         return F.count("*").cast("long").alias("count")
     col = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fn](arg)
     return col.alias(f"{fn}_{arg}")
+
+
+class _Dist:
+    """A probability-distribution object flowing through the
+    evaluator tree (the reference returns commons-math
+    RealDistribution / IntegerDistribution instances from
+    solrj/io/eval/{Normal,Uniform,UniformInteger,Binomial,Poisson,
+    Geometric,ZipF,Constant,Triangular,LogNormal,Weibull,Gamma,Beta,
+    Enumerated}DistributionEvaluator.java; Lang.java registers the
+    constructor names). Here the object is a tagged bundle of
+    Catalyst parameter Columns: the consuming evaluators —
+    cumulativeProbability / probability / density / sample /
+    outliers / kolmogorovSmirnov — compile the matching commons-math
+    closed form into a whole-stage-codegen expression, so a
+    distribution query over a 100 TB column is a plain projected
+    scan (no UDF, no driver round-trip). ``integer`` marks the
+    IntegerDistribution branch (pmf semantics for probability())."""
+
+    __slots__ = ("kind", "integer", "p")
+
+    def __init__(self, kind: str, integer: bool, **p):
+        self.kind, self.integer, self.p = kind, integer, p
 
 
 class _Daemon:
@@ -1389,7 +1568,462 @@ class StreamEvaluator:
                 lambda i: F.lit(amp) * F.sin(F.lit(freq)
                                              * i.cast("double")
                                              + F.lit(phase)))
+        # -- probability distributions (round-3ad wave) --------------------
+        # Constructor evaluators return a _Dist (the reference's
+        # commons-math distribution object); the consumers below
+        # compile closed forms. Parameterizations mirror the
+        # reference constructors verbatim (see _Dist docstring).
+        if fn == "normalDistribution":
+            return _Dist("normal", False, mean=_d(a[0]), sd=_d(a[1]))
+        if fn == "uniformDistribution":
+            # UniformRealDistribution(lower, upper)
+            return _Dist("uniform", False, lo=_d(a[0]), hi=_d(a[1]))
+        if fn == "uniformIntegerDistribution":
+            return _Dist("uniformInt", True, lo=_d(a[0]), hi=_d(a[1]))
+        if fn == "binomialDistribution":
+            # BinomialDistribution(numberOfTrials, successProb).
+            # Exact-factorial closed forms: domain n <= 20 (the
+            # surface's config-sized trial counts; factorial(21)
+            # overflows the exact-integer double range).
+            return _Dist("binomial", True, n=_d(a[0]), p=_d(a[1]))
+        if fn == "poissonDistribution":
+            return _Dist("poisson", True, lam=_d(a[0]))
+        if fn == "geometricDistribution":
+            # GeometricDistribution(p): pmf p(1-p)^k on k >= 0
+            return _Dist("geometric", True, p=_d(a[0]))
+        if fn == "zipFDistribution":
+            # ZipfDistribution(numberOfElements, exponent)
+            return _Dist("zipf", True, n=_d(a[0]), s=_d(a[1]))
+        if fn == "constantDistribution":
+            return _Dist("constant", False, c=_d(a[0]))
+        if fn == "triangularDistribution":
+            return _Dist("triangular", False, a=_d(a[0]), c=_d(a[1]),
+                         b=_d(a[2]))
+        if fn == "logNormalDistribution":
+            # LogNormalDistribution(scale, shape) — scale is the
+            # MEAN OF ln(X) in commons-math naming
+            return _Dist("lognormal", False, m=_d(a[0]), s=_d(a[1]))
+        if fn == "weibullDistribution":
+            # WeibullDistribution(shape, scale)
+            return _Dist("weibull", False, al=_d(a[0]), be=_d(a[1]))
+        if fn == "gammaDistribution":
+            # GammaDistribution(shape, scale). INTEGER shape domain:
+            # the regularized incomplete gamma closed form is the
+            # exact finite sum 1 - e^-y * sum(y^i/i!) only for
+            # integral shape (non-integral would need a continued
+            # fraction; raise rather than silently approximate).
+            _require_int_literal(node.args[0], "gammaDistribution shape")
+            return _Dist("gamma", False, sh=_d(a[0]), th=_d(a[1]))
+        if fn == "betaDistribution":
+            # BetaDistribution(alpha, beta), INTEGER shapes: the
+            # regularized incomplete beta is the exact binomial sum
+            # I_x(a,b) = sum_{j=a}^{a+b-1} C(a+b-1,j) x^j (1-x)^(n-j)
+            _require_int_literal(node.args[0], "betaDistribution alpha")
+            _require_int_literal(node.args[1], "betaDistribution beta")
+            return _Dist("beta", False, al=_d(a[0]), be=_d(a[1]))
+        if fn == "enumeratedDistribution":
+            # EnumeratedIntegerDistribution(samples) — pmf from
+            # sample frequencies; the two-arg (singletons, probs)
+            # variant zips explicit probabilities
+            if len(a) == 1:
+                return _Dist("enumerated", True, arr=a[0])
+            return _Dist("enumerated2", True, vals=a[0], probs=a[1])
+        if fn == "cumulativeProbability":
+            # CumulativeProbabilityEvaluator.java:23 — real branch
+            # takes a double, integer branch truncates to int
+            d0 = a[0]
+            if not isinstance(d0, _Dist):
+                raise ValueError("cumulativeProbability: first "
+                                 "operand must be a distribution")
+            x = a[1].cast("int").cast("double") if d0.integer \
+                else a[1].cast("double")
+            return self._dist_cdf(d0, x)
+        if fn == "probability":
+            # ProbabilityEvaluator.java:33 — 2-arg integer pmf;
+            # 3-arg real range cdf(hi) - cdf(lo)
+            d0 = a[0]
+            if not isinstance(d0, _Dist):
+                raise ValueError("probability: first operand must "
+                                 "be a distribution")
+            if len(a) == 2:
+                if not d0.integer:
+                    raise ValueError("probability(dist, k) needs an "
+                                     "integer distribution (the real "
+                                     "branch is the 3-arg range form)")
+                return self._dist_pmf(d0, a[1].cast("int"))
+            return (self._dist_cdf(d0, a[2].cast("double"))
+                    - self._dist_cdf(d0, a[1].cast("double")))
+        if fn == "density":
+            # DensityEvaluator.java — RealDistribution.density(x)
+            d0 = a[0]
+            if not isinstance(d0, _Dist):
+                raise ValueError("density: first operand must be a "
+                                 "distribution")
+            return self._dist_pdf(d0, a[1].cast("double"))
+        if fn == "sample":
+            # SampleEvaluator.java:33 — random draws (random by
+            # contract: pytest pins distributional laws, never a
+            # value — excluded from oracle rows). Inverse-CDF /
+            # direct transforms of rand()/randn(); one draw without
+            # n, a list with n.
+            d0 = a[0]
+            if not isinstance(d0, _Dist):
+                raise ValueError("sample: first operand must be a "
+                                 "distribution")
+            n = int(node.args[1]) if len(node.args) > 1 else None
+            if n is None:
+                return self._dist_sample(d0, 0)
+            return F.array(*[self._dist_sample(d0, i)
+                             for i in range(n)])
+        if fn == "outliers":
+            # OutliersEvaluator.java:30 — values whose cdf falls at
+            # or beyond the low/high thresholds; a negative
+            # threshold disables that side (the reference's
+            # `low >= 0 &&` / `hi >= 0 &&` guards). Returns the
+            # flagged (value, cumulative-probability) pairs in vec
+            # order as array<struct>, the columnar stand-in for the
+            # reference's tuple list.
+            d0, vec = a[0], a[1]
+            if not isinstance(d0, _Dist):
+                raise ValueError("outliers: first operand must be a "
+                                 "distribution")
+            low, hi = float(node.args[2]), float(node.args[3])
+            cast = ((lambda v: v.cast("int").cast("double"))
+                    if d0.integer else (lambda v: v.cast("double")))
+            pairs = F.transform(vec, lambda v: F.struct(
+                v.cast("double").alias("value"),
+                self._dist_cdf(d0, cast(v))
+                .alias("cumulativeProbablity_d")))
+            lo_ok = F.lit(low >= 0)
+            hi_ok = F.lit(hi >= 0)
+            return F.filter(pairs, lambda s: (
+                (lo_ok & (s["cumulativeProbablity_d"] <= F.lit(low)))
+                | (hi_ok
+                   & (s["cumulativeProbablity_d"] >= F.lit(hi)))))
+        if fn == "ks":
+            fn = "kolmogorovSmirnov"
+        if fn == "kolmogorovSmirnov":
+            # KolmogorovSmirnovEvaluator.java:24. One-sample branch
+            # (dist, data): d-statistic is the exact order-statistic
+            # sup max((i+1)/n - F(x_(i)), F(x_(i)) - i/n) (pure
+            # Catalyst — oracle-able); p-value is 1 - cdf(d, n) via
+            # the Marsaglia-Tsang-Wang H-matrix power (commons-math
+            # KolmogorovSmirnovTest.cdf's double path) in an Arrow
+            # pandas UDF (a bounded per-cell scalar, the same
+            # driver-local computation the reference performs —
+            # pytest-pinned, excluded from oracle rows). Two-sample
+            # branch (data, data): the reference labels the result
+            # "d-statistic" but stores kolmogorovSmirnovTest(x, y)
+            # — the exact-P P-VALUE. Mirrored bug-compatibly via the
+            # exact lattice count.
+            if isinstance(a[0], _Dist):
+                d0, arr = a[0], a[1]
+                srt = F.array_sort(F.transform(
+                    arr, lambda v: v.cast("double")))
+                n = F.size(srt)
+                nd = n.cast("double")
+                devs = F.zip_with(
+                    F.sequence(F.lit(1), n), srt,
+                    lambda i, v: F.greatest(
+                        i.cast("double") / nd - self._dist_cdf(d0, v),
+                        self._dist_cdf(d0, v)
+                        - (i.cast("double") - 1) / nd))
+                dstat = F.array_max(devs)
+                return F.struct(
+                    dstat.alias("d-statistic"),
+                    _ks_one_sample_p(dstat, n).alias("p-value"))
+            x2 = F.transform(a[0], lambda v: v.cast("double"))
+            y2 = F.transform(a[1], lambda v: v.cast("double"))
+            return F.struct(
+                _ks_two_sample_p(x2, y2).alias("d-statistic"))
         raise ValueError(f"unknown evaluator {fn!r}")
+
+    # -- distribution closed forms (round-3ad wave) ------------------------
+
+    @staticmethod
+    def _powi(base, k):
+        """base**k for k >= 0 as exp(k * ln base) with k==0 / base==0
+        guards. Library pow() is avoided (exp/ln divergence is
+        sub-ulp cross-engine and the round-6 staging absorbs it;
+        pow() implementations disagree more — see the repo's
+        rounding-trap notes)."""
+        kd = k.cast("double")
+        return (F.when(kd == F.lit(0.0), F.lit(1.0))
+                .when(base == F.lit(0.0), F.lit(0.0))
+                .otherwise(F.exp(kd * F.log(base))))
+
+    @staticmethod
+    def _erf(x):
+        """Abramowitz & Stegun 7.1.26 (|eps| <= 1.5e-7). The DuckDB
+        oracle embeds the IDENTICAL arithmetic (same association
+        order), so engine == oracle bit-exact; the reference's
+        commons-math Erf differs by <= 1.5e-7 — inside the round-6
+        staging every registry float crosses."""
+        ax = F.abs(x)
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+        y = ((((F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+               + F.lit(1.421413741)) * t - F.lit(0.284496736)) * t
+             + F.lit(0.254829592)) * t
+        e = F.lit(1.0) - y * F.exp(-(ax * ax))
+        return F.when(x < F.lit(0.0), -e).otherwise(e)
+
+    def _binom_pmf(self, n, p, kk):
+        """C(n,k) p^k (1-p)^(n-k) with exact factorials (n <= 20)."""
+        c = (F.factorial(n.cast("int")).cast("double")
+             / (F.factorial(kk.cast("int")).cast("double")
+                * F.factorial((n - kk).cast("int")).cast("double")))
+        return (F.when((kk < F.lit(0)) | (kk.cast("double") > n),
+                       F.lit(0.0))
+                .otherwise(c * self._powi(p, kk)
+                           * self._powi(F.lit(1.0) - p,
+                                        n - kk.cast("double"))))
+
+    def _dist_cdf(self, d: "_Dist", x):
+        """commons-math cumulativeProbability closed forms, branch
+        structure mirrored per class (cited on each kind)."""
+        P = d.p
+        if d.kind == "normal":
+            # NormalDistribution.cumulativeProbability =
+            # 0.5 * erfc(-(x-m)/(sd*sqrt(2)))
+            return F.lit(0.5) * (F.lit(1.0) + self._erf(
+                (x - P["mean"]) / (P["sd"] * F.sqrt(F.lit(2.0)))))
+        if d.kind == "uniform":
+            return (F.when(x <= P["lo"], F.lit(0.0))
+                    .when(x >= P["hi"], F.lit(1.0))
+                    .otherwise((x - P["lo"]) / (P["hi"] - P["lo"])))
+        if d.kind == "uniformInt":
+            # (k - lower + 1) / (upper - lower + 1), clamped
+            return (F.when(x < P["lo"], F.lit(0.0))
+                    .when(x >= P["hi"], F.lit(1.0))
+                    .otherwise((x - P["lo"] + F.lit(1.0))
+                               / (P["hi"] - P["lo"] + F.lit(1.0))))
+        if d.kind == "binomial":
+            kk = x.cast("int")
+            return (F.when(kk < F.lit(0), F.lit(0.0))
+                    .when(kk.cast("double") >= P["n"], F.lit(1.0))
+                    .otherwise(F.aggregate(
+                        F.sequence(F.lit(0), kk), F.lit(0.0),
+                        lambda acc, i: acc + self._binom_pmf(
+                            P["n"], P["p"], i))))
+        if d.kind == "poisson":
+            kk = x.cast("int")
+            return (F.when(kk < F.lit(0), F.lit(0.0))
+                    .otherwise(F.aggregate(
+                        F.sequence(F.lit(0), kk), F.lit(0.0),
+                        lambda acc, i: acc + self._dist_pmf(d, i))))
+        if d.kind == "geometric":
+            kk = x.cast("int")
+            return (F.when(kk < F.lit(0), F.lit(0.0))
+                    .otherwise(F.lit(1.0) - self._powi(
+                        F.lit(1.0) - P["p"],
+                        kk.cast("double") + F.lit(1.0))))
+        if d.kind == "zipf":
+            kk = x.cast("int")
+            h_n = F.aggregate(
+                F.sequence(F.lit(1), P["n"].cast("int")), F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0)
+                / self._powi(i.cast("double"), P["s"]))
+            h_k = F.aggregate(
+                F.sequence(F.lit(1), kk), F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0)
+                / self._powi(i.cast("double"), P["s"]))
+            return (F.when(kk < F.lit(1), F.lit(0.0))
+                    .when(kk.cast("double") >= P["n"], F.lit(1.0))
+                    .otherwise(h_k / h_n))
+        if d.kind == "constant":
+            return F.when(x < P["c"], F.lit(0.0)).otherwise(F.lit(1.0))
+        if d.kind == "triangular":
+            aa, cc, bb = P["a"], P["c"], P["b"]
+            return (F.when(x < aa, F.lit(0.0))
+                    .when(x < cc, (x - aa) * (x - aa)
+                          / ((bb - aa) * (cc - aa)))
+                    .when(x == cc, (cc - aa) / (bb - aa))
+                    .when(x <= bb, F.lit(1.0) - (bb - x) * (bb - x)
+                          / ((bb - aa) * (bb - cc)))
+                    .otherwise(F.lit(1.0)))
+        if d.kind == "lognormal":
+            return (F.when(x <= F.lit(0.0), F.lit(0.0))
+                    .otherwise(F.lit(0.5) + F.lit(0.5) * self._erf(
+                        (F.log(x) - P["m"])
+                        / (P["s"] * F.sqrt(F.lit(2.0))))))
+        if d.kind == "weibull":
+            return (F.when(x <= F.lit(0.0), F.lit(0.0))
+                    .otherwise(F.lit(1.0) - F.exp(
+                        -self._powi(x / P["be"], P["al"]))))
+        if d.kind == "gamma":
+            y = x / P["th"]
+            return (F.when(x <= F.lit(0.0), F.lit(0.0))
+                    .otherwise(F.lit(1.0) - F.exp(-y) * F.aggregate(
+                        F.sequence(F.lit(0),
+                                   P["sh"].cast("int") - F.lit(1)),
+                        F.lit(0.0),
+                        lambda acc, i: acc + self._powi(y, i)
+                        / F.factorial(i).cast("double"))))
+        if d.kind == "beta":
+            nn = (P["al"] + P["be"]).cast("int") - F.lit(1)
+            return (F.when(x <= F.lit(0.0), F.lit(0.0))
+                    .when(x >= F.lit(1.0), F.lit(1.0))
+                    .otherwise(F.aggregate(
+                        F.sequence(P["al"].cast("int"), nn),
+                        F.lit(0.0),
+                        lambda acc, j: acc + self._binom_pmf(
+                            nn.cast("double"), x, j))))
+        if d.kind == "enumerated":
+            # sum of sample frequencies at values <= k over n (one
+            # division — the reference sums per-distinct freq/n
+            # doubles; few-ulp divergence, inside round-6)
+            return (F.size(F.filter(P["arr"],
+                                    lambda v: v.cast("double") <= x))
+                    .cast("double")
+                    / F.size(P["arr"]).cast("double"))
+        if d.kind == "enumerated2":
+            return F.aggregate(
+                F.zip_with(P["vals"], P["probs"],
+                           lambda v, pr: F.when(
+                               v.cast("double") <= x,
+                               pr.cast("double"))
+                           .otherwise(F.lit(0.0))),
+                F.lit(0.0), lambda acc, t: acc + t)
+        raise ValueError(f"no cdf for distribution {d.kind!r}")
+
+    def _dist_pmf(self, d: "_Dist", kk):
+        """IntegerDistribution.probability(k) closed forms."""
+        P = d.p
+        kd = kk.cast("double")
+        if d.kind == "uniformInt":
+            return (F.when((kd < P["lo"]) | (kd > P["hi"]), F.lit(0.0))
+                    .otherwise(F.lit(1.0)
+                               / (P["hi"] - P["lo"] + F.lit(1.0))))
+        if d.kind == "binomial":
+            return self._binom_pmf(P["n"], P["p"], kk)
+        if d.kind == "poisson":
+            return (F.when(kk < F.lit(0), F.lit(0.0))
+                    .otherwise(F.exp(-P["lam"])
+                               * self._powi(P["lam"], kd)
+                               / F.factorial(kk.cast("int"))
+                               .cast("double")))
+        if d.kind == "geometric":
+            return (F.when(kk < F.lit(0), F.lit(0.0))
+                    .otherwise(P["p"] * self._powi(
+                        F.lit(1.0) - P["p"], kd)))
+        if d.kind == "zipf":
+            h_n = F.aggregate(
+                F.sequence(F.lit(1), P["n"].cast("int")), F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0)
+                / self._powi(i.cast("double"), P["s"]))
+            return (F.when((kd < F.lit(1.0)) | (kd > P["n"]),
+                           F.lit(0.0))
+                    .otherwise(F.lit(1.0) / self._powi(kd, P["s"])
+                               / h_n))
+        if d.kind == "enumerated":
+            return (F.size(F.filter(P["arr"],
+                                    lambda v: v.cast("double") == kd))
+                    .cast("double")
+                    / F.size(P["arr"]).cast("double"))
+        if d.kind == "enumerated2":
+            return F.aggregate(
+                F.zip_with(P["vals"], P["probs"],
+                           lambda v, pr: F.when(
+                               v.cast("double") == kd,
+                               pr.cast("double"))
+                           .otherwise(F.lit(0.0))),
+                F.lit(0.0), lambda acc, t: acc + t)
+        raise ValueError(f"no pmf for distribution {d.kind!r}")
+
+    def _dist_pdf(self, d: "_Dist", x):
+        """RealDistribution.density closed forms."""
+        P = d.p
+        if d.kind == "normal":
+            z = (x - P["mean"]) / P["sd"]
+            return (F.exp(F.lit(-0.5) * z * z)
+                    / (P["sd"]
+                       * F.sqrt(F.lit(2.0) * F.lit(math.pi))))
+        if d.kind == "uniform":
+            return (F.when((x < P["lo"]) | (x > P["hi"]), F.lit(0.0))
+                    .otherwise(F.lit(1.0) / (P["hi"] - P["lo"])))
+        if d.kind == "constant":
+            # ConstantRealDistribution.density: 1 at the point
+            return F.when(x == P["c"], F.lit(1.0)).otherwise(F.lit(0.0))
+        if d.kind == "triangular":
+            aa, cc, bb = P["a"], P["c"], P["b"]
+            return (F.when(x < aa, F.lit(0.0))
+                    .when(x < cc, F.lit(2.0) * (x - aa)
+                          / ((bb - aa) * (cc - aa)))
+                    .when(x == cc, F.lit(2.0) / (bb - aa))
+                    .when(x <= bb, F.lit(2.0) * (bb - x)
+                          / ((bb - aa) * (bb - cc)))
+                    .otherwise(F.lit(0.0)))
+        if d.kind == "lognormal":
+            z = (F.log(x) - P["m"]) / P["s"]
+            return (F.when(x <= F.lit(0.0), F.lit(0.0))
+                    .otherwise(F.exp(F.lit(-0.5) * z * z)
+                               / (x * P["s"]
+                                  * F.sqrt(F.lit(2.0)
+                                           * F.lit(math.pi)))))
+        if d.kind == "weibull":
+            xs = x / P["be"]
+            xp = self._powi(xs, P["al"] - F.lit(1.0))
+            return (F.when(x < F.lit(0.0), F.lit(0.0))
+                    .otherwise((P["al"] / P["be"]) * xp
+                               * F.exp(-(xp * xs))))
+        if d.kind == "gamma":
+            y = x / P["th"]
+            return (F.when(x <= F.lit(0.0), F.lit(0.0))
+                    .otherwise(self._powi(y, P["sh"] - F.lit(1.0))
+                               * F.exp(-y)
+                               / (F.factorial(P["sh"].cast("int")
+                                              - F.lit(1))
+                                  .cast("double") * P["th"])))
+        if d.kind == "beta":
+            inv_b = (F.factorial((P["al"] + P["be"]).cast("int")
+                                 - F.lit(1)).cast("double")
+                     / (F.factorial(P["al"].cast("int") - F.lit(1))
+                        .cast("double")
+                        * F.factorial(P["be"].cast("int") - F.lit(1))
+                        .cast("double")))
+            return (F.when((x <= F.lit(0.0)) | (x >= F.lit(1.0)),
+                           F.lit(0.0))
+                    .otherwise(self._powi(x, P["al"] - F.lit(1.0))
+                               * self._powi(F.lit(1.0) - x,
+                                            P["be"] - F.lit(1.0))
+                               * inv_b))
+        raise ValueError(f"no density for distribution {d.kind!r}")
+
+    def _dist_sample(self, d: "_Dist", seed_slot: int):
+        """One random draw (SampleEvaluator). rand()/randn() are
+        Spark's per-row generators; seed_slot decorrelates multiple
+        draws in one tuple. Kinds with closed-form inverse CDFs;
+        others raise (the laws cover the supported set)."""
+        P = d.p
+        u = F.rand()
+        if d.kind == "normal":
+            return P["mean"] + P["sd"] * F.randn()
+        if d.kind == "lognormal":
+            return F.exp(P["m"] + P["s"] * F.randn())
+        if d.kind == "uniform":
+            return P["lo"] + (P["hi"] - P["lo"]) * u
+        if d.kind == "uniformInt":
+            return F.floor(P["lo"] + (P["hi"] - P["lo"] + F.lit(1.0))
+                           * u).cast("int")
+        if d.kind == "constant":
+            return P["c"]
+        if d.kind == "geometric":
+            return F.floor(F.log(F.lit(1.0) - u)
+                           / F.log(F.lit(1.0) - P["p"])).cast("int")
+        if d.kind == "weibull":
+            return P["be"] * F.exp(F.log(-F.log(F.lit(1.0) - u))
+                                   / P["al"])
+        if d.kind == "triangular":
+            aa, cc, bb = P["a"], P["c"], P["b"]
+            fc = (cc - aa) / (bb - aa)
+            return (F.when(u < fc, aa + F.sqrt(u * (bb - aa)
+                                               * (cc - aa)))
+                    .otherwise(bb - F.sqrt((F.lit(1.0) - u)
+                                           * (bb - aa) * (bb - cc))))
+        if d.kind == "enumerated":
+            arr = P["arr"]
+            return F.get(arr, F.floor(u * F.size(arr)).cast("int"))
+        raise ValueError(f"sample: no sampler for {d.kind!r}")
 
     def _s_knn(self, e: StreamExpr) -> DataFrame:
         """KnnStream (solrj/io/stream/KnnStream.java:63): the k most
