@@ -5709,6 +5709,54 @@ _STREAM_DISTOPS_EXPR = (
     '0.1, 0.9)))')
 
 
+_STREAM_SPLINE_EXPR = (
+    'let(a=search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), x=col(a, n_chars), '
+    's=spline(copyOfRange(x, 0, 20)), '
+    'k=akima(copyOfRange(x, 0, 12)), '
+    'tuple('
+    'sp=predict(s, 7.25), '
+    'spk=predict(s, 12), '
+    'sd=predict(derivative(s), 7.25), '
+    'si=integrate(s, 2, 17), '
+    'siv=valueAt(integrate(s), 10), '
+    'ak=predict(k, 5.5), '
+    'akd=predict(derivative(k), 5.5), '
+    'pf=predict(polyfit(copyOfRange(x, 0, 15), 2), 20.5), '
+    'pl=predict(polyfit(array(1, 2, 3), array(3, 5, 7), 1), 10)))')
+
+
+def _q_stream_spline(spark, sf_dir):
+    """Interpolation / curve-fitting VectorFunctions (round-3ae;
+    solrj/io/eval/SplineEvaluator.java — commons-math
+    SplineInterpolator natural cubic, AkimaSplineInterpolator via
+    AkimaEvaluator.java, PolyFitEvaluator.java — PolynomialCurveFitter
+    least squares, DerivativeEvaluator.java — func.derivative() at the
+    knots, IntegrateEvaluator.java — Romberg over the fitted function,
+    PredictEvaluator.java over VectorFunctions). The engine compiles
+    each fit to whole-stage-codegen Catalyst: the tridiagonal spline
+    sweep as list-of-struct folds, Akima slopes + Hermite segment
+    coefficients element-wise, polyfit by normal equations + Cramer
+    (det_expr drives BOTH the Column tree and the oracle SQL, so the
+    float evaluation order matches bit-for-bit), integrals by exact
+    antiderivatives (the reference's Romberg converges to the same
+    values on these smooth integrands — documented approximation
+    parity). The DuckDB oracle replays the identical folds via
+    list_reduce with statically-resolved segments (literal query
+    points over the x=0..n-1 y-only knot form). _let1 expression
+    binding keeps the Catalyst tree linear (tree-duplication OOM
+    guard). Scale shape: fits are bounded-cell kernels inside a
+    projection — per-group model fitting at 100 TB is shuffle-free."""
+    out = _stream_eval(spark, sf_dir, _STREAM_SPLINE_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR({c} * 1e6 + 0.5) / 1e6").alias(c)
+
+    return out.select(r6("sp"), r6("spk"), r6("sd"), r6("si"),
+                      r6("siv"), r6("ak"), r6("akd"), r6("pf"),
+                      r6("pl"))
+
+
 def _q_stream_distops(spark, sf_dir):
     """Distribution-consuming test/filter evaluators (round-3ad;
     solrj/io/eval/KolmogorovSmirnovEvaluator.java:24,
@@ -5936,9 +5984,20 @@ WINDOW_ORDER = [
     # s_stream_regress) and s_stream_reduce (its groupBy-fold shape
     # is the same grouped-aggregation machinery in-window
     # q_sql_select's RollupStream rows pin).
+    # Round-3ae rotation (window stays 50): IN s_stream_spline (the
+    # VectorFunction family — natural-cubic spline via list-of-struct
+    # tridiagonal folds, Akima Hermite segments, polyfit by Cramer
+    # with the shared det_expr generator, derivative/integrate/
+    # predict consumers; the deepest new cross-engine fold machinery
+    # this round). OUT s_stream_topic (keeps three-scale local
+    # records + pytest; its checkpoint-replay contract is stream-
+    # decorator machinery repped in-window by the eval/parsecsv/
+    # facet2d rows and its match-set scan is every q_* row's shape).
+    "s_stream_spline",
     "s_stream_dist", "s_stream_distops",
     "s_stream_scalarfns",
-    "s_stream_topic", "s_stream_parsecsv",
+    # (s_stream_topic rotated OUT in round 3ae — see the 3ae note.)
+    "s_stream_parsecsv",
     "s_stream_evalexpr",
     "s_stream_regress",
     # (s_stream_math and s_stream_reduce rotated OUT in round 3ad —
@@ -6679,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_scalarfns": _q_stream_scalarfns,
         "s_stream_dist": _q_stream_dist,
         "s_stream_distops": _q_stream_distops,
+        "s_stream_spline": _q_stream_spline,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -10439,10 +10499,10 @@ WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(n_chars AS DOUBLE) AS v FROM documents),
 sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
 ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sq),
-lp AS (SELECT (SELECT v FROM sq WHERE rn = 8)
-             + (7.25 - 7.0)
-               * ((SELECT v FROM sq WHERE rn = 9)
-                  - (SELECT v FROM sq WHERE rn = 8)) / (8.0 - 7.0)
+lp AS (SELECT ((SELECT v FROM sq WHERE rn = 9)
+               - (SELECT v FROM sq WHERE rn = 8)) / (8.0 - 7.0)
+               * (7.25 - 7.0)
+             + (SELECT v FROM sq WHERE rn = 8)
          AS lp),
 kp AS (SELECT ABS(x.v - CAST(300 AS DOUBLE)) AS d, y.v AS y
        FROM sq x JOIN sq y ON y.rn = (SELECT n FROM ms) + 1 - x.rn),
@@ -10766,6 +10826,179 @@ vv AS (SELECT
 SELECT
   {_dist_cols}
 FROM vv"""
+
+    # -- round-3ae: interpolation / curve fitting ----------------------------
+    # SQL twins of streams._spline_coefs/_akima_coefs/_polyfit_coefs/
+    # _horner/_vf_integral. The literal query points make every
+    # segment index static, so only the touched segment coefficients
+    # are materialized; the tridiagonal mu/z/c sweeps replay as
+    # list_reduce folds of the engine's exact order. x = 0..n-1
+    # (y-only knot form) keeps all x-arithmetic exact-integer, so hp/
+    # hi/xd/w collapse to the literals 1.0/2.0 without rounding risk.
+    def _dlet(val, var, body):
+        # DuckDB expression-level let (the _let1 twin)
+        return f"list_transform([{val}], {var} -> {body})[1]"
+
+    def _yv(i):
+        return f"ya[{i + 1}]"
+
+    # natural-cubic c-list over the first 20 n_chars (engine
+    # _spline_coefs backward sweep). num_i mirrors the commons-math
+    # z numerator with exact hp=hi=1.0, xd=2.0.
+    _num = ("(3.0 * (ya[i + 2] * 1.0 - ya[i + 1] * 2.0 "
+            "+ ya[i] * 1.0)) / (1.0 * 1.0)")
+    _mul20 = ("list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], "
+              "list_transform(generate_series(1, 18), i -> "
+              "[CAST(0.0 AS DOUBLE)])), "
+              "(acc, e) -> list_append(acc, "
+              "1.0 / (2.0 * 2.0 - 1.0 * acc[-1])))")
+    _zl20 = (f"list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], "
+             f"list_transform(generate_series(1, 18), i -> "
+             f"[CAST({_num} AS DOUBLE)])), "
+             f"(acc, e) -> list_append(acc, "
+             f"(e[1] - 1.0 * acc[-1]) "
+             f"/ (2.0 * 2.0 - 1.0 * mul[CAST(len(acc) AS INT)])))")
+    _cl20 = ("list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], "
+             "list_transform(generate_series(1, 19), k -> "
+             "[mul[20 - k], zl[20 - k]])), "
+             "(acc, e) -> list_prepend(e[2] - e[1] * acc[1], acc))")
+
+    def _sb(j):       # spline b[j] (h=1)
+        return (f"(({_yv(j + 1)} - {_yv(j)}) / 1.0 "
+                f"- 1.0 * (cl[{j + 2}] + 2.0 * cl[{j + 1}]) / 3.0)")
+
+    def _sc(j):
+        return f"cl[{j + 1}]"
+
+    def _sd_(j):      # spline d[j]
+        return f"((cl[{j + 2}] - cl[{j + 1}]) / (3.0 * 1.0))"
+
+    def _sfull(j):    # integral of segment j over its full width 1.0
+        return (f"((((({_sd_(j)} / 4.0) * 1.0 + {_sc(j)} / 3.0) * 1.0 "
+                f"+ {_sb(j)} / 2.0) * 1.0 + {_yv(j)} / 1.0) * 1.0 "
+                f"+ 0.0)")
+
+    def _ssum_full(j_lo, j_hi):
+        # ascending left fold of full-segment integrals, seed 0.0
+        # (the engine's aggregate order)
+        terms = " , ".join(f"CAST({_sfull(j)} AS DOUBLE)"
+                           for j in range(j_lo, j_hi + 1))
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"[{terms}]), (acc, t) -> acc + t)")
+
+    _sp_sql = ("(((({d7} * 0.25 + {c7}) * 0.25 + {b7}) * 0.25 "
+               "+ {y7}))").format(d7=_sd_(7), c7=_sc(7), b7=_sb(7),
+                                  y7=_yv(7))
+    _sdv_sql = ("((({d7} * 3.0) * 0.25 + ({c7} * 2.0)) * 0.25 "
+                "+ ({b7} * 1.0))").format(d7=_sd_(7), c7=_sc(7),
+                                          b7=_sb(7))
+    _spline_block = _dlet(
+        "(SELECT list(CAST(v AS DOUBLE) ORDER BY rn) FROM sq "
+        "WHERE rn <= 20)", "ya",
+        _dlet(_mul20, "mul",
+              _dlet(_zl20, "zl",
+                    _dlet(_cl20, "cl",
+                          "[{sp}, {spk}, {sd}, {si}, {siv}]".format(
+                              sp=_sp_sql, spk=_yv(12), sd=_sdv_sql,
+                              si=(f"({_ssum_full(0, 16)}) "
+                                  f"- ({_ssum_full(0, 1)})"),
+                              siv=_ssum_full(0, 9))))))
+
+    # akima over the first 12 n_chars, segment 5, dx = 0.5
+    def _ad(i):       # difference d_i (h=1)
+        return f"((ya[{i + 2}] - ya[{i + 1}]) / 1.0)"
+
+    _fd5 = ("(CASE WHEN abs({d6} - {d5}) = 0.0 "
+            "AND abs({d4} - {d3}) = 0.0 "
+            "THEN ((1.0 * {d4}) + (1.0 * {d5})) / 2.0 "
+            "ELSE (abs({d6} - {d5}) * {d4} + abs({d4} - {d3}) * {d5}) "
+            "/ (abs({d6} - {d5}) + abs({d4} - {d3})) END)").format(
+        d3=_ad(3), d4=_ad(4), d5=_ad(5), d6=_ad(6))
+    _fd6 = ("(CASE WHEN abs({d7} - {d6}) = 0.0 "
+            "AND abs({d5} - {d4}) = 0.0 "
+            "THEN ((1.0 * {d5}) + (1.0 * {d6})) / 2.0 "
+            "ELSE (abs({d7} - {d6}) * {d5} + abs({d5} - {d4}) * {d6}) "
+            "/ (abs({d7} - {d6}) + abs({d5} - {d4})) END)").format(
+        d4=_ad(4), d5=_ad(5), d6=_ad(6), d7=_ad(7))
+    _akc2 = ("((3.0 * ({y6} - {y5}) / 1.0 - 2.0 * fd5 - fd6) / 1.0)"
+             ).format(y5=_yv(5), y6=_yv(6))
+    _akc3 = ("((2.0 * ({y5} - {y6}) / 1.0 + fd5 + fd6) / (1.0 * 1.0))"
+             ).format(y5=_yv(5), y6=_yv(6))
+    _ak_sql = _dlet(
+        "(SELECT list(CAST(v AS DOUBLE) ORDER BY rn) FROM sq "
+        "WHERE rn <= 12)", "ya",
+        _dlet(_fd5, "fd5", _dlet(_fd6, "fd6",
+              "[((({c3} * 0.5 + {c2}) * 0.5 + fd5) * 0.5 + {y5}), "
+              "((({c3} * 3.0) * 0.5 + ({c2} * 2.0)) * 0.5 "
+              "+ (fd5 * 1.0))]".format(c2=_akc2, c3=_akc3,
+                                       y5=_yv(5)))))
+
+    # polyfit degree 2 over the first 15 n_chars (x = 0..14) — the
+    # same det_expr generator as the engine, with string operators
+    from lucene_solr_spark.search.streams import det_expr as _det
+
+    def _powtxt(k):
+        if k == 0:
+            return "1.0"
+        v = "CAST(i AS DOUBLE)"
+        out = v
+        for _ in range(k - 1):
+            out = f"({out} * {v})"
+        return out
+
+    def _ssumtxt(k):
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(0, 14), i -> "
+                f"CAST({_powtxt(k)} AS DOUBLE))), "
+                f"(acc, t) -> acc + t)")
+
+    def _tsumtxt(k):
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(0, 14), i -> "
+                f"CAST(({_powtxt(k)} * ya[i + 1]) AS DOUBLE))), "
+                f"(acc, t) -> acc + t)")
+
+    _smul = lambda p, q: f"({p} * {q})"
+    _sadd = lambda p, q: f"({p} + {q})"
+    _ssub = lambda p, q: f"({p} - {q})"
+    _Sv = [f"sl[{k + 1}]" for k in range(5)]
+    _Tv = [f"tl[{k + 1}]" for k in range(3)]
+    _Am = [[_Sv[i + j] for j in range(3)] for i in range(3)]
+    _den = _det(_Am, _smul, _sadd, _ssub)
+    _pc = []
+    for _k in range(3):
+        _Ak = [[(_Tv[i] if j == _k else _Am[i][j]) for j in range(3)]
+               for i in range(3)]
+        _pc.append(f"(({_det(_Ak, _smul, _sadd, _ssub)}) / ({_den}))")
+    _pf_sql = _dlet(
+        "(SELECT list(CAST(v AS DOUBLE) ORDER BY rn) FROM sq "
+        "WHERE rn <= 15)", "ya",
+        _dlet("[" + ", ".join(_ssumtxt(k) for k in range(5)) + "]",
+              "sl",
+              _dlet("[" + ", ".join(_tsumtxt(k) for k in range(3))
+                    + "]", "tl",
+                    f"(({_pc[2]} * 20.5 + {_pc[1]}) * 20.5 "
+                    f"+ {_pc[0]})")))
+
+    out["s_stream_spline"] = f"""
+WITH mx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS v FROM documents),
+sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn
+       FROM mx),
+sb AS (SELECT ({_spline_block}) AS s, ({_ak_sql}) AS akr)
+SELECT
+  FLOOR(s[1] * 1e6 + 0.5) / 1e6 AS sp,
+  FLOOR(s[2] * 1e6 + 0.5) / 1e6 AS spk,
+  FLOOR(s[3] * 1e6 + 0.5) / 1e6 AS sd,
+  FLOOR(s[4] * 1e6 + 0.5) / 1e6 AS si,
+  FLOOR(s[5] * 1e6 + 0.5) / 1e6 AS siv,
+  FLOOR(akr[1] * 1e6 + 0.5) / 1e6 AS ak,
+  FLOOR(akr[2] * 1e6 + 0.5) / 1e6 AS akd,
+  FLOOR(({_pf_sql}) * 1e6 + 0.5) / 1e6 AS pf,
+  -- pl: exact-integer Cramer on the (1,3)(2,5)(3,7) line — both
+  -- engines produce the exact coefficients [1, 2]; 2*10 + 1
+  FLOOR((2.0 * 10.0 + 1.0) * 1e6 + 0.5) / 1e6 AS pl
+FROM sb"""
 
     _ucdf20 = ("(CASE WHEN {x} <= 0.0 THEN 0.0 "
                "WHEN {x} >= 2000.0 THEN 1.0 "

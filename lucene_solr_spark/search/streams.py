@@ -364,6 +364,82 @@ class _Dist:
         self.kind, self.integer, self.p = kind, integer, p
 
 
+class _VFunc:
+    """A solrj/io/eval VectorFunction flowing through the evaluator
+    tree (the reference wraps a commons-math UnivariateFunction plus
+    the rendered fitted-value list; Lerp/Spline/Akima/PolyFit/
+    Derivative/IntegrateEvaluator.java produce and consume them).
+    Here the function is a bundle of Catalyst Columns:
+
+    - kind 'pp' — piecewise polynomial: ``lx`` knots (ascending),
+      ``coefs`` array<array<double>> of per-segment ASCENDING-power
+      coefficients on [lx[i], lx[i+1]] evaluated at dx = z - lx[i]
+      (commons-math PolynomialSplineFunction layout);
+    - kind 'poly' — one global polynomial evaluated at raw z
+      (commons-math PolynomialFunction, the PolyFit result).
+
+    ``fitted`` is the rendered list (the reference's VectorFunction
+    value list) — tuple()/select() bindings coerce to it via
+    _as_col. ``ctx`` mirrors VectorFunction.addToContext (amplitude/
+    angularFrequency/phase for the harmonic family). Every consumer
+    compiles to whole-stage-codegen expressions over bounded cells —
+    at 100 TB the fits run per-group inside projections, shuffle-free."""
+
+    __slots__ = ("kind", "fitted", "lx", "coefs", "ctx")
+
+    def __init__(self, kind, fitted, lx=None, coefs=None, ctx=None):
+        self.kind, self.fitted = kind, fitted
+        self.lx, self.coefs, self.ctx = lx, coefs, ctx or {}
+
+
+def _let1(val, body):
+    """Expression-level let-binding: evaluate ``val`` ONCE and feed
+    it to ``body`` as a higher-order-function lambda variable —
+    element_at(transform(array(val), v -> body(v)), 1). Catalyst
+    Columns are trees, not DAGs: every re-reference of a Column
+    copies its whole subtree, and the spline/akima/polyfit folds
+    referenced 4-30x blow the plan to OOM without this (same family
+    of fix as the repo's array_repeat staging note)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def _as_col(v):
+    """Coerce an evaluator result to a Column for tuple()/select()
+    binding (the reference renders a VectorFunction as its fitted
+    list; distributions have no rendering — consuming them directly
+    is an error, as in the reference)."""
+    if isinstance(v, _VFunc):
+        return v.fitted
+    if isinstance(v, _Dist):
+        raise ValueError("a distribution is not a value — consume it "
+                         "via cumulativeProbability/probability/"
+                         "density/sample/outliers/kolmogorovSmirnov")
+    return v
+
+
+def det_expr(m, mul, add, sub):
+    """Structural Laplace expansion along the first row. One
+    generator drives BOTH engines (Catalyst Column ops and DuckDB
+    SQL strings), so the floating-point evaluation order — hence
+    every rounding — is identical; the polyfit oracle rows depend on
+    this parity."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    total = None
+    for j in range(n):
+        minor = [[m[i][k] for k in range(n) if k != j]
+                 for i in range(1, n)]
+        term = mul(m[0][j], det_expr(minor, mul, add, sub))
+        if total is None:
+            total = term
+        elif j % 2 == 0:
+            total = add(total, term)
+        else:
+            total = sub(total, term)
+    return total
+
+
 class _Daemon:
     """A registered daemon (DaemonStream.java:57): the wrapped
     expression's plan plus an iteration counter. ``run_once()``
@@ -516,7 +592,7 @@ class StreamEvaluator:
             if " as " in a:
                 expr_txt, alias = a.rsplit(" as ", 1)
                 expr_txt, alias = expr_txt.strip(), alias.strip()
-                col = (self._eval_col(parse_stream(expr_txt))
+                col = (_as_col(self._eval_col(parse_stream(expr_txt)))
                        if "(" in expr_txt else F.col(expr_txt))
                 cols.append(col.alias(alias))
             else:
@@ -574,6 +650,14 @@ class StreamEvaluator:
                 return F.lit(float(node))
             if node in ("true", "false"):
                 return F.lit(node == "true")
+            vfc = getattr(self, "_vfunc_cells", {})
+            if node in vfc:
+                # a let-bound model cell — rebuild the _VFunc over
+                # its broadcast attribute triple (one materialized
+                # fit, attribute-sized consumer trees)
+                return _VFunc(vfc[node], F.col(f"{node}__vfit"),
+                              lx=F.col(f"{node}__vlx"),
+                              coefs=F.col(f"{node}__vcf"))
             return F.col(node)
         a = [self._eval_col(x) for x in node.args]
         fn = node.name
@@ -854,30 +938,20 @@ class StreamEvaluator:
             lit = (isinstance(node.args[1], str)
                    and re.match(r"^-?\d+(\.\d+)?$", node.args[1]))
 
-            if kind == "lerp":
-                # LerpEvaluator.java — commons-math LinearInterpolator
-                # over (x, y) knots (x = 0..n-1 when only y given);
-                # evaluation clamps to the outermost segment (the
-                # reference throws OutOfRangeException outside
-                # [x0, xn] — documented divergence). Bounded-cell op:
-                # each evaluation scans the knot arrays.
-                m = a[0]
-                lx, ly = m["lx"], m["ly"]
-
-                def _interp(z):
-                    idx = F.size(F.filter(lx, lambda v: v <= z))
-                    i = F.least(F.greatest(idx, F.lit(1)),
-                                F.size(lx) - F.lit(1))
-                    x0 = F.get(lx, i - F.lit(1)).cast("double")
-                    x1 = F.get(lx, i).cast("double")
-                    y0 = F.get(ly, i - F.lit(1)).cast("double")
-                    y1 = F.get(ly, i).cast("double")
-                    return y0 + (z - x0) * (y1 - y0) / (x1 - x0)
-
+            if isinstance(a[0], _VFunc):
+                # PredictEvaluator over a VectorFunction —
+                # func.value(z). Piecewise evaluation clamps to the
+                # outermost segment (the reference's
+                # PolynomialSplineFunction throws OutOfRangeException
+                # outside [x0, xn] — documented divergence, same as
+                # the round-3w lerp precedent); polyfit's global
+                # polynomial extrapolates like the reference.
+                vf = a[0]
                 if lit:
-                    return _interp(a[1].cast("double"))
+                    return self._vf_value(vf, a[1].cast("double"))
                 return F.transform(
-                    a[1], lambda t: _interp(t.cast("double")))
+                    a[1],
+                    lambda t: self._vf_value(vf, t.cast("double")))
             if kind == "knnRegress":
                 # KnnRegressionEvaluator.java — mean y of the k
                 # nearest x knots by |x - z|; ties sort by (distance,
@@ -907,7 +981,7 @@ class StreamEvaluator:
             return F.transform(
                 a[1], lambda x: reg["intercept"]
                 + reg["slope"] * x.cast("double"))
-        if fn in ("lerp", "knnRegress"):  # model leaves for predict()
+        if fn == "knnRegress":           # model leaf for predict()
             ys = a[1] if len(a) > 1 else a[0]
             xs = (a[0] if len(a) > 1 else
                   F.transform(F.sequence(F.lit(0), F.size(a[0])
@@ -1568,6 +1642,92 @@ class StreamEvaluator:
                 lambda i: F.lit(amp) * F.sin(F.lit(freq)
                                              * i.cast("double")
                                              + F.lit(phase)))
+        # -- interpolation / curve fitting (round-3ae wave) ----------------
+        # Lerp/Spline/Akima/PolyFitEvaluator.java return
+        # VectorFunctions (x = 0..n-1 in the y-only forms);
+        # Derivative/IntegrateEvaluator.java consume them. See _VFunc.
+        if fn in ("lerp", "spline", "akima"):
+            xs, ys = self._vf_knots(a)
+            if fn == "lerp":
+                # LerpEvaluator.java — commons-math LinearInterpolator:
+                # degree-1 segments [y_i, (y_{i+1}-y_i)/(x_{i+1}-x_i)]
+                coefs = F.transform(
+                    F.sequence(F.lit(0), F.size(xs) - F.lit(2)),
+                    lambda j: F.array(
+                        F.get(ys, j),
+                        (F.get(ys, j + F.lit(1)) - F.get(ys, j))
+                        / (F.get(xs, j + F.lit(1)) - F.get(xs, j))))
+            elif fn == "spline":
+                coefs = self._spline_coefs(xs, ys)
+            else:
+                coefs = self._akima_coefs(xs, ys)
+            vf = _VFunc("pp", None, lx=xs, coefs=coefs)
+            vf.fitted = F.transform(
+                xs, lambda z: self._vf_value(vf, z.cast("double")))
+            return vf
+        if fn == "polyfit":
+            # PolyFitEvaluator.java — commons-math
+            # PolynomialCurveFitter (Levenberg-Marquardt). On a
+            # linear model LM converges to the exact least-squares
+            # solution; the engine computes it directly via the
+            # normal equations + Cramer (det_expr drives the oracle's
+            # identical-order SQL). Degree <= 3 (default 3, the
+            # reference default), matching exact-arithmetic Cramer.
+            deg = 3
+            if node.args and isinstance(node.args[-1], str) \
+                    and re.match(r"^\d+$", node.args[-1]):
+                deg = int(node.args[-1])
+                a = a[:-1]
+            if deg > 3 or deg < 1:
+                raise ValueError("polyfit: degree must be 1..3 "
+                                 "(Cramer closed-form domain)")
+            xs, ys = self._vf_knots(a)
+            cf = self._polyfit_coefs(xs, ys, deg)
+            vf = _VFunc("poly", None, lx=xs, coefs=cf)
+            vf.fitted = F.transform(
+                xs, lambda z: self._horner(cf, z.cast("double")))
+            return vf
+        if fn == "derivative":
+            # DerivativeEvaluator.java — func.derivative() evaluated
+            # at the knots (every engine _VFunc is differentiable, so
+            # the reference's akima-respline fallback never applies)
+            vf = a[0]
+            if not isinstance(vf, _VFunc):
+                raise ValueError("derivative: operand must be an "
+                                 "interpolator/fit (VectorFunction)")
+            if vf.kind == "poly":
+                dcf = self._poly_deriv(vf.coefs)
+                out = _VFunc("poly", None, lx=vf.lx, coefs=dcf)
+                out.fitted = F.transform(
+                    vf.lx,
+                    lambda z: self._horner(dcf, z.cast("double")))
+                return out
+            dcoefs = F.transform(vf.coefs, self._poly_deriv)
+            out = _VFunc("pp", None, lx=vf.lx, coefs=dcoefs)
+            out.fitted = F.transform(
+                vf.lx, lambda z: self._vf_value(out, z.cast("double")))
+            return out
+        if fn == "integrate":
+            # IntegrateEvaluator.java — Romberg over the function.
+            # The engine integrates the piecewise/global polynomial
+            # EXACTLY (antiderivative closed form); the reference's
+            # RombergIntegrator converges to the same value within
+            # its 1e-6 relative default on these smooth integrands
+            # (documented approximation parity, like erf).
+            vf = a[0]
+            if not isinstance(vf, _VFunc):
+                raise ValueError("integrate: operand must be an "
+                                 "interpolator/fit (VectorFunction)")
+            if len(a) == 3:
+                return (self._vf_integral(vf, a[2].cast("double"))
+                        - self._vf_integral(vf, a[1].cast("double")))
+            # 1-arg form: cumulative integrals at each knot (the
+            # reference emits Integer 0 first, then doubles)
+            x0 = F.get(vf.lx, 0).cast("double")
+            return F.transform(
+                vf.lx, lambda z: self._vf_integral(vf,
+                                                   z.cast("double"))
+                - self._vf_integral(vf, x0))
         # -- probability distributions (round-3ad wave) --------------------
         # Constructor evaluators return a _Dist (the reference's
         # commons-math distribution object); the consumers below
@@ -2025,6 +2185,290 @@ class StreamEvaluator:
             return F.get(arr, F.floor(u * F.size(arr)).cast("int"))
         raise ValueError(f"sample: no sampler for {d.kind!r}")
 
+    # -- VectorFunction machinery (round-3ae wave) --------------------------
+
+    @staticmethod
+    def _vf_knots(a):
+        """(x, y) knot Columns from the 1- or 2-operand evaluator
+        forms (x = 0..n-1 when only y is given — the reference's
+        y-only branch). Knot arrays are bounded cells."""
+        if len(a) > 1:
+            xs = F.transform(a[0], lambda v: v.cast("double"))
+            ys = F.transform(a[1], lambda v: v.cast("double"))
+        else:
+            ys = F.transform(a[0], lambda v: v.cast("double"))
+            xs = F.transform(
+                F.sequence(F.lit(0), F.size(a[0]) - F.lit(1)),
+                lambda i: i.cast("double"))
+        return xs, ys
+
+    @staticmethod
+    def _horner(cf, t):
+        """commons-math PolynomialFunction.value — descending Horner
+        (result = c[n-1]; then result = t*result + c[j]). The oracle
+        twin is list_reduce(list_reverse(cf), (acc, e) -> acc*t + e)
+        — the identical left fold, so rounding matches bit-for-bit."""
+        rev = F.reverse(cf)
+        return F.aggregate(
+            F.slice(rev, 2,
+                    F.greatest(F.size(rev) - F.lit(1), F.lit(0))),
+            F.element_at(rev, 1).cast("double"),
+            lambda acc, e: acc * t + e)
+
+    def _vf_value(self, vf: "_VFunc", z):
+        """func.value(z): global Horner for 'poly'; segment lookup +
+        Horner at dx = z - x_i for 'pp' (segment = count(x <= z)
+        clamped to [1, n-1], the binary-search twin)."""
+        if vf.kind == "poly":
+            return self._horner(vf.coefs, z)
+        idx = F.size(F.filter(vf.lx, lambda v: v <= z))
+        i = F.least(F.greatest(idx, F.lit(1)),
+                    F.size(vf.lx) - F.lit(1))
+        x0 = F.get(vf.lx, i - F.lit(1)).cast("double")
+        cf = F.get(vf.coefs, i - F.lit(1))
+        return self._horner(cf, z - x0)
+
+    @staticmethod
+    def _poly_deriv(cf):
+        """[c0, c1, c2, ...] -> [c1, 2*c2, 3*c3, ...] (commons-math
+        PolynomialFunction.polynomialDerivative coefficient order)."""
+        return F.zip_with(
+            F.slice(cf, 2, F.greatest(F.size(cf) - F.lit(1),
+                                      F.lit(0))),
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(cf) - F.lit(1), F.lit(1))),
+            lambda c, k: c.cast("double") * k.cast("double"))
+
+    @staticmethod
+    def _poly_antideriv(cf):
+        """[c0, c1, ...] -> [0, c0, c1/2, c2/3, ...] (the exact
+        antiderivative the closed-form integrate uses)."""
+        return F.concat(
+            F.array(F.lit(0.0)),
+            F.zip_with(cf, F.sequence(F.lit(1), F.size(cf)),
+                       lambda c, k: c.cast("double")
+                       / k.cast("double")))
+
+    def _vf_integral(self, vf: "_VFunc", z):
+        """Exact integral of the fitted function from x0 to z
+        (clamped segment evaluation like _vf_value). For 'poly' the
+        global antiderivative difference; for 'pp' the prefix sum of
+        full-segment integrals plus the partial head segment —
+        an ascending left fold (the oracle mirrors the order)."""
+        if vf.kind == "poly":
+            anti = self._poly_antideriv(vf.coefs)
+            return self._horner(anti, z)
+        n = F.size(vf.lx)
+        idx = F.size(F.filter(vf.lx, lambda v: v <= z))
+        i = F.least(F.greatest(idx, F.lit(1)), n - F.lit(1))
+        # full segments j = 0..i-2, then partial on segment i-1
+        segs = F.zip_with(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            vf.coefs,
+            lambda j, cf: F.struct(j.alias("j"), cf.alias("cf")))
+        vfself = vf
+
+        def _seg_term(s):
+            j = s["j"]
+            cf = s["cf"]
+            x_lo = F.get(vfself.lx, j - F.lit(1)).cast("double")
+            x_hi = F.get(vfself.lx, j).cast("double")
+            anti = self._poly_antideriv(cf)
+            return (F.when(j < i, self._horner(anti, x_hi - x_lo))
+                    .when(j == i, self._horner(anti, z - x_lo))
+                    .otherwise(F.lit(0.0)))
+
+        return F.aggregate(segs, F.lit(0.0),
+                           lambda acc, s: acc + _seg_term(s))
+
+    def _spline_coefs(self, xs, ys):
+        """commons-math SplineInterpolator.interpolate — the natural
+        cubic tridiagonal sweep mirrored line-for-line: forward fold
+        g = 2*(x[i+1]-x[i-1]) - h[i-1]*mu[i-1]; mu[i] = h[i]/g;
+        z[i] = (3*(y[i+1]*h[i-1] - y[i]*(x[i+1]-x[i-1])
+        + y[i-1]*h[i]) / (h[i-1]*h[i]) - h[i-1]*z[i-1]) / g; then the
+        backward c sweep and the b/d closures. Both folds are
+        list-of-struct accumulators with DuckDB list_reduce twins of
+        identical order."""
+        n = F.size(xs)
+        # i = 1..n-2 prep: {hp, hi, xd, num} (bounded-cell gets over
+        # attribute arrays — no HOF re-evaluation blowup)
+        mid = F.when(n >= 3, F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.struct(
+                (F.get(xs, i) - F.get(xs, i - F.lit(1))).alias("hp"),
+                (F.get(xs, i + F.lit(1)) - F.get(xs, i)).alias("hi"),
+                (F.get(xs, i + F.lit(1))
+                 - F.get(xs, i - F.lit(1))).alias("xd"),
+                (F.lit(3.0)
+                 * (F.get(ys, i + F.lit(1))
+                    * (F.get(xs, i) - F.get(xs, i - F.lit(1)))
+                    - F.get(ys, i) * (F.get(xs, i + F.lit(1))
+                                      - F.get(xs, i - F.lit(1)))
+                    + F.get(ys, i - F.lit(1))
+                    * (F.get(xs, i + F.lit(1)) - F.get(xs, i)))
+                 / ((F.get(xs, i) - F.get(xs, i - F.lit(1)))
+                    * (F.get(xs, i + F.lit(1)) - F.get(xs, i))))
+                .alias("num")))) \
+            .otherwise(F.expr(
+                "array()").cast(
+                "array<struct<hp:double,hi:double,xd:double,"
+                "num:double>>"))
+        fwd = F.aggregate(
+            mid,
+            F.array(F.struct(F.lit(0.0).alias("mu"),
+                             F.lit(0.0).alias("z"))),
+            lambda acc, e: F.concat(acc, F.array(F.struct(
+                (e["hi"] / (F.lit(2.0) * e["xd"]
+                            - e["hp"] * F.element_at(acc, -1)["mu"]))
+                .alias("mu"),
+                ((e["num"] - e["hp"] * F.element_at(acc, -1)["z"])
+                 / (F.lit(2.0) * e["xd"]
+                    - e["hp"] * F.element_at(acc, -1)["mu"]))
+                .alias("z")))))
+        # backward: c[n-1] = 0; c[j] = z[j] - mu[j]*c[j+1].
+        # cs is referenced 4x per segment below — bind it ONCE via
+        # _let1 (tree-duplication guard).
+        cs = F.aggregate(
+            F.reverse(fwd),
+            F.array(F.lit(0.0)),
+            lambda acc, e: F.concat(
+                F.array(e["z"] - e["mu"] * F.element_at(acc, 1)),
+                acc))
+        return _let1(cs, lambda c: F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda j: F.array(
+                F.get(ys, j),
+                # b[j] = (y[j+1]-y[j])/h[j] - h[j]*(c[j+1]+2c[j])/3
+                (F.get(ys, j + F.lit(1)) - F.get(ys, j))
+                / (F.get(xs, j + F.lit(1)) - F.get(xs, j))
+                - (F.get(xs, j + F.lit(1)) - F.get(xs, j))
+                * (F.get(c, j + F.lit(1))
+                   + F.lit(2.0) * F.get(c, j)) / F.lit(3.0),
+                F.get(c, j),
+                # d[j] = (c[j+1]-c[j])/(3*h[j])
+                (F.get(c, j + F.lit(1)) - F.get(c, j))
+                / (F.lit(3.0) * (F.get(xs, j + F.lit(1))
+                                 - F.get(xs, j))))))
+
+    def _akima_coefs(self, xs, ys):
+        """commons-math AkimaSplineInterpolator.interpolate (n >= 5):
+        segment slopes d_i; weights w_i = |d_i - d_{i-1}|; interior
+        derivatives (wP*d[i-1] + wM*d[i])/(wP+wM) with the flat
+        x-weighted fallback when both weights vanish; endpoint
+        derivatives by the three-point quadratic
+        (differentiateThreePoint); Hermite segment coefficients
+        c2 = (3*(y1-y0)/w - 2*fd0 - fd1)/w,
+        c3 = (2*(y0-y1)/w + fd0 + fd1)/w^2. Precision.equals(w, 0)
+        is mirrored as w == 0.0 (documented — the 1-ulp band differs
+        only on adversarial inputs)."""
+        n = F.size(xs)
+        diffs = F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: (F.get(ys, i + F.lit(1)) - F.get(ys, i))
+            / (F.get(xs, i + F.lit(1)) - F.get(xs, i)))
+
+        def _d3p(at, i0, i1, i2):
+            # differentiateThreePoint: quadratic through (x_{i0..2},
+            # y_{i0..2}) differentiated at x_at
+            y0 = F.get(ys, i0)
+            y1 = F.get(ys, i1)
+            y2 = F.get(ys, i2)
+            t = F.get(xs, at) - F.get(xs, i0)
+            t1 = F.get(xs, i1) - F.get(xs, i0)
+            t2 = F.get(xs, i2) - F.get(xs, i0)
+            qa = (y2 - y0 - (t2 / t1 * (y1 - y0))) \
+                / (t2 * t2 - t1 * t2)
+            qb = (y1 - y0 - (qa * t1 * t1)) / t1
+            return F.lit(2.0) * qa * t + qb
+
+        def _fd(i):
+            # i is a 0-based int Column
+            dp = F.get(diffs, i - F.lit(1))   # d[i-1]
+            di = F.get(diffs, i)              # d[i]
+            w_p = F.abs(F.get(diffs, i + F.lit(1)) - di)   # w[i+1]
+            w_m = F.abs(dp - F.get(diffs, i - F.lit(2)))   # w[i-1]
+            flat = (((F.get(xs, i + F.lit(1)) - F.get(xs, i)) * dp)
+                    + ((F.get(xs, i) - F.get(xs, i - F.lit(1)))
+                       * di)) \
+                / (F.get(xs, i + F.lit(1))
+                   - F.get(xs, i - F.lit(1)))
+            wt = (w_p * dp + w_m * di) / (w_p + w_m)
+            return (
+                F.when(i == 0, _d3p(F.lit(0), F.lit(0), F.lit(1),
+                                    F.lit(2)))
+                .when(i == 1, _d3p(F.lit(1), F.lit(0), F.lit(1),
+                                   F.lit(2)))
+                .when(i == n - F.lit(2),
+                      _d3p(n - F.lit(2), n - F.lit(3), n - F.lit(2),
+                           n - F.lit(1)))
+                .when(i == n - F.lit(1),
+                      _d3p(n - F.lit(1), n - F.lit(3), n - F.lit(2),
+                           n - F.lit(1)))
+                .when((w_p == F.lit(0.0)) & (w_m == F.lit(0.0)),
+                      flat)
+                .otherwise(wt))
+
+        fds = F.transform(F.sequence(F.lit(0), n - F.lit(1)), _fd)
+        # fds referenced 2x per segment — bind once (_let1 guard)
+        return _let1(fds, lambda fd: F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda j: self._hermite_cf(
+                F.get(xs, j + F.lit(1)) - F.get(xs, j),
+                F.get(ys, j), F.get(ys, j + F.lit(1)),
+                F.get(fd, j), F.get(fd, j + F.lit(1)))))
+
+    @staticmethod
+    def _hermite_cf(w, y0, y1, fd0, fd1):
+        return F.array(
+            y0, fd0,
+            (F.lit(3.0) * (y1 - y0) / w - F.lit(2.0) * fd0 - fd1) / w,
+            (F.lit(2.0) * (y0 - y1) / w + fd0 + fd1) / (w * w))
+
+    def _polyfit_coefs(self, xs, ys, deg: int):
+        """Least squares via normal equations + Cramer (det_expr —
+        the same generator emits the oracle SQL, so evaluation order
+        matches). S_k = sum x^k, T_k = sum x^k*y as ascending folds."""
+        def _pow(v, k):
+            out = None
+            for _ in range(k):
+                out = v if out is None else out * v
+            return F.lit(1.0) if out is None else out
+
+        def _ssum(k):
+            return F.aggregate(xs, F.lit(0.0),
+                               lambda acc, v: acc + _pow(v, k))
+
+        def _tsum(k):
+            return F.aggregate(
+                F.zip_with(xs, ys,
+                           lambda v, y: _pow(v, k) * y),
+                F.lit(0.0), lambda acc, t: acc + t)
+
+        m = deg + 1
+        # bind the moment vectors ONCE (_let1): the Cramer expansion
+        # references each S_k up to 4! times — unbound, the deg-3
+        # tree OOMs the plan
+        sv = F.array(*[_ssum(k) for k in range(2 * deg + 1)])
+        tv = F.array(*[_tsum(k) for k in range(m)])
+
+        def _with(svec, tvec):
+            S = [F.get(svec, k) for k in range(2 * deg + 1)]
+            T = [F.get(tvec, k) for k in range(m)]
+            A = [[S[i + j] for j in range(m)] for i in range(m)]
+            mul = lambda p, q: p * q
+            add = lambda p, q: p + q
+            sub = lambda p, q: p - q
+            den = det_expr(A, mul, add, sub)
+            cols = []
+            for k in range(m):
+                Ak = [[(T[i] if j == k else A[i][j])
+                       for j in range(m)] for i in range(m)]
+                cols.append(det_expr(Ak, mul, add, sub) / den)
+            return F.array(*cols)
+
+        return _let1(sv, lambda s: _let1(tv, lambda t: _with(s, t)))
+
     def _s_knn(self, e: StreamExpr) -> DataFrame:
         """KnnStream (solrj/io/stream/KnnStream.java:63): the k most
         similar docs to ``id`` via MoreLikeThis over ``qf`` — the
@@ -2103,21 +2547,14 @@ class StreamEvaluator:
         one row — no data scan at all. (The reference also allows a
         value to be a bound let() cell or stream; those land in cells
         as DataFrames and replay via get(), not tuple().)"""
-        spark = next(iter(self.collections.values())).sparkSession
-        base = spark.range(1)
-        # inject referenced value cells (col()-bound arrays) as 1-row
-        # broadcast columns so evaluator trees can name them
-        cells = getattr(self, "_lets", {})
-        for name in sorted(getattr(self, "_value_cells", set())):
-            if any(re.search(rf"\b{re.escape(name)}\b", txt)
-                   for txt in e.params.values()):
-                cdf = cells[name]
-                base = base.crossJoin(F.broadcast(
-                    cdf.select(F.col(cdf.columns[0]).alias(name))))
+        # inject referenced cells (col() value cells and _VFunc
+        # model cells) as 1-row broadcast columns so evaluator trees
+        # can name them
+        base = self._cell_base(list(e.params.values()))
         cols = []
         for name, txt in e.params.items():
             node = parse_stream(txt) if _NAME_RE.match(txt) else txt
-            cols.append(self._eval_col(node).alias(name))
+            cols.append(_as_col(self._eval_col(node)).alias(name))
         if not cols:
             raise ValueError("tuple() needs at least one named value")
         return base.select(*cols)
@@ -2165,15 +2602,43 @@ class StreamEvaluator:
         subplan."""
         vars_prev = getattr(self, "_lets", {})
         vc_prev = getattr(self, "_value_cells", set())
+        vf_prev = getattr(self, "_vfunc_cells", {})
         self._lets = dict(vars_prev)
         self._value_cells = set(vc_prev)
+        self._vfunc_cells = dict(vf_prev)
         try:
             for name, txt in e.params.items():
                 node = parse_stream(txt)
-                self._lets[name] = self.eval(node)
-                if node.name == "col":
-                    # a value cell: guaranteed 1-row array, eligible
-                    # for broadcast injection into tuple()
+                if isinstance(node, str) \
+                        or hasattr(self, f"_s_{node.name}"):
+                    self._lets[name] = self.eval(node)
+                    if not isinstance(node, str) \
+                            and node.name == "col":
+                        # a value cell: guaranteed 1-row array,
+                        # eligible for broadcast injection into
+                        # tuple()
+                        self._value_cells.add(name)
+                    continue
+                # evaluator cell (the reference's let binds ANY
+                # evaluator result). A _VFunc (spline/akima/lerp/
+                # polyfit model) materializes ONCE as a 1-row
+                # broadcast relation — consumers then reference
+                # plain attributes, so N predict/derivative/
+                # integrate calls over one model cost ONE fit (both
+                # at analysis time — the Catalyst tree stays linear
+                # — and at run time). Plain evaluator values bind
+                # like col() value cells.
+                val = self._eval_col(node)
+                base = self._cell_base([txt])
+                if isinstance(val, _VFunc):
+                    self._lets[name] = base.select(
+                        val.lx.alias(f"{name}__vlx"),
+                        val.coefs.alias(f"{name}__vcf"),
+                        val.fitted.alias(f"{name}__vfit"))
+                    self._vfunc_cells[name] = val.kind
+                else:
+                    self._lets[name] = base.select(
+                        _as_col(val).alias(name))
                     self._value_cells.add(name)
             body = [a for a in e.args if isinstance(a, StreamExpr)]
             if len(body) != 1:
@@ -2182,6 +2647,26 @@ class StreamEvaluator:
         finally:
             self._lets = vars_prev
             self._value_cells = vc_prev
+            self._vfunc_cells = vf_prev
+
+    def _cell_base(self, texts) -> DataFrame:
+        """1-row base relation with every referenced let cell
+        injected as a broadcast column (value cells by name, _VFunc
+        cells as their __vlx/__vcf/__vfit attribute triple)."""
+        spark = next(iter(self.collections.values())).sparkSession
+        base = spark.range(1)
+        cells = getattr(self, "_lets", {})
+        for nm in sorted(getattr(self, "_value_cells", set())):
+            if any(re.search(rf"\b{re.escape(nm)}\b", t)
+                   for t in texts):
+                cdf = cells[nm]
+                base = base.crossJoin(F.broadcast(
+                    cdf.select(F.col(cdf.columns[0]).alias(nm))))
+        for nm in sorted(getattr(self, "_vfunc_cells", {})):
+            if any(re.search(rf"\b{re.escape(nm)}\b", t)
+                   for t in texts):
+                base = base.crossJoin(F.broadcast(cells[nm]))
+        return base
 
     def _s_get(self, e: StreamExpr) -> DataFrame:
         name = e.args[0]
