@@ -5787,6 +5787,58 @@ def _q_stream_distops(spark, sf_dir):
            "(acc, s) -> acc + s.cumulativeProbablity_d)").alias("olp"))
 
 
+# --- round-3af wave: labeled matrix / termVectors --------------------------
+
+_STREAM_TERMVEC_EXPR = (
+    'let(a=select(top(search(documents, q="text:merge", '
+    'fl="doc_id,text", sort="doc_id asc"), n=40, sort="doc_id asc"), '
+    'doc_id as id, analyze(text) as terms), '
+    'm=termVectors(a, minTermLength=4, minDocFreq=0.05, '
+    'maxDocFreq=0.9), '
+    'tuple(rl=getRowLabels(m), cl=getColumnLabels(m), '
+    'tf=topFeatures(m, 3), r0=rowAt(m, 0), gs=grandSum(m), '
+    'dfq=getAttribute(m, "docFreqs"), rc=rowCount(m), '
+    'cc=columnCount(m)))')
+
+
+def _q_stream_termvec(spark, sf_dir):
+    """Labeled-matrix surface (round-3af; solrj/io/eval/
+    TermVectorsEvaluator.java:73 — tf-idf doc x term matrix with
+    rowLabels=ids, columnLabels=terms in TreeMap order and the
+    docFreqs attribute, value = sqrt(tf) * (ln((n+1)/(df+1)) + 1)
+    after the minTermLength / minDocFreq / maxDocFreq pruning;
+    TopFeaturesEvaluator.java:40 — per-row top-k positive values in
+    TreeSet pollLast order (value DESC, index DESC on ties);
+    Get{Row,Column}Labels / GetAttribute Evaluator.java; solr/core
+    handler/AnalyzeEvaluator.java:53 supplying the terms field). The
+    engine collapses the bounded top-40 cell to ONE aggregated row
+    (docs sorted by id string — the col() ordering contract) and the
+    whole matrix construction is codegen array lambdas over it — the
+    reference's driver-side O(N*T) loop becomes one executor-side
+    projection; the query term itself ('merge', df=n) is pruned by
+    maxDocFreq, exercising the frequency gate. Flattened scalars out
+    (joined labels, row sums, rendered docFreqs) keep the driver's
+    column-sorted value hash deterministic."""
+    out = _stream_eval(spark, sf_dir, _STREAM_TERMVEC_EXPR)
+
+    def r6(c):
+        return F.expr(f"FLOOR(({c}) * 1e6 + 0.5) / 1e6")
+
+    return out.select(
+        F.concat_ws(",", F.col("rl")).alias("rl"),
+        F.concat_ws(",", F.col("cl")).alias("cl"),
+        F.size("cl").cast("long").alias("nf"),
+        r6("gs").alias("gs"),
+        r6("aggregate(r0, cast(0.0 as double), (s, v) -> s + v)")
+        .alias("r0s"),
+        F.concat_ws(",", F.element_at(F.col("tf"), 1)).alias("tf0"),
+        F.concat_ws(",", F.expr(
+            "transform(dfq, s -> concat(s.t, ':', cast(s.d as string)))"))
+        .alias("dfs"),
+        F.col("rc").cast("long").alias("rc"),
+        F.col("cc").cast("long").alias("cc"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6739,6 +6791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_dist": _q_stream_dist,
         "s_stream_distops": _q_stream_distops,
         "s_stream_spline": _q_stream_spline,
+        # round-3af: same pattern
+        "s_stream_termvec": _q_stream_termvec,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -11067,5 +11121,67 @@ SELECT
   FLOOR(45.0 * 1e6 + 0.5) / 1e6 AS nt,
   FLOOR(sqrt(26.0) * 1e6 + 0.5) / 1e6 AS ca
 FROM vv"""
+
+    # -- round-3af: termVectors labeled matrix -------------------------------
+    # Mirrors streams._eval_col "termVectors" (TermVectorsEvaluator
+    # .java:73): bounded top-40 'merge' cell, rows sorted by id
+    # STRING (the engine's struct-sort contract), minTermLength=4,
+    # df gate [floor(n*.05), floor(n*.5)] — the query term itself
+    # (df=n) is pruned — and value = sqrt(tf)*(ln((n+1)/(df+1))+1)
+    # with the identical double shape. topFeatures tie order:
+    # value DESC, index DESC (TreeSet pollLast).
+    out["s_stream_termvec"] = """
+WITH hits0 AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                        t -> lower(t)) AS terms
+  FROM documents
+  WHERE list_contains(
+          list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                         t -> lower(t)), 'merge')
+  ORDER BY doc_id ASC LIMIT 40),
+hits AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, terms,
+         ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR) ASC)
+           AS rn
+  FROM hits0),
+nn AS (SELECT COUNT(*) AS n FROM hits),
+dt AS (SELECT id, rn, terms,
+              list_distinct(list_filter(terms,
+                                        t -> length(t) >= 4))
+                AS dterms
+       FROM hits),
+dfr AS (SELECT term, COUNT(*) AS df
+        FROM (SELECT unnest(dterms) AS term FROM dt)
+        GROUP BY term),
+feats AS (SELECT term, df FROM dfr, nn
+          WHERE df >= CAST(FLOOR(nn.n * 0.05) AS INT)
+            AND df <= CAST(FLOOR(nn.n * 0.9) AS INT)),
+fo AS (SELECT term, df,
+              ROW_NUMBER() OVER (ORDER BY term ASC) AS fi
+       FROM feats),
+vals AS (SELECT d.rn, d.id, f.term, f.df, f.fi,
+                sqrt(CAST(len(list_filter(d.terms, w -> w = f.term))
+                          AS DOUBLE))
+                * (ln(CAST(nn.n + 1 AS DOUBLE)
+                      / CAST(f.df + 1 AS DOUBLE)) + 1.0) AS v
+         FROM dt d CROSS JOIN fo f CROSS JOIN nn),
+tf0 AS (SELECT term, v, fi FROM vals WHERE rn = 1 AND v > 0
+        ORDER BY v DESC, fi DESC LIMIT 3)
+SELECT
+  (SELECT string_agg(id, ',' ORDER BY rn ASC) FROM hits) AS rl,
+  COALESCE((SELECT string_agg(term, ',' ORDER BY fi ASC) FROM fo),
+           '') AS cl,
+  (SELECT COUNT(*) FROM fo) AS nf,
+  FLOOR(COALESCE((SELECT SUM(v) FROM vals), 0.0) * 1e6 + 0.5) / 1e6
+    AS gs,
+  FLOOR(COALESCE((SELECT SUM(v) FROM vals WHERE rn = 1), 0.0)
+        * 1e6 + 0.5) / 1e6 AS r0s,
+  COALESCE((SELECT string_agg(term, ',' ORDER BY v DESC, fi DESC)
+            FROM tf0), '') AS tf0,
+  COALESCE((SELECT string_agg(term || ':' || CAST(df AS VARCHAR),
+                             ',' ORDER BY fi ASC) FROM fo), '') AS dfs,
+  (SELECT COUNT(*) FROM hits) AS rc,
+  (SELECT COUNT(*) FROM fo) AS cc"""
 
     return out

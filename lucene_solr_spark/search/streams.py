@@ -49,6 +49,7 @@ from __future__ import annotations
 import math
 import os
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -392,6 +393,28 @@ class _VFunc:
         self.lx, self.coefs, self.ctx = lx, coefs, ctx or {}
 
 
+class _Mat:
+    """A labeled matrix flowing through the evaluator tree (the
+    reference's solrj/io/eval/Matrix.java: double[][] data plus
+    rowLabels, columnLabels and an attributes map; TermVectors/
+    SetRowLabels/SetColumnLabels/GetAttribute...Evaluator.java
+    produce and consume it). Here the object is a bundle of Catalyst
+    Columns — ``rows`` array<array<double>>, ``rlab``/``clab``
+    array<string> (or None), ``attrs`` name -> Column — plus an
+    optional ``base`` 1-row relation the Columns are valid over
+    (DataFrame-backed builders like termVectors aggregate a bounded
+    cell to one row first; plain matrix() literals ride the
+    expression's own base). Unlabeled matrix math keeps returning
+    bare array<array<double>> Columns — _mrows() unwraps either."""
+
+    __slots__ = ("rows", "rlab", "clab", "attrs", "base")
+
+    def __init__(self, rows, rlab=None, clab=None, attrs=None,
+                 base=None):
+        self.rows, self.rlab, self.clab = rows, rlab, clab
+        self.attrs, self.base = attrs or {}, base
+
+
 def _let1(val, body):
     """Expression-level let-binding: evaluate ``val`` ONCE and feed
     it to ``body`` as a higher-order-function lambda variable —
@@ -410,6 +433,10 @@ def _as_col(v):
     is an error, as in the reference)."""
     if isinstance(v, _VFunc):
         return v.fitted
+    if isinstance(v, _Mat):
+        # the reference renders a Matrix tuple value as its data
+        # (list of rows)
+        return v.rows
     if isinstance(v, _Dist):
         raise ValueError("a distribution is not a value — consume it "
                          "via cumulativeProbability/probability/"
@@ -592,14 +619,25 @@ class StreamEvaluator:
             if " as " in a:
                 expr_txt, alias = a.rsplit(" as ", 1)
                 expr_txt, alias = expr_txt.strip(), alias.strip()
-                col = (_as_col(self._eval_col(parse_stream(expr_txt)))
-                       if "(" in expr_txt else F.col(expr_txt))
+                if "(" in expr_txt:
+                    with self._scoped(src.columns if src is not None
+                                      else ()):
+                        col = _as_col(self._eval_col(
+                            parse_stream(expr_txt)))
+                else:
+                    col = F.col(expr_txt)
                 cols.append(col.alias(alias))
             else:
                 cols.append(F.col(a))
         return src.select(*cols)
 
     # -- array math (the math-expressions guide surface) ---------------------
+
+    @staticmethod
+    def _mrows(x):
+        """Unwrap a labeled _Mat to its data rows; bare
+        array<array<double>> Columns pass through (Matrix.getData())."""
+        return x.rows if isinstance(x, _Mat) else x
 
     @staticmethod
     def _arr_sum(c):
@@ -641,6 +679,18 @@ class StreamEvaluator:
                       F.element_at(s, n).cast("double"))
                 .otherwise(lo + d * (hi - lo)))
 
+    @contextmanager
+    def _scoped(self, cols):
+        """Bind the set of resolvable tuple fields for _eval_col's
+        FieldValueEvaluator fallback (unknown bare identifier ->
+        string literal). Case-insensitive like Catalyst resolution."""
+        prev = getattr(self, "_scope_cols", None)
+        self._scope_cols = {c.lower() for c in cols}
+        try:
+            yield
+        finally:
+            self._scope_cols = prev
+
     def _eval_col(self, node):
         """solrj/io/eval evaluator tree -> Catalyst Column."""
         if isinstance(node, str):
@@ -658,6 +708,25 @@ class StreamEvaluator:
                 return _VFunc(vfc[node], F.col(f"{node}__vfit"),
                               lx=F.col(f"{node}__vlx"),
                               coefs=F.col(f"{node}__vcf"))
+            mc = getattr(self, "_mat_cells", {})
+            if node in mc:
+                # a let-bound labeled matrix — rebuild the _Mat over
+                # its broadcast column bundle (one materialized
+                # matrix, N consumers)
+                return _Mat(F.col(f"{node}__mrows"),
+                            rlab=F.col(f"{node}__mrlab"),
+                            clab=F.col(f"{node}__mclab"),
+                            attrs={k: F.col(f"{node}__ma_{k}")
+                                   for k in mc[node]})
+            scope = getattr(self, "_scope_cols", None)
+            if (scope is not None
+                    and re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", node)
+                    and node.lower() not in scope):
+                # FieldValueEvaluator.java:120 — a field name absent
+                # from the tuple evaluates to the name itself as a
+                # raw string (how array(a, b, c) spells out string
+                # labels in the reference's expressions)
+                return F.lit(node)
             return F.col(node)
         a = [self._eval_col(x) for x in node.args]
         fn = node.name
@@ -738,6 +807,19 @@ class StreamEvaluator:
                 "epoch": lambda: F.unix_millis(ts),
             }[fn]()
             return part.cast("long")
+        if fn == "analyze":
+            # AnalyzeEvaluator (solr/core/src/java/org/apache/solr/
+            # handler/AnalyzeEvaluator.java:53 — run the field's
+            # analyzer over a value, return the token list; the math
+            # guide pairs it with termVectors). The engine's shared
+            # simple-analyzer chain as one codegen regexp — the
+            # second (fieldName) operand selects the analyzer and is
+            # accepted for parity (one analyzer here).
+            from ..analysis.analyzers import _SIMPLE_RE
+            return F.transform(
+                F.regexp_extract_all(a[0], F.lit(str(_SIMPLE_RE)),
+                                     F.lit(0)),
+                lambda t: F.lower(t))
         # -- array evaluators (the math-expressions guide; each maps
         # to a Catalyst higher-order function — no driver lists, no
         # UDFs; the reference evaluates java.util.List driver-side) --
@@ -1071,30 +1153,151 @@ class StreamEvaluator:
         if fn == "matrix":               # MatrixEvaluator.java — rows
             return F.array(*a)
         if fn == "transpose":            # TransposeEvaluator.java
-            m = a[0]
+            m = self._mrows(a[0])
             return F.transform(
                 F.sequence(F.lit(0), F.size(F.get(m, 0)) - F.lit(1)),
                 lambda i: F.transform(m, lambda r: F.get(r, i)))
         if fn == "rowAt":                # RowAtEvaluator.java (0-based)
-            return F.get(a[0], a[1])
+            return F.get(self._mrows(a[0]), a[1])
         if fn == "columnAt":             # ColumnAtEvaluator.java
-            m, i = a[0], a[1]
+            m, i = self._mrows(a[0]), a[1]
             return F.transform(m, lambda r: F.get(r, i))
         if fn == "rowCount":             # RowCountEvaluator.java
-            return F.size(a[0]).cast("long")
+            return F.size(self._mrows(a[0])).cast("long")
         if fn == "columnCount":          # ColumnCountEvaluator.java
-            return F.size(F.get(a[0], 0)).cast("long")
+            return F.size(F.get(self._mrows(a[0]), 0)).cast("long")
         if fn == "sumRows":              # SumRowsEvaluator.java
-            return F.transform(a[0], lambda r: self._arr_sum(r))
+            return F.transform(self._mrows(a[0]),
+                               lambda r: self._arr_sum(r))
         if fn == "sumColumns":           # SumColumnsEvaluator.java
-            m = a[0]
+            m = self._mrows(a[0])
             t = F.transform(
                 F.sequence(F.lit(0), F.size(F.get(m, 0)) - F.lit(1)),
                 lambda i: F.transform(m, lambda r: F.get(r, i)))
             return F.transform(t, lambda r: self._arr_sum(r))
         if fn == "grandSum":             # GrandSumEvaluator.java
             return self._arr_sum(
-                F.transform(a[0], lambda r: self._arr_sum(r)))
+                F.transform(self._mrows(a[0]),
+                            lambda r: self._arr_sum(r)))
+        # -- labeled-matrix surface (solrj/io/eval Matrix.java labels
+        # + attributes; Set/GetRowLabels, Set/GetColumnLabels,
+        # GetAttribute(s)Evaluator.java; termVectors/topFeatures) ----
+        if fn == "setRowLabels":         # SetRowLabelsEvaluator.java
+            m = a[0] if isinstance(a[0], _Mat) else _Mat(a[0])
+            lab = F.transform(a[1], lambda v: v.cast("string"))
+            return _Mat(m.rows, rlab=lab, clab=m.clab,
+                        attrs=m.attrs, base=m.base)
+        if fn == "setColumnLabels":      # SetColumnLabelsEvaluator.java
+            m = a[0] if isinstance(a[0], _Mat) else _Mat(a[0])
+            lab = F.transform(a[1], lambda v: v.cast("string"))
+            return _Mat(m.rows, rlab=m.rlab, clab=lab,
+                        attrs=m.attrs, base=m.base)
+        if fn in ("getRowLabels", "getColumnLabels"):
+            # Get{Row,Column}LabelsEvaluator.java — error on a
+            # label-less operand like the reference's null return
+            # consumed downstream
+            if not isinstance(a[0], _Mat):
+                raise ValueError(f"{fn}() expects a labeled matrix")
+            lab = a[0].rlab if fn == "getRowLabels" else a[0].clab
+            if lab is None:
+                raise ValueError(f"{fn}(): matrix has no labels")
+            return lab
+        if fn == "getAttribute":         # GetAttributeEvaluator.java
+            if not isinstance(a[0], _Mat):
+                raise ValueError("getAttribute() expects a matrix")
+            key = node.args[1].strip('"')
+            if key not in a[0].attrs:
+                raise ValueError(f"getAttribute(): no attribute "
+                                 f"{key!r}")
+            return a[0].attrs[key]
+        if fn == "getAttributes":        # GetAttributesEvaluator.java
+            if not isinstance(a[0], _Mat):
+                raise ValueError("getAttributes() expects a matrix")
+            if not a[0].attrs:
+                raise ValueError("getAttributes(): no attributes")
+            return F.struct(*[c.alias(k)
+                              for k, c in sorted(a[0].attrs.items())])
+        if fn == "topFeatures":          # TopFeaturesEvaluator.java:40
+            # per row: column labels of the top-k positive values —
+            # TreeSet<Pair> pollLast order = value DESC then index
+            # DESC on ties, exactly sort_array(struct(v,i), desc)
+            if not isinstance(a[0], _Mat) or a[0].clab is None:
+                raise ValueError("topFeatures() expects a matrix "
+                                 "with column labels")
+            m, k = a[0], int(node.args[1])
+            clab = m.clab
+            return F.transform(m.rows, lambda r: F.transform(
+                F.slice(F.sort_array(F.filter(F.zip_with(
+                    r, F.sequence(F.lit(0), F.size(r) - F.lit(1)),
+                    lambda v, i: F.struct(v.alias("v"),
+                                          i.alias("i"))),
+                    lambda s: s["v"] > 0), asc=False), 1, k),
+                lambda s: F.element_at(clab, s["i"] + F.lit(1))))
+        if fn == "termVectors":          # TermVectorsEvaluator.java:73
+            # tf-idf doc x term matrix over a bound let cell of
+            # (id, terms) tuples: rowLabels = ids, columnLabels =
+            # surviving terms in TreeMap (sorted) order, docFreqs
+            # attribute; value = sqrt(tf) * (ln((n+1)/(df+1)) + 1).
+            # The reference materializes the doc list on the driver;
+            # here the bounded cell collapses to ONE aggregated row
+            # and the whole construction is codegen array lambdas
+            # over it (docs sort by id — the col() ordering contract).
+            cells = getattr(self, "_lets", {})
+            cname = node.args[0] if node.args else None
+            if not isinstance(cname, str) or cname not in cells:
+                raise ValueError("termVectors() expects a bound let "
+                                 "cell of (id, terms) tuples")
+            src = cells[cname]
+            if "terms" not in src.columns or "id" not in src.columns:
+                raise ValueError("The document tuples must contain "
+                                 "id and terms fields")
+            mtl = int(node.params.get("minTermLength", 3))
+            mindf = float(node.params.get("minDocFreq", 0.05))
+            maxdf = float(node.params.get("maxDocFreq", 0.5))
+            if not (0 <= mindf <= 1) or not (0 <= maxdf <= 1):
+                raise ValueError("Doc frequency percentage must be "
+                                 "between 0 and 1")
+            exc = [s for s in node.params.get("exclude", "").split(",")
+                   if s]
+            one = src.agg(F.sort_array(F.collect_list(F.struct(
+                F.col("id").cast("string").alias("id"),
+                F.col("terms").alias("terms")))).alias("_docs"))
+            docs = F.col("_docs")
+            n = F.size(docs)
+
+            def _keep(t):
+                c = F.length(t) >= F.lit(mtl)
+                for e in exc:
+                    c = c & ~t.contains(F.lit(e))
+                return c
+
+            dterms = F.transform(
+                docs, lambda d: F.array_distinct(
+                    F.filter(d["terms"], _keep)))
+            allt = F.array_sort(F.array_distinct(F.flatten(dterms)))
+            dfarr = F.transform(allt, lambda t: F.size(
+                F.filter(dterms, lambda ts: F.array_contains(ts, t))))
+            # (int)(n * minDocFreq) / (int)(n * maxDocFreq) — Java
+            # int cast truncation (operands non-negative -> floor)
+            mn = F.floor(n.cast("double") * F.lit(mindf)).cast("int")
+            mx = F.floor(n.cast("double") * F.lit(maxdf)).cast("int")
+            feats = F.filter(F.zip_with(allt, dfarr,
+                                        lambda t, d: F.struct(
+                                            t.alias("t"),
+                                            d.alias("d"))),
+                             lambda s: (s["d"] >= mn) & (s["d"] <= mx))
+            rows = F.transform(docs, lambda d: F.transform(
+                feats, lambda s: F.sqrt(
+                    F.size(F.filter(d["terms"],
+                                    lambda w: w == s["t"]))
+                    .cast("double"))
+                * (F.log((n + F.lit(1)).cast("double")
+                         / (s["d"] + F.lit(1)).cast("double"))
+                   + F.lit(1.0))))
+            rlab = F.transform(docs, lambda d: d["id"])
+            clab = F.transform(feats, lambda s: s["t"])
+            return _Mat(rows, rlab=rlab, clab=clab,
+                        attrs={"docFreqs": feats}, base=one)
         if fn == "scale":                # ScaleEvaluator.java —
             # commons-math MathArrays.scale(factor, arr); factor first
             return F.transform(
@@ -2552,9 +2755,11 @@ class StreamEvaluator:
         # can name them
         base = self._cell_base(list(e.params.values()))
         cols = []
-        for name, txt in e.params.items():
-            node = parse_stream(txt) if _NAME_RE.match(txt) else txt
-            cols.append(_as_col(self._eval_col(node)).alias(name))
+        with self._scoped(base.columns):
+            for name, txt in e.params.items():
+                node = (parse_stream(txt) if _NAME_RE.match(txt)
+                        else txt)
+                cols.append(_as_col(self._eval_col(node)).alias(name))
         if not cols:
             raise ValueError("tuple() needs at least one named value")
         return base.select(*cols)
@@ -2603,9 +2808,11 @@ class StreamEvaluator:
         vars_prev = getattr(self, "_lets", {})
         vc_prev = getattr(self, "_value_cells", set())
         vf_prev = getattr(self, "_vfunc_cells", {})
+        mc_prev = getattr(self, "_mat_cells", {})
         self._lets = dict(vars_prev)
         self._value_cells = set(vc_prev)
         self._vfunc_cells = dict(vf_prev)
+        self._mat_cells = dict(mc_prev)
         try:
             for name, txt in e.params.items():
                 node = parse_stream(txt)
@@ -2628,14 +2835,30 @@ class StreamEvaluator:
                 # at analysis time — the Catalyst tree stays linear
                 # — and at run time). Plain evaluator values bind
                 # like col() value cells.
-                val = self._eval_col(node)
                 base = self._cell_base([txt])
+                with self._scoped(base.columns):
+                    val = self._eval_col(node)
                 if isinstance(val, _VFunc):
                     self._lets[name] = base.select(
                         val.lx.alias(f"{name}__vlx"),
                         val.coefs.alias(f"{name}__vcf"),
                         val.fitted.alias(f"{name}__vfit"))
                     self._vfunc_cells[name] = val.kind
+                elif isinstance(val, _Mat):
+                    # a labeled matrix materializes ONCE as a 1-row
+                    # broadcast relation (the _VFunc pattern): N
+                    # consumers cost one construction
+                    null_s = F.lit(None).cast("array<string>")
+                    cols = [val.rows.alias(f"{name}__mrows"),
+                            (val.rlab if val.rlab is not None
+                             else null_s).alias(f"{name}__mrlab"),
+                            (val.clab if val.clab is not None
+                             else null_s).alias(f"{name}__mclab")]
+                    for k in sorted(val.attrs):
+                        cols.append(val.attrs[k].alias(f"{name}__ma_{k}"))
+                    src = val.base if val.base is not None else base
+                    self._lets[name] = src.select(*cols)
+                    self._mat_cells[name] = sorted(val.attrs)
                 else:
                     self._lets[name] = base.select(
                         _as_col(val).alias(name))
@@ -2648,6 +2871,7 @@ class StreamEvaluator:
             self._lets = vars_prev
             self._value_cells = vc_prev
             self._vfunc_cells = vf_prev
+            self._mat_cells = mc_prev
 
     def _cell_base(self, texts) -> DataFrame:
         """1-row base relation with every referenced let cell
@@ -2663,6 +2887,10 @@ class StreamEvaluator:
                 base = base.crossJoin(F.broadcast(
                     cdf.select(F.col(cdf.columns[0]).alias(nm))))
         for nm in sorted(getattr(self, "_vfunc_cells", {})):
+            if any(re.search(rf"\b{re.escape(nm)}\b", t)
+                   for t in texts):
+                base = base.crossJoin(F.broadcast(cells[nm]))
+        for nm in sorted(getattr(self, "_mat_cells", {})):
             if any(re.search(rf"\b{re.escape(nm)}\b", t)
                    for t in texts):
                 base = base.crossJoin(F.broadcast(cells[nm]))
@@ -3087,12 +3315,13 @@ class StreamEvaluator:
                 cdf = cells[name]
                 base = base.crossJoin(F.broadcast(
                     cdf.select(F.col(cdf.columns[0]).alias(name))))
-        xs = self._eval_col(parse_stream(e.params["x"])
-                            if _NAME_RE.match(e.params["x"])
-                            else e.params["x"])
-        ys = self._eval_col(parse_stream(e.params["y"])
-                            if _NAME_RE.match(e.params["y"])
-                            else e.params["y"])
+        with self._scoped(base.columns):
+            xs = self._eval_col(parse_stream(e.params["x"])
+                                if _NAME_RE.match(e.params["x"])
+                                else e.params["x"])
+            ys = self._eval_col(parse_stream(e.params["y"])
+                                if _NAME_RE.match(e.params["y"])
+                                else e.params["y"])
         data = F.zip_with(xs, ys, lambda x, y: F.array(
             x.cast("double"), y.cast("double")))
         return base.select(F.lit(ptype).alias("plot"),
