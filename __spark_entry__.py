@@ -5839,6 +5839,33 @@ def _q_stream_termvec(spark, sf_dir):
         F.col("cc").cast("long").alias("cc"))
 
 
+# --- round-3ag wave: join/replace/distinct stream ops ------------------------
+
+_STREAM_JOINOPS_EXPR = (
+    'reduce(select(outerHashJoin(search(documents, q="*:*", '
+    'fl="doc_id,lang,n_chars", sort="doc_id asc"), '
+    'hashed=select(rollup(search(events, q="*:*", fl="user_id,value", '
+    'sort="user_id asc"), over="user_id", count(*)), '
+    'user_id as doc_id, count as ev), on="doc_id"), '
+    'doc_id, lang, n_chars, ev, replace(ev, null, withValue=0)), '
+    'by="lang", distinct())')
+
+
+def _q_stream_joinops(spark, sf_dir):
+    """Round-3ag stream-op chain (streams._s_outerHashJoin /
+    _apply_replace / reduce-distinct): OuterHashJoinStream.java:48
+    (left outer, hashed side held in memory -> broadcast hash join),
+    SelectStream's ReplaceWithValueOperation.java:77 null-fill, and
+    ReducerStream with DistinctOperation.java:49 (first tuple per by=
+    group; "first" deterministically = remaining columns ascending,
+    the documented arrival-order divergence shared with group()).
+    Whole chain is one Catalyst plan: broadcast join + CASE WHEN +
+    one window — no per-tuple interpreter, scale-safe at 10^12 rows
+    (the hashed side is an aggregated per-user table, broadcast-
+    sized; the distinct window shuffles once on lang)."""
+    return _stream_eval(spark, sf_dir, _STREAM_JOINOPS_EXPR)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6793,6 +6820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_spline": _q_stream_spline,
         # round-3af: same pattern
         "s_stream_termvec": _q_stream_termvec,
+        # round-3ag: same pattern
+        "s_stream_joinops": _q_stream_joinops,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -11183,5 +11212,17 @@ SELECT
                              ',' ORDER BY fi ASC) FROM fo), '') AS dfs,
   (SELECT COUNT(*) FROM hits) AS rc,
   (SELECT COUNT(*) FROM fo) AS cc"""
+
+    # -- round-3ag wave ------------------------------------------------------
+    out["s_stream_joinops"] = """
+WITH ev AS (SELECT user_id AS doc_id, COUNT(*) AS ev
+            FROM events GROUP BY user_id),
+j AS (SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(e.ev, 0) AS ev
+      FROM documents d LEFT JOIN ev e USING (doc_id)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY doc_id ASC, n_chars ASC, ev ASC) AS rk
+      FROM j)
+SELECT doc_id, lang, n_chars, ev FROM r WHERE rk = 1"""
 
     return out

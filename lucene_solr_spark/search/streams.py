@@ -343,6 +343,43 @@ def _agg_col(e: StreamExpr):
     return col.alias(f"{fn}_{arg}")
 
 
+def _replace_lit(tok: str):
+    """A replace()/setValue() operand literal -> typed Column.
+    Integer / decimal / boolean tokens keep their type (the reference
+    compares Object.equals on the parsed tuple value); anything else
+    is the (already unquoted) string."""
+    if re.match(r"^-?\d+$", tok):
+        return F.lit(int(tok))
+    if re.match(r"^-?\d*\.\d+$", tok):
+        return F.lit(float(tok))
+    if tok in ("true", "false"):
+        return F.lit(tok == "true")
+    return F.lit(tok)
+
+
+def _apply_replace(df: DataFrame, fld: str, orig: str, params: dict):
+    """ReplaceOperation (solrj/io/ops/ReplaceOperation.java:43 with
+    ReplaceWithValueOperation / ReplaceWithFieldOperation variants):
+    in `fld`, tuples whose current value equals `orig` (or is missing
+    when orig is the null keyword) take withValue=<literal> /
+    withField=<other field>; everything else passes through. Compiled
+    to one codegen CASE WHEN — a replace over 10^12 tuples is a plain
+    projected scan, no UDF. A quoted "null" string operand is
+    indistinguishable from the null keyword after parsing (documented
+    divergence; the reference keeps the distinction in its JSON AST).
+    """
+    if "withValue" in params:
+        repl = _replace_lit(params["withValue"])
+    elif "withField" in params:
+        repl = F.col(params["withField"])
+    else:
+        raise ValueError("replace() needs withValue= or withField=")
+    cur = F.col(fld) if fld in df.columns else F.lit(None)
+    cond = cur.isNull() if orig == "null" else cur == _replace_lit(orig)
+    out = F.when(cond, repl).otherwise(cur)
+    return df.withColumn(fld, out)
+
+
 class _Dist:
     """A probability-distribution object flowing through the
     evaluator tree (the reference returns commons-math
@@ -552,6 +589,26 @@ class StreamEvaluator:
         return [self.eval(a) for a in e.args if isinstance(a, StreamExpr)
                 and a.name not in _NON_STREAM_FNS]
 
+    # -- Lang.java alias registrations (same classes, second names) ----------
+
+    def _s_export(self, e: StreamExpr) -> DataFrame:
+        # Lang.java:84 registers both "shuffle" and "export" to
+        # ShuffleStream (the /export handler face)
+        return self._s_shuffle(e)
+
+    def _s_gatherNodes(self, e: StreamExpr) -> DataFrame:
+        # Lang.java registers gatherNodes + nodes to GatherNodesStream
+        return self._s_nodes(e)
+
+    def _s_knnSearch(self, e: StreamExpr) -> DataFrame:
+        # Lang.java maps knnSearch -> KnnStream (MoreLikeThis knn)
+        return self._s_knn(e)
+
+    def _s_stream(self, e: StreamExpr) -> DataFrame:
+        # Lang.java maps stream -> GetStream: replay a let-bound
+        # stream cell, identical to get()
+        return self._s_get(e)
+
     def _s_search(self, e: StreamExpr) -> DataFrame:
         coll = e.args[0]
         df = self.collections[coll]
@@ -565,7 +622,15 @@ class StreamEvaluator:
 
     def _s_innerJoin(self, e: StreamExpr, how: str = "inner",
                      broadcast_right: bool = False) -> DataFrame:
-        left, right = self._streams(e)
+        if "hashed" in e.params:
+            # the reference's hashJoin/outerHashJoin spelling:
+            # hashJoin(full, hashed=stream, on=...) — the hashed side
+            # is the in-memory (broadcast) side by definition
+            (left,) = self._streams(e)
+            right = self.eval(parse_stream(e.params["hashed"]))
+            broadcast_right = True
+        else:
+            left, right = self._streams(e)
         on = e.params["on"]
         lk, _, rk = on.partition("=")
         lk, rk = lk.strip(), rk.strip() or lk.strip()
@@ -580,6 +645,14 @@ class StreamEvaluator:
 
     def _s_leftOuterJoin(self, e: StreamExpr) -> DataFrame:
         return self._s_innerJoin(e, how="left")
+
+    def _s_outerHashJoin(self, e: StreamExpr) -> DataFrame:
+        """OuterHashJoinStream (solrj/io/stream/OuterHashJoinStream
+        .java:48): left outer with the hashed (right) side held in
+        memory — the broadcast-hash-join face of the reference's
+        HashMap<String, List<Tuple>>; unmatched full-stream tuples
+        pass through unmerged."""
+        return self._s_innerJoin(e, how="left", broadcast_right=True)
 
     def _s_rollup(self, e: StreamExpr) -> DataFrame:
         (src,) = self._streams(e)
@@ -612,9 +685,27 @@ class StreamEvaluator:
         — whole-stage codegen, never a per-tuple interpreter."""
         src = None
         cols = []
+        rops = []           # (target field, replace node), post-select
         for a in e.args:
+            if isinstance(a, StreamExpr) and a.name == "replace":
+                # bare 3-operand form: replace(field, orig, withX=...)
+                if len(a.args) < 2:
+                    raise ValueError("replace() needs (field, "
+                                     "original) operands")
+                rops.append((a.args[0], a.args[1], a.params))
+                continue
             if isinstance(a, StreamExpr):
                 src = self.eval(a)
+                continue
+            if " as " in a and a.lstrip().startswith("replace("):
+                # aliased 2-operand form: replace(orig, withX=..) as f
+                expr_txt, alias = a.rsplit(" as ", 1)
+                rnode = parse_stream(expr_txt.strip())
+                if len(rnode.args) != 1:
+                    raise ValueError("replace(original, ...) as "
+                                     "field needs 1 operand")
+                rops.append((alias.strip(), rnode.args[0],
+                             rnode.params))
                 continue
             if " as " in a:
                 expr_txt, alias = a.rsplit(" as ", 1)
@@ -629,7 +720,10 @@ class StreamEvaluator:
                 cols.append(col.alias(alias))
             else:
                 cols.append(F.col(a))
-        return src.select(*cols)
+        out = src.select(*cols)
+        for field, orig, params in rops:
+            out = _apply_replace(out, field, orig, params)
+        return out
 
     # -- array math (the math-expressions guide surface) ---------------------
 
@@ -837,8 +931,20 @@ class StreamEvaluator:
             return F.get(a[0], a[1])
         if fn == "mean":
             return self._arr_mean(a[0])
-        if fn == "variance":
+        if fn in ("variance", "var"):    # Lang.java:176 registers var
             return self._arr_var_sample(a[0])
+        if fn == "double":               # DoubleEvaluator (Lang.java:296)
+            # RecursiveNumericEvaluator: scalar -> double; a list
+            # operand maps element-wise
+            return (F.transform(a[0], lambda x: x.cast("double"))
+                    if isinstance(node.args[0], StreamExpr)
+                    and node.args[0].name in ("array", "sequence")
+                    else a[0].cast("double"))
+        if fn == "long":                 # LongEvaluator (Lang.java:297)
+            return (F.transform(a[0], lambda x: x.cast("long"))
+                    if isinstance(node.args[0], StreamExpr)
+                    and node.args[0].name in ("array", "sequence")
+                    else a[0].cast("long"))
         if fn == "stddev":
             return F.sqrt(self._arr_var_sample(a[0]))
         if fn == "percentile":           # PercentileEvaluator.java:47
@@ -3485,18 +3591,32 @@ class StreamEvaluator:
         columns ascending so both engines agree (documented
         divergence, pinned in tests)."""
         group_ops = [a for a in e.args if isinstance(a, StreamExpr)
-                     and a.name == "group"]
+                     and a.name in ("group", "distinct")]
         if len(group_ops) != 1:
-            raise ValueError("reduce() needs exactly one group(...) op")
+            raise ValueError("reduce() needs exactly one group(...) "
+                             "or distinct() op")
         gop = group_ops[0]
         srcs = [a for a in e.args if isinstance(a, StreamExpr)
-                and a.name != "group"
+                and a.name not in ("group", "distinct")
                 and a.name not in _NON_STREAM_FNS]
         if len(srcs) != 1:
             raise ValueError("reduce() needs exactly one stream source")
         src = self.eval(srcs[0])
         by = [c.split()[0].strip() for c in e.params["by"].split(",")
               if c.strip()]
+        if gop.name == "distinct":
+            # DistinctOperation (solrj/io/ops/DistinctOperation
+            # .java:49): keep only the FIRST tuple of each group. The
+            # reference's "first" is source arrival order (it reduces
+            # adjacent runs of a by-sorted stream); a hash aggregate
+            # has no arrival order, so ties break by the remaining
+            # columns ascending — deterministic on both engines
+            # (same divergence note as group() below).
+            other = [c for c in src.columns if c not in by]
+            w = Window.partitionBy(*by).orderBy(
+                *[F.col(c).asc() for c in other])
+            return (src.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") == 1).drop("_rk"))
         n = int(gop.params["n"])
         if n <= 0:
             raise ValueError("group() n must be > 0")
