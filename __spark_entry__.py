@@ -5866,6 +5866,63 @@ def _q_stream_joinops(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_JOINOPS_EXPR)
 
 
+# --- round-3ah wave: zplot/pivot/memset/tuple-op/recNum surface --------------
+
+_STREAM_ZPLOT_EXPR = (
+    'let(c=cell(c, rollup(search(documents, q="*:*", '
+    'fl="lang,source", sort="lang asc"), over="lang,source", '
+    'count(*))), zplot(heat=pivot(c, lang, source, count)))')
+
+
+def _q_stream_zplot(spark, sf_dir):
+    """ZplotStream heat mode over a PivotEvaluator matrix
+    (ZplotStream.java:363, PivotEvaluator.java:45): rollup counts ->
+    tuple-list cell -> pivot to a (lang x source) labeled matrix with
+    0.0 fill -> long-form (y, x, z) heat tuples. One partial+final
+    aggregate feeds a bounded cell; the pivot/zplot unrolling is
+    codegen array lambdas over that single row — at 10^12 docs the
+    only full-data pass is the rollup's one shuffle."""
+    return _stream_eval(spark, sf_dir, _STREAM_ZPLOT_EXPR)
+
+
+_STREAM_MEMREC_EXPR = (
+    'let(a=memset(search(documents, q="*:*", fl="doc_id,n_chars", '
+    'sort="doc_id asc"), cols="doc_id,n_chars", vars="d,p", '
+    'size=40), t=tuple(m=mean(p), dd=distance(d, p, cosine()), '
+    'pc=putCache(ws, k1, mult(7, 6))), '
+    'u=setValue(t, m2, add(m, 1.0)), '
+    'tuple(m=getValue(u, m), dd=getValue(u, dd), '
+    'pc=getValue(u, pc), m2=getValue(u, m2), gc=getCache(ws, k1)))')
+
+
+def _q_stream_memrec(spark, sf_dir):
+    """MemsetEvaluator.java:115 + LetStream.java:198 (vars= arrays
+    merged into the let scope), Set/GetValueEvaluator.java:44 tuple
+    ops, Put/GetCacheEvaluator (the StreamContext object cache — the
+    cached object is a compiled expression, replayed JVM-side), and
+    CosineDistanceEvaluator.java:56 as a distance() marker. The
+    memset arrays are ONE aggregated 40-tuple row (full-tuple
+    ascending order, the col() contract) that broadcasts into every
+    consumer; the whole let chain is a single 1-row codegen
+    projection."""
+    return _stream_eval(spark, sf_dir, _STREAM_MEMREC_EXPR)
+
+
+_STREAM_RECNUM_EXPR = (
+    'select(search(documents, q="*:*", fl="doc_id,lang", '
+    'sort="doc_id asc"), doc_id, lang, recNum() as rn)')
+
+
+def _q_stream_recnum(spark, sf_dir):
+    """RecNumEvaluator.java:39 in select(): a 0-based record
+    sequence. The reference counts arrival order; the engine orders
+    by the selected columns ascending (the documented group()/col()
+    divergence) via one window — a global sequence is inherently one
+    sort; the scale path for corpus-wide ids is the 2-pass
+    per-partition offset pattern (index/docids.py)."""
+    return _stream_eval(spark, sf_dir, _STREAM_RECNUM_EXPR)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6822,6 +6879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_termvec": _q_stream_termvec,
         # round-3ag: same pattern
         "s_stream_joinops": _q_stream_joinops,
+        # round-3ah: same pattern
+        "s_stream_zplot": _q_stream_zplot,
+        "s_stream_memrec": _q_stream_memrec,
+        "s_stream_recnum": _q_stream_recnum,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -11224,5 +11285,32 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
                 ORDER BY doc_id ASC, n_chars ASC, ev ASC) AS rk
       FROM j)
 SELECT doc_id, lang, n_chars, ev FROM r WHERE rk = 1"""
+
+    # -- round-3ah wave ------------------------------------------------------
+    out["s_stream_zplot"] = """
+WITH r AS (SELECT lang, source, COUNT(*) AS c
+           FROM documents GROUP BY lang, source),
+xs AS (SELECT DISTINCT lang FROM r),
+ys AS (SELECT DISTINCT source FROM r)
+SELECT xs.lang AS y, ys.source AS x,
+       COALESCE(CAST(r.c AS DOUBLE), 0.0) AS z
+FROM xs CROSS JOIN ys
+LEFT JOIN r ON r.lang = xs.lang AND r.source = ys.source"""
+
+    out["s_stream_memrec"] = """
+WITH w AS (SELECT CAST(doc_id AS DOUBLE) AS d,
+                  CAST(n_chars AS DOUBLE) AS p
+           FROM documents ORDER BY doc_id ASC, n_chars ASC LIMIT 40),
+s AS (SELECT AVG(p) AS m,
+             SUM(d * p) AS dp, SUM(d * d) AS dd2, SUM(p * p) AS pp
+      FROM w)
+SELECT m, ROUND(1.0 - ABS(dp / (SQRT(dd2) * SQRT(pp))), 8) AS dd,
+       42 AS pc, m + 1.0 AS m2, 42 AS gc
+FROM s"""
+
+    out["s_stream_recnum"] = """
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (ORDER BY doc_id ASC, lang ASC) - 1 AS rn
+FROM documents"""
 
     return out

@@ -315,6 +315,17 @@ def _parse_gap(gap: str) -> tuple[int, str]:
 _NON_STREAM_FNS = set(_AGG_FNS) | {"gt", "lt", "eq", "gteq", "lteq"}
 
 
+def _zpad_expr(i: str, n: str):
+    """ZplotStream.pad (ZplotStream.java:400): zero-pad a row/col
+    index to a width chosen by the matrix dimension (none < 11,
+    2 < 101, 3 < 1001, 4 < 10001, else 5)."""
+    return F.expr(
+        f"CASE WHEN {n} < 11 THEN CAST({i} AS STRING) "
+        f"ELSE lpad(CAST({i} AS STRING), "
+        f"CASE WHEN {n} < 101 THEN 2 WHEN {n} < 1001 THEN 3 "
+        f"WHEN {n} < 10001 THEN 4 ELSE 5 END, '0') END")
+
+
 def _sort_cols(spec: str):
     cols = []
     for piece in spec.split(","):
@@ -686,6 +697,7 @@ class StreamEvaluator:
         src = None
         cols = []
         rops = []           # (target field, replace node), post-select
+        recs = []           # recNum() aliases, post-select windows
         for a in e.args:
             if isinstance(a, StreamExpr) and a.name == "replace":
                 # bare 3-operand form: replace(field, orig, withX=...)
@@ -710,6 +722,18 @@ class StreamEvaluator:
             if " as " in a:
                 expr_txt, alias = a.rsplit(" as ", 1)
                 expr_txt, alias = expr_txt.strip(), alias.strip()
+                if expr_txt == "recNum()":
+                    # RecNumEvaluator.java:39 (++index): a 0-based
+                    # record sequence. The reference counts arrival
+                    # order; a distributed plan has none, so the
+                    # sequence orders by ALL selected columns
+                    # ascending (the group()/col() divergence
+                    # contract). Global row_number = one single-
+                    # partition sort — recNum is a global sequence by
+                    # definition; at corpus scale use the 2-pass
+                    # per-partition offset pattern (index/docids.py).
+                    recs.append(alias)
+                    continue
                 if "(" in expr_txt:
                     with self._scoped(src.columns if src is not None
                                       else ()):
@@ -723,6 +747,11 @@ class StreamEvaluator:
         out = src.select(*cols)
         for field, orig, params in rops:
             out = _apply_replace(out, field, orig, params)
+        for alias in recs:
+            w = Window.orderBy(
+                *[F.col(c).asc() for c in out.columns])
+            out = out.withColumn(
+                alias, (F.row_number().over(w) - 1).cast("long"))
         return out
 
     # -- array math (the math-expressions guide surface) ---------------------
@@ -1176,8 +1205,17 @@ class StreamEvaluator:
                                          - F.lit(1)),
                               lambda i: i.cast("double")))
             return F.struct(xs.alias("lx"), ys.alias("ly"))
-        if fn == "getValue":             # GetValueEvaluator.java —
-            # pull one field of an evaluator tuple (regress/describe)
+        if fn == "getValue":             # GetValueEvaluator.java:44 —
+            # pull one field of a tuple: a let-bound tuple CELL
+            # (injected as {name}__t_{field} broadcast columns) or an
+            # evaluator struct-tuple (regress/describe)
+            if isinstance(node.args[0], str):
+                nm = node.args[0]
+                if nm in getattr(self, "_tuple_cells", set()):
+                    return F.col(f"{nm}__t_{node.args[1]}")
+                if nm in getattr(self, "_lets", {}):
+                    raise ValueError(f"getValue({nm!r}): not a bound "
+                                     "tuple cell")
             return a[0][str(node.args[1])]
         if fn == "expMovingAvg":         # ExponentialMovingAverage-
             # Evaluator.java: seed = mean of the first w observations,
@@ -1258,6 +1296,70 @@ class StreamEvaluator:
         # materializes double[][] on the driver) ---------------------------
         if fn == "matrix":               # MatrixEvaluator.java — rows
             return F.array(*a)
+        if fn == "pivot":                # PivotEvaluator.java:45 —
+            # pivot(tupleListCell, x, y, value): a list of tuples to
+            # a labeled matrix. x/y labels are TreeSet-ordered
+            # (sorted distinct strings); duplicate (x,y) pairs keep
+            # the LAST tuple's value (the reference's data[xi][yi]
+            # overwrite in list order; our cells are sorted-struct
+            # arrays, so "last" = the lexicographically-largest
+            # tuple — deterministic on both engines, documented
+            # divergence from arrival order). Missing cells are 0.0.
+            # O(|x|*|y|*|t|) interpreted HOF — bounded by the cell
+            # contract (pivot belongs on aggregated cells).
+            t = self._mrows(a[0])
+            x, y, v = (str(node.args[i]) for i in (1, 2, 3))
+            xs = F.array_sort(F.array_distinct(F.transform(
+                t, lambda s: s[x].cast("string"))))
+            ys = F.array_sort(F.array_distinct(F.transform(
+                t, lambda s: s[y].cast("string"))))
+            # stage the tuple list via array_repeat so the
+            # interpreted HOF evaluates the child once per row, not
+            # once per (row, col) pair
+            treps = F.array_repeat(t, F.size(xs))
+
+            def _row(xl, trep):
+                return F.transform(ys, lambda yl: F.coalesce(
+                    F.try_element_at(
+                        F.filter(trep,
+                                 lambda s: (s[x].cast("string") == xl)
+                                 & (s[y].cast("string") == yl)),
+                        F.lit(-1))[v].cast("double"),
+                    F.lit(0.0)))
+
+            return _Mat(F.zip_with(xs, treps, _row), rlab=xs, clab=ys)
+        if fn in ("putCache", "getCache", "removeCache", "listCache"):
+            # Put/Get/Remove/ListCacheEvaluator.java — the
+            # StreamContext object cache: a {workspace: {key: value}}
+            # map living for the evaluator's lifetime (the reference
+            # scopes it to the Solr core's StreamContext). Values are
+            # compiled Catalyst expressions — a putCache inside one
+            # expression and a getCache in a later one replay the
+            # SAME expression tree, so the cached object never
+            # round-trips through the driver as data.
+            if not hasattr(self, "_obj_cache"):
+                self._obj_cache = {}
+            cache = self._obj_cache
+            if fn == "putCache":
+                space, key = str(node.args[0]), str(node.args[1])
+                cache.setdefault(space, {})[key] = a[2]
+                return a[2]
+            if fn == "getCache":
+                space, key = str(node.args[0]), str(node.args[1])
+                got = cache.get(space, {}).get(key)
+                return got if got is not None else F.lit(None)
+            if fn == "removeCache":
+                space, key = str(node.args[0]), str(node.args[1])
+                got = cache.get(space, {}).pop(key, None)
+                return got if got is not None else F.lit(False)
+            # listCache() -> workspace names; listCache(space) ->
+            # keys. The reference returns ConcurrentHashMap
+            # enumeration order; sorted here (documented divergence).
+            keys = (sorted(cache.get(str(node.args[0]), {}))
+                    if node.args else sorted(cache))
+            if not keys:
+                return F.expr("cast(array() as array<string>)")
+            return F.array(*[F.lit(k) for k in keys])
         if fn == "transpose":            # TransposeEvaluator.java
             m = self._mrows(a[0])
             return F.transform(
@@ -1438,11 +1540,11 @@ class StreamEvaluator:
             return F.transform(a[0],
                                lambda v: F.log10(v.cast("double")))
         if fn in ("manhattan", "canberra", "euclidean", "earthMovers",
-                  "chebyshev"):
+                  "chebyshev", "cosine"):
             # distance-measure MARKERS (Manhattan/Canberra/Euclidean/
-            # EarthMovers/ChebyshevEvaluator.java — they construct the
-            # commons-math DistanceMeasure passed to distance()/knn();
-            # their own doWork is never called)
+            # EarthMovers/Chebyshev/CosineDistanceEvaluator.java —
+            # they construct the commons-math DistanceMeasure passed
+            # to distance()/knn(); their own doWork is never called)
             if node.args:
                 raise ValueError(f"{fn}() takes no arguments")
             return F.lit(fn)
@@ -1454,8 +1556,22 @@ class StreamEvaluator:
                         if isinstance(x, StreamExpr)
                         and x.name in ("manhattan", "canberra",
                                        "euclidean", "earthMovers",
-                                       "chebyshev")),
+                                       "chebyshev", "cosine")),
                        node.params.get("type", "euclidean"))
+            if typ == "cosine":          # CosineDistanceEvaluator
+                # .java:56: Precision.round(1 - |cosineSimilarity|, 8)
+                # — commons-math Precision.round is HALF_UP, same as
+                # Spark ROUND
+                dot = self._arr_sum(F.zip_with(
+                    a[0], a[1],
+                    lambda x, y: x.cast("double") * y.cast("double")))
+                na = F.sqrt(self._arr_sum(F.transform(
+                    a[0], lambda x: x.cast("double")
+                    * x.cast("double"))))
+                nb = F.sqrt(self._arr_sum(F.transform(
+                    a[1], lambda x: x.cast("double")
+                    * x.cast("double"))))
+                return F.round(F.lit(1.0) - F.abs(dot / (na * nb)), 8)
             if typ == "chebyshev":       # ChebyshevDistance: max|a-b|
                 return F.array_max(F.zip_with(
                     a[0], a[1],
@@ -2915,22 +3031,37 @@ class StreamEvaluator:
         vc_prev = getattr(self, "_value_cells", set())
         vf_prev = getattr(self, "_vfunc_cells", {})
         mc_prev = getattr(self, "_mat_cells", {})
+        tc_prev = getattr(self, "_tuple_cells", set())
         self._lets = dict(vars_prev)
         self._value_cells = set(vc_prev)
         self._vfunc_cells = dict(vf_prev)
         self._mat_cells = dict(mc_prev)
+        self._tuple_cells = set(tc_prev)
         try:
             for name, txt in e.params.items():
                 node = parse_stream(txt)
+                if not isinstance(node, str) and node.name == "memset":
+                    # MemsetEvaluator (solrj/io/eval/MemsetEvaluator
+                    # .java:115 + LetStream.java:198 lets.putAll):
+                    # the cell name itself is NOT bound — each vars=
+                    # entry binds directly as a value cell
+                    self._bind_memset(node)
+                    continue
                 if isinstance(node, str) \
                         or hasattr(self, f"_s_{node.name}"):
                     self._lets[name] = self.eval(node)
                     if not isinstance(node, str) \
-                            and node.name == "col":
+                            and node.name in ("col", "cell"):
                         # a value cell: guaranteed 1-row array,
                         # eligible for broadcast injection into
                         # tuple()
                         self._value_cells.add(name)
+                    if not isinstance(node, str) \
+                            and node.name in ("tuple", "setValue"):
+                        # a 1-row tuple cell: getValue()/setValue()
+                        # can address its fields (injected as
+                        # {name}__t_{field} broadcast columns)
+                        self._tuple_cells.add(name)
                     continue
                 # evaluator cell (the reference's let binds ANY
                 # evaluator result). A _VFunc (spline/akima/lerp/
@@ -2978,6 +3109,69 @@ class StreamEvaluator:
             self._value_cells = vc_prev
             self._vfunc_cells = vf_prev
             self._mat_cells = mc_prev
+            self._tuple_cells = tc_prev
+
+    def _bind_memset(self, node: StreamExpr) -> None:
+        """MemsetEvaluator.java:115: drain the wrapped stream ONCE
+        and bind each cols= field as a vars= value-cell array; size=
+        caps the tuple count. The reference loads driver-side
+        ArrayLists in arrival order; here the arrays are ONE
+        aggregated row in full-tuple ascending order (the col()
+        ordering contract, documented divergence) that stays
+        executor-side and broadcasts into consumers. All vars share
+        one tuple order by construction (a single sorted struct
+        list), exactly like the reference's parallel arrays."""
+        srcs = [x for x in node.args if isinstance(x, StreamExpr)]
+        if len(srcs) != 1:
+            raise ValueError("memset() wraps exactly one stream")
+        src = self.eval(srcs[0])
+        if "cols" not in node.params or "vars" not in node.params:
+            raise ValueError("memset() needs cols= and vars= params")
+        cols = [c.strip() for c in node.params["cols"].split(",")
+                if c.strip()]
+        vs = [v.strip() for v in node.params["vars"].split(",")
+              if v.strip()]
+        if len(cols) != len(vs):
+            raise ValueError("memset(): cols and vars lists must be "
+                             "the same size")
+        size = int(node.params.get("size", -1))
+        st = F.sort_array(F.collect_list(
+            F.struct(*[F.col(c) for c in src.columns])))
+        if size > -1:
+            st = F.slice(st, 1, size)
+        agg = src.agg(st.alias("_t"))
+
+        def _extract(cname):
+            # NOT `lambda s, c=c: s[c]` — a 2-parameter lambda is the
+            # (element, index) HOF form and would bind c to the index
+            return lambda s: s[cname]
+
+        for c, v in zip(cols, vs):
+            if c not in src.columns:
+                raise ValueError(f"memset(): no column {c!r} in the "
+                                 "wrapped stream")
+            self._lets[v] = agg.select(
+                F.transform(F.col("_t"), _extract(c)).alias(v))
+            self._value_cells.add(v)
+
+    def _s_setValue(self, e: StreamExpr) -> DataFrame:
+        """SetValueEvaluator.java:44: a COPY of the tuple with one
+        field set/overwritten — here a let-bound 1-row tuple cell
+        with withColumn; string values keep their (unquoted) text,
+        numerics their type, and any evaluator tree compiles against
+        the cell's own columns."""
+        cells = getattr(self, "_lets", {})
+        if len(e.args) != 3:
+            raise ValueError("setValue() needs (tuple, key, value)")
+        name = e.args[0]
+        if not isinstance(name, str) or name not in cells:
+            raise ValueError("setValue() first operand must be a "
+                             "bound let tuple cell")
+        df = cells[name]
+        key = str(e.args[1])
+        with self._scoped(df.columns):
+            col = _as_col(self._eval_col(e.args[2]))
+        return df.withColumn(key, col)
 
     def _cell_base(self, texts) -> DataFrame:
         """1-row base relation with every referenced let cell
@@ -3000,6 +3194,13 @@ class StreamEvaluator:
             if any(re.search(rf"\b{re.escape(nm)}\b", t)
                    for t in texts):
                 base = base.crossJoin(F.broadcast(cells[nm]))
+        for nm in sorted(getattr(self, "_tuple_cells", set())):
+            if any(re.search(rf"\b{re.escape(nm)}\b", t)
+                   for t in texts):
+                cdf = cells[nm]
+                base = base.crossJoin(F.broadcast(cdf.select(
+                    *[F.col(c).alias(f"{nm}__t_{c}")
+                      for c in cdf.columns])))
         return base
 
     def _s_get(self, e: StreamExpr) -> DataFrame:
@@ -3432,6 +3633,127 @@ class StreamEvaluator:
             x.cast("double"), y.cast("double")))
         return base.select(F.lit(ptype).alias("plot"),
                            data.alias("data"))
+
+    def _s_zplot(self, e: StreamExpr) -> DataFrame:
+        """ZplotStream (solrj/io/stream/ZplotStream.java:123): turn
+        evaluator results into plottable tuples. Modes: named vector
+        params -> one tuple per index (x auto-generated 0.. when only
+        y is given, ZplotStream.java:211); table=matrix -> one tuple
+        per row with rowLabel + one column per column label
+        (java:332); heat=matrix -> long-form (y, x, z) tuples with
+        the reference's zero-padded row/col fallback labels
+        (java:363 + pad()); dist=freqTable/hist cell -> (x, y)
+        density pairs (java:313 list branch). The clusters mode needs
+        the kmeans family and the RealDistribution dist mode draws
+        500k RANDOM samples in the reference (nondeterministic by
+        construction) — both raise. Everything stays executor-side;
+        only table mode reads the (config-sized) label row once to
+        fix the static output schema."""
+        if not e.params:
+            raise ValueError("zplot() needs named parameters")
+        if "clusters" in e.params:
+            raise ValueError("zplot: clusters mode requires the "
+                             "kmeans/dbscan family")
+        if ("table" in e.params or "dist" in e.params) \
+                and len(e.params) > 1:
+            raise ValueError("zplot: table/dist must be the only "
+                             "parameter")
+        base = self._cell_base(list(e.params.values()))
+        vals = {}
+        with self._scoped(base.columns):
+            for name, txt in e.params.items():
+                node = (parse_stream(txt) if _NAME_RE.match(txt)
+                        else txt)
+                vals[name] = self._eval_col(node)
+        if "table" in e.params:
+            return self._zplot_table(base, vals["table"])
+        if "heat" in e.params:
+            return self._zplot_heat(base, vals["heat"])
+        if "dist" in e.params:
+            return self._zplot_dist(base, vals["dist"])
+        names = list(e.params)
+        sel = base.select(*[_as_col(vals[n]).alias(n) for n in names])
+        df = sel.select(F.posexplode(
+            F.arrays_zip(*[F.col(n) for n in names])).alias("i", "s"))
+        cols = []
+        if "y" in names and "x" not in names:
+            cols.append(F.col("i").cast("long").alias("x"))
+        cols += [F.col("s")[n].alias(n) for n in names]
+        return df.select(*cols)
+
+    def _zplot_bundle(self, base, m, what):
+        """Matrix operand -> 1-row (rows, rl, cl) relation; labels
+        null for a bare (unlabeled) matrix, like Matrix.getRowLabels
+        returning null in the reference."""
+        null_s = F.lit(None).cast("array<string>")
+        if isinstance(m, _Mat):
+            src = m.base if m.base is not None else base
+            return src.select(
+                self._mrows(m).alias("rows"),
+                (m.rlab if m.rlab is not None else null_s).alias("rl"),
+                (m.clab if m.clab is not None else null_s).alias("cl"))
+        return base.select(_as_col(m).alias("rows"),
+                           null_s.alias("rl"), null_s.alias("cl"))
+
+    def _zplot_table(self, base, m) -> DataFrame:
+        bundle = self._zplot_bundle(base, m, "table")
+        # matrix cells are config-sized by contract — ONE bounded
+        # driver read of the LABEL row fixes the static output
+        # schema (the reference's whole Matrix lives driver-side);
+        # the data rows stay executor-side
+        lab = bundle.select(
+            F.col("cl"), F.size(F.get("rows", 0)).alias("nc")).first()
+        clabels = (list(lab["cl"]) if lab["cl"] is not None
+                   else [f"col{j}" for j in range(lab["nc"])])
+        ex = bundle.select(F.col("rl"),
+                           F.posexplode("rows").alias("i", "r"))
+        rl = F.coalesce(F.get(F.col("rl"), F.col("i")),
+                        F.col("i").cast("string")).alias("rowLabel")
+        return ex.select(rl, *[
+            F.get(F.col("r"), j).cast("double").alias(cl)
+            for j, cl in enumerate(clabels)])
+
+    def _zplot_heat(self, base, m) -> DataFrame:
+        bundle = self._zplot_bundle(base, m, "heat")
+        b1 = bundle.select("rl", "cl", F.size("rows").alias("nr"),
+                           F.posexplode("rows").alias("i", "r"))
+        b2 = b1.select("rl", "cl", "nr", "i",
+                       F.size("r").alias("ncl"),
+                       F.posexplode("r").alias("j", "z"))
+        y = F.coalesce(F.get(F.col("rl"), F.col("i")),
+                       F.concat(F.lit("row"), _zpad_expr("i", "nr")))
+        x = F.coalesce(F.get(F.col("cl"), F.col("j")),
+                       F.concat(F.lit("col"), _zpad_expr("j", "ncl")))
+        return b2.select(y.alias("y"), x.alias("x"),
+                         F.col("z").cast("double").alias("z"))
+
+    def _zplot_dist(self, base, v) -> DataFrame:
+        from pyspark.sql.types import ArrayType, StructType
+        tmp = base.select(_as_col(v).alias("d"))
+        et = tmp.schema["d"].dataType
+        if not (isinstance(et, ArrayType)
+                and isinstance(et.elementType, StructType)):
+            raise ValueError(
+                "zplot(dist=...) supports freqTable/hist tuple-list "
+                "cells; the reference's RealDistribution mode draws "
+                "500k random samples (nondeterministic) and is not "
+                "reproduced")
+        fields = set(et.elementType.names)
+        ex = tmp.select(F.explode("d").alias("s"))
+        if "N" in fields:                # hist branch (java:316)
+            if "prob" not in fields:
+                raise ValueError("zplot(dist=hist): the cell needs a "
+                                 "prob field (the reference reads "
+                                 "t.get(\"prob\"))")
+            return ex.select(
+                F.round(F.col("s")["mean"], 2).alias("x"),
+                F.col("s")["prob"].cast("double").alias("y"))
+        if "count" in fields:            # freqTable branch (java:323)
+            return ex.select(
+                F.col("s")["value"].alias("x"),
+                F.col("s")["pct"].cast("double").alias("y"))
+        raise ValueError("zplot(dist=...): unrecognized tuple-list "
+                         "cell (need freqTable or hist shape)")
 
     def _s_stats(self, e: StreamExpr) -> DataFrame:
         """StatsStream (solrj/io/stream/StatsStream.java:57): metrics
