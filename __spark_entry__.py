@@ -5923,6 +5923,127 @@ def _q_stream_recnum(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_RECNUM_EXPR)
 
 
+# --- round-3ai wave: dataset count tests + fft/ifft ---------------------------
+
+_STREAM_STATTESTS2_EXPR = (
+    'let(c=chiSquareDataSet(array(10, 9, 11, 8, 12), '
+    'array(11, 10, 9, 12, 8)), '
+    'w=chiSquareDataSet(array(30, 20, 25, 27, 18, 31), '
+    'array(14, 22, 19, 16, 25, 21)), '
+    'g=gtestDataSet(array(10, 9, 11, 8, 12), '
+    'array(11, 10, 9, 12, 8)), '
+    'f=fft(array(1.0, 2.0, -1.0, 3.0)), '
+    'tuple(cs=getValue(c, chisquare-statistic), '
+    'cp=getValue(c, p-value), '
+    'ws=getValue(w, chisquare-statistic), '
+    'wp=getValue(w, p-value), '
+    'gs=getValue(g, G-statistic), gp=getValue(g, p-value), '
+    're2=valueAt(rowAt(f, 0), 2), im1=valueAt(rowAt(f, 1), 1), '
+    'ix3=valueAt(ifft(f), 3)))')
+
+
+def _q_stream_stattests2(spark, sf_dir):
+    """Dataset count tests + DFT (round-3ai; ChiSquareDataSetEvaluator
+    .java:39 / GTestDataSetEvaluator.java:39 — commons-math
+    chiSquareDataSetsComparison with the sqrt(sum1/sum2) weighting and
+    gDataSetsComparison's 2N(Hr+Hc-Ht) mutual-information identity;
+    p-values via the RUNTIME-df chi-square cdf closed forms
+    (streams._chi2_cdf: even df finite Poisson sum, odd df erf +
+    half-integer sum, A&S erf twin shared with the oracle);
+    FFTEvaluator.java:50 / IFFTEvaluator.java:45 — STANDARD-
+    normalization DFT as nested codegen folds). Everything is a 1-row
+    whole-stage-codegen projection — no UDF, no driver compute."""
+    return _stream_eval(spark, sf_dir, _STREAM_STATTESTS2_EXPR)
+
+
+# --- round-3aj wave: clustering family ----------------------------------------
+
+_CLUSTER_PTS = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.4, 0.4),
+                (10.0, 10.0), (10.5, 10.0), (10.0, 10.5),
+                (5.0, 5.0)]
+_CLUSTER_MAT = "matrix(" + ", ".join(
+    f"array({x}, {y})" for x, y in _CLUSTER_PTS) + ")"
+
+_STREAM_DBSCAN_EXPR = (
+    f'let(m={_CLUSTER_MAT}, cl=dbscan(m, 1.0, 2), '
+    'zplot(clusters=cl))')
+
+
+def _q_stream_dbscan(spark, sf_dir):
+    """DbscanEvaluator.java + ZplotStream.java:219 clusters mode:
+    density clustering of a literal point set (two tight blobs + one
+    noise point), eps=1.0, minPts=2. DBSCAN is DETERMINISTIC (visit
+    order = row order; border points join the first cluster that
+    expands to them = the min-core-index component), so the DuckDB
+    oracle reproduces it exactly with a recursive connected-
+    components CTE over the core-core eps graph; the noise point is
+    in no cluster and is not emitted."""
+    return _stream_eval(spark, sf_dir, _STREAM_DBSCAN_EXPR)
+
+
+_BLOB_MAT = "matrix(" + ", ".join(
+    f"array({x}, {y})" for x, y in _CLUSTER_PTS[:7]) + ")"
+
+_STREAM_KMEANS_EXPR = (
+    f'let(m={_BLOB_MAT}, cl=kmeans(m, 2), a=multiKmeans(m, 2, 3), '
+    'f=fuzzyKmeans(m, 2), '
+    'tuple(k=rowCount(getCentroids(cl)), '
+    'ns=if(lt(rowCount(getCluster(cl, 0)), '
+    'rowCount(getCluster(cl, 1))), rowCount(getCluster(cl, 0)), '
+    'rowCount(getCluster(cl, 1))), '
+    'nb=if(lt(rowCount(getCluster(cl, 0)), '
+    'rowCount(getCluster(cl, 1))), rowCount(getCluster(cl, 1)), '
+    'rowCount(getCluster(cl, 0))), '
+    'ka=rowCount(getCentroids(a)), '
+    'usum=grandSum(getMembershipMatrix(f))))')
+
+
+def _q_stream_kmeans(spark, sf_dir):
+    """Kmeans/MultiKmeans/FuzzyKmeansEvaluator.java + the
+    Get{Centroids,Cluster,MembershipMatrix} accessors over a 7-point
+    two-blob literal set. The reference clusters with an UNSEEDED
+    JDKRandomGenerator (nondeterministic by construction); the
+    engine pins RandomState(42) (streams._cluster_blob), so this row
+    checks the clustering LAWS the randomness cannot move: k
+    centroids, the unambiguous 4/3 blob partition, and fuzzy
+    memberships that sum to one per point (grandSum = n). Exact
+    assignment parity is pytest-pinned (test_r3aj_ops.py)."""
+    return _stream_eval(spark, sf_dir, _STREAM_KMEANS_EXPR)
+
+
+# --- round-3ak wave: 2-D computational geometry -------------------------------
+
+_GEO_PTS = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+            (2.0, 1.0), (1.0, 2.0), (3.0, 3.0)]
+_GEO_MAT = "matrix(" + ", ".join(
+    f"array({x}, {y})" for x, y in _GEO_PTS) + ")"
+
+_STREAM_GEOMETRY_EXPR = (
+    f'let(h=convexHull({_GEO_MAT}), d=enclosingDisk({_GEO_MAT}), '
+    'tuple(a=getArea(h), p=getBoundarySize(h), '
+    'bx=valueAt(getBaryCenter(h), 0), '
+    'by=valueAt(getBaryCenter(h), 1), '
+    'nv=rowCount(getVertices(h)), '
+    'cx=valueAt(getCenter(d), 0), cy=valueAt(getCenter(d), 1), '
+    'r=getRadius(d), '
+    'pb=valueAt(rowAt(projectToBorder(h, '
+    'matrix(array(5.0, 2.0))), 0), 0)))')
+
+
+def _q_stream_geometry(spark, sf_dir):
+    """The 2-D geometry family (round-3ak; ConvexHullEvaluator
+    .java:40 MonotoneChain + GetVertices/GetBaryCenter/GetArea/
+    GetBoundarySize/ProjectToBorderEvaluator, EnclosingDiskEvaluator
+    .java:40 WelzlEncloser + GetCenter/GetRadius): hull and minimal
+    disk of a literal square-plus-interior point set. Both objects
+    are computed once by a bounded Arrow kernel over the matrix cell
+    (the reference runs commons-math driver-side); the oracle
+    recomputes area/perimeter/centroid with the shoelace formula
+    over the known CCW hull ring and the disk from the square's
+    diagonal — real arithmetic, not pasted constants."""
+    return _stream_eval(spark, sf_dir, _STREAM_GEOMETRY_EXPR)
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6883,6 +7004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_zplot": _q_stream_zplot,
         "s_stream_memrec": _q_stream_memrec,
         "s_stream_recnum": _q_stream_recnum,
+        # round-3ai: same pattern
+        "s_stream_stattests2": _q_stream_stattests2,
+        # round-3aj: same pattern
+        "s_stream_dbscan": _q_stream_dbscan,
+        "s_stream_kmeans": _q_stream_kmeans,
+        # round-3ak: same pattern
+        "s_stream_geometry": _q_stream_geometry,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -11312,5 +11440,112 @@ FROM s"""
 SELECT doc_id, lang,
        ROW_NUMBER() OVER (ORDER BY doc_id ASC, lang ASC) - 1 AS rn
 FROM documents"""
+
+    # -- round-3ai wave ------------------------------------------------------
+    # chi2 cdf SQL twins for the FIXED dfs in the expression: even
+    # df=4 -> 1 - cdf = e^-y (1 + y); odd df=5 -> cdf = erf(sqrt(y))
+    # - e^-y (t1 + t1 y / 1.5), t1 = 2 sqrt(y/pi) — the same
+    # association order as streams._chi2_cdf's folds.
+    def _chi2p4(y):
+        return f"(exp(-({y})) * (1.0 + ({y})))"
+
+    def _chi2p5(y):
+        t1 = f"(2.0 * sqrt(({y}) / pi()))"
+        return (f"(1.0 - ({_serf(f'sqrt({y})')} "
+                f"- exp(-({y})) * ({t1} + {t1} * ({y}) / 1.5)))")
+
+    out["s_stream_stattests2"] = f"""
+WITH c1 AS (SELECT UNNEST([10, 9, 11, 8, 12]) AS x,
+                   UNNEST([11, 10, 9, 12, 8]) AS z),
+cst AS (SELECT SUM(CAST(x - z AS DOUBLE) * CAST(x - z AS DOUBLE)
+                   / CAST(x + z AS DOUBLE)) AS stat FROM c1),
+w1 AS (SELECT UNNEST([30, 20, 25, 27, 18, 31]) AS x,
+              UNNEST([14, 22, 19, 16, 25, 21]) AS z),
+ww AS (SELECT SQRT(CAST((SELECT SUM(x) FROM w1) AS DOUBLE)
+                   / CAST((SELECT SUM(z) FROM w1) AS DOUBLE)) AS w),
+wst AS (SELECT SUM((CAST(x AS DOUBLE) / w - CAST(z AS DOUBLE) * w)
+                   * (CAST(x AS DOUBLE) / w - CAST(z AS DOUBLE) * w)
+                   / CAST(x + z AS DOUBLE)) AS stat FROM w1, ww),
+gt AS (SELECT CAST((SELECT SUM(x) FROM c1) AS DOUBLE) AS s1,
+              CAST((SELECT SUM(z) FROM c1) AS DOUBLE) AS s2,
+              CAST((SELECT SUM(x + z) FROM c1) AS DOUBLE) AS n),
+gg AS (SELECT 2.0 * n * (
+         (-((s1 / n) * LN(s1 / n)) - ((s2 / n) * LN(s2 / n)))
+         + (SELECT -SUM((CAST(x + z AS DOUBLE) / n)
+                        * LN(CAST(x + z AS DOUBLE) / n)) FROM c1)
+         - (SELECT -SUM((CAST(x AS DOUBLE) / n)
+                        * LN(CAST(x AS DOUBLE) / n)
+                        + (CAST(z AS DOUBLE) / n)
+                        * LN(CAST(z AS DOUBLE) / n)) FROM c1)
+       ) AS g FROM gt)
+SELECT
+  (SELECT stat FROM cst) AS cs,
+  {_chi2p4("(SELECT stat FROM cst) / 2.0")} AS cp,
+  (SELECT stat FROM wst) AS ws,
+  {_chi2p5("(SELECT stat FROM wst) / 2.0")} AS wp,
+  (SELECT g FROM gg) AS gs,
+  {_chi2p4("(SELECT g FROM gg) / 2.0")} AS gp,
+  CAST(-5.0 AS DOUBLE) AS re2,
+  CAST(1.0 AS DOUBLE) AS im1,
+  CAST(3.0 AS DOUBLE) AS ix3"""
+
+    # -- round-3aj wave ------------------------------------------------------
+    _pts_values = ", ".join(f"({i}, CAST({x} AS DOUBLE), "
+                            f"CAST({y} AS DOUBLE))"
+                            for i, (x, y) in enumerate([
+                                (0.0, 0.0), (0.5, 0.0), (0.0, 0.5),
+                                (0.4, 0.4), (10.0, 10.0),
+                                (10.5, 10.0), (10.0, 10.5),
+                                (5.0, 5.0)]))
+    out["s_stream_dbscan"] = f"""
+WITH RECURSIVE pts(i, x, y) AS (VALUES {_pts_values}),
+nb AS (SELECT a.i AS i, b.i AS j FROM pts a JOIN pts b
+       ON a.i <> b.i
+       AND sqrt((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)) <= 1.0),
+core AS (SELECT i FROM nb GROUP BY i HAVING COUNT(*) >= 2),
+reach(i, lbl) AS (
+  SELECT i, i FROM core
+  UNION
+  SELECT n.j, r.lbl FROM reach r
+  JOIN nb n ON n.i = r.i
+  JOIN core c ON c.i = n.j),
+comp AS (SELECT i, MIN(lbl) AS root FROM reach GROUP BY i),
+border AS (SELECT n.i AS i, MIN(c2.root) AS root
+           FROM nb n JOIN comp c2 ON c2.i = n.j
+           WHERE n.i NOT IN (SELECT i FROM core) GROUP BY n.i),
+allm AS (SELECT * FROM comp UNION ALL SELECT * FROM border),
+lab AS (SELECT i, DENSE_RANK() OVER (ORDER BY root) AS cn FROM allm)
+SELECT p.x AS x, p.y AS y,
+       'cluster' || CAST(l.cn AS VARCHAR) AS cluster
+FROM lab l JOIN pts p ON p.i = l.i"""
+
+    out["s_stream_kmeans"] = """
+SELECT CAST(2 AS BIGINT) AS k, CAST(3 AS BIGINT) AS ns,
+       CAST(4 AS BIGINT) AS nb, CAST(2 AS BIGINT) AS ka,
+       CAST(7.0 AS DOUBLE) AS usum"""
+
+    # -- round-3ak wave ------------------------------------------------------
+    out["s_stream_geometry"] = """
+WITH hull(i, x, y) AS (VALUES
+  (0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+  (1, CAST(4.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+  (2, CAST(4.0 AS DOUBLE), CAST(4.0 AS DOUBLE)),
+  (3, CAST(0.0 AS DOUBLE), CAST(4.0 AS DOUBLE))),
+e AS (SELECT h1.x AS x0, h1.y AS y0, h2.x AS x1, h2.y AS y1
+      FROM hull h1 JOIN hull h2 ON h2.i = (h1.i + 1) % 4),
+s AS (SELECT SUM(x0 * y1 - x1 * y0) / 2.0 AS area,
+             SUM(sqrt((x1 - x0) * (x1 - x0)
+                      + (y1 - y0) * (y1 - y0))) AS per,
+             SUM((x0 + x1) * (x0 * y1 - x1 * y0)) AS cxs,
+             SUM((y0 + y1) * (x0 * y1 - x1 * y0)) AS cys
+      FROM e)
+SELECT ABS(area) AS a, per AS p,
+       cxs / (6.0 * area) AS bx, cys / (6.0 * area) AS by,
+       CAST(4 AS BIGINT) AS nv,
+       (0.0 + 4.0) / 2.0 AS cx, (0.0 + 4.0) / 2.0 AS cy,
+       sqrt(4.0 * 4.0 + 4.0 * 4.0) / 2.0 AS r,
+       CAST(4.0 AS DOUBLE) AS pb
+FROM s"""
 
     return out

@@ -463,6 +463,511 @@ class _Mat:
         self.attrs, self.base = attrs or {}, base
 
 
+class _Clus:
+    """A clustering result flowing through the evaluator tree (the
+    reference returns KmeansEvaluator.ClusterTuple /
+    DbscanEvaluator.ClusterTuple from solrj/io/eval/{Kmeans,
+    MultiKmeans,FuzzyKmeans,Dbscan}Evaluator.java; consumed by
+    Get{Centroids,Cluster,MembershipMatrix}Evaluator.java and
+    ZplotStream's clusters mode). Here the object wraps ONE struct
+    Column {cents, assign, memb, ids, pts} produced by a bounded
+    Arrow pandas UDF over the (config-sized) matrix cell — the same
+    per-cell worker-node computation the reference performs, kept
+    executor-side (the KS p-value precedent). ``fuzzy`` gates
+    getMembershipMatrix."""
+
+    __slots__ = ("blob", "fuzzy", "base")
+
+    def __init__(self, blob, fuzzy=False, base=None):
+        self.blob, self.fuzzy, self.base = blob, fuzzy, base
+
+
+_CLUS_SCHEMA = ("cents array<array<double>>, assign array<int>, "
+                "memb array<array<double>>, ids array<string>, "
+                "pts array<array<double>>")
+
+
+def _cluster_blob(rows, ids, algo, k, max_iter, trials, fuzz, eps,
+                  min_pts):
+    """Clustering kernel over a 1-row matrix cell. kmeans/
+    multiKmeans/fuzzyKmeans reproduce the commons-math algorithms
+    with a PINNED RandomState(42) where the reference draws from an
+    unseeded JDKRandomGenerator (nondeterministic by construction —
+    the engine's runs are reproducible, a documented divergence;
+    clustering LAWS are pytest-pinned). dbscan is deterministic in
+    both engines (DBSCANClusterer.java visit order = row order) and
+    carries a full DuckDB oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_CLUS_SCHEMA)
+    def _c(rs: pd.Series, ids_s: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        def dists(X, c):
+            return np.sqrt(((X[:, None, :] - c[None, :, :]) ** 2)
+                           .sum(axis=2))
+
+        def kmeans_pp(X, rng):
+            n = len(X)
+            cents = [X[rng.randint(n)]]
+            while len(cents) < k:
+                d2 = np.min(
+                    ((X[:, None, :] - np.array(cents)[None, :, :])
+                     ** 2).sum(axis=2), axis=1)
+                tot = d2.sum()
+                probs = (np.full(n, 1.0 / n) if tot <= 0
+                         else d2 / tot)
+                cents.append(X[rng.choice(n, p=probs)])
+            c = np.array(cents)
+            assign = np.zeros(n, dtype=int)
+            for _ in range(max(1, max_iter)):
+                na = np.argmin(dists(X, c), axis=1)
+                # empty-cluster repair (commons-math
+                # LARGEST_VARIANCE strategy simplified: steal the
+                # globally farthest point — documented)
+                for ci in range(k):
+                    if not (na == ci).any():
+                        far = np.argmax(np.min(dists(X, c), axis=1))
+                        na[far] = ci
+                if (na == assign).all() and _ > 0:
+                    break
+                assign = na
+                for ci in range(k):
+                    m = X[assign == ci]
+                    if len(m):
+                        c[ci] = m.mean(axis=0)
+            return c, assign
+
+        def wcss(X, c, assign):
+            return float(((X - c[assign]) ** 2).sum())
+
+        def fuzzy(X, rng):
+            n = len(X)
+            u = rng.rand(n, k)
+            u /= u.sum(axis=1, keepdims=True)
+            m = fuzz
+            c = np.zeros((k, X.shape[1]))
+            for _ in range(max(1, max_iter)):
+                um = u ** m
+                c = (um.T @ X) / um.sum(axis=0)[:, None]
+                d = dists(X, c)
+                d = np.maximum(d, 1e-12)
+                nu = 1.0 / ((d[:, :, None] / d[:, None, :])
+                            ** (2.0 / (m - 1.0))).sum(axis=2)
+                if np.abs(nu - u).max() < 1e-3:
+                    u = nu
+                    break
+                u = nu
+            return c, u, np.argmax(u, axis=1)
+
+        def dbscan(X):
+            # DBSCANClusterer.java:141 — visit in row order;
+            # neighbors d <= eps excluding self; core if
+            # len(neigh) >= minPts; border points join the FIRST
+            # cluster that expands to them; else NOISE (-1)
+            n = len(X)
+            d = dists(X, X)
+            neigh = [np.where((d[i] <= eps)
+                              & (np.arange(n) != i))[0]
+                     for i in range(n)]
+            assign = np.full(n, -1, dtype=int)
+            visited = np.zeros(n, dtype=bool)
+            cid = -1
+            for i in range(n):
+                if visited[i]:
+                    continue
+                visited[i] = True
+                if len(neigh[i]) < min_pts:
+                    continue
+                cid += 1
+                assign[i] = cid
+                queue = list(neigh[i])
+                qi = 0
+                while qi < len(queue):
+                    j = queue[qi]
+                    qi += 1
+                    if assign[j] == -1:
+                        assign[j] = cid
+                    if not visited[j]:
+                        visited[j] = True
+                        if len(neigh[j]) >= min_pts:
+                            queue.extend(neigh[j])
+            return assign
+
+        def cents_from(X, assign):
+            out = []
+            for ci in range(assign.max() + 1 if len(assign) else 0):
+                m = X[assign == ci]
+                if len(m):
+                    out.append(m.mean(axis=0))
+            return np.array(out) if out else np.zeros((0, X.shape[1]))
+
+        res = {"cents": [], "assign": [], "memb": [], "ids": [],
+               "pts": []}
+        for pts, rl in zip(rs, ids_s):
+            X = np.array([list(r) for r in pts], dtype=float)
+            labels = (list(rl) if rl is not None
+                      else [str(i) for i in range(len(X))])
+            rng = np.random.RandomState(42)
+            memb = np.zeros((0, 0))
+            if algo == "dbscan":
+                assign = dbscan(X)
+                c = cents_from(X, assign)
+            elif algo == "fuzzy":
+                c, memb, assign = fuzzy(X, rng)
+            else:
+                best = None
+                for _t in range(trials if algo == "multi" else 1):
+                    c0, a0 = kmeans_pp(X, rng)
+                    w = wcss(X, c0, a0)
+                    if best is None or w < best[0]:
+                        best = (w, c0, a0)
+                _, c, assign = best
+            res["cents"].append([[float(v) for v in row]
+                                 for row in c])
+            res["assign"].append([int(x) for x in assign])
+            res["memb"].append([[float(v) for v in row]
+                                for row in memb])
+            res["ids"].append(labels)
+            res["pts"].append([[float(v) for v in row] for row in X])
+        return pd.DataFrame(res)
+
+    return _c(rows, ids)
+
+
+class _Hull:
+    """A 2-D convex hull flowing through the evaluator tree (the
+    reference's commons-math ConvexHull2D from ConvexHullEvaluator
+    .java:40, consumed by GetVertices/GetBaryCenter/GetArea/
+    GetBoundarySize/ProjectToBorderEvaluator.java). The blob struct
+    {verts, bary, area, boundary} is computed ONCE by a bounded
+    Arrow pandas UDF over the matrix cell (MonotoneChain twin:
+    sort by x then y, lower+upper chains, CCW from the leftmost-
+    lowest vertex — the commons-math order)."""
+
+    __slots__ = ("blob", "base")
+
+    def __init__(self, blob, base=None):
+        self.blob, self.base = blob, base
+
+
+class _Ball:
+    """A smallest enclosing disk (commons-math WelzlEncloser +
+    DiskGenerator from EnclosingDiskEvaluator.java:40, consumed by
+    GetCenter/GetRadius/GetSupportPointsEvaluator.java). The minimal
+    ball is UNIQUE, so the engine computes it by deterministic
+    candidate enumeration (all 2-point diameters and 3-point
+    circumcircles) instead of Welzl's move-to-front scan — identical
+    center/radius; the support-point ORDER may differ from the
+    reference (documented; tests compare as sets)."""
+
+    __slots__ = ("blob", "base")
+
+    def __init__(self, blob, base=None):
+        self.blob, self.base = blob, base
+
+
+def _hull_blob(rows):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("verts array<array<double>>, bary array<double>, "
+                "area double, boundary double")
+    def _h(rs: pd.Series) -> pd.DataFrame:
+        out = {"verts": [], "bary": [], "area": [], "boundary": []}
+        for pts in rs:
+            P = sorted((float(p[0]), float(p[1])) for p in pts)
+
+            def cross(o, q, r):
+                return ((q[0] - o[0]) * (r[1] - o[1])
+                        - (q[1] - o[1]) * (r[0] - o[0]))
+
+            lower = []
+            for p in P:
+                while len(lower) >= 2 \
+                        and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper = []
+            for p in reversed(P):
+                while len(upper) >= 2 \
+                        and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            verts = lower[:-1] + upper[:-1]
+            # shoelace area + perimeter + area-weighted centroid
+            n = len(verts)
+            a2 = 0.0
+            cx = cy = 0.0
+            per = 0.0
+            for i in range(n):
+                x0, y0 = verts[i]
+                x1, y1 = verts[(i + 1) % n]
+                w = x0 * y1 - x1 * y0
+                a2 += w
+                cx += (x0 + x1) * w
+                cy += (y0 + y1) * w
+                per += math.hypot(x1 - x0, y1 - y0)
+            area = a2 / 2.0
+            if area != 0:
+                cx /= (6.0 * area)
+                cy /= (6.0 * area)
+            out["verts"].append([list(v) for v in verts])
+            out["bary"].append([cx, cy])
+            out["area"].append(abs(area))
+            out["boundary"].append(per)
+        return pd.DataFrame(out)
+
+    return _h(rows)
+
+
+def _disk_blob(rows):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("center array<double>, radius double, "
+                "support array<array<double>>")
+    def _b(rs: pd.Series) -> pd.DataFrame:
+        out = {"center": [], "radius": [], "support": []}
+        for pts in rs:
+            P = [(float(p[0]), float(p[1])) for p in pts]
+
+            def covers(c, r, eps=1e-9):
+                return all(math.hypot(p[0] - c[0], p[1] - c[1])
+                           <= r + eps for p in P)
+
+            best = None
+            for i in range(len(P)):
+                for j in range(i + 1, len(P)):
+                    c = ((P[i][0] + P[j][0]) / 2.0,
+                         (P[i][1] + P[j][1]) / 2.0)
+                    r = math.hypot(P[i][0] - c[0], P[i][1] - c[1])
+                    if covers(c, r) and (best is None
+                                         or r < best[1]):
+                        best = (c, r, [P[i], P[j]])
+            for i in range(len(P)):
+                for j in range(i + 1, len(P)):
+                    for k in range(j + 1, len(P)):
+                        ax, ay = P[i]
+                        bx, by = P[j]
+                        cx_, cy_ = P[k]
+                        d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay)
+                                   + cx_ * (ay - by))
+                        if d == 0:
+                            continue
+                        ux = ((ax * ax + ay * ay) * (by - cy_)
+                              + (bx * bx + by * by) * (cy_ - ay)
+                              + (cx_ * cx_ + cy_ * cy_)
+                              * (ay - by)) / d
+                        uy = ((ax * ax + ay * ay) * (cx_ - bx)
+                              + (bx * bx + by * by) * (ax - cx_)
+                              + (cx_ * cx_ + cy_ * cy_)
+                              * (bx - ax)) / d
+                        r = math.hypot(ax - ux, ay - uy)
+                        if covers((ux, uy), r) \
+                                and (best is None or r < best[1]):
+                            best = ((ux, uy), r,
+                                    [P[i], P[j], P[k]])
+            c, r, sup = best if best else ((P[0][0], P[0][1]), 0.0,
+                                           [P[0]])
+            out["center"].append([c[0], c[1]])
+            out["radius"].append(r)
+            out["support"].append([list(s) for s in sup])
+        return pd.DataFrame(out)
+
+    return _b(rows)
+
+
+def _project_border(verts, pts):
+    """Nearest point on the hull boundary for each input point
+    (Region.projectToBoundary in ProjectToBorderEvaluator.java:47)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _p(vs: pd.Series, qs: pd.Series) -> pd.Series:
+        res = []
+        for verts_, pts_ in zip(vs, qs):
+            V = [(float(v[0]), float(v[1])) for v in verts_]
+            rows = []
+            for q in pts_:
+                qx, qy = float(q[0]), float(q[1])
+                bd = None
+                for i in range(len(V)):
+                    x0, y0 = V[i]
+                    x1, y1 = V[(i + 1) % len(V)]
+                    dx, dy = x1 - x0, y1 - y0
+                    L2 = dx * dx + dy * dy
+                    t = (0.0 if L2 == 0 else max(
+                        0.0, min(1.0, ((qx - x0) * dx
+                                       + (qy - y0) * dy) / L2)))
+                    px, py = x0 + t * dx, y0 + t * dy
+                    d = math.hypot(qx - px, qy - py)
+                    if bd is None or d < bd[0]:
+                        bd = (d, [px, py])
+                rows.append(bd[1])
+            res.append(rows)
+        return pd.Series(res)
+
+    return _p(verts, pts)
+
+
+class _Ols:
+    """A multiple-regression result (OLSRegressionEvaluator.java:40's
+    MultipleRegressionTuple): wraps the result struct so predict()
+    can dispatch statically; getValue()/tuple() unwrap to the
+    struct."""
+
+    __slots__ = ("tup", "base")
+
+    def __init__(self, tup, base=None):
+        self.tup, self.base = tup, base
+
+
+class _Markov:
+    """MarkovChainEvaluator.java:58's MarkovChain: a transition
+    matrix plus current state, consumed by sample(mc, n). The
+    reference seeds the walk with new Random() when no initial state
+    is given — nondeterministic; the engine requires the explicit
+    initial state operand."""
+
+    __slots__ = ("rows", "state0")
+
+    def __init__(self, rows, state0):
+        self.rows, self.state0 = rows, state0
+
+
+def _ols_blob(rows, ys):
+    """OLS with intercept (commons-math OLSMultipleLinearRegression
+    .newSampleData(y, x)): beta = lstsq([1 X], y); regressandVariance
+    = sample var of y; RSquared = 1 - SSR/SST (centered);
+    adjustedRSquared = 1 - SSR(n-1)/(SST(n-k));
+    regressionParametersVariance = (X'X)^-1 (unscaled, the
+    commons-math calculateBetaVariance contract); standard errors =
+    sqrt(diag((X'X)^-1) * SSR/(n-k)). A bounded Arrow kernel over the
+    matrix cell — the reference runs commons-math driver-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("regressandVariance double, "
+                "regressionParameters array<double>, "
+                "RSquared double, adjustedRSquared double, "
+                "residualSumSquares double, "
+                "regressionParametersStandardErrors array<double>, "
+                "regressionParametersVariance array<array<double>>")
+    def _o(rs: pd.Series, yy: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        out = {k: [] for k in
+               ("regressandVariance", "regressionParameters",
+                "RSquared", "adjustedRSquared", "residualSumSquares",
+                "regressionParametersStandardErrors",
+                "regressionParametersVariance")}
+        for pts, yv in zip(rs, yy):
+            X0 = np.array([list(r) for r in pts], dtype=float)
+            y = np.array(list(yv), dtype=float)
+            n = len(y)
+            X = np.hstack([np.ones((n, 1)), X0])
+            k = X.shape[1]
+            xtx_inv = np.linalg.inv(X.T @ X)
+            beta = xtx_inv @ (X.T @ y)
+            resid = y - X @ beta
+            ssr = float(resid @ resid)
+            sst = float(((y - y.mean()) ** 2).sum())
+            sigma2 = ssr / (n - k)
+            out["regressandVariance"].append(sst / (n - 1))
+            out["regressionParameters"].append(
+                [float(b) for b in beta])
+            out["RSquared"].append(1.0 - ssr / sst)
+            out["adjustedRSquared"].append(
+                1.0 - (ssr * (n - 1)) / (sst * (n - k)))
+            out["residualSumSquares"].append(ssr)
+            out["regressionParametersStandardErrors"].append(
+                [float(v) for v in
+                 np.sqrt(np.diag(xtx_inv) * sigma2)])
+            out["regressionParametersVariance"].append(
+                [[float(v) for v in row] for row in xtx_inv])
+        return pd.DataFrame(out)
+
+    return _o(rows, ys)
+
+
+def _corr_pvalues_blob(corr_rows, n):
+    """PearsonsCorrelation.getCorrelationPValues (consumed by
+    CorrelationSignificanceEvaluator.java:44): two-tailed p = I_x(
+    nu/2, 1/2) with x = nu/(nu + t^2), t = r sqrt(nu/(1-r^2)),
+    nu = n-2; zero diagonal. Regularized incomplete beta via the
+    Lentz continued fraction (deterministic; pytest pins closed-form
+    cases nu=1,2)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _pv(cr: pd.Series, ns: pd.Series) -> pd.Series:
+        def betacf(aa, bb, x):
+            tiny = 1e-300
+            qab, qap, qam = aa + bb, aa + 1.0, aa - 1.0
+            c = 1.0
+            d = 1.0 - qab * x / qap
+            if abs(d) < tiny:
+                d = tiny
+            d = 1.0 / d
+            h = d
+            for m in range(1, 200):
+                m2 = 2 * m
+                num = m * (bb - m) * x / ((qam + m2) * (aa + m2))
+                d = 1.0 + num * d
+                if abs(d) < tiny:
+                    d = tiny
+                c = 1.0 + num / c
+                if abs(c) < tiny:
+                    c = tiny
+                d = 1.0 / d
+                h *= d * c
+                num = (-(aa + m) * (qab + m) * x
+                       / ((aa + m2) * (qap + m2)))
+                d = 1.0 + num * d
+                if abs(d) < tiny:
+                    d = tiny
+                c = 1.0 + num / c
+                if abs(c) < tiny:
+                    c = tiny
+                d = 1.0 / d
+                delta = d * c
+                h *= delta
+                if abs(delta - 1.0) < 1e-15:
+                    break
+            return h
+
+        def betainc(aa, bb, x):
+            if x <= 0:
+                return 0.0
+            if x >= 1:
+                return 1.0
+            ln_front = (math.lgamma(aa + bb) - math.lgamma(aa)
+                        - math.lgamma(bb) + aa * math.log(x)
+                        + bb * math.log(1.0 - x))
+            front = math.exp(ln_front)
+            if x < (aa + 1.0) / (aa + bb + 2.0):
+                return front * betacf(aa, bb, x) / aa
+            return 1.0 - front * betacf(bb, aa, 1.0 - x) / bb
+
+        res = []
+        for rows, nv in zip(cr, ns):
+            nu = float(nv) - 2.0
+            mat = []
+            for i, row in enumerate(rows):
+                prow = []
+                for j, r in enumerate(row):
+                    if i == j:
+                        prow.append(0.0)
+                        continue
+                    r = max(min(float(r), 1.0 - 1e-15),
+                            -1.0 + 1e-15)
+                    t2 = r * r * nu / (1.0 - r * r)
+                    prow.append(betainc(nu / 2.0, 0.5,
+                                        nu / (nu + t2)))
+                mat.append(prow)
+            res.append(mat)
+        return pd.Series(res)
+
+    return _pv(corr_rows, n)
+
+
 def _let1(val, body):
     """Expression-level let-binding: evaluate ``val`` ONCE and feed
     it to ``body`` as a higher-order-function lambda variable —
@@ -489,6 +994,10 @@ def _as_col(v):
         raise ValueError("a distribution is not a value — consume it "
                          "via cumulativeProbability/probability/"
                          "density/sample/outliers/kolmogorovSmirnov")
+    if isinstance(v, _Clus):
+        raise ValueError("a clustering result is not a value — "
+                         "consume it via getCentroids/getCluster/"
+                         "getMembershipMatrix/zplot(clusters=...)")
     return v
 
 
@@ -841,6 +1350,15 @@ class StreamEvaluator:
                             clab=F.col(f"{node}__mclab"),
                             attrs={k: F.col(f"{node}__ma_{k}")
                                    for k in mc[node]})
+            cc = getattr(self, "_obj_cells", {})
+            if node in cc:
+                # a let-bound blob object — one materialized blob,
+                # N accessor consumers
+                kind, meta = cc[node]
+                blob = F.col(f"{node}__cblob")
+                if kind == "clus":
+                    return _Clus(blob, fuzzy=meta)
+                return (_Hull if kind == "hull" else _Ball)(blob)
             scope = getattr(self, "_scope_cols", None)
             if (scope is not None
                     and re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", node)
@@ -1099,6 +1617,48 @@ class StreamEvaluator:
             # bias corrections cancel)
             if node.params.get("type", "pearsons") != "pearsons":
                 raise ValueError("corr: only type=pearsons supported")
+            if len(a) == 1:
+                # MATRIX form: columns are variables ->
+                # k x k correlation matrix carrying the observation
+                # count for corrPValues (the reference stashes the
+                # PearsonsCorrelation object as the "corr" attribute)
+                m = self._mrows(a[0])
+                nn = F.size(m).cast("double")
+                cols = F.transform(
+                    F.sequence(F.lit(0),
+                               F.size(F.get(m, 0)) - F.lit(1)),
+                    lambda i: F.transform(m, lambda r: F.get(r, i)))
+                # stage (cols, n) via array_repeat so the nested HOF
+                # evaluates the transpose once per row
+                k = F.size(cols)
+                reps = F.array_repeat(
+                    F.struct(cols.alias("c"), nn.alias("n")), k)
+
+                def _pearson(ci, cj, nv):
+                    sx = self._arr_sum(ci)
+                    sy = self._arr_sum(cj)
+                    sxx = self._arr_sum(F.zip_with(
+                        ci, ci, lambda x, y: x.cast("double")
+                        * y.cast("double")))
+                    syy = self._arr_sum(F.zip_with(
+                        cj, cj, lambda x, y: x.cast("double")
+                        * y.cast("double")))
+                    sxy = self._arr_sum(F.zip_with(
+                        ci, cj, lambda x, y: x.cast("double")
+                        * y.cast("double")))
+                    return ((sxy - sx * sy / nv)
+                            / (F.sqrt(sxx - sx * sx / nv)
+                               * F.sqrt(syy - sy * sy / nv)))
+
+                rows = F.zip_with(
+                    F.sequence(F.lit(0), k - F.lit(1)), reps,
+                    lambda i, s: F.transform(
+                        s["c"],
+                        lambda cj: _pearson(F.get(s["c"], i), cj,
+                                            s["n"])))
+                return _Mat(rows, attrs={"n": nn},
+                            base=a[0].base
+                            if isinstance(a[0], _Mat) else None)
             n = F.size(a[0]).cast("double")
             sx, sy = self._arr_sum(a[0]), self._arr_sum(a[1])
             sxx = self._arr_sum(F.zip_with(
@@ -1213,7 +1773,11 @@ class StreamEvaluator:
                 nm = node.args[0]
                 if nm in getattr(self, "_tuple_cells", set()):
                     return F.col(f"{nm}__t_{node.args[1]}")
-                if nm in getattr(self, "_lets", {}):
+                if nm in getattr(self, "_lets", {}) \
+                        and nm not in getattr(self, "_value_cells",
+                                              set()):
+                    # a STREAM cell (multi-row) — not addressable as
+                    # a tuple; value cells fall through to getItem
                     raise ValueError(f"getValue({nm!r}): not a bound "
                                      "tuple cell")
             return a[0][str(node.args[1])]
@@ -1328,6 +1892,204 @@ class StreamEvaluator:
                     F.lit(0.0)))
 
             return _Mat(F.zip_with(xs, treps, _row), rlab=xs, clab=ys)
+        if fn in ("kmeans", "multiKmeans", "fuzzyKmeans", "dbscan"):
+            # Kmeans/MultiKmeans/FuzzyKmeans/DbscanEvaluator.java —
+            # see _cluster_blob for the determinism contract
+            m = a[0]
+            rows = self._mrows(m)
+            ids = (m.rlab if isinstance(m, _Mat)
+                   and m.rlab is not None
+                   else F.lit(None).cast("array<string>"))
+            base = m.base if isinstance(m, _Mat) else None
+            max_iter = int(node.params.get("maxIterations", 1000))
+            if fn == "dbscan":
+                if len(node.args) > 3:
+                    mk = node.args[3]
+                    if not (isinstance(mk, StreamExpr)
+                            and mk.name == "euclidean"):
+                        raise ValueError(
+                            "dbscan: only the euclidean distance "
+                            "measure is implemented (the commons-"
+                            "math default)")
+                blob = _cluster_blob(rows, ids, "dbscan", 0, 0, 1,
+                                     0.0, float(node.args[1]),
+                                     int(node.args[2]))
+                return _Clus(blob, base=base)
+            kk = int(node.args[1])
+            if fn == "fuzzyKmeans":
+                fz = float(node.params.get("fuzziness", 1.2))
+                blob = _cluster_blob(rows, ids, "fuzzy", kk,
+                                     max_iter, 1, fz, 0.0, 0)
+                return _Clus(blob, fuzzy=True, base=base)
+            tr = (int(node.args[2]) if fn == "multiKmeans" else 1)
+            blob = _cluster_blob(rows, ids,
+                                 "multi" if fn == "multiKmeans"
+                                 else "kmeans",
+                                 kk, max_iter, tr, 0.0, 0.0, 0)
+            return _Clus(blob, base=base)
+        if fn == "corrPValues":
+            # CorrelationSignificanceEvaluator.java:44 — two-tailed
+            # t-test p-values of a corr() matrix (needs the
+            # observation count the corr matrix carries; Pearsons
+            # only, like the reference)
+            m = a[0]
+            if not isinstance(m, _Mat) or "n" not in m.attrs:
+                raise ValueError("corrPValues: operand must be a "
+                                 "corr() matrix (Pearsons)")
+            return _Mat(_corr_pvalues_blob(m.rows, m.attrs["n"]),
+                        base=m.base)
+        if fn == "olsRegress":           # OLSRegressionEvaluator:40
+            m = a[0]
+            return _Ols(_ols_blob(self._mrows(m), a[1]),
+                        base=m.base if isinstance(m, _Mat) else None)
+        if fn == "markovChain":          # MarkovChainEvaluator.java:58
+            if len(node.args) < 2:
+                raise ValueError(
+                    "markovChain: the engine requires the explicit "
+                    "initial-state operand (the reference seeds "
+                    "with new Random() — nondeterministic)")
+            return _Markov(self._mrows(a[0]), int(node.args[1]))
+        if fn == "monteCarlo":
+            # MonteCarloEvaluator.java:75 — per iteration re-draw
+            # every named variable (each compile of sample(...)
+            # yields an independent rand()) and evaluate the
+            # function; returns the iteration results array. Random
+            # by contract like sample() — law-pinned, excluded from
+            # oracle rows.
+            if len(node.args) != 2:
+                raise ValueError("monteCarlo needs (function, "
+                                 "iterations) plus named variables")
+            it = int(node.args[1])
+            prev_mc = getattr(self, "_mc_vars", None)
+            draws = []
+            try:
+                for _i in range(it):
+                    self._mc_vars = {
+                        nm: _as_col(self._eval_col(
+                            parse_stream(txt)
+                            if _NAME_RE.match(txt) else txt))
+                        for nm, txt in node.params.items()}
+                    draws.append(_as_col(self._eval_col(
+                        node.args[0])).cast("double"))
+            finally:
+                self._mc_vars = prev_mc
+            return F.array(*draws)
+        if fn == "convexHull":           # ConvexHullEvaluator.java:40
+            m = a[0]
+            return _Hull(_hull_blob(self._mrows(m)),
+                         base=m.base if isinstance(m, _Mat) else None)
+        if fn == "getVertices":          # GetVerticesEvaluator.java
+            h = a[0]
+            if not isinstance(h, _Hull):
+                raise ValueError("getVertices: operand must be a "
+                                 "convexHull result")
+            return _Mat(h.blob["verts"], base=h.base)
+        if fn == "getBaryCenter":        # GetBaryCenterEvaluator.java
+            h = a[0]
+            if not isinstance(h, _Hull):
+                raise ValueError("getBaryCenter: operand must be a "
+                                 "convexHull result")
+            return h.blob["bary"]
+        if fn == "getArea":              # GetAreaEvaluator.java —
+            # Region.getSize() of the hull polygon = its area
+            h = a[0]
+            if not isinstance(h, _Hull):
+                raise ValueError("getArea: operand must be a "
+                                 "convexHull result")
+            return h.blob["area"]
+        if fn == "getBoundarySize":      # GetBoundarySizeEvaluator —
+            # the hull perimeter
+            h = a[0]
+            if not isinstance(h, _Hull):
+                raise ValueError("getBoundarySize: operand must be "
+                                 "a convexHull result")
+            return h.blob["boundary"]
+        if fn == "projectToBorder":      # ProjectToBorderEvaluator:47
+            h, m = a[0], a[1]
+            if not isinstance(h, _Hull):
+                raise ValueError("projectToBorder: first operand "
+                                 "must be a convexHull result")
+            return _Mat(_project_border(h.blob["verts"],
+                                        self._mrows(m)),
+                        base=h.base)
+        if fn == "enclosingDisk":        # EnclosingDiskEvaluator:40
+            m = a[0]
+            return _Ball(_disk_blob(self._mrows(m)),
+                         base=m.base if isinstance(m, _Mat) else None)
+        if fn == "getCenter":            # GetCenterEvaluator.java
+            b = a[0]
+            if not isinstance(b, _Ball):
+                raise ValueError("getCenter: operand must be an "
+                                 "enclosingDisk result")
+            return b.blob["center"]
+        if fn == "getRadius":            # GetRadiusEvaluator.java
+            b = a[0]
+            if not isinstance(b, _Ball):
+                raise ValueError("getRadius: operand must be an "
+                                 "enclosingDisk result")
+            return b.blob["radius"]
+        if fn == "getSupportPoints":     # GetSupportPointsEvaluator
+            b = a[0]
+            if not isinstance(b, _Ball):
+                raise ValueError("getSupportPoints: operand must be "
+                                 "an enclosingDisk result")
+            return _Mat(b.blob["support"], base=b.base)
+        if fn == "latlonVectors":        # LatLonVectorsEvaluator.java
+            # :60 — tuples with a "lat,lon" (or "lat lon") string
+            # field -> [lat, lon] rows; row labels from the id field;
+            # column labels ["lat", "lon"]. Pure Catalyst split/cast
+            # over the cell — no UDF.
+            fld = node.params.get("field")
+            if not fld:
+                raise ValueError('latlonVectors: the named parameter '
+                                 '"field" must be set')
+            t = self._mrows(a[0])
+
+            def _ll(s):
+                raw = s[fld].cast("string")
+                parts = (F.when(raw.contains(","),
+                                F.split(raw, ","))
+                         .otherwise(F.split(raw, " ")))
+                return F.transform(
+                    parts, lambda v: F.trim(v).cast("double"))
+
+            rows = F.transform(t, _ll)
+            ids = F.transform(t, lambda s: s["id"].cast("string"))
+            return _Mat(rows, rlab=ids,
+                        clab=F.array(F.lit("lat"), F.lit("lon")))
+        if fn == "getCentroids":         # GetCentroidsEvaluator.java
+            c = a[0]
+            if not isinstance(c, _Clus):
+                raise ValueError("getCentroids: operand must be a "
+                                 "clustering result")
+            return _Mat(c.blob["cents"], base=c.base)
+        if fn == "getCluster":           # GetClusterEvaluator.java —
+            # the i-th cluster's member points as a matrix with the
+            # member row labels
+            c = a[0]
+            if not isinstance(c, _Clus):
+                raise ValueError("getCluster: operand must be a "
+                                 "clustering result")
+            ci = a[1].cast("int")
+            z = F.zip_with(
+                F.zip_with(c.blob["pts"], c.blob["assign"],
+                           lambda p, g: F.struct(p.alias("p"),
+                                                 g.alias("g"))),
+                c.blob["ids"],
+                lambda s, d: F.struct(s["p"].alias("p"),
+                                      s["g"].alias("g"),
+                                      d.alias("id")))
+            sel = F.filter(z, lambda s: s["g"] == ci)
+            return _Mat(F.transform(sel, lambda s: s["p"]),
+                        rlab=F.transform(sel, lambda s: s["id"]),
+                        base=c.base)
+        if fn == "getMembershipMatrix":  # GetMembershipMatrix-
+            # Evaluator.java — fuzzyKmeans only, like the reference
+            c = a[0]
+            if not isinstance(c, _Clus) or not c.fuzzy:
+                raise ValueError("getMembershipMatrix: operand must "
+                                 "be a fuzzyKmeans result")
+            return _Mat(c.blob["memb"], base=c.base)
         if fn in ("putCache", "getCache", "removeCache", "listCache"):
             # Put/Get/Remove/ListCacheEvaluator.java — the
             # StreamContext object cache: a {workspace: {key: value}}
@@ -1913,6 +2675,146 @@ class StreamEvaluator:
             return F.transform(
                 F.sequence(F.lit(0), F.lit(bins - 1)),
                 lambda i: _stats(i.cast("long")))
+        if fn == "chiSquareDataSet":
+            # ChiSquareDataSetEvaluator.java:39 — commons-math
+            # ChiSquareTest.chiSquareDataSetsComparison over two
+            # long[] count vectors: equal sums -> dev = o1-o2; else
+            # weight w = sqrt(sum1/sum2), dev = o1/w - o2*w; stat =
+            # sum(dev^2/(o1+o2)); p = 1 - chi2cdf(stat, n-1) via the
+            # runtime-df closed form (_chi2_cdf). The (w, unequal)
+            # scalars stage through array_repeat so the interpreted
+            # HOF doesn't recompute the sums per element.
+            o1 = F.transform(a[0], lambda v: v.cast("long"))
+            o2 = F.transform(a[1], lambda v: v.cast("long"))
+            cs1 = F.aggregate(o1, F.lit(0).cast("long"),
+                              lambda s, v: s + v)
+            cs2 = F.aggregate(o2, F.lit(0).cast("long"),
+                              lambda s, v: s + v)
+            consts = F.array_repeat(
+                F.struct(F.sqrt(cs1.cast("double") / cs2.cast("double"))
+                         .alias("w"),
+                         (cs1 != cs2).alias("uneq")),
+                F.size(o1))
+            terms = F.zip_with(
+                F.zip_with(o1, o2, lambda x, z: F.struct(
+                    x.alias("x"), z.alias("z"))),
+                consts,
+                lambda p, c: self._sq(
+                    F.when(c["uneq"],
+                           p["x"].cast("double") / c["w"]
+                           - p["z"].cast("double") * c["w"])
+                    .otherwise((p["x"] - p["z"]).cast("double")))
+                / (p["x"] + p["z"]).cast("double"))
+            stat = self._arr_sum(terms)
+            p = F.lit(1.0) - self._chi2_cdf(stat,
+                                            F.size(o1) - F.lit(1))
+            return F.struct(stat.alias("chisquare-statistic"),
+                            p.alias("p-value"))
+        if fn == "gtestDataSet":
+            # GTestDataSetEvaluator.java:39 — commons-math
+            # GTest.gDataSetsComparison: G = 2N(H(rows) + H(cols) -
+            # H(table)) with natural-log Shannon entropies over the
+            # 2xn count table (zero cells contribute 0); p = 1 -
+            # chi2cdf(G, n-1). Same mutual-information identity as
+            # the reference's entropy() calls — few-ulp op-order
+            # divergence, inside the round-6 staging.
+            o1 = F.transform(a[0], lambda v: v.cast("long"))
+            o2 = F.transform(a[1], lambda v: v.cast("long"))
+            cs1 = F.aggregate(o1, F.lit(0).cast("long"),
+                              lambda s, v: s + v)
+            cs2 = F.aggregate(o2, F.lit(0).cast("long"),
+                              lambda s, v: s + v)
+            ntot = (cs1 + cs2).cast("double")
+
+            def _ent(vals, total):
+                reps = F.array_repeat(total, F.size(vals))
+                return -self._arr_sum(F.zip_with(
+                    vals, reps,
+                    lambda v, t: F.when(
+                        v > F.lit(0),
+                        (v.cast("double") / t)
+                        * F.log(v.cast("double") / t))
+                    .otherwise(F.lit(0.0))))
+
+            def _ent2(va, vb):
+                return -((F.when(va > F.lit(0),
+                                 (va.cast("double") / vb)
+                                 * F.log(va.cast("double") / vb))
+                          .otherwise(F.lit(0.0))))
+
+            hr = _ent2(cs1, ntot) + _ent2(cs2, ntot)
+            hc = _ent(F.zip_with(o1, o2, lambda x, z: x + z), ntot)
+            ht = _ent(F.concat(o1, o2), ntot)
+            g = F.lit(2.0) * ntot * (hr + hc - ht)
+            p = F.lit(1.0) - self._chi2_cdf(g, F.size(o1) - F.lit(1))
+            return F.struct(g.alias("G-statistic"),
+                            p.alias("p-value"))
+        if fn == "fft":
+            # FFTEvaluator.java:50 — commons-math
+            # FastFourierTransformer STANDARD forward over a real
+            # series; returns the 2-row [real; imaginary] matrix with
+            # rowLabels. The engine computes the direct DFT X_k =
+            # sum_j x_j e^(-2 pi i k j / n) as nested codegen folds —
+            # O(n^2) on a bounded series cell (the reference requires
+            # power-of-2 length for its radix-2 butterflies; the DFT
+            # has no such constraint and equals it to the last ulps).
+            arr = F.transform(a[0], lambda v: v.cast("double"))
+            n = F.size(arr)
+            ks = F.sequence(F.lit(0), n - F.lit(1))
+            reps = F.array_repeat(arr, n)
+
+            def _dft_row(trig):
+                def row(k, xs):
+                    m = F.size(xs).cast("double")
+                    idx = F.sequence(F.lit(0), F.size(xs) - F.lit(1))
+                    return self._arr_sum(F.zip_with(
+                        xs, idx,
+                        lambda x, j: x * trig(
+                            F.lit(2.0 * math.pi)
+                            * k.cast("double") * j.cast("double")
+                            / m)))
+                return row
+
+            real = F.zip_with(ks, reps, _dft_row(F.cos))
+            imag = F.zip_with(
+                ks, reps,
+                lambda k, xs: -self._arr_sum(F.zip_with(
+                    xs, F.sequence(F.lit(0), F.size(xs) - F.lit(1)),
+                    lambda x, j: x * F.sin(
+                        F.lit(2.0 * math.pi) * k.cast("double")
+                        * j.cast("double")
+                        / F.size(xs).cast("double")))))
+            return _Mat(F.array(real, imag),
+                        rlab=F.array(F.lit("real"), F.lit("imaginary")))
+        if fn == "ifft":
+            # IFFTEvaluator.java:45 — inverse transform of the
+            # [real; imaginary] matrix, STANDARD normalization (1/n
+            # on the inverse); returns the REAL parts only, like the
+            # reference: x_j = (1/n) sum_k (re_k cos(2 pi k j / n) -
+            # im_k sin(2 pi k j / n)).
+            if not isinstance(a[0], _Mat):
+                raise ValueError("ifft function requires a matrix "
+                                 "as a parameter")
+            m = self._mrows(a[0])
+            rrow, irow = F.get(m, 0), F.get(m, 1)
+            n = F.size(rrow)
+            js = F.sequence(F.lit(0), n - F.lit(1))
+            reps = F.array_repeat(
+                F.zip_with(rrow, irow, lambda r, i: F.struct(
+                    r.alias("re"), i.alias("im"))), n)
+            return F.zip_with(
+                js, reps,
+                lambda j, cs: self._arr_sum(F.zip_with(
+                    cs, F.sequence(F.lit(0), F.size(cs) - F.lit(1)),
+                    lambda c, k: c["re"] * F.cos(
+                        F.lit(2.0 * math.pi) * k.cast("double")
+                        * j.cast("double")
+                        / F.size(cs).cast("double"))
+                    - c["im"] * F.sin(
+                        F.lit(2.0 * math.pi) * k.cast("double")
+                        * j.cast("double")
+                        / F.size(cs).cast("double"))))
+                / F.size(cs).cast("double"))
         if fn == "ttest":                # TTestEvaluator.java —
             # commons-math TTest.t(a, b): Welch two-sample statistic
             # (m1-m2)/sqrt(v1/n1 + v2/n2) from raw moments
@@ -2132,6 +3034,10 @@ class StreamEvaluator:
             out.fitted = F.transform(
                 vf.lx, lambda z: self._vf_value(out, z.cast("double")))
             return out
+        if fn == "integral":             # Lang.java:211 registers
+            fn = "integrate"             # IntegrateEvaluator as
+            # "integral"; the engine keeps "integrate" as an alias
+            # (the math-expressions guide's historical name)
         if fn == "integrate":
             # IntegrateEvaluator.java — Romberg over the function.
             # The engine integrates the piecewise/global polynomial
@@ -2338,6 +3244,10 @@ class StreamEvaluator:
                 .otherwise(F.exp(kd * F.log(base))))
 
     @staticmethod
+    def _sq(c):
+        return c * c
+
+    @staticmethod
     def _erf(x):
         """Abramowitz & Stegun 7.1.26 (|eps| <= 1.5e-7). The DuckDB
         oracle embeds the IDENTICAL arithmetic (same association
@@ -2351,6 +3261,48 @@ class StreamEvaluator:
              + F.lit(0.254829592)) * t
         e = F.lit(1.0) - y * F.exp(-(ax * ax))
         return F.when(x < F.lit(0.0), -e).otherwise(e)
+
+    @classmethod
+    def _chi2_cdf(cls, x, df):
+        """Chi-squared cumulativeProbability for a RUNTIME integer
+        df: the regularized lower incomplete gamma P(df/2, x/2) in
+        closed form — even df a finite Poisson sum (the gamma-dist
+        path generalized to a runtime fold), odd df the erf +
+        half-integer finite sum P = erf(sqrt(y)) - e^-y *
+        sum_{j=1..k} y^(j-1/2)/Gamma(j+1/2) with the term recurrence
+        t_{j+1} = t_j * y/(j+1/2), t_1 = 2*sqrt(y/pi). Exact but for
+        the A&S erf twin (<= 1.5e-7, same note as the normal cdf);
+        pinned against an independent gamma series in
+        tests/test_r3ai_ops.py. Both folds are runtime-length
+        Catalyst aggregates — no UDF, no driver round-trip."""
+        y = x.cast("double") / F.lit(2.0)
+        dfi = df.cast("int")
+        k_e = (dfi / F.lit(2)).cast("int")
+        even_fold = F.aggregate(
+            F.sequence(F.lit(1), k_e - F.lit(1)),
+            F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("t")),
+            lambda acc, i: F.struct(
+                (acc["s"] + acc["t"] * y
+                 / i.cast("double")).alias("s"),
+                (acc["t"] * y / i.cast("double")).alias("t")))["s"]
+        sum_e = F.when(k_e <= F.lit(1), F.lit(1.0)).otherwise(even_fold)
+        p_even = F.lit(1.0) - F.exp(-y) * sum_e
+        k_o = ((dfi - F.lit(1)) / F.lit(2)).cast("int")
+        t1 = F.lit(2.0) * F.sqrt(y / F.lit(math.pi))
+        odd_fold = F.aggregate(
+            F.sequence(F.lit(1), k_o - F.lit(1)),
+            F.struct(t1.alias("s"), t1.alias("t")),
+            lambda acc, j: F.struct(
+                (acc["s"] + acc["t"] * y
+                 / (j.cast("double") + F.lit(0.5))).alias("s"),
+                (acc["t"] * y
+                 / (j.cast("double") + F.lit(0.5))).alias("t")))["s"]
+        sum_o = (F.when(k_o == F.lit(0), F.lit(0.0))
+                 .when(k_o == F.lit(1), t1).otherwise(odd_fold))
+        p_odd = cls._erf(F.sqrt(y)) - F.exp(-y) * sum_o
+        return (F.when(x.cast("double") <= F.lit(0.0), F.lit(0.0))
+                .otherwise(F.when(dfi % F.lit(2) == F.lit(0), p_even)
+                           .otherwise(p_odd)))
 
     def _binom_pmf(self, n, p, kk):
         """C(n,k) p^k (1-p)^(n-k) with exact factorials (n <= 20)."""
@@ -3032,11 +3984,13 @@ class StreamEvaluator:
         vf_prev = getattr(self, "_vfunc_cells", {})
         mc_prev = getattr(self, "_mat_cells", {})
         tc_prev = getattr(self, "_tuple_cells", set())
+        cc_prev = getattr(self, "_obj_cells", {})
         self._lets = dict(vars_prev)
         self._value_cells = set(vc_prev)
         self._vfunc_cells = dict(vf_prev)
         self._mat_cells = dict(mc_prev)
         self._tuple_cells = set(tc_prev)
+        self._obj_cells = dict(cc_prev)
         try:
             for name, txt in e.params.items():
                 node = parse_stream(txt)
@@ -3096,6 +4050,18 @@ class StreamEvaluator:
                     src = val.base if val.base is not None else base
                     self._lets[name] = src.select(*cols)
                     self._mat_cells[name] = sorted(val.attrs)
+                elif isinstance(val, (_Clus, _Hull, _Ball)):
+                    # a blob-backed result object (clustering /
+                    # convex hull / enclosing disk): ONE materialized
+                    # blob row (one kernel invocation), N accessor
+                    # consumers
+                    src = val.base if val.base is not None else base
+                    self._lets[name] = src.select(
+                        val.blob.alias(f"{name}__cblob"))
+                    kind = {"_Clus": "clus", "_Hull": "hull",
+                            "_Ball": "ball"}[type(val).__name__]
+                    self._obj_cells[name] = (
+                        kind, val.fuzzy if kind == "clus" else None)
                 else:
                     self._lets[name] = base.select(
                         _as_col(val).alias(name))
@@ -3110,6 +4076,7 @@ class StreamEvaluator:
             self._vfunc_cells = vf_prev
             self._mat_cells = mc_prev
             self._tuple_cells = tc_prev
+            self._obj_cells = cc_prev
 
     def _bind_memset(self, node: StreamExpr) -> None:
         """MemsetEvaluator.java:115: drain the wrapped stream ONCE
@@ -3201,6 +4168,10 @@ class StreamEvaluator:
                 base = base.crossJoin(F.broadcast(cdf.select(
                     *[F.col(c).alias(f"{nm}__t_{c}")
                       for c in cdf.columns])))
+        for nm in sorted(getattr(self, "_obj_cells", {})):
+            if any(re.search(rf"\b{re.escape(nm)}\b", t)
+                   for t in texts):
+                base = base.crossJoin(F.broadcast(cells[nm]))
         return base
 
     def _s_get(self, e: StreamExpr) -> DataFrame:
@@ -3643,17 +4614,15 @@ class StreamEvaluator:
         (java:332); heat=matrix -> long-form (y, x, z) tuples with
         the reference's zero-padded row/col fallback labels
         (java:363 + pad()); dist=freqTable/hist cell -> (x, y)
-        density pairs (java:313 list branch). The clusters mode needs
-        the kmeans family and the RealDistribution dist mode draws
-        500k RANDOM samples in the reference (nondeterministic by
-        construction) — both raise. Everything stays executor-side;
-        only table mode reads the (config-sized) label row once to
-        fix the static output schema."""
+        density pairs (java:313 list branch); clusters=kmeans/dbscan
+        result -> (x, y, cluster) tuples (java:219). The
+        RealDistribution dist mode draws 500k RANDOM samples in the
+        reference (nondeterministic by construction) and raises.
+        Everything stays executor-side; only table mode reads the
+        (config-sized) label row once to fix the static output
+        schema."""
         if not e.params:
             raise ValueError("zplot() needs named parameters")
-        if "clusters" in e.params:
-            raise ValueError("zplot: clusters mode requires the "
-                             "kmeans/dbscan family")
         if ("table" in e.params or "dist" in e.params) \
                 and len(e.params) > 1:
             raise ValueError("zplot: table/dist must be the only "
@@ -3665,6 +4634,8 @@ class StreamEvaluator:
                 node = (parse_stream(txt) if _NAME_RE.match(txt)
                         else txt)
                 vals[name] = self._eval_col(node)
+        if "clusters" in e.params:
+            return self._zplot_clusters(base, vals["clusters"])
         if "table" in e.params:
             return self._zplot_table(base, vals["table"])
         if "heat" in e.params:
@@ -3726,6 +4697,28 @@ class StreamEvaluator:
                        F.concat(F.lit("col"), _zpad_expr("j", "ncl")))
         return b2.select(y.alias("y"), x.alias("x"),
                          F.col("z").cast("double").alias("z"))
+
+    def _zplot_clusters(self, base, c) -> DataFrame:
+        """ZplotStream.java:219 clusters branch: one (x, y, cluster)
+        tuple per clustered 2-D point, cluster names "cluster1"..;
+        dbscan noise points (assign -1) are in no cluster and are
+        not emitted, like the reference's cluster-list walk."""
+        if not isinstance(c, _Clus):
+            raise ValueError("zplot(clusters=...) needs a kmeans/"
+                             "multiKmeans/fuzzyKmeans/dbscan result")
+        src = c.base if c.base is not None else base
+        bundle = src.select(c.blob["pts"].alias("pts"),
+                            c.blob["assign"].alias("asg"))
+        z = bundle.select(F.explode(F.zip_with(
+            F.col("pts"), F.col("asg"),
+            lambda p, g: F.struct(p.alias("p"),
+                                  g.alias("g")))).alias("s"))
+        return (z.filter(F.col("s")["g"] >= 0)
+                .select(F.col("s")["p"][0].alias("x"),
+                        F.col("s")["p"][1].alias("y"),
+                        F.concat(F.lit("cluster"),
+                                 (F.col("s")["g"] + 1)
+                                 .cast("string")).alias("cluster")))
 
     def _zplot_dist(self, base, v) -> DataFrame:
         from pyspark.sql.types import ArrayType, StructType
