@@ -2145,9 +2145,15 @@ def _stream_eval(spark, sf_dir, expr_text, chroot=None):
                                 simple_tokens_col().alias("terms")),
          "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
          "exprs": exprs,
-         "links": links},
+         "links": links,
+         # labeled view for the features()/train() ML streams:
+         # out_i mirrors the TextLogisticRegression positiveLabel
+         # comparison on lang='en'
+         "docs_out": d.withColumn(
+             "out_i", F.when(F.col("lang") == "en", 1).otherwise(0))},
         text_search=text_search,
         mlt=lambda coll, did, k: _mlt_plan(se, did, k),
+        postings=lambda coll, field: se.ix.postings,
         chroot=chroot)
     return ev.eval(expr_text)
 
@@ -3869,12 +3875,15 @@ def _q_stream_features(spark, sf_dir):
     """FeaturesSelectionStream (solrj/io/stream/
     FeaturesSelectionStream.java:60): top-5 terms by information gain
     against outcome lang='en' (igain scoring,
-    IGainTermsQParserPlugin.java:156-205; see search/mlstreams.py)."""
-    from lucene_solr_spark.search.mlstreams import features_selection
-    se = _searcher(spark, sf_dir)
-    out = features_selection(se.ix.postings,
-                             _train_labels(spark, sf_dir),
-                             num_terms=_FS_NUM_TERMS, feature_set="fs")
+    IGainTermsQParserPlugin.java:156-205; see search/mlstreams.py).
+    Round 2: routed through the streaming-expression surface
+    (streams._s_features + the postings hook) so the parser/evaluator
+    path is the thing verified, not just the library function."""
+    out = _stream_eval(
+        spark, sf_dir,
+        f'features(docs_out, q="*:*", field="text", '
+        f'outcome="out_i", numTerms={_FS_NUM_TERMS}, '
+        f'featureSet="fs")')
     return out.select("id", "index_i", "term_s",
                       F.round("score_f", 6).alias("score_f"),
                       "featureSet_s",
@@ -6044,6 +6053,109 @@ def _q_stream_geometry(spark, sf_dir):
     return _stream_eval(spark, sf_dir, _STREAM_GEOMETRY_EXPR)
 
 
+# --- round-3al wave: multiple regression, corr p-values, markov chains --------
+
+_OLS_OBS = [(1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 3.0),
+            (5.0, 8.0)]
+_OLS_YS = [3.0, 7.0, 6.0, 11.0, 9.5]
+_OLS_MAT = "matrix(" + ", ".join(
+    f"array({x}, {y})" for x, y in _OLS_OBS) + ")"
+_OLS_YARR = "array(" + ", ".join(map(str, _OLS_YS)) + ")"
+
+_STREAM_OLS_EXPR = (
+    f'let(o=olsRegress({_OLS_MAT}, {_OLS_YARR}), '
+    'tuple(b0=valueAt(getValue(o, regressionParameters), 0), '
+    'b1=valueAt(getValue(o, regressionParameters), 1), '
+    'b2=valueAt(getValue(o, regressionParameters), 2), '
+    'r2=getValue(o, RSquared), ar2=getValue(o, adjustedRSquared), '
+    'ssr=getValue(o, residualSumSquares), '
+    'rv=getValue(o, regressandVariance), '
+    'p1=predict(o, array(2.0, 2.0))))')
+
+
+def _q_stream_ols(spark, sf_dir):
+    """OLSRegressionEvaluator.java:40 (commons-math
+    OLSMultipleLinearRegression over a literal 5x2 observation
+    matrix) + MultipleRegressionTuple.predict. The engine solves the
+    normal equations in a bounded Arrow kernel (streams._ols_blob);
+    the oracle solves the SAME 3x3 system by Cramer's rule in plain
+    SQL — real arithmetic on both sides."""
+    return _stream_eval(spark, sf_dir, _STREAM_OLS_EXPR)
+
+
+_CORR_COLS = [(1.0, 2.0, 10.0), (2.0, 1.0, 8.0), (3.0, 5.0, 6.0),
+              (4.0, 3.0, 5.0), (5.0, 8.0, 1.0), (6.0, 6.0, 2.0)]
+_CORR_MAT = "matrix(" + ", ".join(
+    "array(" + ", ".join(map(str, p)) + ")"
+    for p in _CORR_COLS) + ")"
+
+_STREAM_CORRP_EXPR = (
+    f'let(c=corr({_CORR_MAT}), p=corrPValues(c), '
+    'tuple(r01=valueAt(rowAt(c, 0), 1), '
+    'r02=valueAt(rowAt(c, 0), 2), r12=valueAt(rowAt(c, 1), 2), '
+    'p01=valueAt(rowAt(p, 0), 1), p02=valueAt(rowAt(p, 0), 2), '
+    'p12=valueAt(rowAt(p, 1), 2), pd=valueAt(rowAt(p, 0), 0)))')
+
+
+def _q_stream_corrp(spark, sf_dir):
+    """Matrix corr() + CorrelationSignificanceEvaluator.java:44 —
+    pairwise Pearson over a 6x3 literal matrix and the two-tailed
+    t-test p-values (nu = n-2 = 4). The engine evaluates the
+    regularized incomplete beta by Lentz continued fraction
+    (streams._corr_pvalues_blob); the oracle uses the EXACT nu=4
+    closed form p = 1 - u(3-u^2)/2, u = t/sqrt(t^2+4) — two
+    independent routes to the same number (agreement ~1e-12, far
+    inside the round-6 staging)."""
+    return _stream_eval(spark, sf_dir, _STREAM_CORRP_EXPR)
+
+
+_STREAM_MARKOV_EXPR = (
+    'tuple(w=sample(markovChain(matrix(array(0.0, 1.0, 0.0), '
+    'array(0.0, 0.0, 1.0), array(1.0, 0.0, 0.0)), 0), 6), '
+    'ab=sample(markovChain(matrix(array(0.0, 1.0), '
+    'array(0.0, 1.0)), 0), 4))')
+
+
+def _q_stream_markov(spark, sf_dir):
+    """MarkovChainEvaluator.java:58 + sample(mc, n): the walk is a
+    sequential Catalyst fold (state + inverse-cdf step). Random in
+    general (law-pinned); THIS row uses deterministic transition
+    matrices — a 3-cycle permutation and an absorbing chain — whose
+    walks are independent of the uniforms, so the oracle row is
+    exact. The engine requires the explicit initial state (the
+    reference seeds with new Random(); documented divergence)."""
+    return _stream_eval(spark, sf_dir, _STREAM_MARKOV_EXPR)
+
+
+# --- round-3am wave: ML stream chain through the expression surface ----------
+
+_STREAM_TRAINML_EXPR = (
+    'train(docs_out, features(docs_out, q="*:*", field="text", '
+    'outcome="out_i", numTerms=2, featureSet="fs"), q="*:*", '
+    'field="text", outcome="out_i", name="m1", maxIterations=3)')
+
+
+def _q_stream_trainml(spark, sf_dir):
+    """The full TextLogitStream chain through the streaming-
+    expression surface (streams._s_train wrapping _s_features;
+    TextLogitStream.java:80 consuming FeaturesSelectionStream
+    .java:60): IG-select the top-2 terms, then 3 batch-gradient
+    iterations; one row per (iteration, weight) plus the model name
+    and term list. The oracle recomputes the SAME chain in SQL —
+    the selected terms are scalar subqueries over the IG ranking,
+    not pasted literals."""
+    out = _stream_eval(spark, sf_dir, _STREAM_TRAINML_EXPR)
+    return (out.select(
+        "iteration_i", "name_s",
+        F.concat_ws(",", "terms_ss").alias("terms"),
+        F.round("error_d", 6).alias("error"),
+        F.posexplode("weights_ds").alias("idx", "w"))
+        .select("iteration_i", "name_s", "terms", "error",
+                F.col("idx").cast("long").alias("idx"),
+                F.round("w", 6).alias("w"))
+        .orderBy("iteration_i", "idx"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -6250,11 +6362,33 @@ WINDOW_ORDER = [
     # records + pytest; its checkpoint-replay contract is stream-
     # decorator machinery repped in-window by the eval/parsecsv/
     # facet2d rows and its match-set scan is every q_* row's shape).
+    # Round-3al rotation (window stays 50): IN s_stream_ols (the
+    # olsRegress/predict multiple-regression surface — normal
+    # equations solved in a bounded Arrow kernel vs a Cramer-rule
+    # SQL oracle: two independent derivations of the same dense
+    # float arithmetic), s_stream_corrp (corrPValues — the
+    # regularized-incomplete-beta Lentz continued fraction vs the
+    # exact nu=4 closed form; the only special-function row in the
+    # repo) and s_stream_trainml (the FULL train(features(...))
+    # chain through the streaming-expression surface — IG feature
+    # selection feeding iterative batch-gradient logistic regression,
+    # with the oracle re-deriving the selected terms as scalar
+    # subqueries, not literals; the deepest cross-engine chain in
+    # the stream family). OUT (all keep three-scale local records +
+    # pytest): s_stream_distops (order-statistic/cdf-filter shape;
+    # the distribution family stays repped in-window by
+    # s_stream_dist), s_stream_parsecsv (file-source decorator;
+    # the stream family keeps spline/dist/evalexpr/regress/facet2d/
+    # eval in-window) and t_lsh_recall (pair-set comparison plan;
+    # the dedup stack stays repped in-window by t_minhash_lsh +
+    # t_window_dedup). s_stream_markov and s_stream_features'
+    # reroute keep out-of-window local records.
+    "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
     "s_stream_spline",
-    "s_stream_dist", "s_stream_distops",
+    "s_stream_dist",
     "s_stream_scalarfns",
-    # (s_stream_topic rotated OUT in round 3ae — see the 3ae note.)
-    "s_stream_parsecsv",
+    # (s_stream_topic rotated OUT in round 3ae;
+    #  s_stream_distops/parsecsv rotated OUT in round 3al.)
     "s_stream_evalexpr",
     "s_stream_regress",
     # (s_stream_math and s_stream_reduce rotated OUT in round 3ad —
@@ -6265,7 +6399,7 @@ WINDOW_ORDER = [
     # (t_len_bias rotated OUT in round 3ac — see the 3ac note at the
     # head of this list.)
     "p_parent", "q_xc_join",
-    "t_window_dedup", "t_lsh_recall",
+    "t_window_dedup",
     "q_facet_uniqueblock", "t_ict_pairs",
     "q_prefix_scoring", "q_phrase_gap",
     "s_stream_eval", "t_tfidf_keywords",
@@ -6504,6 +6638,8 @@ WINDOW_ORDER = [
     # semantics changed in round 2 (anchored regexp, Damerau fuzzy,
     # parser sloppy phrase)
     "q_regexp",
+    # (rotated OUT in round 3al — first past-window slots)
+    "s_stream_distops", "s_stream_parsecsv", "t_lsh_recall",
     # added later in round 2 (no prior oracle rows)
     "q_highlight_best", "v_ann_ivf",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
@@ -7011,6 +7147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_kmeans": _q_stream_kmeans,
         # round-3ak: same pattern
         "s_stream_geometry": _q_stream_geometry,
+        # round-3al: same pattern
+        "s_stream_ols": _q_stream_ols,
+        "s_stream_corrp": _q_stream_corrp,
+        "s_stream_markov": _q_stream_markov,
+        # round-3am: same pattern
+        "s_stream_trainml": _q_stream_trainml,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -7071,7 +7213,7 @@ GROUP BY ROLLUP (d.lang, d.source)"""
 
     out["q_grouped_topk"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, ROUND(score, 6) AS score
+sc AS MATERIALIZED (SELECT docid, ROUND(score, 6) AS score
        FROM ({ob.scored(Term(_GROUP_TERM))}) s)
 SELECT lang, doc_id, score, rn FROM (
   SELECT d.lang, sc.docid AS doc_id, sc.score,
@@ -7175,7 +7317,7 @@ ORDER BY ROUND(ca.score, 6) DESC, ca.docid ASC LIMIT 10"""
 
     out["q_grouped_groups"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, ROUND(score, 6) AS score
+sc AS MATERIALIZED (SELECT docid, ROUND(score, 6) AS score
        FROM ({ob.scored(Term(_GROUP_TERM))}) s),
 jj AS (SELECT sc.docid, sc.score, d.source
        FROM sc JOIN documents d ON d.doc_id = sc.docid),
@@ -7303,7 +7445,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10"""
 
     out["q_block_join"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, ROUND(score, 6) AS score
+sc AS MATERIALIZED (SELECT docid, ROUND(score, 6) AS score
        FROM ({ob.scored(Term(_FACET_TERM))}) s)
 SELECT d.source, ROUND(MAX(sc.score), 6) AS score,
        ROUND(SUM(sc.score), 6) AS score_total,
@@ -7870,7 +8012,7 @@ LIMIT 10"""
 
     out["q_function_score"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, score FROM ({ob.scored(Term(_FS_TERM))}) s)
+sc AS MATERIALIZED (SELECT docid, score FROM ({ob.scored(Term(_FS_TERM))}) s)
 SELECT sc.docid AS doc_id,
        ROUND(sc.score * ln(1.0 + d.n_chars), 6) AS score
 FROM sc JOIN documents d ON d.doc_id = sc.docid
@@ -7989,7 +8131,7 @@ ORDER BY component"""
 
     out["q_join_field"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, score FROM ({ob.scored(Term(_JOIN_TERM))}) s)
+sc AS MATERIALIZED (SELECT docid, score FROM ({ob.scored(Term(_JOIN_TERM))}) s)
 SELECT docid AS doc_id, ROUND(score, 6) AS score
 FROM sc
 WHERE docid IN (SELECT user_id FROM events WHERE event_type = 'error')
@@ -8037,7 +8179,7 @@ ORDER BY ROUND(jf.total, 6) DESC, m.docid ASC LIMIT 10"""
                                 "n_chars": "CAST(d.n_chars AS DOUBLE)"})
     out["q_expr_sort"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, score FROM ({ob.scored(Term("merge"))}) s)
+sc AS MATERIALIZED (SELECT docid, score FROM ({ob.scored(Term("merge"))}) s)
 SELECT sc.docid AS doc_id, ROUND({_expr_ora}, 6) AS expr_sort
 FROM sc JOIN documents d ON d.doc_id = sc.docid
 ORDER BY ROUND({_expr_ora}, 6) DESC, sc.docid ASC LIMIT 10"""
@@ -8780,7 +8922,7 @@ ORDER BY weight DESC, doc_id ASC LIMIT 10"""
 
     out["q_group_func"] = f"""
 WITH {ctes},
-sc AS (SELECT docid, ROUND(score, 6) AS score
+sc AS MATERIALIZED (SELECT docid, ROUND(score, 6) AS score
        FROM ({ob.scored(Term(_GROUP_TERM))}) s)
 SELECT bucket, doc_id, score, n_in_group FROM (
   SELECT CAST(FLOOR(d.n_chars / {_GF_BUCKET}) AS BIGINT) AS bucket,
@@ -9582,11 +9724,11 @@ lbl AS (SELECT doc_id AS docid,
         FROM documents),
 tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(y) AS DOUBLE) AS npos FROM lbl),
-pt AS (SELECT p.term, CAST(COUNT(*) AS DOUBLE) AS df,
+pt AS MATERIALIZED (SELECT p.term, CAST(COUNT(*) AS DOUBLE) AS df,
               CAST(SUM(l.y) AS DOUBLE) AS xc
        FROM (SELECT DISTINCT term, docid FROM postings) p
        JOIN lbl l ON l.docid = p.docid GROUP BY p.term),
-sc AS (SELECT term,
+sc AS MATERIALIZED (SELECT term,
               {_ent('tot.npos / tot.n')}
               - ((df / tot.n) * {_ent('xc / df')}
                  + (1 - df / tot.n)
@@ -9594,7 +9736,7 @@ sc AS (SELECT term,
               AS score,
               ln(tot.n / (df + 1)) AS idf
        FROM pt CROSS JOIN tot),
-rk AS (SELECT term, score, idf,
+rk AS MATERIALIZED (SELECT term, score, idf,
               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, term ASC)
                    AS BIGINT) AS index_i
        FROM sc)
@@ -9613,11 +9755,11 @@ WITH {ctes},
 lbl AS (SELECT doc_id AS docid,
                CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
         FROM documents),
-tdf AS (SELECT term, COUNT(DISTINCT docid) AS df FROM postings
+tdf AS MATERIALIZED (SELECT term, COUNT(DISTINCT docid) AS df FROM postings
         WHERE term IN ('{t1}', '{t2}') GROUP BY term),
-idf AS (SELECT term, ln((SELECT n FROM st) / (df + 1.0)) AS v
+idf AS MATERIALIZED (SELECT term, ln((SELECT n FROM st) / (df + 1.0)) AS v
         FROM tdf),
-xv AS (SELECT p.docid, MAX(l.y) AS y,
+xv AS MATERIALIZED (SELECT p.docid, MAX(l.y) AS y,
               COALESCE(MAX(CASE WHEN p.term = '{t1}'
                   THEN i.v * (1 + ln(p.tf)) END), 0.0) AS x1,
               COALESCE(MAX(CASE WHEN p.term = '{t2}'
@@ -9744,14 +9886,14 @@ dp AS (SELECT a.vec_id AS probe_id, b.vec_id AS neg_id,
        FROM nv a JOIN nv b ON a.i = b.i AND a.vec_id <> b.vec_id
        WHERE a.vec_id IN ({_hn})
        GROUP BY a.vec_id, b.vec_id),
-sc AS (SELECT dp.probe_id, dp.neg_id,
+sc AS MATERIALIZED (SELECT dp.probe_id, dp.neg_id,
               ROUND(dp.d / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos
        FROM dp JOIN nrm na ON na.vec_id = dp.probe_id
        JOIN nrm nb ON nb.vec_id = dp.neg_id
        JOIN lb la ON la.vec_id = dp.probe_id
        JOIN lb x ON x.vec_id = dp.neg_id
        WHERE x.label <> la.label),
-rk AS (SELECT probe_id, neg_id, cos,
+rk AS MATERIALIZED (SELECT probe_id, neg_id, cos,
               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
                    ORDER BY cos DESC, neg_id ASC) AS BIGINT) AS rank
        FROM sc)
@@ -9788,7 +9930,7 @@ hm AS (SELECT sg.vec_id,
        FROM sg CROSS JOIN q WHERE sg.vec_id <> 0
        ORDER BY hamming ASC, sg.vec_id ASC LIMIT {_BQ_CANDIDATES}),
 qv AS (SELECT v AS qe, i FROM nv WHERE vec_id = 0),
-sc AS (SELECT hm.vec_id, MIN(hm.hamming) AS hamming,
+sc AS MATERIALIZED (SELECT hm.vec_id, MIN(hm.hamming) AS hamming,
               ROUND(SUM(CAST(nv.v AS DOUBLE) * CAST(qv.qe AS DOUBLE))
                     / (sqrt(SUM(CAST(nv.v AS DOUBLE)
                                 * CAST(nv.v AS DOUBLE)))
@@ -10706,7 +10848,7 @@ sq AS (SELECT v, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn FROM mx),
 ms AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s,
               SUM(v * v) AS ssq FROM sq),
 e4 AS (SELECT v FROM sq WHERE rn = 4),
-rk AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM sq
+rk AS MATERIALIZED (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM sq
                WHERE rn <= 100 AND v < (SELECT v FROM e4))
             + ((SELECT CAST(COUNT(*) AS DOUBLE) FROM sq
                 WHERE rn <= 100 AND v = (SELECT v FROM e4))
@@ -10723,7 +10865,7 @@ ds AS (SELECT x.v - 0.5 * y.v AS d
        FROM sq x JOIN srt y ON y.rk = x.rn),
 dm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, SUM(d) AS sd,
               SUM(d * d) AS qd FROM ds),
-pt AS (SELECT (sd / nd)
+pt AS MATERIALIZED (SELECT (sd / nd)
              / SQRT(((qd - sd * sd / nd) / (nd - 1.0)) / nd) AS pt
        FROM dm),
 pool AS (SELECT v FROM sq WHERE rn <= 400),
@@ -11547,5 +11689,151 @@ SELECT ABS(area) AS a, per AS p,
        sqrt(4.0 * 4.0 + 4.0 * 4.0) / 2.0 AS r,
        CAST(4.0 AS DOUBLE) AS pb
 FROM s"""
+
+    # -- round-3al wave ------------------------------------------------------
+    _ols_rows = ", ".join(
+        f"({x}, {y}, {v})" for (x, y), v in zip(
+            [(1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 3.0),
+             (5.0, 8.0)],
+            [3.0, 7.0, 6.0, 11.0, 9.5]))
+    out["s_stream_ols"] = f"""
+WITH d(x1, x2, y) AS (VALUES {_ols_rows}),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x1) AS s1,
+             SUM(x2) AS s2, SUM(x1 * x1) AS s11,
+             SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+             SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
+             AVG(y) AS ym
+      FROM d),
+det AS (SELECT *,
+  (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+   + s2 * (s1 * s12 - s11 * s2)) AS dd,
+  (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+   + s2 * (s1y * s12 - s11 * s2y)) AS d0,
+  (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+   + s2 * (s1 * s2y - s1y * s2)) AS d1,
+  (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+   + sy * (s1 * s12 - s11 * s2)) AS d2
+  FROM s),
+beta AS (SELECT *, d0 / dd AS b0, d1 / dd AS b1, d2 / dd AS b2
+         FROM det),
+fit AS (SELECT b.b0, b.b1, b.b2, b.n, b.ym,
+               SUM((d.y - b.b0 - b.b1 * d.x1 - b.b2 * d.x2)
+                   * (d.y - b.b0 - b.b1 * d.x1 - b.b2 * d.x2))
+                 AS ssr,
+               SUM((d.y - b.ym) * (d.y - b.ym)) AS sst
+        FROM d, beta b GROUP BY b.b0, b.b1, b.b2, b.n, b.ym)
+SELECT b0, b1, b2,
+       1.0 - ssr / sst AS r2,
+       1.0 - (ssr * (n - 1.0)) / (sst * (n - 3.0)) AS ar2,
+       ssr, sst / (n - 1.0) AS rv,
+       b0 + 2.0 * b1 + 2.0 * b2 AS p1
+FROM fit"""
+
+    _corr_rows = ", ".join(
+        f"({a}, {b}, {c})" for a, b, c in
+        [(1.0, 2.0, 10.0), (2.0, 1.0, 8.0), (3.0, 5.0, 6.0),
+         (4.0, 3.0, 5.0), (5.0, 8.0, 1.0), (6.0, 6.0, 2.0)])
+
+    def _sqlr(u, v):
+        return (f"((SUM({u} * {v}) - SUM({u}) * SUM({v}) / COUNT(*))"
+                f" / (sqrt(SUM({u} * {u}) - SUM({u}) * SUM({u})"
+                f" / COUNT(*)) * sqrt(SUM({v} * {v}) - SUM({v})"
+                f" * SUM({v}) / COUNT(*))))")
+
+    def _sqlp(rname):
+        t = f"(abs({rname}) * sqrt(4.0 / (1.0 - {rname} * {rname})))"
+        u = f"({t} / sqrt({t} * {t} + 4.0))"
+        return f"(1.0 - {u} * (3.0 - {u} * {u}) / 2.0)"
+
+    out["s_stream_corrp"] = f"""
+WITH d(c0, c1, c2) AS (VALUES {_corr_rows}),
+r AS (SELECT {_sqlr('c0', 'c1')} AS r01,
+             {_sqlr('c0', 'c2')} AS r02,
+             {_sqlr('c1', 'c2')} AS r12
+      FROM d)
+SELECT r01, r02, r12,
+       {_sqlp('r01')} AS p01, {_sqlp('r02')} AS p02,
+       {_sqlp('r12')} AS p12, CAST(0.0 AS DOUBLE) AS pd
+FROM r"""
+
+    out["s_stream_markov"] = """
+SELECT [1, 2, 0, 1, 2, 0] AS w, [1, 1, 1, 1] AS ab"""
+
+    # -- round-3am wave ------------------------------------------------------
+    # the train(features(...)) chain: the feature terms are scalar
+    # subqueries over the IG ranking (not literals), then the same
+    # per-iteration batch-gradient CTE chain as s_stream_train
+    _tml = f"""
+WITH {ctes},
+lbl AS (SELECT doc_id AS docid,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(y) AS DOUBLE) AS npos FROM lbl),
+pt AS MATERIALIZED (SELECT p.term, CAST(COUNT(*) AS DOUBLE) AS df,
+              CAST(SUM(l.y) AS DOUBLE) AS xc
+       FROM (SELECT DISTINCT term, docid FROM postings) p
+       JOIN lbl l ON l.docid = p.docid GROUP BY p.term),
+sc AS MATERIALIZED (SELECT term,
+              {_ent('tot.npos / tot.n')}
+              - ((df / tot.n) * {_ent('xc / df')}
+                 + (1 - df / tot.n)
+                   * {_ent('(tot.npos - xc) / (tot.n - df + 1)')})
+              AS score
+       FROM pt CROSS JOIN tot),
+rk AS MATERIALIZED (SELECT term,
+              ROW_NUMBER() OVER (ORDER BY score DESC, term ASC)
+                AS index_i
+       FROM sc),
+tsel AS MATERIALIZED (SELECT (SELECT term FROM rk WHERE index_i = 1) AS t1,
+                (SELECT term FROM rk WHERE index_i = 2) AS t2),
+tdf AS MATERIALIZED (SELECT term, COUNT(DISTINCT docid) AS df
+        FROM postings, tsel
+        WHERE term IN (tsel.t1, tsel.t2) GROUP BY term),
+idf AS MATERIALIZED (SELECT term, ln((SELECT n FROM tot) / (df + 1.0)) AS v
+        FROM tdf),
+xv AS MATERIALIZED (SELECT p.docid, MAX(l.y) AS y,
+              COALESCE(MAX(CASE WHEN p.term = ts.t1
+                  THEN i.v * (1 + ln(p.tf)) END), 0.0) AS x1,
+              COALESCE(MAX(CASE WHEN p.term = ts.t2
+                  THEN i.v * (1 + ln(p.tf)) END), 0.0) AS x2
+       FROM postings p
+       CROSS JOIN tsel ts
+       JOIN idf i ON i.term = p.term
+       JOIN lbl l ON l.docid = p.docid
+       WHERE p.term IN (ts.t1, ts.t2)
+       GROUP BY p.docid)"""
+    _sgw = "1.0 / (1.0 + exp(-({w0} * 1.0 + {w1} * x1 + {w2} * x2)))"
+    _aml = 0.01
+    prevml = ("CAST(1.0 AS DOUBLE)", "CAST(1.0 AS DOUBLE)",
+              "CAST(1.0 AS DOUBLE)")
+    uml = []
+    for it in range(1, 4):
+        s = _sgw.format(w0=f"mw{it}.p0", w1=f"mw{it}.p1",
+                        w2=f"mw{it}.p2")
+        _tml += f""",
+mw{it} AS (SELECT {prevml[0]} AS p0, {prevml[1]} AS p1,
+                  {prevml[2]} AS p2),
+mi{it} AS (SELECT SUM(ABS({s} - y)) AS err,
+                SUM(({s} - y) * 1.0) AS g0,
+                SUM(({s} - y) * x1) AS g1,
+                SUM(({s} - y) * x2) AS g2
+         FROM xv CROSS JOIN mw{it})"""
+        prevml = tuple(
+            f"(SELECT p{j} FROM mw{it}) "
+            f"- {_aml} * (SELECT g{j} FROM mi{it})"
+            for j in range(3))
+        uml += [
+            (f"SELECT CAST({it} AS BIGINT) AS iteration_i, "
+             f"'m1' AS name_s, "
+             f"(SELECT t1 || ',' || t2 FROM tsel) AS terms, "
+             f"ROUND((SELECT err FROM mi{it}), 6) AS error, "
+             f"CAST({j} AS BIGINT) AS idx, "
+             f"ROUND((SELECT p{j} FROM mw{it}) "
+             f"- {_aml} * (SELECT g{j} FROM mi{it}), 6) AS w")
+            for j in range(3)]
+    _tml += ("\nSELECT * FROM (\n" + "\nUNION ALL\n".join(uml)
+             + "\n) ORDER BY iteration_i, idx")
+    out["s_stream_trainml"] = _tml
 
     return out

@@ -998,6 +998,10 @@ def _as_col(v):
         raise ValueError("a clustering result is not a value — "
                          "consume it via getCentroids/getCluster/"
                          "getMembershipMatrix/zplot(clusters=...)")
+    if isinstance(v, _Ols):
+        # the reference renders the MultipleRegressionTuple as its
+        # field map
+        return v.tup
     return v
 
 
@@ -1062,12 +1066,21 @@ class StreamEvaluator:
 
     def __init__(self, collections: dict[str, DataFrame],
                  text_search=None, writers: dict | None = None,
-                 mlt=None, chroot: str | None = None):
+                 mlt=None, chroot: str | None = None,
+                 postings=None, jdbc_reader=None):
         self.collections = collections
         self.text_search = text_search
         self.writers = writers or {}
         self.mlt = mlt
         self.chroot = chroot
+        # (collection, field) -> postings DataFrame (term, docid) —
+        # the features()/train() streams' term statistics source,
+        # plugged by the caller like text_search/mlt
+        self.postings = postings
+        # connection-spec -> DataFrame; the JDBCStream face. The
+        # default raises (no JDBC driver ships in this engine);
+        # callers inject spark.read.jdbc or a test double.
+        self.jdbc_reader = jdbc_reader
 
     # -- q handling ----------------------------------------------------------
 
@@ -1350,6 +1363,12 @@ class StreamEvaluator:
                             clab=F.col(f"{node}__mclab"),
                             attrs={k: F.col(f"{node}__ma_{k}")
                                    for k in mc[node]})
+            mcv = getattr(self, "_mc_vars", None)
+            if mcv and node in mcv:
+                # a monteCarlo iteration variable — the per-
+                # iteration draw bound by MonteCarloEvaluator's
+                # populateVariables
+                return mcv[node]
             cc = getattr(self, "_obj_cells", {})
             if node in cc:
                 # a let-bound blob object — one materialized blob,
@@ -1358,6 +1377,8 @@ class StreamEvaluator:
                 blob = F.col(f"{node}__cblob")
                 if kind == "clus":
                     return _Clus(blob, fuzzy=meta)
+                if kind == "ols":
+                    return _Ols(blob)
                 return (_Hull if kind == "hull" else _Ball)(blob)
             scope = getattr(self, "_scope_cols", None)
             if (scope is not None
@@ -1715,6 +1736,23 @@ class StreamEvaluator:
             lit = (isinstance(node.args[1], str)
                    and re.match(r"^-?\d+(\.\d+)?$", node.args[1]))
 
+            if isinstance(a[0], _Ols):
+                # MultipleRegressionTuple.predict (OLSRegression-
+                # Evaluator.java:105): beta0 + sum(beta[i+1] *
+                # x[i]); a vector operand -> one prediction, a
+                # matrix operand -> per-row predictions
+                beta = a[0].tup["regressionParameters"]
+
+                def _pred(vec):
+                    return F.get(beta, 0) + self._arr_sum(F.zip_with(
+                        vec, F.slice(beta, 2, F.size(beta) - 1),
+                        lambda x, b: x.cast("double") * b))
+
+                if (isinstance(node.args[1], StreamExpr)
+                        and node.args[1].name == "matrix") \
+                        or isinstance(a[1], _Mat):
+                    return F.transform(self._mrows(a[1]), _pred)
+                return _pred(a[1])
             if isinstance(a[0], _VFunc):
                 # PredictEvaluator over a VectorFunction —
                 # func.value(z). Piecewise evaluation clamps to the
@@ -1775,12 +1813,16 @@ class StreamEvaluator:
                     return F.col(f"{nm}__t_{node.args[1]}")
                 if nm in getattr(self, "_lets", {}) \
                         and nm not in getattr(self, "_value_cells",
-                                              set()):
+                                              set()) \
+                        and getattr(self, "_obj_cells",
+                                    {}).get(nm, ("",))[0] != "ols":
                     # a STREAM cell (multi-row) — not addressable as
-                    # a tuple; value cells fall through to getItem
+                    # a tuple; value cells (and regression tuples)
+                    # fall through to getItem
                     raise ValueError(f"getValue({nm!r}): not a bound "
                                      "tuple cell")
-            return a[0][str(node.args[1])]
+            a0 = a[0].tup if isinstance(a[0], _Ols) else a[0]
+            return a0[str(node.args[1])]
         if fn == "expMovingAvg":         # ExponentialMovingAverage-
             # Evaluator.java: seed = mean of the first w observations,
             # then ema = alpha*(x - last) + last over the remainder;
@@ -3158,6 +3200,40 @@ class StreamEvaluator:
             # direct transforms of rand()/randn(); one draw without
             # n, a list with n.
             d0 = a[0]
+            if isinstance(d0, _Markov):
+                # MarkovChain.sample (MarkovChainEvaluator.java:85):
+                # each draw advances the state via the current row's
+                # EnumeratedIntegerDistribution (inverse-cdf on a
+                # uniform). Sequential left fold carrying (state,
+                # walk); random like every sample() — law-pinned.
+                n = int(node.args[1]) if len(node.args) > 1 else 1
+                mrows = d0.rows
+
+                def _step(acc, _i):
+                    srow = F.get(mrows, acc["s"])
+                    u = F.rand()
+                    nxt = F.least(
+                        F.size(F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.size(srow)),
+                                lambda j: F.aggregate(
+                                    F.slice(srow, 1, j), F.lit(0.0),
+                                    lambda t, p: t
+                                    + p.cast("double"))),
+                            lambda c: c <= u)),
+                        F.size(srow) - F.lit(1)).cast("int")
+                    return F.struct(
+                        nxt.alias("s"),
+                        F.concat(acc["out"],
+                                 F.array(nxt)).alias("out"))
+
+                walk = F.aggregate(
+                    F.sequence(F.lit(1), F.lit(n)),
+                    F.struct(F.lit(d0.state0).cast("int").alias("s"),
+                             F.expr("cast(array() as array<int>)")
+                             .alias("out")),
+                    _step)["out"]
+                return walk if len(node.args) > 1 else F.get(walk, 0)
             if not isinstance(d0, _Dist):
                 raise ValueError("sample: first operand must be a "
                                  "distribution")
@@ -4050,16 +4126,19 @@ class StreamEvaluator:
                     src = val.base if val.base is not None else base
                     self._lets[name] = src.select(*cols)
                     self._mat_cells[name] = sorted(val.attrs)
-                elif isinstance(val, (_Clus, _Hull, _Ball)):
+                elif isinstance(val, (_Clus, _Hull, _Ball, _Ols)):
                     # a blob-backed result object (clustering /
-                    # convex hull / enclosing disk): ONE materialized
-                    # blob row (one kernel invocation), N accessor
-                    # consumers
+                    # convex hull / enclosing disk / multiple
+                    # regression): ONE materialized blob row (one
+                    # kernel invocation), N accessor consumers
                     src = val.base if val.base is not None else base
+                    blob = (val.tup if isinstance(val, _Ols)
+                            else val.blob)
                     self._lets[name] = src.select(
-                        val.blob.alias(f"{name}__cblob"))
+                        blob.alias(f"{name}__cblob"))
                     kind = {"_Clus": "clus", "_Hull": "hull",
-                            "_Ball": "ball"}[type(val).__name__]
+                            "_Ball": "ball", "_Ols": "ols"}[
+                                type(val).__name__]
                     self._obj_cells[name] = (
                         kind, val.fuzzy if kind == "clus" else None)
                 else:
@@ -5215,6 +5294,109 @@ class StreamEvaluator:
             src.select(F.col(frm).alias(to)).distinct(), to)
         return (j.groupBy(F.col(gather).alias("node"))
                 .agg(F.count("*").cast("long").alias("count")))
+
+    def _labels_for(self, coll: str, e: StreamExpr) -> DataFrame:
+        """(docid, outcome 0/1) from the collection's outcome field
+        and positiveLabel (TextLogisticRegressionQParserPlugin
+        .java:160's comparison)."""
+        outcome = e.params.get("outcome")
+        if not outcome:
+            raise ValueError(f"{e.name}() requires an outcome= param")
+        positive = e.params.get("positiveLabel", "1")
+        df = self._apply_q(coll, self.collections[coll],
+                           e.params.get("q", "*:*"))
+        return df.select(
+            F.col(df.columns[0]).alias("docid"),
+            (F.col(outcome).cast("string") == positive)
+            .cast("int").alias("outcome"))
+
+    def _s_features(self, e: StreamExpr) -> DataFrame:
+        """FeaturesSelectionStream (solrj/io/stream/
+        FeaturesSelectionStream.java:60, Lang.java:67): information-
+        gain term ranking via mlstreams.features_selection over the
+        engine's postings (the igain qparser math, one distributed
+        aggregate — no driver term loop)."""
+        if self.postings is None:
+            raise ValueError("features() needs a postings hook "
+                             "(collection, field) -> (term, docid)")
+        coll = e.args[0]
+        field = e.params.get("field", "text")
+        num_terms = int(e.params.get("numTerms", 10))
+        fset = e.params.get("featureSet", "features")
+        from .mlstreams import features_selection
+        return features_selection(self.postings(coll, field),
+                                  self._labels_for(coll, e),
+                                  num_terms, feature_set=fset)
+
+    def _s_train(self, e: StreamExpr) -> DataFrame:
+        """TextLogitStream (solrj/io/stream/TextLogitStream.java:80,
+        Lang.java:66): logistic regression over the wrapped
+        features() stream's terms. One tuple per iteration carrying
+        the weight vector, iteration-start error, the model name and
+        the term list (the shape ModelStream consumes). The term
+        list is config-sized (numTerms), so the one bounded driver
+        read here matches the reference's getTerms round-trip
+        (TextLogitStream.java:426)."""
+        if self.postings is None:
+            raise ValueError("train() needs a postings hook")
+        coll = e.args[0]
+        feats = [x for x in e.args if isinstance(x, StreamExpr)
+                 and x.name == "features"]
+        if len(feats) != 1:
+            raise ValueError("train() wraps exactly one features() "
+                             "stream")
+        terms = [r["term_s"]
+                 for r in self.eval(feats[0]).collect()]
+        field = e.params.get("field", "text")
+        name = e.params.get("name", "model")
+        max_it = int(e.params.get("maxIterations", 3))
+        from .mlstreams import train_logit
+        wl = train_logit(self.postings(coll, field),
+                         self._labels_for(coll, e), terms,
+                         max_iterations=max_it)
+        st = F.sort_array(F.collect_list(F.struct(
+            F.col("idx"), F.col("weight"))))
+        return (wl.groupBy("iteration_i")
+                .agg(F.transform(st, lambda s: s["weight"])
+                     .alias("weights_ds"),
+                     F.first("error").alias("error_d"))
+                .withColumn("name_s", F.lit(name))
+                .withColumn("terms_ss",
+                            F.array(*[F.lit(t) for t in terms]))
+                .orderBy("iteration_i"))
+
+    def _s_model(self, e: StreamExpr) -> DataFrame:
+        """ModelStream (solrj/io/stream/ModelStream.java, Lang
+        .java:77): pull the LATEST stored model tuple by id from the
+        model collection (the reference caches by cacheMillis —
+        recorded, never slept on; Catalyst replays the read)."""
+        coll = e.args[0]
+        mid = e.params.get("id")
+        if not mid:
+            raise ValueError("model() requires an id= param")
+        df = self.collections[coll]
+        return (df.filter(F.col("name_s") == mid)
+                .orderBy(F.col("iteration_i").desc()).limit(1))
+
+    def _s_jdbc(self, e: StreamExpr) -> DataFrame:
+        """JDBCStream (solrj/io/stream/JDBCStream.java:150, Lang
+        .java:43): ``jdbc(connection=, sql=, sort=, [driver=])``.
+        The sort= contract is enforced like the reference (the
+        stream declares its sort order). No JDBC driver ships in
+        this engine — the caller injects ``jdbc_reader`` (in Spark,
+        a closure over spark.read.format("jdbc"); in tests, a
+        double), keeping the surface honest without a fake DB."""
+        for p in ("connection", "sql", "sort"):
+            if p not in e.params:
+                raise ValueError(f"jdbc() requires a {p}= param")
+        if self.jdbc_reader is None:
+            raise ValueError(
+                "jdbc(): no JDBC driver is bundled — inject a "
+                "jdbc_reader(connection, sql, params) callable "
+                "(e.g. spark.read.format('jdbc'))")
+        out = self.jdbc_reader(e.params["connection"],
+                               e.params["sql"], dict(e.params))
+        return out.orderBy(*_sort_cols(e.params["sort"]))
 
     def _s_scoreNodes(self, e: StreamExpr) -> DataFrame:
         """ScoreNodesStream (solrj/io/stream/ScoreNodesStream.java:48):

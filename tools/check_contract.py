@@ -60,7 +60,8 @@ def main():
     oracles = entrymod.oracle_sql()
     fails = []
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        import re
+        if name_filter and not re.search(name_filter, name):
             continue
         try:
             sdf = fn(spark, sf_dir)
