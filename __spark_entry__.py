@@ -6156,6 +6156,69 @@ def _q_stream_trainml(spark, sf_dir):
         .orderBy("iteration_i", "idx"))
 
 
+# --- round-3an wave: loess smoothing, featureSelect ---------------------------
+
+_LOESS_Y = [1.0, 2.2, 2.9, 4.1, 5.2, 14.0, 6.8, 8.1, 9.0, 10.2,
+            10.9, 12.1]
+_LOESS_BW, _LOESS_RI = 0.5, 2
+_STREAM_LOESS_EXPR = (
+    'let(l=loess(array(' + ', '.join(map(str, _LOESS_Y))
+    + f'), bandwidth={_LOESS_BW}, robustIterations={_LOESS_RI}), '
+    'tuple(s=l))')
+
+
+def _q_stream_loess(spark, sf_dir):
+    """LoessEvaluator.java:40 (commons-math3 LoessInterpolator
+    .smooth): tricube-weighted local linear regression with the
+    single-step sliding window and two biweight robustness passes
+    (medianResidual = sortedResiduals[n/2]) over a 12-point series
+    with an outlier at i=5 — the robustness loop visibly
+    down-weights it. The engine runs the kernel in a bounded Arrow
+    blob (streams._loess_blob); the oracle replays ALL THREE passes
+    in SQL with the uniform-x closed-form window l_i =
+    clamp(i - k/2) — two independent routes (the equivalence of the
+    closed form to the reference's one-step advance on uniform x is
+    derived in the oracle comment; non-uniform x is pytest-pinned
+    against an independent Python twin)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_LOESS_EXPR)
+    return (out.select(F.posexplode("s").alias("idx", "v"))
+            .select(F.col("idx").cast("long").alias("idx"),
+                    F.round("v", 6).alias("v"))
+            .orderBy("idx"))
+
+
+_STREAM_FEATSEL_EXPR = (
+    'let(a=select(top(search(documents, q="*:*", fl="doc_id,text", '
+    'sort="doc_id asc"), n=20, sort="doc_id asc"), '
+    'doc_id as id, analyze(text) as terms), '
+    'm=termVectors(a, minTermLength=4, minDocFreq=0.05, '
+    'maxDocFreq=0.9), '
+    'f=featureSelect(m, topFeatures(m, 2)), '
+    'tuple(lab=getColumnLabels(f), cs=sumColumns(f), '
+    'nr=rowCount(f)))')
+
+
+def _q_stream_featsel(spark, sf_dir):
+    """FeatureSelectEvaluator.java:33 composed under the labeled-
+    matrix surface: keep the termVectors columns whose label is in
+    the flattened topFeatures(m, 2) set, preserving the matrix's own
+    column order (TreeMap term order), then sumColumns over the
+    selected columns. One row per selected column (position, label,
+    column sum) — the oracle re-derives the per-row top-2 union and
+    the selection ordering in SQL."""
+    out = _stream_eval(spark, sf_dir, _STREAM_FEATSEL_EXPR)
+    return (out.select(
+        F.col("nr").cast("long").alias("nr"),
+        F.posexplode(F.zip_with(
+            "lab", "cs",
+            lambda t, s: F.struct(t.alias("t"), s.alias("s"))))
+        .alias("ci", "z"))
+        .select(F.col("ci").cast("long").alias("ci"),
+                F.col("z.t").alias("term"),
+                F.round("z.s", 6).alias("cs"), "nr")
+        .orderBy("ci"))
+
+
 # ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
@@ -7153,6 +7216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_markov": _q_stream_markov,
         # round-3am: same pattern
         "s_stream_trainml": _q_stream_trainml,
+        # round-3an: same pattern
+        "s_stream_loess": _q_stream_loess,
+        "s_stream_featsel": _q_stream_featsel,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -11835,5 +11901,127 @@ mi{it} AS (SELECT SUM(ABS({s} - y)) AS err,
     _tml += ("\nSELECT * FROM (\n" + "\nUNION ALL\n".join(uml)
              + "\n) ORDER BY iteration_i, idx")
     out["s_stream_trainml"] = _tml
+
+    # -- round-3an wave ------------------------------------------------------
+    # loess: replay all robustIterations+1 passes of commons-math
+    # LoessInterpolator.smooth in SQL. The reference advances the
+    # window AT MOST ONE step per point (updateBandwidthInterval);
+    # on uniform x_i = i that one-step rule has the closed form
+    # l_i = clamp(ceil(i - k/2)) = clamp(i - k//2): advance iff
+    # x[r+1]-x[i] < x[i]-x[l]  <=>  l+k-i < i-l  <=>  l < i - k/2,
+    # and the closed form moves by at most 1 per i, so the greedy
+    # and the closed form coincide. tricube and the biweight are
+    # spelled as explicit products (no POWER) to mirror the
+    # engine's multiplication order.
+    _ln, _lk = len(_LOESS_Y), int(_LOESS_BW * len(_LOESS_Y))
+    _lrows = ", ".join(f"({i}, CAST({y} AS DOUBLE))"
+                       for i, y in enumerate(_LOESS_Y))
+    _lsql = (f"WITH d(i, y) AS (VALUES {_lrows}),\n"
+             "w0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM d)")
+    for p in range(1, _LOESS_RI + 2):
+        _lsql += f""",
+s{p} AS MATERIALIZED (
+  SELECT a.i, a.y,
+         SUM(t.tv) AS sw,
+         SUM(CAST(b.i AS DOUBLE) * t.tv) AS sx,
+         SUM(CAST(b.i AS DOUBLE) * (CAST(b.i AS DOUBLE) * t.tv))
+           AS sxx,
+         SUM(b.y * t.tv) AS sy,
+         SUM(b.y * (CAST(b.i AS DOUBLE) * t.tv)) AS sxy
+  FROM (SELECT i, y,
+               GREATEST(0, LEAST({_ln - _lk}, i - {_lk // 2})) AS l
+        FROM d) a
+  JOIN d b ON b.i BETWEEN a.l AND a.l + {_lk} - 1
+  JOIN w{p - 1} w ON w.i = b.i
+  CROSS JOIN LATERAL (
+    SELECT CAST(ABS(a.i - b.i) AS DOUBLE)
+           * (1.0 / CAST(CASE WHEN a.i - a.l
+                                   > a.l + {_lk} - 1 - a.i
+                              THEN a.i - a.l
+                              ELSE a.l + {_lk} - 1 - a.i END
+                         AS DOUBLE)) AS v) dd
+  CROSS JOIN LATERAL (
+    SELECT ((1.0 - dd.v * dd.v * dd.v)
+            * (1.0 - dd.v * dd.v * dd.v)
+            * (1.0 - dd.v * dd.v * dd.v)) * w.w AS tv) t
+  GROUP BY a.i, a.y),
+f{p} AS MATERIALIZED (
+  SELECT i, y,
+         CASE WHEN sqrt(abs(sxx / sw - (sx / sw) * (sx / sw)))
+                   < 1e-12
+              THEN sy / sw
+              ELSE ((sxy / sw - (sx / sw) * (sy / sw))
+                    / (sxx / sw - (sx / sw) * (sx / sw)))
+                   * CAST(i AS DOUBLE)
+                   + (sy / sw
+                      - ((sxy / sw - (sx / sw) * (sy / sw))
+                         / (sxx / sw - (sx / sw) * (sx / sw)))
+                        * (sx / sw))
+         END AS res
+  FROM s{p}),
+r{p} AS MATERIALIZED (SELECT i, ABS(y - res) AS resid FROM f{p}),
+m{p} AS (SELECT resid AS med FROM r{p}
+         ORDER BY resid LIMIT 1 OFFSET {_ln // 2}),
+w{p} AS (SELECT r.i,
+                CASE WHEN r.resid / (6.0 * m.med) >= 1.0
+                     THEN 0.0
+                     ELSE (1.0 - (r.resid / (6.0 * m.med))
+                                 * (r.resid / (6.0 * m.med)))
+                          * (1.0 - (r.resid / (6.0 * m.med))
+                                   * (r.resid / (6.0 * m.med)))
+                END AS w
+         FROM r{p} r CROSS JOIN m{p} m)"""
+    _lsql += (f"\nSELECT i AS idx, ROUND(res, 6) AS v "
+              f"FROM f{_LOESS_RI + 1} ORDER BY i")
+    out["s_stream_loess"] = _lsql
+
+    out["s_stream_featsel"] = """
+WITH hits0 AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0),
+                        t -> lower(t)) AS terms
+  FROM documents ORDER BY doc_id ASC LIMIT 20),
+hits AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, terms,
+         ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR) ASC)
+           AS rn
+  FROM hits0),
+nn AS (SELECT COUNT(*) AS n FROM hits),
+dt AS (SELECT id, rn, terms,
+              list_distinct(list_filter(terms,
+                                        t -> length(t) >= 4))
+                AS dterms
+       FROM hits),
+dfr AS (SELECT term, COUNT(*) AS df
+        FROM (SELECT unnest(dterms) AS term FROM dt)
+        GROUP BY term),
+feats AS (SELECT term, df FROM dfr, nn
+          WHERE df >= CAST(FLOOR(nn.n * 0.05) AS INT)
+            AND df <= CAST(FLOOR(nn.n * 0.9) AS INT)),
+fo AS (SELECT term, df,
+              ROW_NUMBER() OVER (ORDER BY term ASC) AS fi
+       FROM feats),
+vals AS MATERIALIZED (
+  SELECT d.rn, f.term, f.fi,
+         sqrt(CAST(len(list_filter(d.terms, w -> w = f.term))
+                   AS DOUBLE))
+         * (ln(CAST(nn.n + 1 AS DOUBLE)
+               / CAST(f.df + 1 AS DOUBLE)) + 1.0) AS v
+  FROM dt d CROSS JOIN fo f CROSS JOIN nn),
+tf2 AS (SELECT term FROM (
+          SELECT term,
+                 ROW_NUMBER() OVER (PARTITION BY rn
+                                    ORDER BY v DESC, fi DESC) AS rk
+          FROM vals WHERE v > 0)
+        WHERE rk <= 2),
+tsel AS (SELECT DISTINCT term FROM tf2),
+sel AS (SELECT f.term, f.fi,
+               ROW_NUMBER() OVER (ORDER BY f.fi ASC) - 1 AS ci
+        FROM fo f JOIN tsel USING (term)),
+cs AS (SELECT v.term, SUM(v.v) AS s
+       FROM vals v JOIN tsel USING (term) GROUP BY v.term)
+SELECT sel.ci, sel.term, ROUND(cs.s, 6) AS cs,
+       (SELECT n FROM nn) AS nr
+FROM sel JOIN cs USING (term) ORDER BY sel.ci"""
 
     return out

@@ -834,6 +834,85 @@ class _Markov:
         self.rows, self.state0 = rows, state0
 
 
+def _loess_blob(xs, ys, bandwidth, robust_iters):
+    """commons-math3 LoessInterpolator.smooth, the algorithm behind
+    LoessEvaluator.java:40: tricube-weighted local linear regression
+    over a floor(bandwidth*n)-point window that advances AT MOST ONE
+    step per point (updateBandwidthInterval with unit user weights —
+    NOT a k-NN while loop), tricube distance scaled by the FARTHER
+    window edge, the beta=0 guard at sqrt(|E[x^2]-E[x]^2|) < 1e-12
+    (DEFAULT_ACCURACY), then `robust_iters` biweight re-weighting
+    passes with medianResidual = sortedResiduals[n/2] (an integer
+    index, not an interpolated percentile) and early exit when the
+    median residual is zero. A bounded Arrow kernel over the
+    literal/cell series — the reference runs commons-math
+    driver-side. n <= 2 returns y unchanged, as in the reference."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _lo(xx: pd.Series, yy: pd.Series) -> pd.Series:
+        def tricube(d):
+            t = 1.0 - d * d * d
+            return t * t * t
+
+        res_out = []
+        for xv, yv in zip(xx, yy):
+            x = [float(v) for v in xv]
+            y = [float(v) for v in yv]
+            n = len(x)
+            if n <= 2:
+                res_out.append(list(y))
+                continue
+            k = int(bandwidth * n)
+            res = [0.0] * n
+            residuals = [0.0] * n
+            rw = [1.0] * n
+            for it in range(robust_iters + 1):
+                left, right = 0, k - 1
+                for i in range(n):
+                    xi = x[i]
+                    if i > 0 and right + 1 < n \
+                            and x[right + 1] - xi < xi - x[left]:
+                        left += 1
+                        right += 1
+                    edge = (left if xi - x[left] > x[right] - xi
+                            else right)
+                    sw = sx = sxx = sy = sxy = 0.0
+                    denom = abs(1.0 / (x[edge] - xi))
+                    for j in range(left, right + 1):
+                        xk, yk = x[j], y[j]
+                        dist = (xi - xk) if j < i else (xk - xi)
+                        w = tricube(dist * denom) * rw[j]
+                        xkw = xk * w
+                        sw += w
+                        sx += xkw
+                        sxx += xk * xkw
+                        sy += yk * w
+                        sxy += yk * xkw
+                    mx, my = sx / sw, sy / sw
+                    mxy, mxx = sxy / sw, sxx / sw
+                    if math.sqrt(abs(mxx - mx * mx)) < 1e-12:
+                        beta = 0.0
+                    else:
+                        beta = (mxy - mx * my) / (mxx - mx * mx)
+                    alpha = my - beta * mx
+                    res[i] = beta * xi + alpha
+                    residuals[i] = abs(y[i] - res[i])
+                if it == robust_iters:
+                    break
+                med = sorted(residuals)[n // 2]
+                if med == 0.0:
+                    break
+                for i in range(n):
+                    arg = residuals[i] / (6.0 * med)
+                    rw[i] = (0.0 if arg >= 1.0
+                             else (1.0 - arg * arg) ** 2)
+            res_out.append(res)
+        return pd.Series(res_out)
+
+    return _lo(xs, ys)
+
+
 def _ols_blob(rows, ys):
     """OLS with intercept (commons-math OLSMultipleLinearRegression
     .newSampleData(y, x)): beta = lstsq([1 X], y); regressandVariance
@@ -2245,6 +2324,42 @@ class StreamEvaluator:
                                           i.alias("i"))),
                     lambda s: s["v"] > 0), asc=False), 1, k),
                 lambda s: F.element_at(clab, s["i"] + F.lit(1))))
+        if fn == "featureSelect":        # FeatureSelectEvaluator.java:33
+            # keep the matrix columns whose label is in the feature
+            # set, preserving the matrix's own column order; the
+            # feature operand may be nested lists (topFeatures emits
+            # one list per row — loadFeatures flattens recursively)
+            m = a[0]
+            if not isinstance(m, _Mat) or m.clab is None:
+                raise ValueError("The featureSelect function expects "
+                                 "a matrix with column labels")
+            feats = a[1]
+            fnode = node.args[1]
+            nested = (isinstance(fnode, StreamExpr)
+                      and fnode.name in ("topFeatures", "matrix"))
+            if isinstance(fnode, str) \
+                    and fnode in getattr(self, "_lets", {}) \
+                    and fnode in getattr(self, "_value_cells", set()):
+                # a let-bound cell: its relation's schema says
+                # whether the value is a nested list (topFeatures
+                # emits one list per row)
+                from pyspark.sql.types import ArrayType
+                dt = self._lets[fnode].schema[fnode].dataType
+                nested = (isinstance(dt, ArrayType)
+                          and isinstance(dt.elementType, ArrayType))
+            if nested:
+                feats = F.flatten(feats)
+            feats = F.transform(feats, lambda v: v.cast("string"))
+            clab = m.clab
+            keep = F.filter(
+                F.sequence(F.lit(0), F.size(clab) - F.lit(1)),
+                lambda j: F.array_contains(
+                    feats, F.element_at(clab, j + F.lit(1))))
+            rows = F.transform(m.rows, lambda r: F.transform(
+                keep, lambda j: F.element_at(r, j + F.lit(1))))
+            nclab = F.transform(
+                keep, lambda j: F.element_at(clab, j + F.lit(1)))
+            return _Mat(rows, rlab=m.rlab, clab=nclab, base=m.base)
         if fn == "termVectors":          # TermVectorsEvaluator.java:73
             # tf-idf doc x term matrix over a bound let cell of
             # (id, terms) tuples: rowLabels = ids, columnLabels =
@@ -3033,6 +3148,26 @@ class StreamEvaluator:
             vf = _VFunc("pp", None, lx=xs, coefs=coefs)
             vf.fitted = F.transform(
                 xs, lambda z: self._vf_value(vf, z.cast("double")))
+            return vf
+        if fn == "loess":
+            # LoessEvaluator.java:40 — commons-math LoessInterpolator:
+            # the smoothed series (the VectorFunction's rendered
+            # list), wrapped with the natural-cubic spline OVER THE
+            # SMOOTHED VALUES (LoessInterpolator.interpolate =
+            # SplineInterpolator on (x, smooth(x,y))), so predict/
+            # derivative/integrate consume it like any other fit.
+            # bandwidth/robustIterations named params mirror the
+            # reference defaults. Window mechanics in _loess_blob.
+            xs, ys = self._vf_knots(a)
+            bw = float(node.params.get("bandwidth", 0.25))
+            ri = int(node.params.get("robustIterations", 2))
+            if not (0.0 < bw <= 1.0):
+                raise ValueError("loess: bandwidth must be in (0, 1]")
+            sm = _loess_blob(xs, ys, bw, ri)
+            vf = _VFunc("pp", sm, lx=xs,
+                        coefs=_let1(sm, lambda s: self._spline_coefs(
+                            xs, F.transform(
+                                s, lambda v: v.cast("double")))))
             return vf
         if fn == "polyfit":
             # PolyFitEvaluator.java — commons-math
