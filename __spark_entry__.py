@@ -12,6 +12,7 @@ row sets and value hashes match exactly.
 
 from __future__ import annotations
 
+import math
 import os
 
 from collections.abc import Callable
@@ -6187,6 +6188,66 @@ def _q_stream_loess(spark, sf_dir):
             .orderBy("idx"))
 
 
+# --- round-3ao wave: gaussfit / harmfit ---------------------------------------
+
+_GAUSS_N, _GAUSS_M, _GAUSS_S = 5.0, 6.0, 2.0
+_GAUSS_YS = [_GAUSS_N * math.exp(-((i - _GAUSS_M) ** 2)
+                                 / (2.0 * _GAUSS_S * _GAUSS_S))
+             for i in range(13)]
+_STREAM_GAUSSFIT_EXPR = (
+    'let(g=gaussfit(array(' + ', '.join(repr(v) for v in _GAUSS_YS)
+    + ')), tuple(f=g, p=predict(g, 4.5), ig=integrate(g, 2.0, '
+    '10.0)))')
+
+
+def _q_stream_gaussfit(spark, sf_dir):
+    """GaussFitEvaluator.java:40 — GaussianCurveFitter
+    (ParameterGuesser + Levenberg-Marquardt) over a 13-point series
+    that lies EXACTLY on norm=5, mean=6, sigma=2: the least-squares
+    optimum of exact data IS the generating triple, so the engine's
+    converged fit (streams._curvefit_blob, damped Gauss-Newton to
+    machine precision) and the oracle's closed-form Gaussian
+    evaluated in SQL are two independent routes to the same values.
+    integrate() uses the erf antiderivative (the A&S twin both
+    engines already share)."""
+    out = _stream_eval(spark, sf_dir, _STREAM_GAUSSFIT_EXPR)
+    return (out.select(F.round("p", 6).alias("p"),
+                       F.round("ig", 6).alias("ig"),
+                       F.posexplode("f").alias("idx", "v"))
+            .select(F.col("idx").cast("long").alias("idx"),
+                    F.round("v", 6).alias("v"), "p", "ig")
+            .orderBy("idx"))
+
+
+_HARM_A, _HARM_W, _HARM_PH = 2.5, 1.2, 0.5
+_HARM_XS = [i * 0.25 for i in range(40)]
+_HARM_YS = [_HARM_A * math.cos(_HARM_W * x + _HARM_PH)
+            for x in _HARM_XS]
+_STREAM_HARMFIT_EXPR = (
+    'let(h=harmfit(array(' + ', '.join(repr(v) for v in _HARM_XS)
+    + '), array(' + ', '.join(repr(v) for v in _HARM_YS)
+    + ')), tuple(a=getAmplitude(h), w=getAngularFrequency(h), '
+    'ph=getPhase(h), p=predict(h, 2.3), '
+    'd=predict(derivative(h), 1.0), ig=integrate(h, 0.0, 3.0)))')
+
+
+def _q_stream_harmfit(spark, sf_dir):
+    """HarmonicFitEvaluator.java:40 + Get{Amplitude,
+    AngularFrequency,Phase}Evaluator.java (VectorFunction context
+    keys, HarmonicFitEvaluator.java:118-120) over 40 samples exactly
+    on a=2.5, omega=1.2, phi=0.5 — the converged LM optimum is the
+    generating triple (canonicalized to a>0, omega>0, phi in
+    (-pi,pi]). derivative() stays in the harmonic family
+    (a w cos(wz+phi+pi/2)); integrate() is the sine antiderivative.
+    The oracle computes all six outputs from the closed form in
+    SQL."""
+    out = _stream_eval(spark, sf_dir, _STREAM_HARMFIT_EXPR)
+    return out.select(
+        F.round("a", 6).alias("a"), F.round("w", 6).alias("w"),
+        F.round("ph", 6).alias("ph"), F.round("p", 6).alias("p"),
+        F.round("d", 6).alias("d"), F.round("ig", 6).alias("ig"))
+
+
 _STREAM_FEATSEL_EXPR = (
     'let(a=select(top(search(documents, q="*:*", fl="doc_id,text", '
     'sort="doc_id asc"), n=20, sort="doc_id asc"), '
@@ -7219,6 +7280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3an: same pattern
         "s_stream_loess": _q_stream_loess,
         "s_stream_featsel": _q_stream_featsel,
+        # round-3ao: same pattern
+        "s_stream_gaussfit": _q_stream_gaussfit,
+        "s_stream_harmfit": _q_stream_harmfit,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -12023,5 +12087,43 @@ cs AS (SELECT v.term, SUM(v.v) AS s
 SELECT sel.ci, sel.term, ROUND(cs.s, 6) AS cs,
        (SELECT n FROM nn) AS nr
 FROM sel JOIN cs USING (term) ORDER BY sel.ci"""
+
+    # -- round-3ao wave ------------------------------------------------------
+    # gaussfit: the data lies exactly on norm=5, mean=6, sigma=2,
+    # so the least-squares optimum (what the engine's LM converges
+    # to) is the generating triple; the oracle evaluates that
+    # Gaussian — and its erf antiderivative, the SAME A&S twin the
+    # engine compiles — in SQL.
+    _gn, _gm, _gs = _GAUSS_N, _GAUSS_M, _GAUSS_S
+
+    def _gfit(z):
+        return (f"({_gn} * exp(-(({z} - {_gm}) * ({z} - {_gm})) "
+                f"/ (2.0 * {_gs} * {_gs})))")
+
+    def _ganti(z):
+        return (f"({_gn} * {_gs} * {math.sqrt(math.pi / 2.0)!r} * "
+                + _serf(f"(({z} - {_gm}) / ({_gs} * "
+                        f"{math.sqrt(2.0)!r}))") + ")")
+
+    out["s_stream_gaussfit"] = f"""
+WITH xs AS (SELECT unnest(range(0, {len(_GAUSS_YS)})) AS i),
+f AS (SELECT i, CAST(i AS DOUBLE) AS x FROM xs)
+SELECT i AS idx, ROUND({_gfit('x')}, 6) AS v,
+       ROUND({_gfit('4.5')}, 6) AS p,
+       ROUND({_ganti('10.0')} - {_ganti('2.0')}, 6) AS ig
+FROM f ORDER BY i"""
+
+    # harmfit: same argument — 40 exact samples of
+    # a=2.5, omega=1.2, phi=0.5; all six outputs in closed form.
+    _ha, _hw, _hp = _HARM_A, _HARM_W, _HARM_PH
+    out["s_stream_harmfit"] = f"""
+SELECT CAST({_ha} AS DOUBLE) AS a, CAST({_hw} AS DOUBLE) AS w,
+       CAST({_hp} AS DOUBLE) AS ph,
+       ROUND({_ha} * cos({_hw} * 2.3 + {_hp}), 6) AS p,
+       ROUND({_ha} * {_hw} * cos({_hw} * 1.0 + {_hp}
+                                 + {math.pi / 2.0!r}), 6) AS d,
+       ROUND(({_ha} / {_hw}) * sin({_hw} * 3.0 + {_hp})
+             - ({_ha} / {_hw}) * sin({_hw} * 0.0 + {_hp}), 6)
+         AS ig"""
 
     return out

@@ -913,6 +913,117 @@ def _loess_blob(xs, ys, bandwidth, robust_iters):
     return _lo(xs, ys)
 
 
+def _curvefit_blob(xs, ys, model):
+    """Gauss/HarmonicFitEvaluator.java:40 — commons-math
+    {Gaussian,Harmonic}CurveFitter: a ParameterGuesser seed refined
+    by Levenberg-Marquardt to the least-squares optimum. The engine
+    seeds with the same ideas (Gaussian: max/centroid + FWHM width;
+    harmonic: the dominant DFT bin's amplitude/frequency/phase — a
+    documented divergence from the reference's AMS integral guesser,
+    immaterial once LM converges) and runs damped Gauss-Newton to
+    machine precision in a bounded Arrow kernel. On data exactly on
+    the model the optimum IS the generating parameter triple — the
+    oracle-able surface; noisy-data parity is pinned by pytest laws,
+    not bit equality (the reference's LM internals are not
+    re-derivable). Harmonic results are canonicalized to a > 0,
+    omega > 0, phase in (-pi, pi] (cos-model gauge freedom)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _cf(xx: pd.Series, yy: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for xv, yv in zip(xx, yy):
+            x = np.asarray(list(xv), dtype=float)
+            y = np.asarray(list(yv), dtype=float)
+            n = len(x)
+            if model == "gauss":
+                k = int(np.argmax(y))
+                norm, mean = float(y[k]), float(x[k])
+                above = x[y >= norm / 2.0]
+                fw = (float(above.max() - above.min())
+                      if len(above) > 1
+                      else float(x.max() - x.min()) / 4.0 or 1.0)
+                p = np.array([norm, mean, max(fw / 2.35482, 1e-3)])
+
+                def f(p):
+                    return p[0] * np.exp(-((x - p[1]) ** 2)
+                                         / (2.0 * p[2] * p[2]))
+
+                def jac(p):
+                    e = np.exp(-((x - p[1]) ** 2)
+                               / (2.0 * p[2] * p[2]))
+                    return np.stack(
+                        [e,
+                         p[0] * e * (x - p[1]) / (p[2] * p[2]),
+                         p[0] * e * ((x - p[1]) ** 2) / p[2] ** 3],
+                        axis=1)
+            else:
+                dt = float(x[-1] - x[0]) / (n - 1) if n > 1 else 1.0
+                sp = np.fft.rfft(y - y.mean())
+                k = (int(np.argmax(np.abs(sp[1:]))) + 1
+                     if len(sp) > 1 else 1)
+                w0 = 2.0 * math.pi * k / (n * dt)
+                p = np.array([2.0 * float(np.abs(sp[k])) / n, w0,
+                              float(np.angle(sp[k])) - w0
+                              * float(x[0])])
+
+                def f(p):
+                    return p[0] * np.cos(p[1] * x + p[2])
+
+                def jac(p):
+                    c = np.cos(p[1] * x + p[2])
+                    s = np.sin(p[1] * x + p[2])
+                    return np.stack([c, -p[0] * x * s, -p[0] * s],
+                                    axis=1)
+
+            lam, r = 1e-3, y - f(p)
+            cost = float(r @ r)
+            for _ in range(300):
+                J = jac(p)
+                A, g = J.T @ J, J.T @ r
+                dp, moved = np.zeros_like(p), False
+                for _ in range(60):
+                    try:
+                        dp = np.linalg.solve(
+                            A + lam * np.diag(
+                                np.maximum(np.diag(A), 1e-12)), g)
+                    except np.linalg.LinAlgError:
+                        lam *= 10.0
+                        continue
+                    pn = p + dp
+                    rn = y - f(pn)
+                    cn = float(rn @ rn)
+                    if cn <= cost:
+                        p, r, cost = pn, rn, cn
+                        lam = max(lam * 0.3, 1e-14)
+                        moved = True
+                        break
+                    lam *= 10.0
+                    if lam > 1e14:
+                        break
+                if not moved or float(np.linalg.norm(dp)) \
+                        < 1e-14 * (1.0 + float(np.linalg.norm(p))):
+                    break
+            if model == "harm":
+                a_, w_, ph_ = (float(v) for v in p)
+                if w_ < 0:
+                    w_, ph_ = -w_, -ph_
+                if a_ < 0:
+                    a_, ph_ = -a_, ph_ + math.pi
+                ph_ = (ph_ + math.pi) % (2.0 * math.pi) - math.pi
+                if ph_ <= -math.pi:
+                    ph_ += 2.0 * math.pi
+                out.append([a_, w_, ph_])
+            else:
+                out.append([float(p[0]), float(p[1]),
+                            abs(float(p[2]))])
+        return pd.Series(out)
+
+    return _cf(xs, ys)
+
+
 def _ols_blob(rows, ys):
     """OLS with intercept (commons-math OLSMultipleLinearRegression
     .newSampleData(y, x)): beta = lstsq([1 X], y); regressandVariance
@@ -1429,9 +1540,14 @@ class StreamEvaluator:
                 # a let-bound model cell — rebuild the _VFunc over
                 # its broadcast attribute triple (one materialized
                 # fit, attribute-sized consumer trees)
-                return _VFunc(vfc[node], F.col(f"{node}__vfit"),
-                              lx=F.col(f"{node}__vlx"),
-                              coefs=F.col(f"{node}__vcf"))
+                cfc = F.col(f"{node}__vcf")
+                return _VFunc(
+                    vfc[node], F.col(f"{node}__vfit"),
+                    lx=F.col(f"{node}__vlx"), coefs=cfc,
+                    ctx=({"amplitude": F.get(cfc, 0),
+                          "angularFrequency": F.get(cfc, 1),
+                          "phase": F.get(cfc, 2)}
+                         if vfc[node] == "harm" else None))
             mc = getattr(self, "_mat_cells", {})
             if node in mc:
                 # a let-bound labeled matrix — rebuild the _Mat over
@@ -3169,6 +3285,51 @@ class StreamEvaluator:
                             xs, F.transform(
                                 s, lambda v: v.cast("double")))))
             return vf
+        if fn in ("gaussfit", "harmfit", "harmonicFit"):
+            # Gauss/HarmonicFitEvaluator.java:40 — ParameterGuesser
+            # + Levenberg-Marquardt in a bounded Arrow kernel
+            # (_curvefit_blob); the result is a _VFunc whose coefs
+            # are the fitted [norm, mean, sigma] / [a, omega, phi]
+            # triple, rendered at the knots like every fit. The
+            # harmonic fit carries amplitude/angularFrequency/phase
+            # in ctx (VectorFunction.addToContext,
+            # HarmonicFitEvaluator.java:118-120).
+            xs, ys = self._vf_knots(a)
+            model = "gauss" if fn == "gaussfit" else "harm"
+            cf = _curvefit_blob(xs, ys, model)
+            vf = _VFunc(model, None, lx=xs, coefs=cf,
+                        ctx=({"amplitude": F.get(cf, 0),
+                              "angularFrequency": F.get(cf, 1),
+                              "phase": F.get(cf, 2)}
+                             if model == "harm" else None))
+            vfx = vf
+
+            def _fitval(c, z):
+                if model == "gauss":
+                    return (F.get(c, 0)
+                            * F.exp(-((z - F.get(c, 1))
+                                      * (z - F.get(c, 1)))
+                                    / (F.lit(2.0) * F.get(c, 2)
+                                       * F.get(c, 2))))
+                return (F.get(c, 0)
+                        * F.cos(F.get(c, 1) * z + F.get(c, 2)))
+
+            vf.fitted = _let1(cf, lambda c: F.transform(
+                xs, lambda z: _fitval(c, z.cast("double"))))
+            return vfx
+        if fn in ("getAmplitude", "getAngularFrequency",
+                  "getPhase"):
+            # Get{Amplitude,AngularFrequency,Phase}Evaluator.java —
+            # VectorFunction.getFromContext on a harmonic fit
+            key = {"getAmplitude": "amplitude",
+                   "getAngularFrequency": "angularFrequency",
+                   "getPhase": "phase"}[fn]
+            vf = a[0]
+            if not isinstance(vf, _VFunc) or key not in vf.ctx:
+                raise ValueError(f"{fn}: operand must be a harmonic "
+                                 "fit (a VectorFunction carrying "
+                                 f"{key!r})")
+            return vf.ctx[key]
         if fn == "polyfit":
             # PolyFitEvaluator.java — commons-math
             # PolynomialCurveFitter (Levenberg-Marquardt). On a
@@ -3199,6 +3360,24 @@ class StreamEvaluator:
             if not isinstance(vf, _VFunc):
                 raise ValueError("derivative: operand must be an "
                                  "interpolator/fit (VectorFunction)")
+            if vf.kind == "harm":
+                # d/dz a cos(wz+phi) = a w cos(wz + phi + pi/2) —
+                # still a harmonic, so the derivative is the same
+                # kind with coefs [a*w, w, phi + pi/2]
+                ncf = F.array(
+                    F.get(vf.coefs, 0) * F.get(vf.coefs, 1),
+                    F.get(vf.coefs, 1),
+                    F.get(vf.coefs, 2) + F.lit(math.pi / 2.0))
+                out = _VFunc("harm", None, lx=vf.lx, coefs=ncf)
+                out.fitted = F.transform(
+                    vf.lx, lambda z: self._vf_value(
+                        out, z.cast("double")))
+                return out
+            if vf.kind == "gauss":
+                raise ValueError(
+                    "derivative: not supported for a gaussfit model "
+                    "(the derivative is not in the engine's "
+                    "function families; use predict on a fine grid)")
             if vf.kind == "poly":
                 dcf = self._poly_deriv(vf.coefs)
                 out = _VFunc("poly", None, lx=vf.lx, coefs=dcf)
@@ -3809,6 +3988,18 @@ class StreamEvaluator:
         clamped to [1, n-1], the binary-search twin)."""
         if vf.kind == "poly":
             return self._horner(vf.coefs, z)
+        if vf.kind == "gauss":
+            # commons-math Gaussian.value: norm * exp(-(z-mean)^2
+            # / (2 sigma^2)) with coefs [norm, mean, sigma]
+            p0, p1, p2 = (F.get(vf.coefs, i) for i in range(3))
+            return p0 * F.exp(-((z - p1) * (z - p1))
+                              / (F.lit(2.0) * p2 * p2))
+        if vf.kind == "harm":
+            # commons-math HarmonicOscillator.value:
+            # a * cos(omega z + phi) with coefs [a, omega, phi]
+            return (F.get(vf.coefs, 0)
+                    * F.cos(F.get(vf.coefs, 1) * z
+                            + F.get(vf.coefs, 2)))
         idx = F.size(F.filter(vf.lx, lambda v: v <= z))
         i = F.least(F.greatest(idx, F.lit(1)),
                     F.size(vf.lx) - F.lit(1))
@@ -3846,6 +4037,20 @@ class StreamEvaluator:
         if vf.kind == "poly":
             anti = self._poly_antideriv(vf.coefs)
             return self._horner(anti, z)
+        if vf.kind == "gauss":
+            # antiderivative: norm*sigma*sqrt(pi/2)
+            # * erf((z-mean)/(sigma*sqrt(2))) — the A&S erf the
+            # distribution family already pins (<= 1.5e-7 vs the
+            # reference's Romberg, inside the round-6 staging)
+            p0, p1, p2 = (F.get(vf.coefs, i) for i in range(3))
+            return (p0 * p2 * F.lit(math.sqrt(math.pi / 2.0))
+                    * self._erf((z - p1)
+                                / (p2 * F.lit(math.sqrt(2.0)))))
+        if vf.kind == "harm":
+            # antiderivative: (a/omega) sin(omega z + phi)
+            return ((F.get(vf.coefs, 0) / F.get(vf.coefs, 1))
+                    * F.sin(F.get(vf.coefs, 1) * z
+                            + F.get(vf.coefs, 2)))
         n = F.size(vf.lx)
         idx = F.size(F.filter(vf.lx, lambda v: v <= z))
         i = F.least(F.greatest(idx, F.lit(1)), n - F.lit(1))
