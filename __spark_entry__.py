@@ -6248,6 +6248,55 @@ def _q_stream_harmfit(spark, sf_dir):
         F.round("d", 6).alias("d"), F.round("ig", 6).alias("ig"))
 
 
+# --- round-3ap wave: bicubicSpline --------------------------------------------
+
+_BIC_XS = [0.0, 1.0, 2.0, 4.0, 6.0]
+_BIC_YS = [0.0, 2.0, 3.0, 5.0, 8.0]
+
+
+def _bic_f(x, y):
+    return 1.0 + 2.0 * x + 0.5 * y + 0.25 * x * y
+
+
+_BIC_GRID = [[_bic_f(x, y) for y in _BIC_YS] for x in _BIC_XS]
+_BIC_GRID2 = [[math.sin(x) * (1.0 + 0.1 * y * y) for y in _BIC_YS]
+              for x in _BIC_XS]
+
+
+def _bic_mat(grid):
+    return ("matrix(" + ", ".join(
+        "array(" + ", ".join(repr(v) for v in row) + ")"
+        for row in grid) + ")")
+
+
+_STREAM_BICUBIC_EXPR = (
+    'let(b=bicubicSpline(array('
+    + ', '.join(repr(v) for v in _BIC_XS) + '), array('
+    + ', '.join(repr(v) for v in _BIC_YS) + '), '
+    + _bic_mat(_BIC_GRID) + '), c=bicubicSpline(array('
+    + ', '.join(repr(v) for v in _BIC_XS) + '), array('
+    + ', '.join(repr(v) for v in _BIC_YS) + '), '
+    + _bic_mat(_BIC_GRID2) + '), '
+    'tuple(p1=predict(b, 2.5, 3.5), p2=predict(b, 0.7, 6.2), '
+    'k=predict(b, 2.0, 3.0), k2=predict(c, 4.0, 5.0)))')
+
+
+def _q_stream_bicubic(spark, sf_dir):
+    """BicubicSplineEvaluator.java:40 + the bivariate
+    predict(f, x, y) branch: a BILINEAR grid over NON-UNIFORM knots
+    (every interpolating scheme — the reference's piecewise bicubic
+    included — reproduces bilinear data exactly, so the oracle is
+    the closed form 1 + 2x + 0.5y + 0.25xy) plus a knot probe on a
+    curved sin(x)(1+0.1y^2) grid (interpolation passes through the
+    knots regardless of scheme). The engine runs REAL successive
+    natural-cubic-spline folds (streams._BiFunc) — off-knot curved
+    values are pytest-pinned against an independent Python twin."""
+    out = _stream_eval(spark, sf_dir, _STREAM_BICUBIC_EXPR)
+    return out.select(
+        F.round("p1", 6).alias("p1"), F.round("p2", 6).alias("p2"),
+        F.round("k", 6).alias("k"), F.round("k2", 6).alias("k2"))
+
+
 _STREAM_FEATSEL_EXPR = (
     'let(a=select(top(search(documents, q="*:*", fl="doc_id,text", '
     'sort="doc_id asc"), n=20, sort="doc_id asc"), '
@@ -7283,6 +7332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3ao: same pattern
         "s_stream_gaussfit": _q_stream_gaussfit,
         "s_stream_harmfit": _q_stream_harmfit,
+        # round-3ap: same pattern
+        "s_stream_bicubic": _q_stream_bicubic,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -12125,5 +12176,22 @@ SELECT CAST({_ha} AS DOUBLE) AS a, CAST({_hw} AS DOUBLE) AS w,
        ROUND(({_ha} / {_hw}) * sin({_hw} * 3.0 + {_hp})
              - ({_ha} / {_hw}) * sin({_hw} * 0.0 + {_hp}), 6)
          AS ig"""
+
+    # -- round-3ap wave ------------------------------------------------------
+    # bicubicSpline: bilinear-grid probes are the closed form
+    # (interpolation reproduces bilinear data exactly); the curved-
+    # grid probe sits ON a knot, where any interpolant returns the
+    # grid value — computed here, not pasted.
+    def _bil(x, y):
+        return (f"(CAST(1.0 AS DOUBLE) + 2.0 * CAST({x} AS DOUBLE) "
+                f"+ 0.5 * CAST({y} AS DOUBLE) "
+                f"+ 0.25 * CAST({x} AS DOUBLE) "
+                f"* CAST({y} AS DOUBLE))")
+
+    out["s_stream_bicubic"] = f"""
+SELECT ROUND({_bil('2.5', '3.5')}, 6) AS p1,
+       ROUND({_bil('0.7', '6.2')}, 6) AS p2,
+       ROUND({_bil('2.0', '3.0')}, 6) AS k,
+       ROUND(sin(4.0) * (1.0 + 0.1 * 5.0 * 5.0), 6) AS k2"""
 
     return out

@@ -821,6 +821,31 @@ class _Ols:
         self.tup, self.base = tup, base
 
 
+class _BiFunc:
+    """BicubicSplineEvaluator.java:40's BivariateFunction (commons-
+    math PiecewiseBicubicSplineInterpolator), consumed by
+    predict(f, x, y). The engine evaluates by SUCCESSIVE 1-D natural
+    cubic splines — spline across y inside each grid row at y*, then
+    spline across x over those values — which agrees with the
+    reference exactly at the knots and on (bi)linear data (every
+    interpolating scheme reproduces them; the oracle-able surface);
+    off-knot values on curved grids follow the successive-spline
+    construction rather than commons-math's piecewise-Lagrange
+    5-point stencils (documented divergence, pytest pins the
+    independent Python twin). All three members are bounded Catalyst
+    array Columns — a predict is one codegen projection."""
+
+    __slots__ = ("xs", "ys", "grid")
+
+    def __init__(self, xs, ys, grid):
+        self.xs, self.ys, self.grid = xs, ys, grid
+
+    @property
+    def blob(self):
+        return F.struct(self.xs.alias("xs"), self.ys.alias("ys"),
+                        self.grid.alias("grid"))
+
+
 class _Markov:
     """MarkovChainEvaluator.java:58's MarkovChain: a transition
     matrix plus current state, consumed by sample(mc, n). The
@@ -1192,6 +1217,9 @@ def _as_col(v):
         # the reference renders the MultipleRegressionTuple as its
         # field map
         return v.tup
+    if isinstance(v, _BiFunc):
+        raise ValueError("a bicubicSpline is not a value — consume "
+                         "it via predict(f, x, y)")
     return v
 
 
@@ -1574,6 +1602,9 @@ class StreamEvaluator:
                     return _Clus(blob, fuzzy=meta)
                 if kind == "ols":
                     return _Ols(blob)
+                if kind == "bif":
+                    return _BiFunc(blob["xs"], blob["ys"],
+                                   blob["grid"])
                 return (_Hull if kind == "hull" else _Ball)(blob)
             scope = getattr(self, "_scope_cols", None)
             if (scope is not None
@@ -1931,6 +1962,24 @@ class StreamEvaluator:
             lit = (isinstance(node.args[1], str)
                    and re.match(r"^-?\d+(\.\d+)?$", node.args[1]))
 
+            if isinstance(a[0], _BiFunc):
+                # BivariateFunction.value(x, y): spline across y in
+                # each grid row at y*, then across x (see _BiFunc)
+                if len(a) != 3:
+                    raise ValueError("predict: a bicubicSpline "
+                                     "model takes (x, y)")
+                b = a[0]
+                zx, zy = _d(a[1]), _d(a[2])
+
+                def _sp_val(lx, lyv, z):
+                    vf = _VFunc("pp", None, lx=lx,
+                                coefs=self._spline_coefs(lx, lyv))
+                    return self._vf_value(vf, z)
+
+                gcol = F.transform(
+                    b.grid, lambda r: _sp_val(b.ys, r, zy))
+                return _let1(gcol,
+                             lambda g: _sp_val(b.xs, g, zx))
             if isinstance(a[0], _Ols):
                 # MultipleRegressionTuple.predict (OLSRegression-
                 # Evaluator.java:105): beta0 + sum(beta[i+1] *
@@ -3285,6 +3334,20 @@ class StreamEvaluator:
                             xs, F.transform(
                                 s, lambda v: v.cast("double")))))
             return vf
+        if fn == "bicubicSpline":
+            # BicubicSplineEvaluator.java:40 — two numeric knot
+            # arrays + a grid matrix -> a BivariateFunction for
+            # predict(f, x, y); see _BiFunc for the evaluation
+            # contract
+            if len(a) != 3:
+                raise ValueError("The bicubicSpline function "
+                                 "requires three parameters")
+            grid = self._mrows(a[2])
+            return _BiFunc(
+                F.transform(a[0], lambda v: v.cast("double")),
+                F.transform(a[1], lambda v: v.cast("double")),
+                F.transform(grid, lambda r: F.transform(
+                    r, lambda v: v.cast("double"))))
         if fn in ("gaussfit", "harmfit", "harmonicFit"):
             # Gauss/HarmonicFitEvaluator.java:40 — ParameterGuesser
             # + Levenberg-Marquardt in a bounded Arrow kernel
@@ -4466,19 +4529,22 @@ class StreamEvaluator:
                     src = val.base if val.base is not None else base
                     self._lets[name] = src.select(*cols)
                     self._mat_cells[name] = sorted(val.attrs)
-                elif isinstance(val, (_Clus, _Hull, _Ball, _Ols)):
+                elif isinstance(val, (_Clus, _Hull, _Ball, _Ols,
+                                      _BiFunc)):
                     # a blob-backed result object (clustering /
                     # convex hull / enclosing disk / multiple
                     # regression): ONE materialized blob row (one
                     # kernel invocation), N accessor consumers
-                    src = val.base if val.base is not None else base
+                    src = (getattr(val, "base", None)
+                           if getattr(val, "base", None) is not None
+                           else base)
                     blob = (val.tup if isinstance(val, _Ols)
                             else val.blob)
                     self._lets[name] = src.select(
                         blob.alias(f"{name}__cblob"))
                     kind = {"_Clus": "clus", "_Hull": "hull",
-                            "_Ball": "ball", "_Ols": "ols"}[
-                                type(val).__name__]
+                            "_Ball": "ball", "_Ols": "ols",
+                            "_BiFunc": "bif"}[type(val).__name__]
                     self._obj_cells[name] = (
                         kind, val.fuzzy if kind == "clus" else None)
                 else:
