@@ -6248,6 +6248,57 @@ def _q_stream_harmfit(spark, sf_dir):
         F.round("d", 6).alias("d"), F.round("ig", 6).alias("ig"))
 
 
+# --- round-3aq wave: empiricalDistribution / multiVariateNormal ---------------
+
+_EMP_D = [0.5, 1.0, 1.2, 1.7, 2.2, 2.8, 3.1, 3.3, 3.9, 4.4,
+          4.8, 5.5, 6.1, 6.4, 7.2, 7.7, 8.3, 8.9, 9.6, 10.0]
+_EMP_BINS = 4
+_EMP_PROBES = [0.3, 2.0, 4.1, 8.0, 10.0]
+_EMP_ED = ("empiricalDistribution(array("
+           + ", ".join(repr(v) for v in _EMP_D)
+           + f"), {_EMP_BINS})")
+_STREAM_EMPDIST_EXPR = ("tuple(" + ", ".join(
+    f"p{i}=cumulativeProbability({_EMP_ED}, {x!r})"
+    for i, x in enumerate(_EMP_PROBES)) + ")")
+
+
+def _q_stream_empdist(spark, sf_dir):
+    """EmpiricalDistributionEvaluator.java:33 — commons-math
+    EmpiricalDistribution over a 20-value series with 4 equal-width
+    bins: per-bin Gaussian kernels, cdf = pBminus + pB *
+    (K(x)-K(lo))/(K(hi)-K(lo)) with binIndex =
+    min(max(ceil((v-min)/delta)-1, 0), bins-1) (streams
+    ._empirical_cdf). Five probes cover below-min, three interior
+    bins, and the max. The oracle replays the identical bin
+    assignment, per-bin moment sums, and A&S-erf kernel in SQL."""
+    out = _stream_eval(spark, sf_dir, _STREAM_EMPDIST_EXPR)
+    return out.select(*[F.round(f"p{i}", 6).alias(f"p{i}")
+                        for i in range(len(_EMP_PROBES))])
+
+
+_MVN_MU = [1.0, 2.0]
+_MVN_COV = [[2.0, 0.5], [0.5, 1.0]]
+_MVN_ED = ("multiVariateNormalDistribution(array("
+           + ", ".join(repr(v) for v in _MVN_MU) + "), matrix("
+           + ", ".join("array(" + ", ".join(repr(v) for v in row)
+                       + ")" for row in _MVN_COV) + "))")
+_STREAM_MVN_EXPR = (
+    f"tuple(d1=density({_MVN_ED}, array(1.5, 2.5)), "
+    f"d2=density({_MVN_ED}, array(0.0, 1.0)))")
+
+
+def _q_stream_mvn(spark, sf_dir):
+    """MultiVariateNormalDistributionEvaluator.java:33 — 2-D
+    density with the Cramer-folded quadratic form
+    (streams._mvn_density): q = (d dx^2 - (b+c) dx dy + a dy^2)/det,
+    density = exp(-q/2)/(2 pi sqrt(det)). sample() is random
+    (law-pinned in pytest, excluded here like every sample row).
+    The oracle computes the identical closed form in SQL."""
+    out = _stream_eval(spark, sf_dir, _STREAM_MVN_EXPR)
+    return out.select(F.round("d1", 6).alias("d1"),
+                      F.round("d2", 6).alias("d2"))
+
+
 # --- round-3ap wave: bicubicSpline --------------------------------------------
 
 _BIC_XS = [0.0, 1.0, 2.0, 4.0, 6.0]
@@ -7334,6 +7385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_harmfit": _q_stream_harmfit,
         # round-3ap: same pattern
         "s_stream_bicubic": _q_stream_bicubic,
+        # round-3aq: same pattern
+        "s_stream_empdist": _q_stream_empdist,
+        "s_stream_mvn": _q_stream_mvn,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -12193,5 +12247,83 @@ SELECT ROUND({_bil('2.5', '3.5')}, 6) AS p1,
        ROUND({_bil('0.7', '6.2')}, 6) AS p2,
        ROUND({_bil('2.0', '3.0')}, 6) AS k,
        ROUND(sin(4.0) * (1.0 + 0.1 * 5.0 * 5.0), 6) AS k2"""
+
+    # -- round-3aq wave ------------------------------------------------------
+    # empiricalDistribution: replay the commons-math bin-kernel cdf
+    # in SQL — identical bin assignment (ceil-based index), per-bin
+    # moment sums, and the shared A&S erf kernel.
+    _eB = _EMP_BINS
+    _erows = ", ".join(f"(CAST({v} AS DOUBLE))" for v in _EMP_D)
+    _esql = (f"WITH d(v) AS (VALUES {_erows}),\n"
+             "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,"
+             " MIN(v) AS mn, MAX(v) AS mx,"
+             f" (MAX(v) - MIN(v)) / {float(_eB)!r} AS delta FROM d),\n"
+             "bi AS (SELECT v, LEAST(GREATEST(CAST(CEIL((v - st.mn)"
+             f" / st.delta) AS INT) - 1, 0), {_eB - 1}) AS b"
+             " FROM d CROSS JOIN st),\n"
+             "bs AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS nb,"
+             " SUM(v) AS sm, SUM(v * v) AS ssq FROM bi GROUP BY b)")
+    _esel = []
+    for j, xp in enumerate(_EMP_PROBES):
+        xr = repr(xp)
+        _esql += f""",
+i{j} AS (SELECT LEAST(GREATEST(CAST(CEIL((CAST({xr} AS DOUBLE)
+           - st.mn) / st.delta) AS INT) - 1, 0), {_eB - 1}) AS i
+         FROM st),
+m{j} AS (SELECT bs.nb, bs.sm / bs.nb AS mean,
+                (bs.ssq - bs.sm * bs.sm / bs.nb) / (bs.nb - 1.0)
+                  AS var
+         FROM bs, i{j} WHERE bs.b = i{j}.i)"""
+
+        def _kn(z, m=f"m{j}"):
+            return ("(0.5 * (1.0 + " + _serf(
+                f"(({z} - {m}.mean) / (sqrt({m}.var) "
+                "* sqrt(CAST(2.0 AS DOUBLE))))") + "))")
+
+        def _kc(z, m=f"m{j}"):
+            return (f"(CASE WHEN {z} < {m}.mean THEN 0.0 "
+                    "ELSE 1.0 END)")
+
+        lo = (f"(CASE WHEN i{j}.i = 0 THEN st.mn "
+              f"ELSE st.mn + st.delta * CAST(i{j}.i AS DOUBLE) END)")
+        hi = (f"(CASE WHEN i{j}.i = {_eB - 1} THEN st.mx "
+              f"ELSE st.mn + st.delta * (CAST(i{j}.i AS DOUBLE) "
+              "+ 1.0) END)")
+        xx = f"CAST({xr} AS DOUBLE)"
+        within = (f"(CASE WHEN m{j}.nb <= 1.0 OR m{j}.var <= 0.0 "
+                  f"THEN ({_kc(xx)} - {_kc(lo)}) "
+                  f"/ ({_kc(hi)} - {_kc(lo)}) "
+                  f"ELSE ({_kn(xx)} - {_kn(lo)}) "
+                  f"/ ({_kn(hi)} - {_kn(lo)}) END)")
+        pbm = (f"((SELECT COALESCE(SUM(b2.nb), 0.0) FROM bs b2, "
+               f"i{j} WHERE b2.b < i{j}.i) / st.n)")
+        _esel.append(
+            f"ROUND(CASE WHEN {xx} < st.mn THEN 0.0 "
+            f"WHEN {xx} >= st.mx THEN 1.0 "
+            f"ELSE {pbm} + (m{j}.nb / st.n) * {within} END, 6) "
+            f"AS p{j}")
+    _frm = ", ".join(["st"] + [f"i{j}, m{j}"
+                               for j in range(len(_EMP_PROBES))])
+    _esql += ("\nSELECT " + ",\n       ".join(_esel)
+              + f"\nFROM {_frm}")
+    out["s_stream_empdist"] = _esql
+
+    # multiVariateNormalDistribution: the identical Cramer-folded
+    # 2-D density closed form.
+    (_ma, _mb), (_mc, _md) = _MVN_COV
+    _m0, _m1 = _MVN_MU
+
+    def _mvnd(x0, x1):
+        det = f"({_ma} * {_md} - {_mb} * {_mc})"
+        dx = f"(CAST({x0} AS DOUBLE) - {_m0})"
+        dy = f"(CAST({x1} AS DOUBLE) - {_m1})"
+        q = (f"(({_md} * {dx} * {dx} - ({_mb} + {_mc}) * {dx} "
+             f"* {dy} + {_ma} * {dy} * {dy}) / {det})")
+        return (f"(exp(-0.5 * {q}) / ({2.0 * math.pi!r} "
+                f"* sqrt({det})))")
+
+    out["s_stream_mvn"] = f"""
+SELECT ROUND({_mvnd('1.5', '2.5')}, 6) AS d1,
+       ROUND({_mvnd('0.0', '1.0')}, 6) AS d2"""
 
     return out

@@ -3483,6 +3483,38 @@ class StreamEvaluator:
         # commons-math distribution object); the consumers below
         # compile closed forms. Parameterizations mirror the
         # reference constructors verbatim (see _Dist docstring).
+        if fn == "empiricalDistribution":
+            # EmpiricalDistributionEvaluator.java:33 — the sorted
+            # backing array plus the bin count (default 99, the
+            # evaluator's own default); consumers compile the
+            # commons-math bin-kernel cdf (see _empirical_cdf)
+            bins = int(node.args[1]) if len(node.args) > 1 else 99
+            if bins < 1:
+                raise ValueError("empiricalDistribution: bins must "
+                                 "be >= 1")
+            return _Dist("empirical", False,
+                         s=F.sort_array(F.transform(
+                             a[0], lambda v: v.cast("double"))),
+                         bins=bins)
+        if fn == "multiVariateNormalDistribution":
+            # MultiVariateNormalDistributionEvaluator.java:33 —
+            # means vector + covariance matrix. The engine's
+            # density/sample closed forms are 2-D (Cramer inverse /
+            # Cholesky); higher dimensions raise at compile time
+            # when the literal shape says so.
+            if isinstance(node.args[0], StreamExpr) \
+                    and node.args[0].name == "array" \
+                    and len(node.args[0].args) != 2:
+                raise ValueError(
+                    "multiVariateNormalDistribution: the engine's "
+                    "closed forms are 2-D (see _mvn_density)")
+            return _Dist("mvn", False,
+                         means=F.transform(a[0],
+                                           lambda v: v.cast("double")),
+                         cov=F.transform(
+                             self._mrows(a[1]),
+                             lambda r: F.transform(
+                                 r, lambda v: v.cast("double"))))
         if fn == "normalDistribution":
             return _Dist("normal", False, mean=_d(a[0]), sd=_d(a[1]))
         if fn == "uniformDistribution":
@@ -3569,6 +3601,9 @@ class StreamEvaluator:
             if not isinstance(d0, _Dist):
                 raise ValueError("density: first operand must be a "
                                  "distribution")
+            if d0.kind == "mvn":
+                # the multivariate branch takes a point VECTOR
+                return self._mvn_density(d0, a[1])
             return self._dist_pdf(d0, a[1].cast("double"))
         if fn == "sample":
             # SampleEvaluator.java:33 — random draws (random by
@@ -3772,6 +3807,14 @@ class StreamEvaluator:
         """commons-math cumulativeProbability closed forms, branch
         structure mirrored per class (cited on each kind)."""
         P = d.p
+        if d.kind == "empirical":
+            return self._empirical_cdf(d, x)
+        if d.kind == "mvn":
+            raise ValueError(
+                "cumulativeProbability: not defined for a "
+                "multivariate normal (the reference's commons-math "
+                "MultivariateNormalDistribution has density/sample "
+                "only)")
         if d.kind == "normal":
             # NormalDistribution.cumulativeProbability =
             # 0.5 * erfc(-(x-m)/(sd*sqrt(2)))
@@ -3875,6 +3918,139 @@ class StreamEvaluator:
                            .otherwise(F.lit(0.0))),
                 F.lit(0.0), lambda acc, t: acc + t)
         raise ValueError(f"no cdf for distribution {d.kind!r}")
+
+    def _empirical_cdf(self, d: "_Dist", x):
+        """commons-math 3.6 EmpiricalDistribution
+        .cumulativeProbability (EmpiricalDistributionEvaluator
+        .java:33): equal-width bins over [min, max], binIndex =
+        min(max(ceil((v-min)/delta) - 1, 0), bins-1); each bin's
+        kernel is Normal(mean, sample-sd) — or the constant
+        distribution at the mean when the bin has one value or zero
+        variance — and cdf = pBminus + pB * (K(x) - K(lo)) /
+        (K(hi) - K(lo)) with lo = min for bin 0 else min + delta*i,
+        hi = max for the last bin else min + delta*(i+1). The
+        normal kernel uses the shared A&S erf (the documented
+        <= 1.5e-7 divergence from commons-math, inside round-6).
+        One codegen expression over the bounded sorted cell."""
+        P = d.p
+        B = P["bins"]
+
+        # staged with _let1 so the A&S erf's ~8x argument expansion
+        # multiplies cheap lambda-variable references, not whole
+        # aggregate subtrees (the array_repeat-staging family of
+        # fix — an unstaged version OOMs Catalyst codegen)
+        def body(sv):
+            n = F.size(sv).cast("double")
+            mn = F.get(sv, 0).cast("double")
+            mx = F.element_at(sv, -1).cast("double")
+            delta = (mx - mn) / F.lit(float(B))
+
+            def bidx(v):
+                return F.least(
+                    F.greatest(F.ceil((v - mn) / delta).cast("int")
+                               - F.lit(1), F.lit(0)),
+                    F.lit(B - 1))
+
+            def with_i(i):
+                binv = F.filter(
+                    sv, lambda v: bidx(v.cast("double")) == i)
+                nbefore = F.size(F.filter(
+                    sv, lambda v: bidx(v.cast("double")) < i))
+                stats = _let1(binv, lambda bv: F.struct(
+                    F.size(bv).cast("double").alias("nb"),
+                    F.aggregate(
+                        bv, F.lit(0.0),
+                        lambda t, v: t + v.cast("double"))
+                    .alias("sm"),
+                    F.aggregate(
+                        bv, F.lit(0.0),
+                        lambda t, v: t + v.cast("double")
+                        * v.cast("double")).alias("ssq")))
+                pre = F.struct(
+                    stats.alias("st"),
+                    nbefore.cast("double").alias("nbef"),
+                    (F.when(i == F.lit(0), mn)
+                     .otherwise(mn + delta * i.cast("double")))
+                    .alias("lo"),
+                    (F.when(i == F.lit(B - 1), mx)
+                     .otherwise(mn + delta * (i.cast("double")
+                                              + F.lit(1.0))))
+                    .alias("hi"))
+                return _let1(pre, lambda pv: formula(pv))
+
+            def formula(pv):
+                # safe denominators: the nb==0 and nb==1 branches
+                # are overridden downstream (ANSI mode would error
+                # on an eager 0-division inside the staging struct)
+                nb = F.greatest(pv["st"]["nb"], F.lit(1.0))
+                nb1 = F.greatest(pv["st"]["nb"] - F.lit(1.0),
+                                 F.lit(1.0))
+                mean = pv["st"]["sm"] / nb
+                var = ((pv["st"]["ssq"] - pv["st"]["sm"]
+                        * pv["st"]["sm"] / nb) / nb1)
+                core = F.struct(mean.alias("mean"),
+                                var.alias("var"),
+                                F.sqrt(F.abs(var)).alias("sd"))
+                return _let1(core, lambda cv: formula2(pv, cv))
+
+            def formula2(pv, cv):
+                nb = pv["st"]["nb"]
+                lo, hi = pv["lo"], pv["hi"]
+
+                def kn(z):
+                    return F.lit(0.5) * (F.lit(1.0) + self._erf(
+                        (z - cv["mean"])
+                        / (cv["sd"] * F.sqrt(F.lit(2.0)))))
+
+                def kc(z):
+                    return (F.when(z < cv["mean"], F.lit(0.0))
+                            .otherwise(F.lit(1.0)))
+
+                isconst = ((nb <= F.lit(1.0))
+                           | (cv["var"] <= F.lit(0.0)))
+                within = (F.when(isconst,
+                                 (kc(x) - kc(lo))
+                                 / (kc(hi) - kc(lo)))
+                          .otherwise((kn(x) - kn(lo))
+                                     / (kn(hi) - kn(lo))))
+                # an EMPTY probe bin: pB = 0 and the reference
+                # builds a NaN kernel (commons-math constructs a
+                # Normal(NaN, NaN) from the empty SummaryStatistics
+                # and returns NaN); the engine returns the
+                # well-defined left limit pBminus instead
+                # (documented divergence)
+                return (F.when(x < mn, F.lit(0.0))
+                        .when(x >= mx, F.lit(1.0))
+                        .when(pv["st"]["nb"] == F.lit(0.0),
+                              pv["nbef"] / n)
+                        .otherwise(pv["nbef"] / n
+                                   + (nb / n) * within))
+
+            return _let1(bidx(x), with_i)
+
+        return _let1(P["s"], body)
+
+    def _mvn_density(self, d: "_Dist", xv):
+        """MultivariateNormalDistribution.density for the 2-D case
+        (the engine's closed-form domain): with covariance
+        [[a, b], [c, dd]] and dx = x - mu, q = (dd*dx0^2 -
+        (b+c)*dx0*dx1 + a*dx1^2) / det, density = exp(-q/2) /
+        (2 pi sqrt(det)) — Cramer's inverse folded into the
+        quadratic form. The reference diagonalizes; same value."""
+        P = d.p
+        means, cov = P["means"], P["cov"]
+        x0 = F.get(xv, 0).cast("double")
+        x1 = F.get(xv, 1).cast("double")
+        aa = F.get(F.get(cov, 0), 0)
+        b = F.get(F.get(cov, 0), 1)
+        c = F.get(F.get(cov, 1), 0)
+        dd = F.get(F.get(cov, 1), 1)
+        det = aa * dd - b * c
+        dx = x0 - F.get(means, 0)
+        dy = x1 - F.get(means, 1)
+        q = (dd * dx * dx - (b + c) * dx * dy + aa * dy * dy) / det
+        return (F.exp(F.lit(-0.5) * q)
+                / (F.lit(2.0 * math.pi) * F.sqrt(det)))
 
     def _dist_pmf(self, d: "_Dist", kk):
         """IntegerDistribution.probability(k) closed forms."""
@@ -3986,6 +4162,19 @@ class StreamEvaluator:
         others raise (the laws cover the supported set)."""
         P = d.p
         u = F.rand()
+        if d.kind == "mvn":
+            # 2-D Cholesky transform: x = mu + L z with
+            # L = [[sqrt(a), 0], [b/sqrt(a), sqrt(d - b^2/a)]]
+            means, cov = P["means"], P["cov"]
+            aa = F.get(F.get(cov, 0), 0)
+            b = F.get(F.get(cov, 0), 1)
+            dd = F.get(F.get(cov, 1), 1)
+            l11 = F.sqrt(aa)
+            l21 = b / l11
+            l22 = F.sqrt(dd - l21 * l21)
+            z1, z2 = F.randn(), F.randn()
+            return F.array(F.get(means, 0) + l11 * z1,
+                           F.get(means, 1) + l21 * z1 + l22 * z2)
         if d.kind == "normal":
             return P["mean"] + P["sd"] * F.randn()
         if d.kind == "lognormal":
