@@ -6248,6 +6248,88 @@ def _q_stream_harmfit(spark, sf_dir):
         F.round("d", 6).alias("d"), F.round("ig", 6).alias("ig"))
 
 
+# --- round-3ar wave: function qparser family ----------------------------------
+
+_FUNC_Q = ("{!func}sum(ln(sum(n_chars, 1)), "
+           "div(product(2.0, map(n_chars, 0, 400, 100.0)), 50), "
+           "if(gt(n_chars, 600), 0.25, 0.0))")
+_FUNC_COLS_SQL = {"n_chars": "d.n_chars", "doc_id": "d.doc_id"}
+
+
+def _func_cols_spark():
+    return {"n_chars": F.col("n_chars"), "doc_id": F.col("docid")}
+
+
+def _p_func(spark, sf_dir):
+    """FunctionQParserPlugin.java:31 through the local-params
+    surface: the function value IS the score (FunctionQuery). The
+    string parses once (search/funcparser.py — the FunctionQParser
+    grammar with ValueSourceParser's sum/product/div/map/if/gt/ln
+    sources) and compiles to a Catalyst projection over the
+    docvalues; the oracle compiles the SAME AST to SQL with
+    identical association order (compile_sql), so this row pins the
+    parser AND both compilers. At scale: a projected scan + top-k,
+    no shuffle beyond TakeOrdered."""
+    from lucene_solr_spark.search.funcparser import compile_col
+    from lucene_solr_spark.search.localparams import (FuncScore,
+                                                      local_query)
+    spec = local_query(_FUNC_Q)
+    assert isinstance(spec, FuncScore)
+    se = _searcher(spark, sf_dir)
+    return (se.ix.source
+            .select(F.col("docid").alias("doc_id"),
+                    F.round(compile_col(spec.func,
+                                        _func_cols_spark()), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+_FRANGE_Q = "{!frange l=5.0 u=5.6}ln(sum(n_chars, 1))"
+_FRANGE_MAIN = "join"
+
+
+def _p_frange(spark, sf_dir):
+    """FunctionRangeQParserPlugin.java:39 through the local-params
+    surface: {!frange l u} compiled from the SAME function AST on
+    both engines (ValueSourceRangeFilter semantics — inclusive
+    bounds by default), composed as a filter on a scored term query
+    (Solr's typical fq={!frange ..} usage). The function filter is
+    scan-side codegen at scale."""
+    from lucene_solr_spark.search.funcparser import compile_col
+    from lucene_solr_spark.search.localparams import (FRange,
+                                                      local_query)
+    spec = local_query(_FRANGE_Q)
+    assert isinstance(spec, FRange)
+    se = _searcher(spark, sf_dir)
+    fcol = compile_col(spec.func, _func_cols_spark())
+    cond = F.lit(True)
+    if spec.lower is not None:
+        cond = cond & (fcol >= spec.lower if spec.incl
+                       else fcol > spec.lower)
+    if spec.upper is not None:
+        cond = cond & (fcol <= spec.upper if spec.incu
+                       else fcol < spec.upper)
+    fv = se.ix.source.filter(cond).select("docid")
+    sc = se.scored(Term(_FRANGE_MAIN))
+    return (sc.join(fv, "docid")
+            .withColumn("score", F.round("score", 6))
+            .orderBy(F.desc("score"), F.asc("docid")).limit(10)
+            .select(F.col("docid").alias("doc_id"), "score"))
+
+
+_FIELD_Q = "{!field f=text}Merge Sort"
+
+
+def _p_field(spark, sf_dir):
+    """FieldQParserPlugin.java:40 through the local-params surface:
+    the raw value analyzed against the field type — several tokens
+    become a PhraseQuery (one would be a TermQuery). Execution is
+    the oracle-proven phrase plan; this row pins the parser branch
+    (the oracle compiles the SAME AST via OracleBuilder)."""
+    from lucene_solr_spark.search.localparams import local_query
+    return _searcher(spark, sf_dir).topk(local_query(_FIELD_Q), 10)
+
+
 # --- round-3aq wave: empiricalDistribution / multiVariateNormal ---------------
 
 _EMP_D = [0.5, 1.0, 1.2, 1.7, 2.2, 2.8, 3.1, 3.3, 3.9, 4.4,
@@ -7388,6 +7470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3aq: same pattern
         "s_stream_empdist": _q_stream_empdist,
         "s_stream_mvn": _q_stream_mvn,
+        # round-3ar: same pattern
+        "p_func": _p_func,
+        "p_frange": _p_frange,
+        "p_field": _p_field,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -12325,5 +12411,33 @@ m{j} AS (SELECT bs.nb, bs.sm / bs.nb AS mean,
     out["s_stream_mvn"] = f"""
 SELECT ROUND({_mvnd('1.5', '2.5')}, 6) AS d1,
        ROUND({_mvnd('0.0', '1.0')}, 6) AS d2"""
+
+    # -- round-3ar wave ------------------------------------------------------
+    # function qparser family: both compilers walk the SAME parsed
+    # AST (funcparser.compile_col / compile_sql share association
+    # order), so these oracles are mechanical twins of the engine
+    # plans.
+    from lucene_solr_spark.search.funcparser import compile_sql
+    from lucene_solr_spark.search.localparams import local_query
+
+    _fsql = compile_sql(local_query(_FUNC_Q).func, _FUNC_COLS_SQL)
+    out["p_func"] = f"""
+SELECT d.doc_id, ROUND({_fsql}, 6) AS score
+FROM documents d
+ORDER BY score DESC, d.doc_id ASC LIMIT 10"""
+
+    _frspec = local_query(_FRANGE_Q)
+    _frsql = compile_sql(_frspec.func, _FUNC_COLS_SQL)
+    out["p_frange"] = f"""
+WITH {ctes},
+fr AS (SELECT d.doc_id FROM documents d
+       WHERE {_frsql} >= {_frspec.lower!r}
+         AND {_frsql} <= {_frspec.upper!r}),
+sc AS (SELECT docid, score FROM ({ob.scored(Term(_FRANGE_MAIN))}) s)
+SELECT sc.docid AS doc_id, ROUND(sc.score, 6) AS score
+FROM sc JOIN fr ON fr.doc_id = sc.docid
+ORDER BY ROUND(sc.score, 6) DESC, sc.docid ASC LIMIT 10"""
+
+    out["p_field"] = ob.topk_sql(local_query(_FIELD_Q), 10)
 
     return out

@@ -24,6 +24,17 @@ Supported qparsers (each cites its plugin):
   combine), hits below the cut keep their first-pass score, and the
   merged list re-sorts. Execution lives with the caller (it composes
   two scored plans); see __spark_entry__._p_rerank.
+- ``{!func}body`` -> FunctionQParserPlugin.java:31 (FuncScore spec;
+  the funcparser module owns the grammar)
+- ``{!frange l= u= incl= incu=}body`` ->
+  FunctionRangeQParserPlugin.java:39 (FRange spec)
+- ``{!field f=text}body`` -> FieldQParserPlugin.java:40 (analyzed:
+  one token Term, several Phrase)
+- ``{!raw f=text}body`` -> RawQParserPlugin.java:35 (no analysis)
+- ``{!maxscore tie=t}body`` -> MaxScoreQParserPlugin.java:38
+  (top-level SHOULD clauses grouped into a DisjunctionMax)
+- ``{!switch case=.. case.x=.. default=..}input`` ->
+  SwitchQParserPlugin.java:95 (param-selected subquery)
 - ``{!knn f=field topK=N}[v1, v2, ...]``
   (solr/core/src/java/org/apache/solr/search/neural/
   KnnQParserPlugin.java: ``f`` required, ``topK`` default 10; body =
@@ -37,8 +48,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from .funcparser import FuncNode, parse_func
 from .parser import parse as parse_query
-from .query import Bool, Boost, Prefix, Query, Term, TermInSet
+from .query import (Bool, Boost, DisMax, Phrase, Prefix, Query, Term,
+                    TermInSet)
 
 
 class LocalParamsError(ValueError):
@@ -51,6 +64,30 @@ class ReRank:
     rerank: Query
     docs: int
     weight: float
+
+
+@dataclass(frozen=True)
+class FuncScore:
+    """{!func}body (FunctionQParserPlugin.java:31): the function
+    value IS the score (lucene queries/function FunctionQuery).
+    Execution projects the compiled column over the docvalues and
+    top-ks; see funcparser.compile_col / compile_sql."""
+
+    func: FuncNode
+
+
+@dataclass(frozen=True)
+class FRange:
+    """{!frange l=.. u=.. incl= incu=}func
+    (FunctionRangeQParserPlugin.java:39 -> ValueSourceRangeFilter):
+    constant-score filter on l <= f(doc) <= u; a missing bound is
+    open, incl/incu default true."""
+
+    func: FuncNode
+    lower: float | None
+    upper: float | None
+    incl: bool
+    incu: bool
 
 
 @dataclass(frozen=True)
@@ -228,4 +265,72 @@ def local_query(s: str, params: dict | None = None):
         return ReRank(main=parse_query(body), rerank=rerank,
                       docs=int(kv.get("reRankDocs", "200")),
                       weight=float(kv.get("reRankWeight", "2.0")))
+    if ptype == "func":
+        # FunctionQParserPlugin.java:31
+        return FuncScore(parse_func(body))
+    if ptype == "frange":
+        # FunctionRangeQParserPlugin.java:39 — l/u bounds with
+        # incl/incu inclusivity flags (defaults true)
+        lo = kv.get("l")
+        hi = kv.get("u")
+        if lo is None and hi is None:
+            raise LocalParamsError("{!frange} needs l and/or u")
+        return FRange(parse_func(body),
+                      lower=None if lo is None else float(lo),
+                      upper=None if hi is None else float(hi),
+                      incl=kv.get("incl", "true") != "false",
+                      incu=kv.get("incu", "true") != "false")
+    if ptype == "field":
+        # FieldQParserPlugin.java:40 — analyze the raw value against
+        # the field type: one token -> TermQuery, several ->
+        # PhraseQuery (the text field's simple analyzer here)
+        from ..analysis.analyzers import simple_tokenize
+        if kv.get("f", "text") != "text":
+            raise LocalParamsError(
+                "{!field} supports the analyzed text field")
+        toks = simple_tokenize(body)
+        if not toks:
+            raise LocalParamsError("{!field} value analyzed to "
+                                   "no tokens")
+        return Term(toks[0]) if len(toks) == 1 \
+            else Phrase(tuple(toks))
+    if ptype == "raw":
+        # RawQParserPlugin.java:35 — the value as ONE term, no
+        # analysis at all
+        if kv.get("f", "text") != "text":
+            raise LocalParamsError(
+                "{!raw} supports the text field")
+        return Term(body)
+    if ptype == "maxscore":
+        # MaxScoreQParserPlugin.java:38 — parse like lucene, then
+        # group the top-level SHOULD clauses into one
+        # DisjunctionMax(tie=tieBreaker, default 0) keeping other
+        # clauses as-is
+        q = parse_query(body)
+        tie = float(kv.get("tie", "0.0"))
+        if isinstance(q, Bool) and len(q.should) > 1:
+            return Bool(must=q.must,
+                        should=(DisMax(q.should, tiebreak=tie),),
+                        must_not=q.must_not, filter=q.filter,
+                        minimum_should_match=min(
+                            q.minimum_should_match, 1))
+        return q
+    if ptype == "switch":
+        # SwitchQParserPlugin.java:95 — the trimmed input selects
+        # case.<val> (or bare `case` for empty input, `default`
+        # otherwise); the chosen param value re-enters local_query
+        val = body.strip()
+        chosen = kv.get("case") if val == "" \
+            else kv.get(f"case.{val}")
+        if chosen is None:
+            chosen = kv.get("default")
+        if chosen is None:
+            raise LocalParamsError(
+                f"{{!switch}} has no case for input {val!r} and "
+                "no default")
+        sub = local_query(chosen, params)
+        if isinstance(sub, (ReRank, Knn, FuncScore, FRange)):
+            raise LocalParamsError(
+                "{!switch} case cannot select a spec query")
+        return sub
     raise LocalParamsError(f"unknown qparser {ptype!r}")
