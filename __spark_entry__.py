@@ -6689,10 +6689,25 @@ WINDOW_ORDER = [
     # the dedup stack stays repped in-window by t_minhash_lsh +
     # t_window_dedup). s_stream_markov and s_stream_features'
     # reroute keep out-of-window local records.
+    # Round-3ar rotation (window stays 50): IN p_func (the TENTH
+    # parser family — the FunctionQParser grammar compiled by TWIN
+    # Catalyst/SQL walkers over one AST; the only row whose oracle
+    # is generated from the same parse as the plan), s_stream_loess
+    # (LOESS — the only row replaying a 3-pass robustness loop with
+    # the uniform-x closed-form window in SQL) and s_stream_empdist
+    # (EmpiricalDistribution — the bin-kernel cdf, a new
+    # order-statistic + kernel-mixture shape). OUT (all keep
+    # three-scale local records + pytest): s_stream_scalarfns (libm
+    # scalar arithmetic stays repped in-window by s_stream_dist/
+    # regress/evalexpr), v_ssl_prune (the v-family keeps v_mmr/
+    # v_ivf_pq/v_embed_lsh in-window) and t_ict_pairs (slice/remove
+    # codegen repped by t_window_dedup/t_tfidf_keywords in-window).
+    # s_stream_gaussfit/harmfit/bicubic/mvn and p_frange/p_field
+    # enter out-of-window with three-scale local records.
+    "p_func", "s_stream_loess", "s_stream_empdist",
     "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
     "s_stream_spline",
     "s_stream_dist",
-    "s_stream_scalarfns",
     # (s_stream_topic rotated OUT in round 3ae;
     #  s_stream_distops/parsecsv rotated OUT in round 3al.)
     "s_stream_evalexpr",
@@ -6700,13 +6715,13 @@ WINDOW_ORDER = [
     # (s_stream_math and s_stream_reduce rotated OUT in round 3ad —
     # see the 3ad note at the head of this list.)
     "p_bool", "p_terms",
-    "v_ssl_prune", "s_stream_facet2d",
+    "s_stream_facet2d",
     "p_complex_phrase",
     # (t_len_bias rotated OUT in round 3ac — see the 3ac note at the
     # head of this list.)
     "p_parent", "q_xc_join",
     "t_window_dedup",
-    "q_facet_uniqueblock", "t_ict_pairs",
+    "q_facet_uniqueblock",
     "q_prefix_scoring", "q_phrase_gap",
     "s_stream_eval", "t_tfidf_keywords",
     # Round-3g rotation (window stays 50): IN s_stream_facet (the
@@ -6946,6 +6961,8 @@ WINDOW_ORDER = [
     "q_regexp",
     # (rotated OUT in round 3al — first past-window slots)
     "s_stream_distops", "s_stream_parsecsv", "t_lsh_recall",
+    # (rotated OUT in round 3ar)
+    "s_stream_scalarfns", "v_ssl_prune", "t_ict_pairs",
     # added later in round 2 (no prior oracle rows)
     "q_highlight_best", "v_ann_ivf",
     # pluggable similarities (Classic TF-IDF / LMDirichlet / Boolean)
