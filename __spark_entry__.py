@@ -6330,6 +6330,79 @@ def _p_field(spark, sf_dir):
     return _searcher(spark, sf_dir).topk(local_query(_FIELD_Q), 10)
 
 
+# --- round-3as wave: {!graph} traversal + {!join} qparser ---------------------
+
+_GRAPH_Q = ("{!graph from=doc_id to=prev_id maxDepth=3 "
+            "traversalFilter='sort'}merge")
+_GRAPH_BLOCK = 8
+
+
+def _p_graph(spark, sf_dir):
+    """Solr {!graph} (GraphQueryParser.java:30 -> GraphQuery.java:
+    178-238): breadth-first frontier expansion over a derived chain
+    graph (prev_id = doc_id - 1 within blocks of 8 — the same
+    derived-field pattern the block-join rows use), seeded by the
+    'merge' matches, every post-root frontier restricted by the
+    traversalFilter ('sort' matches), maxDepth 3 with the root at
+    depth 0. The engine loop is graphquery.graph_traverse — one
+    frontier semi-join per level, broadcastable key sets, no driver
+    materialization; the oracle unrolls the SAME three levels with
+    visited anti-joins in SQL."""
+    from lucene_solr_spark.search.graphquery import graph_traverse
+    from lucene_solr_spark.search.localparams import (Graph,
+                                                      local_query)
+    spec = local_query(_GRAPH_Q)
+    assert isinstance(spec, Graph)
+    se = _searcher(spark, sf_dir)
+    src = (se.ix.source.select(F.col("docid").alias("doc_id"))
+           .withColumn("prev_id",
+                       F.when(F.col("doc_id") % _GRAPH_BLOCK != 0,
+                              F.col("doc_id") - 1)))
+    roots = se.matching(spec.root) \
+        .select(F.col("docid").alias("doc_id"))
+    tf = None
+    if spec.traversal_filter is not None:
+        tf = se.matching(spec.traversal_filter) \
+            .select(F.col("docid").alias("doc_id"))
+    out = graph_traverse(src, roots, "doc_id", "prev_id",
+                         max_depth=spec.max_depth,
+                         traversal_filter=tf,
+                         return_root=spec.return_root,
+                         only_leaf_nodes=spec.only_leaf)
+    return (out.select("doc_id",
+                       F.col("depth").cast("long").alias("depth"))
+            .orderBy("doc_id"))
+
+
+_JOIN_Q = ("{!join fromIndex=events from=user_id to=doc_id}"
+           "event_type:purchase")
+
+
+def _p_join(spark, sf_dir):
+    """Solr {!join} (JoinQParserPlugin /
+    CrossCollectionJoinQuery.java): the from-side query's user_id
+    value set selects to-side documents — a distinct key projection
+    on the events scan (pushed filter) semi-joined onto documents,
+    constant score. This row pins the qparser's from/to/fromIndex
+    parse and the minimal from-side body grammar; the join shape is
+    the oracle-proven q_xc_join plan."""
+    from lucene_solr_spark.search.localparams import (XCJoin,
+                                                      local_query)
+    spec = local_query(_JOIN_Q)
+    assert isinstance(spec, XCJoin)
+    ev = spark.read.parquet(f"{sf_dir}/{spec.from_index}.parquet")
+    if spec.predicate[0] == "eq":
+        ev = ev.filter(F.col(spec.predicate[1])
+                       == spec.predicate[2])
+    keys = ev.select(F.col(spec.from_field)
+                     .alias("doc_id")).distinct()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.join(keys, docs[spec.to_field] == keys["doc_id"],
+                      "left_semi")
+            .select(F.col(spec.to_field).alias("doc_id"))
+            .orderBy("doc_id"))
+
+
 # --- round-3aq wave: empiricalDistribution / multiVariateNormal ---------------
 
 _EMP_D = [0.5, 1.0, 1.2, 1.7, 2.2, 2.8, 3.1, 3.3, 3.9, 4.4,
@@ -7491,6 +7564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_func": _p_func,
         "p_frange": _p_frange,
         "p_field": _p_field,
+        # round-3as: same pattern
+        "p_graph": _p_graph,
+        "p_join": _p_join,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -12456,5 +12532,42 @@ FROM sc JOIN fr ON fr.doc_id = sc.docid
 ORDER BY ROUND(sc.score, 6) DESC, sc.docid ASC LIMIT 10"""
 
     out["p_field"] = ob.topk_sql(local_query(_FIELD_Q), 10)
+
+    # -- round-3as wave ------------------------------------------------------
+    # {!graph}: the BFS unrolled level-by-level with the SAME
+    # visited anti-joins as the engine loop (maxDepth=3, root depth
+    # 0, traversalFilter on every post-root frontier).
+    _gsql = f"""
+WITH {ctes},
+g AS (SELECT doc_id,
+             CASE WHEN doc_id % {_GRAPH_BLOCK} <> 0
+                  THEN doc_id - 1 END AS prev_id
+      FROM documents),
+tf AS (SELECT DISTINCT docid AS doc_id FROM postings
+       WHERE term = 'sort'),
+l0 AS (SELECT DISTINCT docid AS doc_id, 0 AS depth FROM postings
+       WHERE term = 'merge'),
+v0 AS (SELECT doc_id FROM l0)"""
+    for lv in range(1, 4):
+        _gsql += f""",
+e{lv} AS (SELECT DISTINCT g.prev_id AS doc_id
+       FROM g JOIN v{lv - 1} USING (doc_id)
+       WHERE g.prev_id IS NOT NULL),
+l{lv} AS (SELECT e{lv}.doc_id, {lv} AS depth
+       FROM e{lv} JOIN tf USING (doc_id)
+       WHERE e{lv}.doc_id NOT IN (SELECT doc_id FROM v{lv - 1})),
+v{lv} AS (SELECT doc_id FROM v{lv - 1}
+       UNION SELECT doc_id FROM l{lv})"""
+    _gsql += ("\nSELECT doc_id, CAST(depth AS BIGINT) AS depth "
+              "FROM (SELECT * FROM l0 UNION ALL "
+              "SELECT * FROM l1 UNION ALL SELECT * FROM l2 "
+              "UNION ALL SELECT * FROM l3) ORDER BY doc_id")
+    out["p_graph"] = _gsql
+
+    out["p_join"] = """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+ORDER BY d.doc_id"""
 
     return out

@@ -46,6 +46,7 @@ Supported qparsers (each cites its plugin):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from .funcparser import FuncNode, parse_func
@@ -95,6 +96,37 @@ class Knn:
     field: str
     top_k: int
     vector: tuple
+
+
+@dataclass(frozen=True)
+class Graph:
+    """{!graph from= to= traversalFilter= maxDepth= returnRoot=
+    returnOnlyLeaf=}rootQuery (GraphQueryParser.java:30 — NOTE
+    from/to are reversed from {!join}; defaults node_id/edge_ids,
+    maxDepth -1, returnRoot true, returnOnlyLeaf false). Execution
+    is graphquery.graph_traverse's iterative frontier BFS."""
+
+    root: Query
+    from_field: str
+    to_field: str
+    max_depth: int
+    traversal_filter: Query | None
+    return_root: bool
+    only_leaf: bool
+
+
+@dataclass(frozen=True)
+class XCJoin:
+    """{!join from= to= fromIndex=}fromQuery (JoinQParserPlugin /
+    CrossCollectionJoinQuery.java — the from-side query's from-field
+    value set selects to-side docs, constant score). ``predicate``
+    is the minimal from-side filter grammar this engine accepts:
+    ("all",), ("eq", field, value) from ``field:value`` bodies."""
+
+    from_index: str
+    from_field: str
+    to_field: str
+    predicate: tuple
 
 
 @dataclass(frozen=True)
@@ -265,6 +297,37 @@ def local_query(s: str, params: dict | None = None):
         return ReRank(main=parse_query(body), rerank=rerank,
                       docs=int(kv.get("reRankDocs", "200")),
                       weight=float(kv.get("reRankWeight", "2.0")))
+    if ptype == "graph":
+        # GraphQueryParser.java:30 — from/to REVERSED from {!join}
+        tf = kv.get("traversalFilter")
+        return Graph(
+            root=parse_query(body),
+            from_field=kv.get("from", "node_id"),
+            to_field=kv.get("to", "edge_ids"),
+            max_depth=int(kv.get("maxDepth", "-1")),
+            traversal_filter=(None if tf is None
+                              else parse_query(tf)),
+            return_root=kv.get("returnRoot", "true") != "false",
+            only_leaf=kv.get("returnOnlyLeaf", "false") == "true")
+    if ptype == "join":
+        # JoinQParserPlugin.java — from/to fields + optional
+        # fromIndex; the minimal from-side body grammar is
+        # "*:*" or "field:value"
+        if "from" not in kv or "to" not in kv:
+            raise LocalParamsError("{!join} requires from and to")
+        body = body.strip()
+        if body == "*:*":
+            pred = ("all",)
+        else:
+            m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(\S+)$", body)
+            if not m:
+                raise LocalParamsError(
+                    "{!join} from-side body must be *:* or "
+                    "field:value here")
+            pred = ("eq", m.group(1), m.group(2))
+        return XCJoin(from_index=kv.get("fromIndex", ""),
+                      from_field=kv["from"], to_field=kv["to"],
+                      predicate=pred)
     if ptype == "func":
         # FunctionQParserPlugin.java:31
         return FuncScore(parse_func(body))
