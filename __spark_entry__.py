@@ -6330,6 +6330,48 @@ def _p_field(spark, sf_dir):
     return _searcher(spark, sf_dir).topk(local_query(_FIELD_Q), 10)
 
 
+# --- round-3at wave: full qparser registry ------------------------------------
+
+_DISMAX_Q = "{!dismax mm='2<-25%'}merge sort hash join"
+
+
+def _p_dismax(spark, sf_dir):
+    """DisMaxQParserPlugin through the local-params dispatcher:
+    lenient whitespace tokens as SHOULD clauses with the mm spec
+    evaluated by the SolrPluginUtils.calculateMinShouldMatch port
+    (conditional '2<-25%': 4 optional clauses -> keep 3). Execution
+    is the oracle-proven scored-bool msm plan; this row pins the
+    dismax parse + the conditional-mm arithmetic."""
+    from lucene_solr_spark.search.localparams import local_query
+    return _searcher(spark, sf_dir).topk(local_query(_DISMAX_Q), 10)
+
+
+_COLLAPSE_FQ = "{!collapse field=lang}"
+_COLLAPSE_MAIN = "merge"
+
+
+def _p_collapse(spark, sf_dir):
+    """CollapsingQParserPlugin.java:138 through the local-params
+    dispatcher, composed the way Solr applies it — as an fq on the
+    main query: one head doc per lang group (max score, docid-asc
+    ties). The window plan is q_collapse's; this row pins the
+    Collapse spec parse + fq composition."""
+    from lucene_solr_spark.search.localparams import (Collapse,
+                                                      local_query)
+    spec = local_query(_COLLAPSE_FQ)
+    assert isinstance(spec, Collapse)
+    se = _searcher(spark, sf_dir)
+    sc = se.scored(Term(_COLLAPSE_MAIN)).withColumn(
+        "score", F.round("score", 6))
+    j = sc.join(se.ix.source.select("docid", spec.field), "docid")
+    w = Window.partitionBy(spec.field).orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("docid").alias("doc_id"), "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 # --- round-3as wave: {!graph} traversal + {!join} qparser ---------------------
 
 _GRAPH_Q = ("{!graph from=doc_id to=prev_id maxDepth=3 "
@@ -7567,6 +7609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3as: same pattern
         "p_graph": _p_graph,
         "p_join": _p_join,
+        # round-3at: same pattern
+        "p_dismax": _p_dismax,
+        "p_collapse": _p_collapse,
     })
     ordered: dict[str, Callable] = {}
     for name in WINDOW_ORDER:
@@ -12569,5 +12614,20 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT user_id FROM events
                    WHERE event_type = 'purchase')
 ORDER BY d.doc_id"""
+
+    # -- round-3at wave ------------------------------------------------------
+    out["p_dismax"] = ob.topk_sql(local_query(_DISMAX_Q), 10)
+
+    out["p_collapse"] = f"""
+WITH {ctes},
+sc AS (SELECT docid, ROUND(score, 6) AS score
+       FROM ({ob.scored(Term(_COLLAPSE_MAIN))}) s),
+j AS (SELECT sc.docid, sc.score, d.lang,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY sc.score DESC,
+                                         sc.docid ASC) AS rn
+      FROM sc JOIN documents d ON d.doc_id = sc.docid)
+SELECT docid AS doc_id, score FROM j WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     return out

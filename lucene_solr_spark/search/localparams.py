@@ -116,6 +116,105 @@ class Graph:
 
 
 @dataclass(frozen=True)
+class Collapse:
+    """{!collapse field=..} (CollapsingQParserPlugin.java:138) — a
+    post-filter keeping one head doc per group (max score, docid-asc
+    ties, the plugin's default ord policy). Composes as an fq on the
+    caller's main query; execution is the proven q_collapse window
+    plan."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class GeoFilt:
+    """{!geofilt sfield pt d} / {!bbox} (SpatialFilterQParserPlugin
+    .java:36 / SpatialBoxQParserPlugin): great-circle distance filter
+    (or its bounding box) around pt, d in km."""
+
+    sfield: str
+    lat: float
+    lon: float
+    d_km: float
+    box: bool
+
+
+@dataclass(frozen=True)
+class Mlt:
+    """{!mlt mintf= mindf=}docId (mlt/MLTQParserPlugin.java:40,
+    defaults mintf=2 mindf=5)."""
+
+    doc_id: int
+    mintf: int
+    mindf: int
+
+
+@dataclass(frozen=True)
+class PayloadScore:
+    """{!payload_score f= func= includeSpanScore=}terms
+    (PayloadScoreQParserPlugin.java:46)."""
+
+    query: Query
+    func: str
+    include_span_score: bool
+
+
+@dataclass(frozen=True)
+class PayloadCheck:
+    """{!payload_check f= payloads='..'}terms
+    (PayloadCheckQParserPlugin.java:47)."""
+
+    query: Query
+    payloads: tuple
+
+
+@dataclass(frozen=True)
+class TermsStats:
+    """{!significantTerms}/{!igain}/{!tlogit} streaming-handler
+    qparsers (SignificantTermsQParserPlugin.java:57,
+    IGainTermsQParserPlugin.java:48,
+    TextLogisticRegressionQParserPlugin.java:45) — analytics
+    collectors addressed by the stream layer; the spec carries the
+    plugin name + its params verbatim, and execution routes to the
+    already-oracle-proven mlstreams/relatedness plans."""
+
+    kind: str
+    params: tuple
+
+
+@dataclass(frozen=True)
+class HashSpec:
+    """{!hash workers= worker=} (HashQParserPlugin.java:47 — export
+    partition filter on hash(keys) % workers) and {!hash_range
+    f= l= u=} (HashRangeQParserPlugin.java:33)."""
+
+    kind: str
+    params: tuple
+
+
+@dataclass(frozen=True)
+class MinHashSpec:
+    """{!min_hash sim= analyzer_field=}text
+    (MinHashQParserPlugin.java:73) — banded MinHash similarity
+    filter; execution is the textops minhash/LSH stack."""
+
+    text: str
+    sim: float
+
+
+@dataclass(frozen=True)
+class GraphTerms:
+    """{!graphTerms f= maxDocFreq=}t1,t2,..
+    (GraphTermsQParserPlugin.java:66): the boolean OR of the terms
+    SKIPPING any whose docFreq exceeds maxDocFreq — the frontier
+    hot-node guard. Execution resolves df from the term-stats table
+    and reduces to TermInSet."""
+
+    terms: tuple
+    max_doc_freq: int
+
+
+@dataclass(frozen=True)
 class XCJoin:
     """{!join from= to= fromIndex=}fromQuery (JoinQParserPlugin /
     CrossCollectionJoinQuery.java — the from-side query's from-field
@@ -297,6 +396,131 @@ def local_query(s: str, params: dict | None = None):
         return ReRank(main=parse_query(body), rerank=rerank,
                       docs=int(kv.get("reRankDocs", "200")),
                       weight=float(kv.get("reRankWeight", "2.0")))
+    if ptype == "query":
+        # NestedQParserPlugin.java:43 — the v/body re-enters the
+        # dispatcher with its own {!type}
+        return local_query(body, params)
+    if ptype == "simple":
+        from .simple_parser import parse_simple
+        return parse_simple(body)
+    if ptype == "surround":
+        from .surround import parse_surround
+        return parse_surround(body)
+    if ptype == "complexphrase":
+        from .complexphrase import parse_complex_phrase
+        return parse_complex_phrase(body)
+    if ptype == "xmlparser":
+        from .xmlparser import parse_xml
+        return parse_xml(body)
+    if ptype == "xport":
+        # ExportQParserPlugin.java:43 — wraps the body query to
+        # force the export codepath; the parse itself is the body's
+        return parse_query(body)
+    if ptype == "dismax":
+        # DisMaxQParserPlugin.java / DisMaxQParser: lenient
+        # whitespace tokens, each a per-field disjunction (one text
+        # field here), combined as SHOULD with the mm spec
+        # (SolrPluginUtils.setMinShouldMatch)
+        from ..analysis.analyzers import simple_tokenize
+        from .edismax import calculate_min_should_match
+        toks = simple_tokenize(body)
+        if not toks:
+            raise LocalParamsError("{!dismax} query analyzed to "
+                                   "no tokens")
+        should = tuple(Term(t) for t in toks)
+        msm = calculate_min_should_match(len(should),
+                                         kv.get("mm", "1"))
+        return Bool(should=should, minimum_should_match=msm)
+    if ptype == "edismax":
+        from .edismax import edismax
+        return edismax(body, tie=float(kv.get("tie", "0.0")),
+                       mm=kv.get("mm"))
+    if ptype == "filters":
+        # FiltersQParserPlugin.java:38 — param-referenced cached
+        # filters composed with the v/body main query (excludeTags
+        # needs the tagging machinery; unsupported here)
+        if "excludeTags" in kv:
+            raise LocalParamsError(
+                "{!filters} excludeTags is not supported")
+        ref = kv.get("param")
+        if ref is None:
+            raise LocalParamsError("{!filters} requires param=")
+        sub = local_query(ref, params)
+        main = local_query(body, params)
+        if isinstance(sub, (ReRank, Knn)) \
+                or isinstance(main, (ReRank, Knn)):
+            raise LocalParamsError(
+                "{!filters} clauses cannot be spec queries")
+        return Bool(must=(main,), filter=(sub,))
+    if ptype == "collapse":
+        if "field" not in kv:
+            raise LocalParamsError("{!collapse} requires field")
+        return Collapse(field=kv["field"])
+    if ptype in ("geofilt", "bbox"):
+        for need in ("sfield", "pt", "d"):
+            if need not in kv:
+                raise LocalParamsError(f"{{!{ptype}}} requires "
+                                       f"{need}")
+        try:
+            lat, lon = (float(x) for x in kv["pt"].split(","))
+        except ValueError as exc:
+            raise LocalParamsError(f"bad pt: {exc}") from None
+        return GeoFilt(sfield=kv["sfield"], lat=lat, lon=lon,
+                       d_km=float(kv["d"]), box=ptype == "bbox")
+    if ptype == "mlt":
+        try:
+            did = int(body.strip())
+        except ValueError:
+            raise LocalParamsError(
+                "{!mlt} body must be a document id") from None
+        return Mlt(doc_id=did, mintf=int(kv.get("mintf", "2")),
+                   mindf=int(kv.get("mindf", "5")))
+    if ptype == "payload_score":
+        func = kv.get("func", "")
+        if func not in ("min", "max", "sum", "average"):
+            raise LocalParamsError(
+                "{!payload_score} func must be min/max/sum/average")
+        return PayloadScore(
+            query=parse_query(body), func=func,
+            include_span_score=kv.get("includeSpanScore",
+                                      "false") == "true")
+    if ptype == "payload_check":
+        if "payloads" not in kv:
+            raise LocalParamsError(
+                "{!payload_check} requires payloads")
+        return PayloadCheck(query=parse_query(body),
+                            payloads=tuple(kv["payloads"].split()))
+    if ptype in ("significantTerms", "igain", "tlogit"):
+        return TermsStats(kind=ptype,
+                          params=tuple(sorted(kv.items())))
+    if ptype in ("hash", "hash_range"):
+        need = ("workers",) if ptype == "hash" else ("f", "l", "u")
+        for n in need:
+            if n not in kv:
+                raise LocalParamsError(f"{{!{ptype}}} requires {n}")
+        return HashSpec(kind=ptype,
+                        params=tuple(sorted(kv.items())))
+    if ptype == "min_hash":
+        return MinHashSpec(text=body,
+                           sim=float(kv.get("sim", "0.0")))
+    if ptype == "graphTerms":
+        terms = tuple(t.strip() for t in body.split(",")
+                      if t.strip())
+        if not terms:
+            raise LocalParamsError("{!graphTerms} needs terms")
+        return GraphTerms(terms=terms,
+                          max_doc_freq=int(kv.get("maxDocFreq",
+                                                  str(2 ** 31 - 1))))
+    if ptype == "xcjf":
+        # XCJFQParserPlugin.java — the cross-collection join's
+        # older name; same spec as {!join fromIndex=}
+        if "fromIndex" not in kv:
+            raise LocalParamsError("{!xcjf} requires fromIndex")
+        kv = dict(kv)
+        return local_query(
+            "{!join fromIndex=" + kv["fromIndex"] + " from="
+            + kv.get("from", "") + " to=" + kv.get("to", "") + "}"
+            + body, params)
     if ptype == "graph":
         # GraphQueryParser.java:30 — from/to REVERSED from {!join}
         tf = kv.get("traversalFilter")
