@@ -9677,7 +9677,11 @@ GROUP BY c.vec_id
 ORDER BY adist ASC, vec_id ASC LIMIT 10"""
 
     _mmr_steps = []
-    _oml = round(1.0 - _MMR_LAM, 6)
+    # the engine computes (1.0 - lam) in IEEE doubles (0.7 ->
+    # 0.30000000000000004); the oracle must multiply by the SAME
+    # double, not a re-rounded 0.3 — at the floor boundary the
+    # 1e-17 difference is decisive (observed at sf0.1)
+    _oml = f"CAST({1.0 - _MMR_LAM!r} AS DOUBLE)"
     for _kk in range(1, _MMR_K + 1):
         # every step CTE is MATERIALIZED: without it DuckDB inlines
         # each sel{p} reference and re-evaluates the whole prior chain
@@ -9685,16 +9689,18 @@ ORDER BY adist ASC, vec_id ASC LIMIT 10"""
         if _kk == 1:
             _mmr_steps.append(
                 f"s1 AS MATERIALIZED (SELECT a, 1 AS sel_rank, "
-                f"ROUND({_MMR_LAM} * rel, 6) AS mmr FROM rel "
+                f"FLOOR(({_MMR_LAM} * rel) * 1e6 + 0.5) / 1e6 "
+                f"AS mmr FROM rel "
                 f"ORDER BY rel DESC, a ASC LIMIT 1), "
                 f"sel1 AS MATERIALIZED (SELECT a FROM s1)")
         else:
             p = _kk - 1
             _mmr_steps.append(
                 f"s{_kk} AS MATERIALIZED (SELECT r.a, {_kk} AS sel_rank, "
-                f"ROUND({_MMR_LAM} * r.rel - {_oml} * "
+                f"FLOOR(({_MMR_LAM} * r.rel - {_oml} * "
                 f"(SELECT MAX(si.sim) FROM sim si WHERE si.a = r.a "
-                f"AND si.b IN (SELECT a FROM sel{p})), 6) AS mmr "
+                f"AND si.b IN (SELECT a FROM sel{p}))) * 1e6 + 0.5) "
+                f"/ 1e6 AS mmr "
                 f"FROM rel r WHERE r.a NOT IN (SELECT a FROM sel{p}) "
                 f"ORDER BY mmr DESC, r.a ASC LIMIT 1), "
                 f"sel{_kk} AS MATERIALIZED (SELECT a FROM sel{p} "
@@ -9775,12 +9781,14 @@ fs AS (SELECT doc_id,
   COALESCE(list_sum(list_transform(tokens, x -> {_ftwd})), 0) AS wsum
   FROM ft),
 fl AS (SELECT doc_id, n_tokens,
-  ROUND(CAST(wsum AS DOUBLE) / (1000.0 *
-        CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6) AS logit
+  FLOOR(CAST(wsum AS DOUBLE) / (1000.0 *
+        CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)
+        * 1e6 + 0.5) / 1e6 AS logit
   FROM fs)
 SELECT doc_id, n_tokens, logit,
-       ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
-       (ROUND(1.0 / (1.0 + exp(-logit)), 6) >= 0.5) AS label
+       FLOOR(1.0 / (1.0 + exp(-logit)) * 1e6 + 0.5) / 1e6 AS prob,
+       (FLOOR(1.0 / (1.0 + exp(-logit)) * 1e6 + 0.5) / 1e6 >= 0.5)
+         AS label
 FROM fl"""
 
     _bw = ", ".join(f"'{w}'" for w in _BADWORDS)
@@ -10464,8 +10472,9 @@ ds AS (SELECT doc_id, lang,
   COALESCE(list_sum(list_transform(tokens, x -> {_ftwd3})), 0) AS wsum
   FROM dt),
 dp AS (SELECT doc_id, lang,
-  ROUND(1.0 / (1.0 + exp(-ROUND(CAST(wsum AS DOUBLE) / (1000.0 *
-        CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6))), 6)
+  FLOOR(1.0 / (1.0 + exp(-(FLOOR(CAST(wsum AS DOUBLE) / (1000.0 *
+        CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)
+        * 1e6 + 0.5) / 1e6))) * 1e6 + 0.5) / 1e6
         AS prob
   FROM ds),
 dr AS (SELECT doc_id, lang, prob,
@@ -10940,11 +10949,12 @@ WITH lb AS (SELECT lang,
                  t -> lower(t)) AS tokens
   FROM documents),
 lb2 AS (SELECT lang, CAST(len(tokens) AS DOUBLE) AS y,
-  ROUND(1.0 / (1.0 + exp(-ROUND(
+  FLOOR(1.0 / (1.0 + exp(-(FLOOR(
     CAST(COALESCE(list_sum(list_transform(tokens, x -> {_ftwd})), 0)
          AS DOUBLE) /
     (1000.0 * CASE WHEN len(tokens) = 0 THEN 1
-              ELSE len(tokens) END), 6))), 6) AS x
+              ELSE len(tokens) END) * 1e6 + 0.5) / 1e6)))
+    * 1e6 + 0.5) / 1e6 AS x
   FROM lb),
 lb3 AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
                SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,

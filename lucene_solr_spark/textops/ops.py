@@ -1054,11 +1054,18 @@ def fasttext_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                f"(a, x) -> a + ({w}))").alias("wsum"),
     ).select(
         id_col, "n_tokens",
-        F.expr("ROUND(CAST(wsum AS DOUBLE) / (1000.0 * "
-               "CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6)")
+        # floor(x*1e6+0.5)/1e6 instead of ROUND: wsum/(1000*n) can
+        # land EXACTLY on a .5 boundary at the 6th decimal (integer
+        # wsum over a power-of-ten-ish denominator) and the two
+        # engines' ROUND half-way semantics differ there; the floor
+        # form runs identical double ops on both sides
+        F.expr("FLOOR(CAST(wsum AS DOUBLE) / (1000.0 * "
+               "CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END) "
+               "* 1e6 + 0.5) / 1e6")
         .alias("logit"),
     ).withColumn(
-        "prob", F.expr("ROUND(1.0 / (1.0 + exp(-logit)), 6)")
+        "prob",
+        F.expr("FLOOR(1.0 / (1.0 + exp(-logit)) * 1e6 + 0.5) / 1e6")
     ).withColumn("label", F.col("prob") >= 0.5)
 
 
@@ -1091,9 +1098,10 @@ def dclm_select(df: DataFrame, frac: float = 0.25,
                f"(a, x) -> a + ({w}))").alias("wsum"),
     ).select(
         id_col, group_col,
-        F.expr("ROUND(1.0 / (1.0 + exp(-ROUND(CAST(wsum AS DOUBLE) / "
-               "(1000.0 * CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens "
-               "END), 6))), 6)").alias("prob"),
+        F.expr("FLOOR(1.0 / (1.0 + exp(-(FLOOR(CAST(wsum AS DOUBLE)"
+               " / (1000.0 * CASE WHEN n_tokens = 0 THEN 1 ELSE "
+               "n_tokens END) * 1e6 + 0.5) / 1e6))) * 1e6 + 0.5) "
+               "/ 1e6").alias("prob"),
     )
     rank_w = Window.partitionBy(group_col).orderBy(
         F.desc("prob"), F.asc(id_col))
@@ -1462,9 +1470,10 @@ def len_bias(df: DataFrame, group_col: str = "lang",
         F.expr("CAST(size(tokens) AS BIGINT)").alias("nt"),
     ).select(
         group_col, "y",
-        F.expr("ROUND(1.0 / (1.0 + exp(-ROUND(CAST(wsum AS DOUBLE) / "
-               "(1000.0 * CASE WHEN nt = 0 THEN 1 ELSE nt END), 6))), "
-               "6)").alias("x"))
+        F.expr("FLOOR(1.0 / (1.0 + exp(-(FLOOR(CAST(wsum AS DOUBLE)"
+               " / (1000.0 * CASE WHEN nt = 0 THEN 1 ELSE nt END) "
+               "* 1e6 + 0.5) / 1e6))) * 1e6 + 0.5) / 1e6")
+        .alias("x"))
     g = base.groupBy(group_col).agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),

@@ -12,6 +12,8 @@ candidate generation is lsh_bucket_topk.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -856,7 +858,15 @@ def mmr_rerank(emb: DataFrame, query_vec_id: int, k: int = 5,
             best = None
             for c in remaining:
                 pen = max((sim[(c, s)] for s in selected), default=0.0)
-                score = round(lam * rel[c] - (1.0 - lam) * pen, 6)
+                # floor(x*1e6+0.5)/1e6, NOT round(): lam-scaling of
+                # round-6 inputs systematically makes EXACT .5
+                # boundaries at the 6th decimal (e.g. 0.5*0.356175),
+                # where python round (banker's) and DuckDB ROUND
+                # (away from zero) split; the floor form runs the
+                # same double ops as the oracle's FLOOR
+                score = (math.floor((lam * rel[c]
+                                     - (1.0 - lam) * pen)
+                                    * 1e6 + 0.5) / 1e6)
                 # tie -> lowest vec_id (remaining is id-ascending)
                 if best is None or score > best[1]:
                     best = (c, score)

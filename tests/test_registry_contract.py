@@ -37,23 +37,24 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
+        # round-3ar rotation (function qparser + loess + empdist IN;
+        # s_stream_scalarfns/v_ssl_prune/t_ict_pairs OUT)
+        "p_func", "s_stream_loess", "s_stream_empdist",
+        # round-3al rotation
+        "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
         # round-3ae rotation
         "s_stream_spline",
-        # round-3ad rotation
-        "s_stream_dist", "s_stream_distops",
-        # round-3ac rotation
-        "s_stream_scalarfns",
+        # round-3ad rotation (s_stream_distops rotated OUT in 3al)
+        "s_stream_dist",
         # round-3s rotation
         "s_stream_evalexpr",
         # round-3r rotation
         "s_stream_regress",
         # round-3o rotation
         "p_bool", "p_terms",
-        # round-3n rotation
-        "v_ssl_prune", "s_stream_facet2d",
+        # round-3n rotation (v_ssl_prune rotated OUT in 3ar)
+        "s_stream_facet2d",
         # round-3m rotation
-        # (t_len_bias rotated OUT in 3ac, s_stream_math/reduce in
-        # 3ad, s_stream_topic in 3ae — three-scale local records)
         "p_complex_phrase",
     ]
     out = [n for n in pinned + newest_wave if n not in window]
