@@ -6330,6 +6330,95 @@ def _p_field(spark, sf_dir):
     return _searcher(spark, sf_dir).topk(local_query(_FIELD_Q), 10)
 
 
+# round-4a wave: index-statistic ValueSources (ValueSourceParser.java:
+# 646-717) — docfreq/ttf/sttf/idf/tf/norm/maxdoc/numdocs need the
+# index the row-local compiler cannot see; the engine resolves them
+# from its stats tables into a ctx mapping (the analogue of
+# createWeight binding the searcher into the context map,
+# NormValueSource.java:58) and the oracle resolves the SAME triples
+# as scalar subqueries over its CTEs.  exists()/def()
+# (ValueSourceParser.java:778,935) are row-local and share the
+# nullable derived field on both engines.
+_FUNCIDX_TERM = "join"
+_FUNCIDX_Q = ("{!func}product(tf(text,'join'), idf(text,'join'), "
+              "norm(text))")
+_FUNCIDX_EXTRAS = (
+    ("df_t", "docfreq(text,'join')"),
+    ("ttf_t", "ttf(text,'join')"),          # alias of totaltermfreq
+    ("sttf_f", "sttf(text)"),               # alias of sumtotaltermfreq
+    ("md", "maxdoc()"),
+    ("nd", "numdocs()"),
+    ("def_chars", "def(short_chars, -1)"),
+    ("ex_chars", "exists(short_chars)"),
+)
+
+
+def _q_func_index(spark, sf_dir):
+    """Index-statistic function queries: the score is the literal
+    ClassicSimilarity per-term product tf*idf*norm assembled from
+    ValueSources (TFValueSource.java:40 sqrt(freq);
+    IDFValueSource.java:55 ln((maxDoc+1)/(df+1))+1;
+    NormValueSource.java:42 decoding the SmallFloat-quantized length
+    norm 1/sqrt(qdl), normTable[0]=0), plus the constant sources
+    docfreq/ttf/sttf/maxdoc/numdocs and row-local def()/exists()
+    over a nullable derived field.  Plan shape at 100 TB: term/
+    collection stats are 1-row aggregates broadcast into a projected
+    scan (AQE BroadcastExchange), the term postings join is a
+    broadcast semi-join on one term's postings — no wide shuffle."""
+    from lucene_solr_spark.search.funcparser import (compile_col,
+                                                     parse_func)
+    from lucene_solr_spark.search.localparams import (FuncScore,
+                                                      local_query)
+    spec = local_query(_FUNCIDX_Q)
+    assert isinstance(spec, FuncScore)
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    t = _FUNCIDX_TERM
+    consts = ix.term_stats.agg(
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("df"))),
+                   F.lit(0)).alias("c_df"),
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("ttf"))),
+                   F.lit(0)).alias("c_ttf"),
+        F.sum("ttf").alias("c_sttf"))
+    nrow = ix.docs.agg(F.count("*").alias("c_n"))
+    freq = (ix.postings.filter(F.col("term") == t)
+            .select("docid", F.col("tf").alias("freq_t")))
+    base = (ix.docs.select("docid", "qdl")
+            .join(ix.source.select("docid", "n_chars"), "docid")
+            .join(freq, "docid", "left")
+            .crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(nrow)))
+    ctx = {
+        ("tf", "text", t): F.sqrt(
+            F.coalesce(F.col("freq_t"), F.lit(0)).cast("double")),
+        ("termfreq", "text", t):
+            F.coalesce(F.col("freq_t"), F.lit(0)).cast("double"),
+        ("idf", "text", t): F.log(
+            (F.col("c_n").cast("double") + F.lit(1.0)) /
+            (F.col("c_df").cast("double") + F.lit(1.0))) + F.lit(1.0),
+        ("norm", "text", ""): F.when(
+            F.col("qdl") > 0,
+            F.lit(1.0) / F.sqrt(F.col("qdl").cast("double")))
+            .otherwise(F.lit(0.0)),
+        ("docfreq", "text", t): F.col("c_df").cast("double"),
+        ("totaltermfreq", "text", t): F.col("c_ttf").cast("double"),
+        ("sumtotaltermfreq", "text", ""):
+            F.col("c_sttf").cast("double"),
+        ("maxdoc", "", ""): F.col("c_n").cast("double"),
+        ("numdocs", "", ""): F.col("c_n").cast("double"),
+    }
+    cols = {"short_chars": F.when(F.col("n_chars") < 200,
+                                  F.col("n_chars"))}
+    sel = [F.col("docid").alias("doc_id"),
+           F.round(compile_col(spec.func, cols, ctx), 6)
+           .alias("score")]
+    for alias, expr in _FUNCIDX_EXTRAS:
+        sel.append(F.round(compile_col(parse_func(expr), cols, ctx), 6)
+                   .alias(alias))
+    return (base.select(*sel)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(15))
+
+
 # --- round-3at wave: full qparser registry ------------------------------------
 
 _DISMAX_Q = "{!dismax mm='2<-25%'}merge sort hash join"
@@ -6819,6 +6908,15 @@ WINDOW_ORDER = [
     # codegen repped by t_window_dedup/t_tfidf_keywords in-window).
     # s_stream_gaussfit/harmfit/bicubic/mvn and p_frange/p_field
     # enter out-of-window with three-scale local records.
+    # Round-4a rotation (window stays 50): IN q_func_index (the
+    # index-statistic ValueSources docfreq/ttf/sttf/idf/tf/norm/
+    # maxdoc/numdocs resolved through the funcparser ctx protocol —
+    # new cross-engine machinery: scalar-subquery stats twins +
+    # row-local exists()/def() over a nullable derived field). OUT
+    # q_regexp (r1-green row; anchored-vs-unanchored now pinned by
+    # the rich-vocab pytest sweep AND the in-window w_regexp kernel
+    # row; keeps three-scale local records).
+    "q_func_index",
     "p_func", "s_stream_loess", "s_stream_empdist",
     "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
     "s_stream_spline",
@@ -7606,6 +7704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_func": _p_func,
         "p_frange": _p_frange,
         "p_field": _p_field,
+        "q_func_index": _q_func_index,
         # round-3as: same pattern
         "p_graph": _p_graph,
         "p_join": _p_join,
@@ -12587,6 +12686,55 @@ FROM sc JOIN fr ON fr.doc_id = sc.docid
 ORDER BY ROUND(sc.score, 6) DESC, sc.docid ASC LIMIT 10"""
 
     out["p_field"] = ob.topk_sql(local_query(_FIELD_Q), 10)
+
+    # -- round-4a wave: index-statistic ValueSources ----------------------
+    # The SAME ASTs the engine compiles (funcparser twin compilers);
+    # ctx triples resolve as scalar subqueries over the shared CTEs
+    # with arithmetic association identical to the Catalyst columns.
+    from lucene_solr_spark.search.funcparser import parse_func as _pfn
+    _fi_t = _FUNCIDX_TERM
+    _fi_ctx = {
+        ("tf", "text", _fi_t):
+            "SQRT(CAST(COALESCE(pd.tf, 0) AS DOUBLE))",
+        ("termfreq", "text", _fi_t):
+            "CAST(COALESCE(pd.tf, 0) AS DOUBLE)",
+        ("idf", "text", _fi_t):
+            "(LN((CAST(cn.c_n AS DOUBLE) + 1.0) / "
+            "(CAST(cn.c_df AS DOUBLE) + 1.0)) + 1.0)",
+        ("norm", "text", ""):
+            "(CASE WHEN d.qdl > 0 THEN CAST(1.0 AS DOUBLE) / "
+            "SQRT(CAST(d.qdl AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)",
+        ("docfreq", "text", _fi_t): "CAST(cn.c_df AS DOUBLE)",
+        ("totaltermfreq", "text", _fi_t): "CAST(cn.c_ttf AS DOUBLE)",
+        ("sumtotaltermfreq", "text", ""): "CAST(cn.c_sttf AS DOUBLE)",
+        ("maxdoc", "", ""): "CAST(cn.c_n AS DOUBLE)",
+        ("numdocs", "", ""): "CAST(cn.c_n AS DOUBLE)",
+    }
+    _fi_cols = {"short_chars":
+                "(CASE WHEN dd.n_chars < 200 THEN dd.n_chars END)"}
+    _fi_score = compile_sql(local_query(_FUNCIDX_Q).func, _fi_cols,
+                            _fi_ctx)
+    _fi_extra = ",\n       ".join(
+        f"ROUND({compile_sql(_pfn(expr), _fi_cols, _fi_ctx)}, 6) "
+        f"AS {alias}" for alias, expr in _FUNCIDX_EXTRAS)
+    out["q_func_index"] = f"""
+WITH {ctes},
+pd AS (SELECT docid, tf FROM postings WHERE term = '{_fi_t}'),
+cn AS (SELECT
+         (SELECT COALESCE(SUM(CASE WHEN term = '{_fi_t}' THEN df END), 0)
+            FROM ts) AS c_df,
+         (SELECT COALESCE(SUM(CASE WHEN term = '{_fi_t}' THEN ttf END), 0)
+            FROM ts) AS c_ttf,
+         (SELECT SUM(ttf) FROM ts) AS c_sttf,
+         (SELECT COUNT(*) FROM docs) AS c_n)
+SELECT d.docid AS doc_id,
+       ROUND({_fi_score}, 6) AS score,
+       {_fi_extra}
+FROM docs d
+JOIN documents dd ON dd.doc_id = d.docid
+LEFT JOIN pd ON pd.docid = d.docid
+CROSS JOIN cn
+ORDER BY score DESC, doc_id ASC LIMIT 15"""
 
     # -- round-3as wave ------------------------------------------------------
     # {!graph}: the BFS unrolled level-by-level with the SAME

@@ -26,9 +26,24 @@ Supported ValueSources (each mirrors its reference parser):
   value in [min, max] -> target, else the value itself (or default)
 - ``if(cond, a, b)`` with ``gt/gte/lt/lte/eq`` comparison sources
   (SolrComparisonBoolFunction; numeric cond: nonzero = true)
-
-``scale``/``ord``/relevance sources need dataset or index context a
-row-local compiler cannot see; they raise (documented divergence).
+- ``exists(v)`` (ValueSourceParser.java:778 — for a field ref, true
+  iff the doc has a value; any computed source always exists) and
+  ``def(v, d)`` (DefFunction, ValueSourceParser.java:935 — the field
+  value when present, else the default)
+- index-statistic sources (ValueSourceParser.java:646-717), resolved
+  through an explicit ``ctx`` mapping the caller prepares from the
+  index's stats tables (the analogue of createWeight binding the
+  IndexSearcher into the context map): ``docfreq(f,t)``,
+  ``totaltermfreq(f,t)``/``ttf``, ``sumtotaltermfreq(f)``/``sttf``,
+  ``termfreq(f,t)``, ``tf(f,t)`` (ClassicSimilarity sqrt(freq),
+  TFValueSource.java:40), ``idf(f,t)`` (ln((maxDoc+1)/(df+1))+1,
+  IDFValueSource.java:55), ``norm(f)`` (the decoded SmallFloat length
+  norm 1/sqrt(qdl), NormValueSource.java:42 with TFIDFSimilarity's
+  normTable[0]=0), ``maxdoc()``, ``numdocs()``.  ``ctx`` maps the
+  triples produced by :func:`collect_index_sources` to a Column
+  (compile_col) or SQL string (compile_sql); without a ctx these
+  names raise, as do ``scale``/``ord``/relevance sources (dataset
+  context; documented divergence).
 """
 
 from __future__ import annotations
@@ -82,6 +97,9 @@ def parse_func(s: str) -> FuncNode:
         raise FuncParseError("empty function")
     if _NUM_RE.match(s):
         return FuncNode("lit", value=float(s))
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        # quoted term literal (FunctionQParser.parseArg quoted form)
+        return FuncNode("str", field=s[1:-1])
     m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\((.*)\)$", s, re.S)
     if m:
         name, body = m.group(1), m.group(2)
@@ -101,11 +119,84 @@ def parse_func(s: str) -> FuncNode:
 _NARY = {"sum", "add", "product", "mul", "min", "max"}
 _CMP = {"gt", "gte", "lt", "lte", "eq"}
 
+# index-statistic sources (ValueSourceParser.java:646-717) and their
+# canonical names (alias("totaltermfreq","ttf") etc.)
+_TERM_SOURCES = {"docfreq", "totaltermfreq", "ttf", "termfreq",
+                 "tf", "idf"}
+_FIELD_SOURCES = {"norm", "sumtotaltermfreq", "sttf"}
+_CONST_SOURCES = {"maxdoc", "numdocs"}
+_CANON = {"ttf": "totaltermfreq", "sttf": "sumtotaltermfreq"}
+
+
+def _canon(name: str) -> str:
+    return _CANON.get(name, name)
+
+
+def _str_arg(node: FuncNode, what: str) -> str:
+    """A field/term argument: bare word (fld) or quoted literal."""
+    if node.name in ("fld", "str"):
+        return node.field
+    if node.name == "lit":
+        v = node.value
+        return str(int(v)) if v == int(v) else repr(v)
+    raise FuncParseError(f"expected a {what} name, got {node.name!r}")
+
+
+def collect_index_sources(node: FuncNode) -> set:
+    """All (canonical_name, field, term) triples the AST needs from
+    the index — the caller resolves each into a Column / SQL
+    expression and passes the mapping as ``ctx`` to the compilers
+    (createWeight's context-map binding, NormValueSource.java:58)."""
+    out: set = set()
+    if node.name in _TERM_SOURCES and len(node.args) == 2:
+        out.add((_canon(node.name), _str_arg(node.args[0], "field"),
+                 _str_arg(node.args[1], "term")))
+        return out
+    if node.name in _FIELD_SOURCES and len(node.args) == 1:
+        out.add((_canon(node.name), _str_arg(node.args[0], "field"),
+                 ""))
+        return out
+    if node.name in _CONST_SOURCES:
+        out.add((node.name, "", ""))
+        return out
+    for a in node.args:
+        out |= collect_index_sources(a)
+    return out
+
+
+def _index_lookup(node: FuncNode, ctx):
+    """Resolve an index-statistic node against ctx; None if the node
+    is not an index source."""
+    name = node.name
+    if name in _TERM_SOURCES:
+        _arity(name, len(node.args))
+        key = (_canon(name), _str_arg(node.args[0], "field"),
+               _str_arg(node.args[1], "term"))
+    elif name in _FIELD_SOURCES:
+        _arity(name, len(node.args))
+        key = (_canon(name), _str_arg(node.args[0], "field"), "")
+    elif name in _CONST_SOURCES:
+        _arity(name, len(node.args))
+        key = (name, "", "")
+    else:
+        return None
+    if ctx is None:
+        raise FuncParseError(
+            f"{name}(): needs index context — pass ctx (see "
+            "collect_index_sources)")
+    if key not in ctx:
+        raise FuncParseError(f"index ctx missing {key!r}")
+    return ctx[key]
+
 
 def _arity(name: str, n: int):
     want = {"sub": 2, "div": 2, "pow": 2, "abs": 1, "log": 1,
             "ln": 1, "sqrt": 1, "exp": 1, "floor": 1, "ceil": 1,
-            "if": 3}.get(name)
+            "if": 3, "exists": 1, "def": 2,
+            "docfreq": 2, "totaltermfreq": 2, "ttf": 2,
+            "termfreq": 2, "tf": 2, "idf": 2,
+            "norm": 1, "sumtotaltermfreq": 1, "sttf": 1,
+            "maxdoc": 0, "numdocs": 0}.get(name)
     if want is not None and n != want:
         raise FuncParseError(f"{name}() takes {want} args, got {n}")
     if name in _NARY and n < 1:
@@ -116,8 +207,9 @@ def _arity(name: str, n: int):
         raise FuncParseError(f"map() takes 4 or 5 args, got {n}")
 
 
-def compile_col(node: FuncNode, cols: dict) -> "F.Column":
-    """AST -> Catalyst Column; ``cols`` maps field name -> Column."""
+def compile_col(node: FuncNode, cols: dict, ctx: dict = None) -> "F.Column":
+    """AST -> Catalyst Column; ``cols`` maps field name -> Column;
+    ``ctx`` maps collect_index_sources triples -> Column."""
     if node.name == "lit":
         return F.lit(node.value)
     if node.name == "fld":
@@ -126,8 +218,26 @@ def compile_col(node: FuncNode, cols: dict) -> "F.Column":
                                  f"(have {sorted(cols)})")
         return cols[node.field].cast("double")
     name = node.name
+    hit = _index_lookup(node, ctx)
+    if hit is not None:
+        return hit
     _arity(name, len(node.args))
-    a = [compile_col(x, cols) for x in node.args]
+    if name == "exists":
+        arg = node.args[0]
+        if arg.name == "fld":
+            if arg.field not in cols:
+                raise FuncParseError(f"unknown field {arg.field!r}")
+            return cols[arg.field].isNotNull().cast("double")
+        return F.lit(1.0)
+    if name == "def":
+        arg = node.args[0]
+        dflt = compile_col(node.args[1], cols, ctx)
+        if arg.name == "fld":
+            if arg.field not in cols:
+                raise FuncParseError(f"unknown field {arg.field!r}")
+            return F.coalesce(cols[arg.field].cast("double"), dflt)
+        return compile_col(arg, cols, ctx)
+    a = [compile_col(x, cols, ctx) for x in node.args]
     if name in ("sum", "add"):
         out = a[0]
         for c in a[1:]:
@@ -173,17 +283,17 @@ def compile_col(node: FuncNode, cols: dict) -> "F.Column":
     if name == "if":
         cond = a[0] != F.lit(0.0)
         return F.when(cond, a[1]).otherwise(a[2])
-    if name in ("scale", "ord", "rord", "norm", "tf", "idf",
-                "query"):
+    if name in ("scale", "ord", "rord", "query"):
         raise FuncParseError(
             f"{name}(): needs dataset/index context the row-local "
             "compiler cannot see (documented divergence)")
     raise FuncParseError(f"unknown function {name!r}")
 
 
-def compile_sql(node: FuncNode, cols: dict) -> str:
+def compile_sql(node: FuncNode, cols: dict, ctx: dict = None) -> str:
     """AST -> DuckDB SQL with the SAME association order as
-    compile_col; ``cols`` maps field name -> SQL expression."""
+    compile_col; ``cols`` maps field name -> SQL expression; ``ctx``
+    maps collect_index_sources triples -> SQL expression."""
     if node.name == "lit":
         return f"CAST({node.value!r} AS DOUBLE)"
     if node.name == "fld":
@@ -191,8 +301,28 @@ def compile_sql(node: FuncNode, cols: dict) -> str:
             raise FuncParseError(f"unknown field {node.field!r}")
         return f"CAST({cols[node.field]} AS DOUBLE)"
     name = node.name
+    hit = _index_lookup(node, ctx)
+    if hit is not None:
+        return hit
     _arity(name, len(node.args))
-    a = [compile_sql(x, cols) for x in node.args]
+    if name == "exists":
+        arg = node.args[0]
+        if arg.name == "fld":
+            if arg.field not in cols:
+                raise FuncParseError(f"unknown field {arg.field!r}")
+            return (f"(CASE WHEN {cols[arg.field]} IS NOT NULL THEN "
+                    "CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+        return "CAST(1.0 AS DOUBLE)"
+    if name == "def":
+        arg = node.args[0]
+        dflt = compile_sql(node.args[1], cols, ctx)
+        if arg.name == "fld":
+            if arg.field not in cols:
+                raise FuncParseError(f"unknown field {arg.field!r}")
+            return (f"COALESCE(CAST({cols[arg.field]} AS DOUBLE), "
+                    f"{dflt})")
+        return compile_sql(arg, cols, ctx)
+    a = [compile_sql(x, cols, ctx) for x in node.args]
     if name in ("sum", "add"):
         out = a[0]
         for c in a[1:]:
