@@ -763,8 +763,14 @@ def _expunge_packed(pk_with_norms: DataFrame, deleted_arr) -> DataFrame:
                     continue
                 if keep.all():
                     # untouched row passes through byte-identical
+                    # (list-typed cells arrive as numpy arrays from
+                    # pandas — Arrow can't convert ndarray-of-binary
+                    # back, so materialize plain lists)
                     for c in PACKED_SCHEMA.fields:
-                        out[c.name].append(getattr(row, c.name))
+                        v = getattr(row, c.name)
+                        if isinstance(v, np.ndarray):
+                            v = v.tolist()
+                        out[c.name].append(v)
                     continue
                 pos = np.concatenate([
                     blk.decode_pos_block(
@@ -798,7 +804,14 @@ def _expunge_packed(pk_with_norms: DataFrame, deleted_arr) -> DataFrame:
                     sum(len(x) for x in enc["doc_blocks"])
                     + sum(len(x) for x in enc["tf_blocks"])
                     + sum(len(x) for x in enc["pos_blocks"]))
-            yield pd.DataFrame(out)
+            if out["seg_id"]:
+                yield pd.DataFrame(out)
+            else:
+                # all rows fully deleted: emit a typed-empty frame
+                # (pandas defaults empty columns to float64, which
+                # Arrow cannot convert to the list<binary> fields)
+                yield pd.DataFrame({k: pd.Series([], dtype=object)
+                                    for k in out})
 
     return pk_with_norms.mapInPandas(fn, PACKED_SCHEMA)
 
