@@ -6353,6 +6353,58 @@ _FUNCIDX_EXTRAS = (
 )
 
 
+# round-4b wave: ValueSourceParser registry closure — every remaining
+# row-local function name (linear/recip/mod/pi/e/true/false/not/and/
+# or/xor/sqedist/dist/hsin/strdist/concat/literal/ms) compiled by the
+# twin walkers; names needing other surfaces dispatch to typed errors
+# pointing at the implementing row (funcparser._SPEC_RAISE), like the
+# qparser registry closure.
+_FUNCREG_EXPRS = (
+    ("lin", "linear(n_chars, 2, 1)"),
+    ("rcp", "recip(n_chars, 0.01, 100, 1)"),
+    ("mdv", "mod(n_chars, 7)"),
+    ("bx", "xor(gt(n_chars, 200), gt(n_chars, 400))"),
+    ("d2", "dist(2, n_chars, doc_id, 0, 0)"),
+    ("sq", "sqedist(n_chars, doc_id, 1, 2)"),
+    ("hs", "hsin(6371.0088, true, mod(doc_id, 90), "
+           "mod(n_chars, 90), 0, 0)"),
+    ("sd", "strdist(lang, 'en', edit)"),
+    ("cst", "sum(pi(), e(), true(), false(), not(gt(n_chars, 300)))"),
+    ("msd", "ms('2026-01-02T00:00:00Z/DAY+3HOURS', "
+            "'2026-01-01T00:00:00Z')"),
+)
+_FUNCREG_CONCAT = "concat(lang, '-', source)"
+
+
+def _q_func_registry(spark, sf_dir):
+    """The remaining row-local ValueSourceParser sources in one
+    projected scan (ValueSourceParser.java registrations:
+    LinearFloatFunction val*m+c, ReciprocalFloatFunction a/(m*x+b),
+    mod as DualFloatFunction %, the MultiBoolFunction xor
+    some-true-AND-some-false law, VectorDistanceFunction p-norms with
+    the first-half/second-half source split, HaversineFunction with
+    the SOLR-2114 convert flag, StringDistanceFunction 'edit'
+    similarity incl. the empty-string branches, ConcatStringFunction,
+    DateValueSourceParser ms() over date math, and the pi/e/true/
+    false constants).  Every expression compiles through the SAME
+    parse on both engines; at 100 TB this is one whole-stage-codegen
+    projection — no UDF, no shuffle before the top-k cut."""
+    from lucene_solr_spark.search.funcparser import (compile_col,
+                                                     parse_func)
+    cols = {"n_chars": F.col("n_chars"),
+            "doc_id": F.col("doc_id"),
+            "lang": F.col("lang"),
+            "source": F.col("source")}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = [F.col("doc_id")]
+    for alias, expr in _FUNCREG_EXPRS:
+        sel.append(F.round(compile_col(parse_func(expr), cols), 6)
+                   .alias(alias))
+    sel.append(compile_col(parse_func(_FUNCREG_CONCAT), cols)
+               .alias("tag"))
+    return docs.select(*sel).orderBy(F.asc("doc_id")).limit(25)
+
+
 def _q_func_index(spark, sf_dir):
     """Index-statistic function queries: the score is the literal
     ClassicSimilarity per-term product tf*idf*norm assembled from
@@ -6916,7 +6968,15 @@ WINDOW_ORDER = [
     # q_regexp (r1-green row; anchored-vs-unanchored now pinned by
     # the rich-vocab pytest sweep AND the in-window w_regexp kernel
     # row; keeps three-scale local records).
-    "q_func_index",
+    # Round-4b rotation: IN q_func_registry (ValueSourceParser
+    # registry closure — linear/recip/mod/xor/dist/sqedist/hsin/
+    # strdist/concat/ms/pi/e/true/false/not through the twin
+    # compilers in ONE projected scan). OUT q_spell_wordbreak
+    # (WordBreakSpellChecker machinery pytest-pinned with
+    # three-scale local records; the spell surface stays repped by
+    # the q_spellcheck bench row and the shared Damerau SQL under
+    # in-window q_fuzzy_tr).
+    "q_func_index", "q_func_registry",
     "p_func", "s_stream_loess", "s_stream_empdist",
     "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
     "s_stream_spline",
@@ -7705,6 +7765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_frange": _p_frange,
         "p_field": _p_field,
         "q_func_index": _q_func_index,
+        "q_func_registry": _q_func_registry,
         # round-3as: same pattern
         "p_graph": _p_graph,
         "p_join": _p_join,
@@ -12735,6 +12796,19 @@ JOIN documents dd ON dd.doc_id = d.docid
 LEFT JOIN pd ON pd.docid = d.docid
 CROSS JOIN cn
 ORDER BY score DESC, doc_id ASC LIMIT 15"""
+
+    # -- round-4b wave: ValueSourceParser registry closure ----------------
+    _fr_cols = {"n_chars": "d.n_chars", "doc_id": "d.doc_id",
+                "lang": "d.lang", "source": "d.source"}
+    _fr_sel = ",\n       ".join(
+        f"ROUND({compile_sql(_pfn(expr), _fr_cols)}, 6) AS {alias}"
+        for alias, expr in _FUNCREG_EXPRS)
+    out["q_func_registry"] = f"""
+SELECT d.doc_id,
+       {_fr_sel},
+       {compile_sql(_pfn(_FUNCREG_CONCAT), _fr_cols)} AS tag
+FROM documents d
+ORDER BY d.doc_id ASC LIMIT 25"""
 
     # -- round-3as wave ------------------------------------------------------
     # {!graph}: the BFS unrolled level-by-level with the SAME

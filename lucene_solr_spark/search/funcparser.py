@@ -42,8 +42,29 @@ Supported ValueSources (each mirrors its reference parser):
   normTable[0]=0), ``maxdoc()``, ``numdocs()``.  ``ctx`` maps the
   triples produced by :func:`collect_index_sources` to a Column
   (compile_col) or SQL string (compile_sql); without a ctx these
-  names raise, as do ``scale``/``ord``/relevance sources (dataset
-  context; documented divergence).
+  names raise.
+- the remaining row-local registrations: ``linear`` (val*m+c),
+  ``recip`` (a/(m*x+b)), ``mod`` (Java %), ``pi``/``e``/``true``/
+  ``false`` constants, ``not``/``and``/``or``/``xor``
+  (MultiBoolFunction; xor = MIXED operands, some true AND some
+  false), ``sqedist``/``dist`` (first-half/second-half source split,
+  p-norms with p=1/2 exact and positive p generic), ``hsin``
+  (HaversineFunction with the SOLR-2114 convert flag), ``strdist``
+  with the 'edit' Levenshtein similarity (jw/ngram raise — iterative
+  matchers without a portable twin), ``concat``/``literal`` (string
+  sources), and ``ms`` (DateValueSourceParser — date fields via
+  cols, date-math literals resolved at compile; NOW rides
+  ctx[("now","","")]).
+- ``query``/``boost`` resolve the quoted subquery's per-doc score
+  through ctx[("query", body, "")] (QueryValueSource defVal 0) and
+  ``scale`` its global (min, max) pair through
+  ctx[("scale", field, "")] (ScaleFloatFunction).
+
+Every OTHER name ValueSourceParser registers (ord/rord/top/cscore/
+currency/geodist/geohash/ghhsin/joindf/vector/childfield/payload/
+agg*/testfunc/sleep/threadid) dispatches to a typed FuncParseError
+naming the surface that implements its semantics (_SPEC_RAISE) — the
+registry-closure analogue of localparams' qparser dispatch.
 """
 
 from __future__ import annotations
@@ -118,6 +139,209 @@ def parse_func(s: str) -> FuncNode:
 
 _NARY = {"sum", "add", "product", "mul", "min", "max"}
 _CMP = {"gt", "gte", "lt", "lte", "eq"}
+_BOOL_NARY = {"and", "or", "xor"}    # MultiBoolFunction reductions
+
+# Every remaining name ValueSourceParser.java registers dispatches to
+# a typed error naming the surface that implements its semantics —
+# the registry-closure analogue of localparams' qparser dispatch.
+_SPEC_RAISE = {
+    "ord": "OrdFieldSource needs the ordinal dictionary — q_func_ord",
+    "rord": "reverse ordinals — q_func_ord's dense_rank machinery",
+    "top": "top-level-reader wrapper for ord/rord — q_func_ord",
+    "cscore": "collapse-context score — the q_collapse surface",
+    "currency": "schema currency type (exchange-rate provider)",
+    "geodist": "sfield/pt param resolution — q_geo_distance",
+    "geohash": "geohash string encoding (spatial contrib)",
+    "ghhsin": "geohash haversine — q_geo_distance / hsin()",
+    "joindf": "cross-index join docfreq — the q_xc_join surface",
+    "vector": "multi-value grouping is inlined by dist()/sqedist()",
+    "childfield": "block-join doc transformer — q_block_join rows",
+    "payload": "payload docvalues — the q_payload surface",
+    "testfunc": "test-only hook (ValueSourceParser.java:90)",
+    "sleep": "debug utility (wall-clock side effect)",
+    "threadid": "debug utility (executor-local identity)",
+    "agg": "JSON facet aggregation context — q_facet_json_stats",
+}
+
+
+def _spec_error(name: str):
+    why = _SPEC_RAISE.get(name)
+    if why is None and name.startswith("agg_"):
+        why = ("JSON facet aggregation context — q_facet_json_stats / "
+               "q_facet_unique / q_stats_percentiles")
+    if why is not None:
+        raise FuncParseError(f"{name}(): {why}")
+
+
+def _raw_str(node: FuncNode, cols: dict, sql: bool):
+    """A string-typed operand (ConcatStringFunction / StringDistance
+    operands): quoted literal, literal(...), or a RAW field column
+    (no double cast)."""
+    if node.name == "str":
+        return f"'{node.field}'" if sql else F.lit(node.field)
+    if node.name == "literal":
+        return _raw_str(node.args[0], cols, sql)
+    if node.name == "fld":
+        if node.field not in cols:
+            raise FuncParseError(f"unknown field {node.field!r}")
+        return cols[node.field]
+    raise FuncParseError(
+        f"expected a string operand, got {node.name!r}")
+
+
+def _ms_literal(spec: str, ctx) -> float:
+    """Resolve a date-math string to epoch milliseconds
+    (DateValueSourceParser / DateMathParser): a NOW-anchored spec
+    needs the request's fixed now instant — supplied as a python
+    float under ctx[("now","","")]."""
+    from datetime import datetime, timezone
+
+    from ..analysis.datemath import apply_math, parse_date_math
+    if spec == "NOW" or spec.startswith(("NOW/", "NOW+", "NOW-")):
+        if ctx is None or ("now", "", "") not in ctx:
+            raise FuncParseError(
+                "NOW-anchored date math needs ctx[('now','','')] "
+                "(the request's fixed now, in epoch ms)")
+        now_ms = float(ctx[("now", "", "")])
+        base = datetime.fromtimestamp(now_ms / 1000.0,
+                                      tz=timezone.utc) \
+            .replace(tzinfo=None)
+        dt = apply_math(base, spec[3:])
+    else:
+        dt = parse_date_math(spec)
+    epoch = datetime(1970, 1, 1)
+    return (dt - epoch).total_seconds() * 1000.0
+
+
+def _halves(name: str, a: list):
+    """Split a compiled source list into the two point vectors
+    (ValueSourceParser.getMultiValueSources: first half vs second)."""
+    if len(a) < 2 or len(a) % 2:
+        raise FuncParseError(
+            f"{name}(): there must be an even number of sources")
+    d = len(a) // 2
+    return a[:d], a[d:]
+
+
+def _query_lookup(node: FuncNode, ctx):
+    """QueryValueSource (query(..) / boost(..)): the subquery's
+    per-doc score with default 0 — the caller resolves the quoted
+    subquery body into a score Column / SQL under
+    ctx[("query", body, "")]."""
+    arg = node.args[0]
+    if arg.name not in ("str", "fld"):
+        raise FuncParseError(
+            "query(): pass the subquery as a quoted string")
+    key = ("query", arg.field, "")
+    if ctx is None or key not in ctx:
+        raise FuncParseError(
+            f"query(): needs ctx[{key!r}] -> per-doc score column "
+            "(0 where the subquery misses, QueryValueSource defVal)")
+    return ctx[key]
+
+
+def _ms_operand(node: FuncNode, cols: dict, ctx, sql: bool):
+    """One ms() operand: a date docvalue field (the caller maps it to
+    an epoch-ms expression) or a date-math string literal resolved at
+    compile time (DateValueSourceParser.parseArg ordering)."""
+    if node.name == "fld":
+        if node.field not in cols:
+            raise FuncParseError(f"unknown field {node.field!r}")
+        c = cols[node.field]
+        return f"CAST({c} AS DOUBLE)" if sql else c.cast("double")
+    if node.name == "str":
+        v = _ms_literal(node.field, ctx)
+        return f"CAST({v!r} AS DOUBLE)" if sql else F.lit(v)
+    raise FuncParseError(
+        "ms(): operands are date fields or quoted date-math strings")
+
+
+def _strdist_expr(node: FuncNode, cols: dict, sql: bool):
+    """StringDistanceFunction with the 'edit' measure
+    (LevenshteinDistance.java:106): 1 - lev/max(len), with the
+    reference's empty-string branches (both empty -> 1, one empty ->
+    0).  jw/ngram are iterative matchers without a portable twin and
+    raise (documented divergence; same policy as spellcheck's shared
+    Damerau SQL)."""
+    if len(node.args) not in (3, 4):
+        raise FuncParseError("strdist() takes 3 or 4 args")
+    measure = _str_arg(node.args[2], "measure").lower()
+    if measure != "edit":
+        raise FuncParseError(
+            f"strdist(): measure {measure!r} has no portable twin "
+            "(only 'edit' is supported; jw/ngram are iterative "
+            "matchers — documented divergence)")
+    s1 = _raw_str(node.args[0], cols, sql)
+    s2 = _raw_str(node.args[1], cols, sql)
+    if sql:
+        l1, l2 = f"LENGTH({s1})", f"LENGTH({s2})"
+        sim = (f"(1.0 - CAST(levenshtein({s1}, {s2}) AS DOUBLE) / "
+               f"CAST(GREATEST({l1}, {l2}) AS DOUBLE))")
+        return (f"(CASE WHEN {l1} = 0 AND {l2} = 0 THEN 1.0 "
+                f"WHEN {l1} = 0 OR {l2} = 0 THEN 0.0 "
+                f"ELSE {sim} END)")
+    l1, l2 = F.length(s1), F.length(s2)
+    sim = (F.lit(1.0) - F.levenshtein(s1, s2).cast("double")
+           / F.greatest(l1, l2).cast("double"))
+    return (F.when((l1 == 0) & (l2 == 0), F.lit(1.0))
+            .when((l1 == 0) | (l2 == 0), F.lit(0.0))
+            .otherwise(sim))
+
+
+def _scale_expr(node: FuncNode, cols: dict, ctx, sql: bool):
+    """ScaleFloatFunction: (x - min) * ((u - l)/(max - min)) + l,
+    with the source's global min/max supplied by the caller as a
+    (min, max) pair under ctx[("scale", field, "")] — 1-row
+    aggregates broadcast into the projection (q_func_scale's plan)."""
+    src = node.args[0]
+    if src.name != "fld":
+        raise FuncParseError(
+            "scale(): only field sources are supported (the global "
+            "min/max pair rides ctx[('scale', field, '')])")
+    key = ("scale", src.field, "")
+    if ctx is None or key not in ctx:
+        raise FuncParseError(
+            f"scale(): needs ctx[{key!r}] -> (min, max) of the field")
+    mn, mx = ctx[key]
+    if src.field not in cols:
+        raise FuncParseError(f"unknown field {src.field!r}")
+    compile_fn = compile_sql if sql else compile_col
+    lo = compile_fn(node.args[1], cols, ctx)
+    hi = compile_fn(node.args[2], cols, ctx)
+    if sql:
+        x = f"CAST({cols[src.field]} AS DOUBLE)"
+        return (f"((({x} - {mn}) * (({hi} - {lo}) / ({mx} - {mn}))) "
+                f"+ {lo})")
+    x = cols[src.field].cast("double")
+    return (x - mn) * ((hi - lo) / (mx - mn)) + lo
+
+
+def _hsin_expr(node: FuncNode, a: list, sql: bool):
+    """HaversineFunction.java:70 (spatial4j distHaversineRAD):
+    2r·asin(min(1, sqrt(sin²((y1-y2)/2) + cos y1 cos y2
+    sin²((x1-x2)/2)))); args (radius, convertToRads, y1, x1, y2, x2)
+    with the SOLR-2114 required convert flag."""
+    flag = _str_arg(node.args[1], "convert flag").lower()
+    convert = flag in ("true", "1", "1.0")
+    radius, y1, x1, y2, x2 = a[0], a[2], a[3], a[4], a[5]
+    import math
+    d2r = math.pi / 180.0
+    if sql:
+        if convert:
+            y1, x1 = f"({y1} * {d2r!r})", f"({x1} * {d2r!r})"
+            y2, x2 = f"({y2} * {d2r!r})", f"({x2} * {d2r!r})"
+        hy = f"SIN(({y1} - {y2}) * 0.5)"
+        hx = f"SIN(({x1} - {x2}) * 0.5)"
+        h = f"(({hy} * {hy}) + ((COS({y1}) * COS({y2})) * ({hx} * {hx})))"
+        return f"((2.0 * {radius}) * ASIN(LEAST(1.0, SQRT({h}))))"
+    if convert:
+        y1, x1 = y1 * F.lit(d2r), x1 * F.lit(d2r)
+        y2, x2 = y2 * F.lit(d2r), x2 * F.lit(d2r)
+    hy = F.sin((y1 - y2) * F.lit(0.5))
+    hx = F.sin((x1 - x2) * F.lit(0.5))
+    h = (hy * hy) + ((F.cos(y1) * F.cos(y2)) * (hx * hx))
+    return (F.lit(2.0) * radius) * F.asin(F.least(F.lit(1.0),
+                                                  F.sqrt(h)))
 
 # index-statistic sources (ValueSourceParser.java:646-717) and their
 # canonical names (alias("totaltermfreq","ttf") etc.)
@@ -196,7 +420,10 @@ def _arity(name: str, n: int):
             "docfreq": 2, "totaltermfreq": 2, "ttf": 2,
             "termfreq": 2, "tf": 2, "idf": 2,
             "norm": 1, "sumtotaltermfreq": 1, "sttf": 1,
-            "maxdoc": 0, "numdocs": 0}.get(name)
+            "maxdoc": 0, "numdocs": 0,
+            "linear": 3, "recip": 4, "mod": 2, "pi": 0, "e": 0,
+            "true": 0, "false": 0, "not": 1, "hsin": 6,
+            "literal": 1, "scale": 3, "boost": 2, "query": 1}.get(name)
     if want is not None and n != want:
         raise FuncParseError(f"{name}() takes {want} args, got {n}")
     if name in _NARY and n < 1:
@@ -205,6 +432,8 @@ def _arity(name: str, n: int):
         raise FuncParseError(f"{name}() takes 2 args, got {n}")
     if name == "map" and n not in (4, 5):
         raise FuncParseError(f"map() takes 4 or 5 args, got {n}")
+    if name == "ms" and n > 2:
+        raise FuncParseError(f"ms() takes 0-2 args, got {n}")
 
 
 def compile_col(node: FuncNode, cols: dict, ctx: dict = None) -> "F.Column":
@@ -221,6 +450,7 @@ def compile_col(node: FuncNode, cols: dict, ctx: dict = None) -> "F.Column":
     hit = _index_lookup(node, ctx)
     if hit is not None:
         return hit
+    _spec_error(name)
     _arity(name, len(node.args))
     if name == "exists":
         arg = node.args[0]
@@ -237,6 +467,37 @@ def compile_col(node: FuncNode, cols: dict, ctx: dict = None) -> "F.Column":
                 raise FuncParseError(f"unknown field {arg.field!r}")
             return F.coalesce(cols[arg.field].cast("double"), dflt)
         return compile_col(arg, cols, ctx)
+    if name == "concat":
+        # ConcatStringFunction: string concatenation, NULL if any
+        # operand is missing (exists == all exist)
+        return F.concat(*[_raw_str(x, cols, sql=False)
+                          for x in node.args])
+    if name == "literal":
+        return _raw_str(node.args[0], cols, sql=False)
+    if name == "strdist":
+        return _strdist_expr(node, cols, sql=False)
+    if name == "hsin":
+        ha = [compile_col(x, cols, ctx) for i, x in
+              enumerate(node.args) if i != 1]
+        ha.insert(1, None)      # flag slot read from the AST
+        return _hsin_expr(node, ha, sql=False)
+    if name == "ms":
+        vals = [_ms_operand(x, cols, ctx, sql=False)
+                for x in node.args]
+        if not vals:
+            if ctx is None or ("now", "", "") not in ctx:
+                raise FuncParseError(
+                    "ms() needs ctx[('now','','')] (epoch ms)")
+            return F.lit(float(ctx[("now", "", "")]))
+        return vals[0] if len(vals) == 1 else vals[0] - vals[1]
+    if name == "query":
+        return _query_lookup(node, ctx)
+    if name == "boost":
+        q = FuncNode("query", args=(node.args[0],))
+        return _query_lookup(q, ctx) * compile_col(node.args[1],
+                                                   cols, ctx)
+    if name == "scale":
+        return _scale_expr(node, cols, ctx, sql=False)
     a = [compile_col(x, cols, ctx) for x in node.args]
     if name in ("sum", "add"):
         out = a[0]
@@ -283,10 +544,73 @@ def compile_col(node: FuncNode, cols: dict, ctx: dict = None) -> "F.Column":
     if name == "if":
         cond = a[0] != F.lit(0.0)
         return F.when(cond, a[1]).otherwise(a[2])
-    if name in ("scale", "ord", "rord", "query"):
-        raise FuncParseError(
-            f"{name}(): needs dataset/index context the row-local "
-            "compiler cannot see (documented divergence)")
+    if name == "linear":
+        # LinearFloatFunction: val*slope + intercept
+        return a[0] * a[1] + a[2]
+    if name == "recip":
+        # ReciprocalFloatFunction: a / (m*x + b)
+        return a[2] / (a[1] * a[0] + a[3])
+    if name == "mod":
+        return a[0] % a[1]
+    if name == "pi":
+        import math
+        return F.lit(math.pi)
+    if name == "e":
+        import math
+        return F.lit(math.e)
+    if name == "true":
+        return F.lit(1.0)
+    if name == "false":
+        return F.lit(0.0)
+    if name == "not":
+        return F.when(a[0] != F.lit(0.0), F.lit(0.0)) \
+            .otherwise(F.lit(1.0))
+    if name in _BOOL_NARY:
+        if not a:
+            raise FuncParseError(f"{name}() needs operands")
+        preds = [c != F.lit(0.0) for c in a]
+        if name == "and":
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+        elif name == "or":
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+        else:                     # xor: some true AND some false
+            any_t, any_f = preds[0], ~preds[0]
+            for p in preds[1:]:
+                any_t, any_f = any_t | p, any_f | (~p)
+            out = any_t & any_f
+        return F.when(out, F.lit(1.0)).otherwise(F.lit(0.0))
+    if name == "sqedist":
+        v1, v2 = _halves(name, a)
+        out = (v1[0] - v2[0]) * (v1[0] - v2[0])
+        for x, y in zip(v1[1:], v2[1:]):
+            out = out + (x - y) * (x - y)
+        return out
+    if name == "dist":
+        p, rest = node.args[0], a[1:]
+        v1, v2 = _halves(name, rest)
+        pv = p.value if p.name == "lit" else None
+        if pv == 1.0:
+            out = F.abs(v1[0] - v2[0])
+            for x, y in zip(v1[1:], v2[1:]):
+                out = out + F.abs(x - y)
+            return out
+        if pv == 2.0:
+            out = (v1[0] - v2[0]) * (v1[0] - v2[0])
+            for x, y in zip(v1[1:], v2[1:]):
+                out = out + (x - y) * (x - y)
+            return F.sqrt(out)
+        if pv is None or pv <= 0.0:
+            raise FuncParseError(
+                "dist(): power must be a positive literal "
+                "(0/Infinity sparseness norms not supported)")
+        out = F.pow(F.abs(v1[0] - v2[0]), F.lit(pv))
+        for x, y in zip(v1[1:], v2[1:]):
+            out = out + F.pow(F.abs(x - y), F.lit(pv))
+        return F.pow(out, F.lit(1.0 / pv))
     raise FuncParseError(f"unknown function {name!r}")
 
 
@@ -304,6 +628,7 @@ def compile_sql(node: FuncNode, cols: dict, ctx: dict = None) -> str:
     hit = _index_lookup(node, ctx)
     if hit is not None:
         return hit
+    _spec_error(name)
     _arity(name, len(node.args))
     if name == "exists":
         arg = node.args[0]
@@ -322,6 +647,36 @@ def compile_sql(node: FuncNode, cols: dict, ctx: dict = None) -> str:
             return (f"COALESCE(CAST({cols[arg.field]} AS DOUBLE), "
                     f"{dflt})")
         return compile_sql(arg, cols, ctx)
+    if name == "concat":
+        parts = ", ".join(_raw_str(x, cols, sql=True)
+                          for x in node.args)
+        return f"CONCAT({parts})"
+    if name == "literal":
+        return _raw_str(node.args[0], cols, sql=True)
+    if name == "strdist":
+        return _strdist_expr(node, cols, sql=True)
+    if name == "hsin":
+        ha = [compile_sql(x, cols, ctx) for i, x in
+              enumerate(node.args) if i != 1]
+        ha.insert(1, None)
+        return _hsin_expr(node, ha, sql=True)
+    if name == "ms":
+        vals = [_ms_operand(x, cols, ctx, sql=True)
+                for x in node.args]
+        if not vals:
+            if ctx is None or ("now", "", "") not in ctx:
+                raise FuncParseError(
+                    "ms() needs ctx[('now','','')] (epoch ms)")
+            return f"CAST({float(ctx[('now', '', '')])!r} AS DOUBLE)"
+        return vals[0] if len(vals) == 1 else f"({vals[0]} - {vals[1]})"
+    if name == "query":
+        return _query_lookup(node, ctx)
+    if name == "boost":
+        q = FuncNode("query", args=(node.args[0],))
+        return (f"({_query_lookup(q, ctx)} * "
+                f"{compile_sql(node.args[1], cols, ctx)})")
+    if name == "scale":
+        return _scale_expr(node, cols, ctx, sql=True)
     a = [compile_sql(x, cols, ctx) for x in node.args]
     if name in ("sum", "add"):
         out = a[0]
@@ -369,4 +724,71 @@ def compile_sql(node: FuncNode, cols: dict, ctx: dict = None) -> str:
     if name == "if":
         return (f"(CASE WHEN {a[0]} <> 0.0 THEN {a[1]} "
                 f"ELSE {a[2]} END)")
+    if name == "linear":
+        return f"(({a[0]} * {a[1]}) + {a[2]})"
+    if name == "recip":
+        return f"({a[2]} / (({a[1]} * {a[0]}) + {a[3]}))"
+    if name == "mod":
+        return f"({a[0]} % {a[1]})"
+    if name == "pi":
+        import math
+        return f"CAST({math.pi!r} AS DOUBLE)"
+    if name == "e":
+        import math
+        return f"CAST({math.e!r} AS DOUBLE)"
+    if name == "true":
+        return "CAST(1.0 AS DOUBLE)"
+    if name == "false":
+        return "CAST(0.0 AS DOUBLE)"
+    if name == "not":
+        return (f"(CASE WHEN {a[0]} <> 0.0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(1.0 AS DOUBLE) END)")
+    if name in _BOOL_NARY:
+        if not a:
+            raise FuncParseError(f"{name}() needs operands")
+        preds = [f"({c} <> 0.0)" for c in a]
+        if name == "and":
+            cond = " AND ".join(preds)
+        elif name == "or":
+            cond = " OR ".join(preds)
+        else:
+            cond = (f"(({' OR '.join(preds)}) AND "
+                    f"({' OR '.join('NOT ' + p for p in preds)}))")
+        return (f"(CASE WHEN {cond} THEN CAST(1.0 AS DOUBLE) "
+                "ELSE CAST(0.0 AS DOUBLE) END)")
+    if name == "sqedist":
+        v1, v2 = _halves(name, a)
+        terms = [f"(({x} - {y}) * ({x} - {y}))"
+                 for x, y in zip(v1, v2)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+    if name == "dist":
+        p, rest = node.args[0], a[1:]
+        v1, v2 = _halves(name, rest)
+        pv = p.value if p.name == "lit" else None
+        if pv == 1.0:
+            terms = [f"ABS({x} - {y})" for x, y in zip(v1, v2)]
+            out = terms[0]
+            for t in terms[1:]:
+                out = f"({out} + {t})"
+            return out
+        if pv == 2.0:
+            terms = [f"(({x} - {y}) * ({x} - {y}))"
+                     for x, y in zip(v1, v2)]
+            out = terms[0]
+            for t in terms[1:]:
+                out = f"({out} + {t})"
+            return f"SQRT({out})"
+        if pv is None or pv <= 0.0:
+            raise FuncParseError(
+                "dist(): power must be a positive literal "
+                "(0/Infinity sparseness norms not supported)")
+        terms = [f"POWER(ABS({x} - {y}), CAST({pv!r} AS DOUBLE))"
+                 for x, y in zip(v1, v2)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return f"POWER({out}, CAST({1.0 / pv!r} AS DOUBLE))"
     raise FuncParseError(f"unknown function {name!r}")
