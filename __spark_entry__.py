@@ -6353,6 +6353,343 @@ _FUNCIDX_EXTRAS = (
 )
 
 
+# round-4c wave: PhrasesIdentificationComponent (solr/core/src/java/
+# org/apache/solr/handler/component/PhrasesIdentificationComponent.
+# java) — identify & score "phrases" in an input string from indexed
+# shingle statistics with the component's bayesian model
+# (computeFieldScore, :948-1030).  The candidate lattice (all
+# position windows <= maxQueryPositionLength), the words sub-phrase
+# links (largestIndexedSubPhrases: windows of maxIndexedPositionLength,
+# or the phrase itself when shorter — addLinkages :617-635) and the
+# indexedSuperPhrases are derived from the input at plan build; the
+# per-phrase statistics (term/shingle ttf+df, conjunction doc counts)
+# are 1-row aggregates, and ONE portable score expression per phrase
+# (shared verbatim by Spark SQL and DuckDB) evaluates the model:
+#   P(words|phrase)=ttf/min(term ttf), P(words|!phrase)=ttf/max,
+#   P(phrase)=conj(p)/conj(words) reduced by the max wrapper-phrase
+#   probability df(super)/conj(super), then scaled by
+#   1/(1+maxQuery-maxIndexed) and conj(p)/max_sub_conj.
+_PHR_TERMS = ("stream", "table", "hash", "batch")
+_PHR_MAX_I, _PHR_MAX_Q = 3, 4
+
+
+def _phr_candidates():
+    n = len(_PHR_TERMS)
+    return [(s, e) for s in range(n)
+            for e in range(s + 1, min(s + _PHR_MAX_Q, n) + 1)]
+
+
+def _phr_words(s, e):
+    """largestIndexedSubPhrases of window [s,e): itself when its
+    length <= maxIndexed, else every maxIndexed-length window."""
+    if e - s <= _PHR_MAX_I:
+        return [(s, e)]
+    return [(i, i + _PHR_MAX_I) for i in range(s, e - _PHR_MAX_I + 1)]
+
+
+def _phr_supers(s, e):
+    """indexedSuperPhrases: indexable (len <= maxIndexed) candidates
+    strictly containing [s,e)."""
+    return [(cs, ce) for cs, ce in _phr_candidates()
+            if ce - cs <= _PHR_MAX_I and (cs, ce) != (s, e)
+            and cs <= s and e <= ce]
+
+
+def _phr_div(n, d):
+    """Guarded division — identical text on both engines (Spark
+    returns NULL for double /0 while DuckDB returns inf; every use is
+    semantically unreachable when the guard fails)."""
+    return f"(CASE WHEN {d} <> 0.0 THEN ({n} / {d}) ELSE 0.0 END)"
+
+
+def _phr_score_sql(s, e):
+    """The computeFieldScore expression for candidate [s,e) over the
+    stats scalars (single field, weight 1.0 => total == field
+    score)."""
+    L = e - s
+    cj = f"cj_{s}_{e}"
+    if L == 1:
+        return (f"(CASE WHEN {cj} > 0.0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(-1.0 AS DOUBLE) END)")
+    parts, conj_list = [], [cj]
+    for ws, we in _phr_words(s, e):
+        ttfw = (f"sh_ttf_{ws}_{we}" if we - ws > 1
+                else f"t_ttf_{ws}")
+        cjw = f"cj_{ws}_{we}"
+        conj_list.append(cjw)
+        terms = [f"t_ttf_{i}" for i in range(ws, we)]
+        tmin = (f"LEAST({', '.join(terms)})" if len(terms) > 1
+                else terms[0])
+        tmax = (f"GREATEST({', '.join(terms)})" if len(terms) > 1
+                else terms[0])
+        wp, wnp = _phr_div(ttfw, tmin), _phr_div(ttfw, tmax)
+        pp = _phr_div(cj, cjw)
+        wrap_items = ["CAST(0.0 AS DOUBLE)"]
+        for ss, se_ in _phr_supers(ws, we):
+            dfs = (f"sh_df_{ss}_{se_}" if se_ - ss > 1
+                   else f"t_df_{ss}")
+            cjs = f"cj_{ss}_{se_}"
+            wrap_items.append(f"(CASE WHEN {cjs} > 0.0 THEN "
+                              f"({dfs} / {cjs}) ELSE 0.0 END)")
+        wrap = (f"GREATEST({', '.join(wrap_items)})"
+                if len(wrap_items) > 1 else wrap_items[0])
+        d = f"({pp} - {wrap})"
+        parts.append(f"(({wp} * {d}) - ({wnp} * (1.0 - {d})))")
+    fs = parts[0]
+    for p in parts[1:]:
+        fs = f"({fs} + {p})"
+    scale1 = 1.0 / (1 + _PHR_MAX_Q - _PHR_MAX_I)
+    msc = f"GREATEST({', '.join(conj_list)})"
+    out = (f"(({fs} * CAST({scale1!r} AS DOUBLE)) * "
+           f"{_phr_div(cj, msc)})")
+    return (f"(CASE WHEN {cj} > 0.0 THEN {out} "
+            "ELSE CAST(-1.0 AS DOUBLE) END)")
+
+
+def _phr_stack_sql():
+    """stack() rows: (phrase, pos_start, pos_end, score)."""
+    rows = []
+    for s, e in _phr_candidates():
+        text = " ".join(_PHR_TERMS[s:e])
+        rows.append(f"'{text}', {s}, {e}, "
+                    f"ROUND({_phr_score_sql(s, e)}, 6)")
+    return rows
+
+
+def _q_phrases_id(spark, sf_dir):
+    """PhrasesIdentificationComponent over the documents corpus: the
+    full candidate lattice of 'stream table hash batch' scored by the
+    reference's bayesian shingle model (block comment above; single
+    text field, weight 1.0).  Plan at 100 TB: term/shingle/
+    conjunction statistics reduce to ONE broadcast row
+    (partial-aggregated scans of the term-pruned postings), and every
+    candidate's score is a whole-stage-codegen expression over that
+    row — no per-candidate jobs, no driver stats."""
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    qterms = list(_PHR_TERMS)
+    cands = _phr_candidates()
+
+    ts_aggs = []
+    for i, t in enumerate(qterms):
+        ts_aggs.append(F.coalesce(F.sum(F.when(F.col("term") == t,
+                                               F.col("ttf"))),
+                                  F.lit(0)).cast("double")
+                       .alias(f"t_ttf_{i}"))
+        ts_aggs.append(F.coalesce(F.sum(F.when(F.col("term") == t,
+                                               F.col("df"))),
+                                  F.lit(0)).cast("double")
+                       .alias(f"t_df_{i}"))
+    ts_row = ix.term_stats.filter(F.col("term").isin(qterms)) \
+        .agg(*ts_aggs)
+
+    flags = (ix.postings.filter(F.col("term").isin(qterms))
+             .groupBy("docid")
+             .agg(*[F.max(F.when(F.col("term") == t, F.lit(1))
+                          .otherwise(F.lit(0))).alias(f"f_{i}")
+                    for i, t in enumerate(qterms)]))
+    cj_aggs = []
+    for s, e in cands:
+        prod = F.col(f"f_{s}")
+        for i in range(s + 1, e):
+            prod = prod * F.col(f"f_{i}")
+        cj_aggs.append(F.coalesce(F.sum(prod), F.lit(0))
+                       .cast("double").alias(f"cj_{s}_{e}"))
+    cj_row = flags.agg(*cj_aggs)
+
+    pos = (ix.postings.filter(F.col("term").isin(qterms))
+           .select("docid", "term", F.explode("positions").alias("p")))
+    a, b, c = pos.alias("a"), pos.alias("b"), pos.alias("c")
+    big = a.join(b, (F.col("a.docid") == F.col("b.docid"))
+                 & (F.col("b.p") == F.col("a.p") + 1))
+    tri = big.join(c, (F.col("a.docid") == F.col("c.docid"))
+                   & (F.col("c.p") == F.col("a.p") + 2))
+    sh_aggs_2, sh_aggs_3 = [], []
+    for s, e in cands:
+        if e - s == 2:
+            cond = ((F.col("a.term") == qterms[s])
+                    & (F.col("b.term") == qterms[s + 1]))
+            sh_aggs_2.append(F.coalesce(F.sum(F.when(cond, 1)),
+                                        F.lit(0)).cast("double")
+                             .alias(f"sh_ttf_{s}_{e}"))
+            sh_aggs_2.append(F.countDistinct(
+                F.when(cond, F.col("a.docid"))).cast("double")
+                .alias(f"sh_df_{s}_{e}"))
+        elif e - s == 3:
+            cond = ((F.col("a.term") == qterms[s])
+                    & (F.col("b.term") == qterms[s + 1])
+                    & (F.col("c.term") == qterms[s + 2]))
+            sh_aggs_3.append(F.coalesce(F.sum(F.when(cond, 1)),
+                                        F.lit(0)).cast("double")
+                             .alias(f"sh_ttf_{s}_{e}"))
+            sh_aggs_3.append(F.countDistinct(
+                F.when(cond, F.col("a.docid"))).cast("double")
+                .alias(f"sh_df_{s}_{e}"))
+    stats = (ts_row.crossJoin(F.broadcast(cj_row))
+             .crossJoin(F.broadcast(big.agg(*sh_aggs_2)))
+             .crossJoin(F.broadcast(tri.agg(*sh_aggs_3))))
+
+    n = len(cands)
+    stack = ", ".join(_phr_stack_sql())
+    return (stats.select(F.expr(
+        f"stack({n}, {stack}) AS (phrase, pos_start, pos_end, score)"))
+        .orderBy(F.desc("score"), F.asc("phrase")))
+
+
+# round-4f: MultiRangeQuery (lucene/sandbox/src/java/org/apache/
+# lucene/search/MultiRangeQuery.java:47 — a disjunction of ranges
+# over ONE point field visited in a single BKD traversal).  The
+# Spark analogue is a single scan with the OR-of-ranges predicate
+# pushed to parquet (PushedFilters: Or(And(GTE,LTE),..)) — one pass,
+# file/row-group pruning intact.
+_MRQ_RANGES = ((120, 180), (430, 520), (760, 800))
+
+
+def _q_multi_range(spark, sf_dir):
+    """MultiRangeQuery on the n_chars point column: 3 disjoint
+    ranges, one scan, constant-score hits in docid order (the
+    reference rewrites to a BooleanQuery of range queries when few
+    ranges, else one multi-range BKD visit — either way a single
+    traversal; here a single pushed predicate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cond = None
+    for lo, hi in _MRQ_RANGES:
+        c = (F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)
+        cond = c if cond is None else (cond | c)
+    return (docs.filter(cond)
+            .select("doc_id", "n_chars")
+            .orderBy(F.asc("doc_id")).limit(30))
+
+
+# round-4e wave: FuzzyLikeThisQuery (lucene/sandbox/src/java/org/
+# apache/lucene/sandbox/queries/FuzzyLikeThisQuery.java:57) — fuzzify
+# every source term, score variants boost^2 * idf with the SOURCE
+# term's df (avg variant df when the source is unindexed,
+# addTerms:228-243), keep the global top maxNumTerms (pq tie: smaller
+# term wins, ScoreTermQueue.lessThan:359), then score docs with each
+# variant as a TermQuery over ARTIFICIAL df=1 stats
+# (newTermQuery:254-268) boosted by the variant score under the
+# class's hardcoded ClassicSimilarity.
+_FLT_TERMS = ("tabel", "stream", "xqz")   # analyzed, distinct
+_FLT_MAX_EDITS = 1                        # Damerau-exact tier
+_FLT_MAX_NUM_TERMS = 6
+_FLT_MAX_VARIANTS = 50
+
+
+def _flt_variants(src):
+    from lucene_solr_spark.search.query import transposition_variants
+    return transposition_variants(src)
+
+
+def _q_fuzzy_like_this(spark, sf_dir):
+    """FuzzyLikeThisQuery over the documents corpus, every stage
+    in-plan: candidate variants come from the vocab-scale term_stats
+    joined against a literal source relation with the shared
+    Damerau-1 predicate (exact at maxEdits=1: lev==1 OR adjacent
+    transposition), FuzzyTermsEnum's boost 1 - ed/min(len) at
+    :270-272, the per-source 50-variant cap as a window, the df
+    rule and the global maxNumTerms cut as TakeOrdered, and final
+    doc scoring as one postings join:
+    sum(variant_score * idf(df=1) * sqrt(tf) / sqrt(qdl)).  At
+    100 TB the expansion side is metadata-scale (term dictionary);
+    only the final scoring join touches postings."""
+    from pyspark.sql.window import Window
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+
+    src = spark.createDataFrame(
+        [(s, len(s)) for s in _FLT_TERMS], "src STRING, slen INT")
+    cond = None
+    for s in _FLT_TERMS:
+        vs = list(_flt_variants(s))
+        c = (F.col("term") == s) | (F.levenshtein("term",
+                                                  F.lit(s)) == 1)
+        if vs:
+            c = c | F.col("term").isin(vs)
+        c = (F.col("src") == s) & c
+        cond = c if cond is None else (cond | c)
+    cand = (ix.term_stats.select("term", "df")
+            .join(F.broadcast(src), cond))
+    ed = F.when(F.col("term") == F.col("src"), 0).otherwise(1)
+    boost = F.when(ed == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - ed.cast("double")
+        / F.least(F.length("term"), F.col("slen")).cast("double"))
+    cand = cand.withColumn("ed", ed).withColumn("boost", boost)
+    w = Window.partitionBy("src").orderBy(F.desc("boost"),
+                                          F.asc("term"))
+    capped = (cand.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= _FLT_MAX_VARIANTS))
+    per_src = (capped.groupBy("src")
+               .agg(F.floor(F.sum("df").cast("double")
+                            / F.count("*")).alias("avg_df")))
+    src_df = (src.join(ix.term_stats.select(
+        F.col("term").alias("src"), F.col("df").alias("src_df")),
+        "src", "left"))
+    nrow = ix.docs.agg(F.count("*").alias("n_docs"))
+    scored_terms = (capped
+                    .join(F.broadcast(per_src), "src")
+                    .join(F.broadcast(src_df.select("src", "src_df")),
+                          "src")
+                    .crossJoin(F.broadcast(nrow))
+                    .withColumn("df_eff", F.when(
+                        F.coalesce(F.col("src_df"), F.lit(0)) > 0,
+                        F.col("src_df")).otherwise(F.col("avg_df")))
+                    .withColumn("vscore", (F.col("boost")
+                                           * F.col("boost"))
+                                * (F.log((F.col("n_docs")
+                                          .cast("double") + F.lit(1.0))
+                                         / (F.col("df_eff")
+                                            .cast("double")
+                                            + F.lit(1.0)))
+                                   + F.lit(1.0)))
+                    .orderBy(F.desc("vscore"), F.asc("term"))
+                    .limit(_FLT_MAX_NUM_TERMS))
+    idf1 = (F.log((F.col("n_docs").cast("double") + F.lit(1.0))
+                  / F.lit(2.0)) + F.lit(1.0))
+    hits = (ix.postings.select("term", "docid", "tf")
+            .join(F.broadcast(scored_terms.select("term", "vscore",
+                                                  "n_docs")), "term")
+            .join(ix.docs.select("docid", "qdl"), "docid")
+            .withColumn("contrib", ((F.col("vscore") * idf1)
+                                    * F.sqrt(F.col("tf")
+                                             .cast("double")))
+                        / F.sqrt(F.col("qdl").cast("double"))))
+    return (hits.groupBy("docid").agg(F.sum("contrib").alias("s"))
+            .select(F.col("docid").alias("doc_id"),
+                    F.round("s", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+# round-4d wave: the update-request processor chain
+# (UpdateRequestProcessorChain.java:60 + the FieldMutating family,
+# index/processors.py) exercised end-to-end: a representative chain
+# over the documents batch, with the DuckDB twin replaying the SAME
+# composition order.
+def _t_update_chain(spark, sf_dir):
+    """Field-mutating processor chain (RegexReplace -> Trim ->
+    Truncate -> FieldLength -> Clone+RegexReplace+RemoveBlank+
+    DefaultValue) applied to the ingest batch — each processor is a
+    codegen projection folded into the scan; the chain is what a
+    100 TB ingest runs between the source read and
+    IndexWriter.append_raw."""
+    from lucene_solr_spark.index import processors as P
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = P.chain(
+        P.regex_replace("text", "[0-9]+", "#"),
+        P.trim("text"),
+        P.truncate("text", 80),
+        P.field_length("text", "text_len"),
+        P.clone("lang", "lang2"),
+        P.regex_replace("lang2", "^en$", ""),
+        P.remove_blank("lang2"),
+        P.default_value("lang2", "und"),
+        P.ignore("source"),
+    )
+    return (c(docs)
+            .select("doc_id", "text", "text_len", "lang2", "n_chars")
+            .orderBy(F.asc("doc_id")).limit(20))
+
+
 # round-4b wave: ValueSourceParser registry closure — every remaining
 # row-local function name (linear/recip/mod/pi/e/true/false/not/and/
 # or/xor/sqedist/dist/hsin/strdist/concat/literal/ms) compiled by the
@@ -6976,7 +7313,26 @@ WINDOW_ORDER = [
     # three-scale local records; the spell surface stays repped by
     # the q_spellcheck bench row and the shared Damerau SQL under
     # in-window q_fuzzy_tr).
-    "q_func_index", "q_func_registry",
+    # Round-4c rotation: IN q_phrases_id
+    # (PhrasesIdentificationComponent — the last algorithmic
+    # SearchComponent without a row: the bayesian shingle model over
+    # a candidate lattice, new cross-engine machinery). OUT
+    # q_phrase_wildcard (three-scale local records; the
+    # wildcard-slot expansion stays repped in-window by
+    # w_phrase_wildcard's kernel row and p_complex_phrase).
+    # Round-4d rotation: IN t_update_chain (the
+    # UpdateRequestProcessorChain composition — the field-mutating
+    # ingest family replayed order-identically by the oracle). OUT
+    # v_embed_lsh (three-scale local records; the v family keeps
+    # v_mmr/v_ivf_pq in-window and the banded-LSH plan is repped by
+    # t_minhash_lsh).
+    # Round-4e rotation: IN q_fuzzy_like_this (the last sandbox
+    # query class — fuzzified-MLT with the source-df idf rule and
+    # artificial df=1 rescoring, all in-plan). OUT m_frame_sample
+    # (three-scale local records; the multimodal Arrow plumbing
+    # stays repped by m_resize_meta's records and pytest).
+    "q_func_index", "q_func_registry", "q_phrases_id",
+    "t_update_chain", "q_fuzzy_like_this",
     "p_func", "s_stream_loess", "s_stream_empdist",
     "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
     "s_stream_spline",
@@ -7766,6 +8122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_field": _p_field,
         "q_func_index": _q_func_index,
         "q_func_registry": _q_func_registry,
+        "q_phrases_id": _q_phrases_id,
+        "t_update_chain": _t_update_chain,
+        "q_fuzzy_like_this": _q_fuzzy_like_this,
+        "q_multi_range": _q_multi_range,
         # round-3as: same pattern
         "p_graph": _p_graph,
         "p_join": _p_join,
@@ -12809,6 +13169,156 @@ SELECT d.doc_id,
        {compile_sql(_pfn(_FUNCREG_CONCAT), _fr_cols)} AS tag
 FROM documents d
 ORDER BY d.doc_id ASC LIMIT 25"""
+
+    # -- round-4c wave: PhrasesIdentificationComponent --------------------
+    # The SAME per-candidate score expressions the engine evaluates
+    # (generated by _phr_score_sql from one lattice), over stats
+    # scalars derived from the shared px/ts CTEs.
+    _ph_terms = ", ".join(f"'{t}'" for t in _PHR_TERMS)
+    _ph_stats = []
+    for _i, _t in enumerate(_PHR_TERMS):
+        _ph_stats.append(
+            f"(SELECT CAST(COALESCE(SUM(CASE WHEN term = '{_t}' THEN "
+            f"ttf END), 0) AS DOUBLE) FROM ts) AS t_ttf_{_i}")
+        _ph_stats.append(
+            f"(SELECT CAST(COALESCE(SUM(CASE WHEN term = '{_t}' THEN "
+            f"df END), 0) AS DOUBLE) FROM ts) AS t_df_{_i}")
+    for _s, _e in _phr_candidates():
+        _prod = " * ".join(f"f_{_i}" for _i in range(_s, _e))
+        _ph_stats.append(
+            f"(SELECT CAST(COALESCE(SUM({_prod}), 0) AS DOUBLE) "
+            f"FROM phflags) AS cj_{_s}_{_e}")
+        if _e - _s == 2:
+            _cond = (f"t0 = '{_PHR_TERMS[_s]}' AND "
+                     f"t1 = '{_PHR_TERMS[_s + 1]}'")
+            _ph_stats.append(
+                f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM phbig "
+                f"WHERE {_cond}) AS sh_ttf_{_s}_{_e}")
+            _ph_stats.append(
+                f"(SELECT CAST(COUNT(DISTINCT docid) AS DOUBLE) "
+                f"FROM phbig WHERE {_cond}) AS sh_df_{_s}_{_e}")
+        elif _e - _s == 3:
+            _cond = (f"t0 = '{_PHR_TERMS[_s]}' AND "
+                     f"t1 = '{_PHR_TERMS[_s + 1]}' AND "
+                     f"t2 = '{_PHR_TERMS[_s + 2]}'")
+            _ph_stats.append(
+                f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM phtri "
+                f"WHERE {_cond}) AS sh_ttf_{_s}_{_e}")
+            _ph_stats.append(
+                f"(SELECT CAST(COUNT(DISTINCT docid) AS DOUBLE) "
+                f"FROM phtri WHERE {_cond}) AS sh_df_{_s}_{_e}")
+    _ph_flag_cols = ", ".join(
+        f"MAX(CASE WHEN term = '{_t}' THEN 1 ELSE 0 END) AS f_{_i}"
+        for _i, _t in enumerate(_PHR_TERMS))
+    _ph_rows = "\nUNION ALL\n".join(
+        f"SELECT '{' '.join(_PHR_TERMS[_s:_e])}' AS phrase, "
+        f"{_s} AS pos_start, {_e} AS pos_end, "
+        f"ROUND({_phr_score_sql(_s, _e)}, 6) AS score FROM phstats"
+        for _s, _e in _phr_candidates())
+    out["q_phrases_id"] = f"""
+WITH {ctes},
+php AS (SELECT docid, term, pos FROM px WHERE term IN ({_ph_terms})),
+phflags AS (SELECT docid, {_ph_flag_cols} FROM php GROUP BY docid),
+phbig AS (SELECT a.docid, a.term AS t0, b.term AS t1
+          FROM php a JOIN php b
+          ON a.docid = b.docid AND b.pos = a.pos + 1),
+phtri AS (SELECT a.docid, a.term AS t0, b.term AS t1, c.term AS t2
+          FROM php a JOIN php b
+          ON a.docid = b.docid AND b.pos = a.pos + 1
+          JOIN php c ON a.docid = c.docid AND c.pos = a.pos + 2),
+phstats AS (SELECT
+  {(',' + chr(10) + '  ').join(_ph_stats)})
+SELECT phrase, pos_start, pos_end, score FROM ({_ph_rows})
+ORDER BY score DESC, phrase ASC"""
+
+    # -- round-4d wave: update-request processor chain --------------------
+    # The SAME composition order as _t_update_chain's processors
+    # (regex_replace 'g' = Spark regexp_replace's replace-all).
+    out["t_update_chain"] = """
+WITH m AS (
+  SELECT doc_id,
+         SUBSTRING(TRIM(REGEXP_REPLACE(text, '[0-9]+', '#', 'g')),
+                   1, 80) AS text,
+         (CASE WHEN TRIM(REGEXP_REPLACE(lang, '^en$', '', 'g')) <> ''
+               THEN REGEXP_REPLACE(lang, '^en$', '', 'g') END)
+           AS lang2_raw,
+         n_chars
+  FROM documents)
+SELECT doc_id, text,
+       LENGTH(text) AS text_len,
+       COALESCE(lang2_raw, 'und') AS lang2,
+       n_chars
+FROM m ORDER BY doc_id ASC LIMIT 20"""
+
+    # -- round-4e wave: FuzzyLikeThisQuery --------------------------------
+    _fl_src_rows = ", ".join(f"('{s}', {len(s)})" for s in _FLT_TERMS)
+    _fl_conds = []
+    for _s in _FLT_TERMS:
+        _vs = list(_flt_variants(_s))
+        _c = f"ts.term = '{_s}' OR levenshtein(ts.term, '{_s}') = 1"
+        if _vs:
+            _in = ", ".join(f"'{v}'" for v in _vs)
+            _c += f" OR ts.term IN ({_in})"
+        _fl_conds.append(f"(f.src = '{_s}' AND ({_c}))")
+    _fl_cond = "\n             OR ".join(_fl_conds)
+    out["q_fuzzy_like_this"] = f"""
+WITH {ctes},
+fn AS (SELECT COUNT(*) AS n_docs FROM docs),
+fsrc(src, slen) AS (VALUES {_fl_src_rows}),
+fcand AS (
+  SELECT f.src, f.slen, ts.term, ts.df,
+         CASE WHEN ts.term = f.src THEN 0 ELSE 1 END AS ed
+  FROM fsrc f JOIN ts ON ({_fl_cond})),
+fb AS (
+  SELECT src, term, df,
+         CASE WHEN ed = 0 THEN 1.0
+              ELSE 1.0 - CAST(ed AS DOUBLE)
+                   / CAST(LEAST(LENGTH(term), slen) AS DOUBLE)
+         END AS boost
+  FROM fcand),
+fv AS (
+  SELECT * FROM (
+    SELECT fb.*, ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY boost DESC, term ASC) AS rn FROM fb)
+  WHERE rn <= {_FLT_MAX_VARIANTS}),
+favg AS (SELECT src,
+                CAST(FLOOR(CAST(SUM(df) AS DOUBLE) / COUNT(*))
+                     AS BIGINT) AS avg_df
+         FROM fv GROUP BY src),
+fsd AS (SELECT f.src,
+               COALESCE((SELECT df FROM ts WHERE term = f.src), 0)
+                 AS src_df
+        FROM fsrc f),
+fsel AS (
+  SELECT v.term,
+         (v.boost * v.boost)
+         * (LN((CAST(n.n_docs AS DOUBLE) + 1.0)
+               / (CAST(CASE WHEN d.src_df > 0 THEN d.src_df
+                            ELSE a.avg_df END AS DOUBLE) + 1.0))
+            + 1.0) AS vscore,
+         n.n_docs
+  FROM fv v JOIN favg a ON a.src = v.src
+  JOIN fsd d ON d.src = v.src CROSS JOIN fn n
+  ORDER BY vscore DESC, term ASC LIMIT {_FLT_MAX_NUM_TERMS})
+SELECT p.docid AS doc_id,
+       ROUND(SUM(((s.vscore
+                   * (LN((CAST(s.n_docs AS DOUBLE) + 1.0) / 2.0)
+                      + 1.0))
+                  * SQRT(CAST(p.tf AS DOUBLE)))
+                 / SQRT(CAST(d.qdl AS DOUBLE))), 6) AS score
+FROM fsel s JOIN postings p ON p.term = s.term
+JOIN docs d ON d.docid = p.docid
+GROUP BY p.docid
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    # -- round-4f: MultiRangeQuery ----------------------------------------
+    _mr_cond = " OR ".join(
+        f"(d.n_chars >= {lo} AND d.n_chars <= {hi})"
+        for lo, hi in _MRQ_RANGES)
+    out["q_multi_range"] = f"""
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE {_mr_cond}
+ORDER BY d.doc_id ASC LIMIT 30"""
 
     # -- round-3as wave ------------------------------------------------------
     # {!graph}: the BFS unrolled level-by-level with the SAME
