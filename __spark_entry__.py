@@ -6536,6 +6536,60 @@ def _q_phrases_id(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("phrase")))
 
 
+# round-4g: the remaining small TokenFilter family — an /analysis
+# chain row (EnglishPossessiveFilter -> PatternReplaceFilter ->
+# LengthFilter -> TruncateTokenFilter, each a shared regexp/substring
+# expression) and the NGramTokenFilter emission order.
+_AF_TEXT = ("The choir's 12345 hymn books weren’t a x "
+            "supercalifragilisticexpialidocious Fox＇S den")
+_AF_TOKEN_RE = "[a-z0-9'’＇]+"
+
+
+def _q_analysis_filters(spark, sf_dir):
+    """FieldAnalysisRequestHandler shape for a filter chain: tokenize
+    (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
+    (analysis/en/EnglishPossessiveFilter.java:37-50 — trailing
+    '/’/＇ + s), PatternReplaceFilter ([0-9]+ -> '#'), LengthFilter
+    (analysis/miscellaneous/LengthFilter.java:34, 2..8 on the text at
+    this chain point), TruncateTokenFilter (first 6 chars).  Rows are
+    (original token position, emitted term); both engines run the
+    SAME per-step expressions."""
+    from lucene_solr_spark.analysis.filters import (
+        length_filter_pred_sql, pattern_replace_sql,
+        possessive_strip_sql, truncate_token_sql)
+    d = spark.createDataFrame([(_AF_TEXT,)], "text string")
+    out = (d.select(F.posexplode(F.expr(
+        f"regexp_extract_all(lower(text), \"{_AF_TOKEN_RE}\", 0)"))
+        .alias("pos", "t0"))
+        .withColumn("t1", F.expr(possessive_strip_sql("t0")))
+        .withColumn("t2", F.expr(pattern_replace_sql(
+            "t1", "[0-9]+", "#")))
+        .filter(F.expr(length_filter_pred_sql("t2", 2, 8)))
+        .withColumn("term", F.expr(truncate_token_sql("t2", 6))))
+    return (out.select(F.col("pos").cast("int"), "term")
+            .orderBy(F.asc("pos")))
+
+
+_NGF_TERMS = ("stream", "merge", "window")
+
+
+def _q_ngram_tokens(spark, sf_dir):
+    """NGramTokenFilter over dictionary terms
+    (analysis/ngram/NGramTokenFilter.java:99-134): grams 2..3 in the
+    reference's emission order — outer start position, inner gram
+    size — with the ordinal exposed so the order itself is
+    oracle-checked."""
+    from lucene_solr_spark.analysis.filters import ngrams_sql_array
+    se = _searcher(spark, sf_dir)
+    return (se.ix.term_stats
+            .filter(F.col("term").isin(list(_NGF_TERMS)))
+            .select("term", F.posexplode(
+                F.expr(ngrams_sql_array("term", 2, 3)))
+                .alias("ord", "gram"))
+            .select("term", F.col("ord").cast("int"), "gram")
+            .orderBy(F.asc("term"), F.asc("ord")))
+
+
 # round-4f: MultiRangeQuery (lucene/sandbox/src/java/org/apache/
 # lucene/search/MultiRangeQuery.java:47 — a disjunction of ranges
 # over ONE point field visited in a single BKD traversal).  The
@@ -8126,6 +8180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_update_chain": _t_update_chain,
         "q_fuzzy_like_this": _q_fuzzy_like_this,
         "q_multi_range": _q_multi_range,
+        "q_analysis_filters": _q_analysis_filters,
+        "q_ngram_tokens": _q_ngram_tokens,
         # round-3as: same pattern
         "p_graph": _p_graph,
         "p_join": _p_join,
@@ -13319,6 +13375,40 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE {_mr_cond}
 ORDER BY d.doc_id ASC LIMIT 30"""
+
+    # -- round-4g: TokenFilter chain + NGram emission order ---------------
+    from lucene_solr_spark.analysis.filters import (
+        length_filter_pred_sql, ngrams_sql_array, pattern_replace_sql,
+        possessive_strip_sql, truncate_token_sql)
+    _af_text_sql = _AF_TEXT.replace("'", "''")
+    _af_re_sql = _AF_TOKEN_RE.replace("'", "''")
+    out["q_analysis_filters"] = f"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower('{_af_text_sql}'),
+                                   '{_af_re_sql}', 0)) AS t0,
+         generate_subscripts(regexp_extract_all(lower('{_af_text_sql}'),
+                                                '{_af_re_sql}', 0), 1)
+           - 1 AS pos),
+st AS (SELECT pos,
+              {pattern_replace_sql(
+                  possessive_strip_sql('t0', 'duckdb'),
+                  '[0-9]+', '#', 'duckdb')} AS t2
+       FROM tk)
+SELECT CAST(pos AS INT) AS pos,
+       {truncate_token_sql('t2', 6)} AS term
+FROM st WHERE {length_filter_pred_sql('t2', 2, 8)}
+ORDER BY pos ASC"""
+
+    _ngf_in = ", ".join(f"'{t}'" for t in _NGF_TERMS)
+    _ngf_arr = ngrams_sql_array("term", 2, 3, dialect="duckdb")
+    out["q_ngram_tokens"] = f"""
+WITH {ctes},
+sel AS (SELECT term FROM ts WHERE term IN ({_ngf_in})),
+gr AS (SELECT term, {_ngf_arr} AS gs FROM sel)
+SELECT term,
+       CAST(generate_subscripts(gs, 1) - 1 AS INT) AS ord,
+       unnest(gs) AS gram
+FROM gr ORDER BY term ASC, ord ASC"""
 
     # -- round-3as wave ------------------------------------------------------
     # {!graph}: the BFS unrolled level-by-level with the SAME

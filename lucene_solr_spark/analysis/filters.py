@@ -355,3 +355,98 @@ def common_grams_py(tokens: list, common: set) -> list:
         if a in common or b in common:
             out.append(f"{a}_{b}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-4g: the remaining small TokenFilter family (analysis-common)
+# ---------------------------------------------------------------------------
+
+# EnglishPossessiveFilter.java:37-50: strip the trailing 2 chars when
+# the penultimate is one of ' ’ ＇ and the last is s/S.
+POSSESSIVE_PATTERN = "['’＇][sS]$"
+
+
+def possessive_strip_sql(col: str, dialect: str = "spark") -> str:
+    """EnglishPossessiveFilter as one regexp_replace (the pattern
+    carries the three apostrophe codepoints literally so the SAME
+    regex runs under Java-regex Spark and RE2 DuckDB; only the string
+    QUOTING differs — Spark takes the double-quoted literal, DuckDB
+    doubles the embedded single quote)."""
+    if dialect == "duckdb":
+        pat = POSSESSIVE_PATTERN.replace("'", "''")
+        return f"regexp_replace({col}, '{pat}', '', 'g')"
+    return f'regexp_replace({col}, "{POSSESSIVE_PATTERN}", "")'
+
+
+def possessive_strip_py(term: str) -> str:
+    if (len(term) >= 2 and term[-2] in "'’＇"
+            and term[-1] in "sS"):
+        return term[:-2]
+    return term
+
+
+def pattern_replace_sql(col: str, pattern: str, replacement: str,
+                        dialect: str = "spark") -> str:
+    """PatternReplaceFilter (replaceAll shape — Spark's
+    regexp_replace is global by default, DuckDB needs the 'g'
+    flag)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return (f"regexp_replace({col}, '{pattern}', "
+            f"'{replacement}'{g})")
+
+
+def truncate_token_sql(col: str, n: int) -> str:
+    """TruncateTokenFilter (analysis/miscellaneous/
+    TruncateTokenFilter.java: keep the first ``length`` chars)."""
+    return f"substring({col}, 1, {n})"
+
+
+def length_filter_pred_sql(col: str, min_len: int,
+                           max_len: int) -> str:
+    """LengthFilter (analysis/miscellaneous/LengthFilter.java:34
+    accept): min <= len <= max, applied to the token text at this
+    point in the chain."""
+    return (f"(length({col}) >= {min_len} AND "
+            f"length({col}) <= {max_len})")
+
+
+def ngrams_py(term: str, min_gram: int = 2, max_gram: int = 3,
+              preserve_original: bool = False) -> list:
+    """NGramTokenFilter (analysis/ngram/NGramTokenFilter.java:99-134)
+    in the reference's emission order: outer loop over start
+    position, inner loop over gram size min..max, emitting only while
+    pos+size <= len; ``preserveOriginal`` keeps a too-short token
+    verbatim (:112-117)."""
+    n = len(term)
+    if preserve_original and n < min_gram:
+        return [term]
+    out = []
+    for p in range(0, n - min_gram + 1):
+        for g in range(min_gram, max_gram + 1):
+            if p + g <= n:
+                out.append(term[p:p + g])
+    return out
+
+
+def ngrams_sql_array(col: str, min_gram: int = 2, max_gram: int = 3,
+                     dialect: str = "spark") -> str:
+    """The same grams, same order, as an array expression; the caller
+    guarantees len(col) >= min_gram (no empty-array branch).  Spark
+    and DuckDB twins differ only in list-function spellings
+    (sequence/transform/filter vs range/list_transform/list_filter —
+    DuckDB's range upper bound is exclusive)."""
+    if dialect == "duckdb":
+        return (f"flatten(list_transform("
+                f"range(0, length({col}) - {min_gram} + 1), "
+                f"p -> list_filter(list_transform("
+                f"range({min_gram}, {max_gram} + 1), "
+                f"g -> CASE WHEN p + g <= length({col}) "
+                f"THEN substring({col}, p + 1, g) END), "
+                f"x -> x IS NOT NULL)))")
+    return (f"flatten(transform("
+            f"sequence(0, length({col}) - {min_gram}), "
+            f"p -> filter(transform("
+            f"sequence({min_gram}, {max_gram}), "
+            f"g -> CASE WHEN p + g <= length({col}) "
+            f"THEN substring({col}, p + 1, g) END), "
+            f"x -> x IS NOT NULL)))")
