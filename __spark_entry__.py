@@ -3159,7 +3159,8 @@ def _q_analysis(spark, sf_dir):
 # Lucene intervals module (queries/intervals/IntervalQuery.java:73):
 # the minimal-interval algebra with saturation scoring
 from lucene_solr_spark.search.intervals import (  # noqa: E402
-    IContaining, IMaxGaps, IOrdered, ITerm, IUnordered,
+    IContainedBy, IContaining, IMaxGaps, INotContaining, IOrdered,
+    ITerm, IUnordered,
 )
 from lucene_solr_spark.search.query import Interval  # noqa: E402
 
@@ -3180,6 +3181,20 @@ INTERVAL_SPECS: dict[str, tuple[Query, int]] = {
     # pair in either order, then the gap filter)
     "q_interval_unordered": (Interval(IMaxGaps(
         4, IUnordered((ITerm(_IV_A), ITerm(_IV_B))))), 10),
+    # round-4h: the remaining interval combinators —
+    # notContaining(ordered(join, merge)+gaps, key): ordered
+    # intervals with NO 'key' inside (NotContainingIntervalsSource;
+    # docs without 'key' at all keep every interval), and
+    # containedBy(key, ordered(join, merge)+gaps): 'key' occurrences
+    # lying inside an ordered interval (ContainedByIntervalsSource —
+    # minExtent = the SMALL side, so every matched point contributes
+    # freq 1)
+    "q_interval_not_containing": (Interval(INotContaining(
+        IMaxGaps(6, IOrdered((ITerm(_IV_A), ITerm(_IV_B)))),
+        ITerm(_IV_C))), 10),
+    "q_interval_contained_by": (Interval(IContainedBy(
+        ITerm(_IV_C),
+        IMaxGaps(6, IOrdered((ITerm(_IV_A), ITerm(_IV_B)))))), 10),
 }
 
 
@@ -8055,6 +8070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_ordered": _mk_interval("q_interval_ordered"),
         "q_interval_contains": _mk_interval("q_interval_contains"),
         "q_interval_unordered": _mk_interval("q_interval_unordered"),
+        "q_interval_not_containing":
+            _mk_interval("q_interval_not_containing"),
+        "q_interval_contained_by":
+            _mk_interval("q_interval_contained_by"),
         "q_fold": _q_fold,
         "q_tagger": _q_tagger,
         "q_suggest_fuzzy": _q_suggest_fuzzy,
@@ -9821,13 +9840,21 @@ FROM at"""
     # the containing relation) filter AFTER minimization
     # (FilteredIntervalsSource / ContainingIntervalsSource), matching
     # IntervalScorer.java:66-68.
-    def _iv_sql(gaps: int, containing=None) -> str:
+    def _iv_sql(gaps: int, containing=None, excluding=None) -> str:
         contain, join_c, sel_c = "", "", ""
         if containing is not None:
             contain = (" AND len(list_filter(pc, "
                        "c -> c >= am[i] AND c <= pb[i])) > 0")
             join_c = (" JOIN postings c ON c.docid = a.docid "
                       f"AND c.term = '{containing}'")
+            sel_c = ", c.positions AS pc"
+        elif excluding is not None:
+            # NotContainingIntervalsSource: the small side is NOT
+            # required — LEFT JOIN, absent = every interval survives
+            contain = (" AND (pc IS NULL OR len(list_filter(pc, "
+                       "c -> c >= am[i] AND c <= pb[i])) = 0)")
+            join_c = (" LEFT JOIN postings c ON c.docid = a.docid "
+                      f"AND c.term = '{excluding}'")
             sel_c = ", c.positions AS pc"
         return f"""
 WITH {ctes},
@@ -9852,6 +9879,38 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     out["q_interval_ordered"] = _iv_sql(_IV_GAPS)
     out["q_interval_contains"] = _iv_sql(6, _IV_C)
+    out["q_interval_not_containing"] = _iv_sql(6, excluding=_IV_C)
+
+    # containedBy(key, ordered(join, merge)+gaps<=6): minimal ordered
+    # intervals (same am construction + minimality/gap guards), then
+    # freq = number of key positions inside any surviving interval
+    # (minExtent = small = 1 => each matched point contributes 1)
+    out["q_interval_contained_by"] = f"""
+WITH {ctes},
+pl AS (SELECT a.docid, a.positions AS pa, b.positions AS pb,
+              c.positions AS pc
+       FROM postings a JOIN postings b ON b.docid = a.docid
+        AND b.term = '{_IV_B}'
+       JOIN postings c ON c.docid = a.docid AND c.term = '{_IV_C}'
+       WHERE a.term = '{_IV_A}'),
+iv AS (SELECT *, list_transform(pb,
+           b -> list_max(list_filter(pa, p -> p < b))) AS am
+       FROM pl),
+cb AS (SELECT docid, pc,
+         list_filter(list_transform(range(1, len(pb) + 1),
+           i -> CASE WHEN am[i] IS NOT NULL
+                      AND (i = 1 OR am[i] IS DISTINCT FROM am[i-1])
+                      AND (pb[i] - am[i] + 1) - 2 <= 6
+                     THEN [am[i], pb[i]] END),
+           x -> x IS NOT NULL) AS ivl
+       FROM iv),
+fr AS (SELECT docid,
+         CAST(len(list_filter(pc, p -> len(list_filter(ivl,
+             v -> v[1] <= p AND p <= v[2])) > 0)) AS DOUBLE) AS freq
+       FROM cb)
+SELECT docid AS doc_id, ROUND(1.0 - 1.0 / (1.0 + freq), 6) AS score
+FROM fr WHERE freq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     # unordered(join, merge) + maxgaps: minimal covering intervals of
     # all (a, b) pairs (positions are disjoint across terms so pairs

@@ -43,3 +43,24 @@ def test_possessive_sql_twin():
             f"SELECT {sql} FROM (VALUES ('{term.replace(chr(39), chr(39) * 2)}')) v(t)"
         ).fetchone()[0]
         assert got == possessive_strip_py(term), term
+
+
+# --- round-4h: the remaining interval combinators as registered rows ------
+
+def test_not_containing_and_contained_by_laws():
+    from lucene_solr_spark.search.intervals import (
+        IContainedBy, IMaxGaps, INotContaining, IOrdered, ITerm,
+        interval_freq, intervals_of)
+    o = IMaxGaps(6, IOrdered((ITerm("a"), ITerm("b"))))
+    pos = {"a": [0, 10], "b": [2, 12], "c": [1]}
+    # ordered minimal intervals: (0,2) and (10,12); 'c'@1 sits in (0,2)
+    assert intervals_of(INotContaining(o, ITerm("c")), pos) == [(10, 12)]
+    assert intervals_of(IContainedBy(ITerm("c"), o), pos) == [(1, 1)]
+    # absent 'c': every big interval survives notContaining,
+    # containedBy yields nothing
+    pos2 = {"a": [0], "b": [2]}
+    assert intervals_of(INotContaining(o, ITerm("c")), pos2) == [(0, 2)]
+    assert intervals_of(IContainedBy(ITerm("c"), o), pos2) == []
+    # minExtent: big side for notContaining (2), small for containedBy
+    # (1) — so a matched point contributes freq exactly 1
+    assert interval_freq(IContainedBy(ITerm("c"), o), pos) == 1.0
