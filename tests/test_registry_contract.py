@@ -37,6 +37,9 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
+        # round-4 rotation (index-stat ValueSources, the
+        # ValueSourceParser registry closure, phrase identification)
+        "q_func_index", "q_func_registry", "q_phrases_id",
         # round-3ar rotation (function qparser + loess + empdist IN;
         # s_stream_scalarfns/v_ssl_prune/t_ict_pairs OUT)
         "p_func", "s_stream_loess", "s_stream_empdist",
