@@ -208,7 +208,11 @@ def main() -> None:
         "",
     ]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is the CURATED run-history document (runs
+    # A..I with per-run probe context); the raw generated report goes
+    # to a scratch file so a fresh ladder can never clobber the
+    # history — merge new runs into BASELINE.md by hand.
+    with open("BENCH/LADDER_LAST.md", "w") as f:
         f.write("\n".join(lines))
 
 
