@@ -8884,13 +8884,23 @@ FROM (SELECT docid, {sig_cols} FROM sh GROUP BY docid) s"""
     band_rows = " UNION ALL ".join(
         f"SELECT docid, {b} AS band, md5(sig{2 * b} || sig{2 * b + 1}) AS bk"
         f" FROM sig" for b in range(4))
+    # hot-bucket cap mirrors textops.LSH_BUCKET_CAP ('sample' policy:
+    # keep the cap lowest doc ids per (band, bk) bucket)
+    _bcap = """
+bcap AS (SELECT docid, band, bk FROM (
+           SELECT docid, band, bk,
+                  row_number() OVER (PARTITION BY band, bk
+                                     ORDER BY docid) AS rn
+           FROM bands) t
+         WHERE rn <= 512)"""
     out["t_minhash_lsh"] = f"""
 WITH {ctes},
 {_sh_cte},
 sig AS (SELECT docid, {sig_cols} FROM sh GROUP BY docid),
 bands AS ({band_rows}),
+{_bcap},
 cand AS (SELECT DISTINCT a.docid AS doc_a, b.docid AS doc_b
-         FROM bands a JOIN bands b
+         FROM bcap a JOIN bcap b
            ON a.band = b.band AND a.bk = b.bk AND a.docid < b.docid),
 card AS (SELECT docid, COUNT(*) AS c FROM sh GROUP BY docid),
 inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
@@ -9024,7 +9034,14 @@ ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id ASC
 LIMIT 10"""
 
     out["v_embed_lsh"] = f"""
-WITH wb AS (SELECT vec_id, embedding, {sig_sql} AS bucket FROM embeddings),
+WITH wb0 AS (SELECT vec_id, embedding, {sig_sql} AS bucket
+             FROM embeddings),
+wb AS (SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+                row_number() OVER (PARTITION BY bucket
+                                   ORDER BY vec_id) AS rn
+         FROM wb0) t
+       WHERE rn <= 4096),
 cand AS (SELECT a.vec_id AS vec_a, a.embedding AS ea,
                 b.vec_id AS vec_b, b.embedding AS eb
          FROM wb a JOIN wb b
@@ -9692,8 +9709,9 @@ WITH RECURSIVE {ctes},
 {_sh_cte},
 sig AS (SELECT docid, {sig_cols} FROM sh GROUP BY docid),
 bands AS ({band_rows}),
+{_bcap},
 cand AS (SELECT DISTINCT a.docid AS doc_a, b.docid AS doc_b
-         FROM bands a JOIN bands b
+         FROM bcap a JOIN bcap b
            ON a.band = b.band AND a.bk = b.bk AND a.docid < b.docid),
 card AS (SELECT docid, COUNT(*) AS c FROM sh GROUP BY docid),
 inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
@@ -13354,7 +13372,7 @@ WITH m AS (
   SELECT doc_id,
          SUBSTRING(TRIM(REGEXP_REPLACE(text, '[0-9]+', '#', 'g')),
                    1, 80) AS text,
-         (CASE WHEN TRIM(REGEXP_REPLACE(lang, '^en$', '', 'g')) <> ''
+         (CASE WHEN REGEXP_REPLACE(lang, '^en$', '', 'g') <> ''
                THEN REGEXP_REPLACE(lang, '^en$', '', 'g') END)
            AS lang2_raw,
          n_chars

@@ -391,8 +391,12 @@ def pattern_replace_sql(col: str, pattern: str, replacement: str,
     regexp_replace is global by default, DuckDB needs the 'g'
     flag)."""
     g = ", 'g'" if dialect == "duckdb" else ""
-    return (f"regexp_replace({col}, '{pattern}', "
-            f"'{replacement}'{g})")
+    # same single-quote escaping as possessive_strip_sql: a
+    # quote-bearing pattern/replacement must not break the SQL literal
+    p = pattern.replace("'", "''")
+    r = replacement.replace("'", "''")
+    return (f"regexp_replace({col}, '{p}', "
+            f"'{r}'{g})")
 
 
 def truncate_token_sql(col: str, n: int) -> str:

@@ -124,7 +124,10 @@ def html_strip(f: str):
 
 
 def remove_blank(f: str):
-    return _mutate(f, lambda c: F.when(F.trim(c) != "", c))
+    # length-0 only: RemoveBlankFieldUpdateProcessorFactory removes
+    # empty strings, NOT whitespace-only values ('  ' is kept — the
+    # reference composes trim() + remove_blank to get trim-then-remove)
+    return _mutate(f, lambda c: F.when(c != "", c))
 
 
 def ignore(f: str):

@@ -153,10 +153,13 @@ def split_round_robin(spark: SparkSession, src: str, dsts: list,
         w = IndexWriter.open(spark, dst)
         docs = live_docids(w.reader())
         if sequential:
-            # i-th of n equal docid ranges over [lo, hi] (the
-            # reference slices maxDoc into contiguous chunks)
-            width = (hi - lo + n) // n
-            a, b = lo + i * width, lo + (i + 1) * width
+            # i-th of n contiguous docid ranges over [lo, hi]:
+            # MultiPassIndexSplitter --seq uses partLen = maxDoc /
+            # numParts (FLOOR) with the LAST part absorbing the
+            # remainder (10 docs / 3 parts -> 3/3/4, not 4/4/2)
+            width = max(1, (hi - lo + 1) // n)
+            a = lo + i * width
+            b = (hi + 1) if i == n - 1 else lo + (i + 1) * width
             drop = docs.filter(~((F.col("docid") >= a)
                                  & (F.col("docid") < b)))
         else:

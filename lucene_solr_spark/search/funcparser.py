@@ -92,9 +92,28 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 
 
 def _split_args(s: str) -> list[str]:
+    """Top-level comma split, quote-aware (StrParser's quoted-string
+    scanning in the reference FunctionQParser): parens and commas
+    inside '...'/"..." are literal text, and a backslash escapes the
+    next char inside quotes, so concat(f, ',') and query('text:(a b')
+    lex correctly."""
     parts, depth, cur = [], 0, []
+    quote = None
+    esc = False
     for ch in s:
-        if ch == "(":
+        if quote is not None:
+            cur.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
             depth += 1
             cur.append(ch)
         elif ch == ")":
@@ -178,7 +197,11 @@ def _raw_str(node: FuncNode, cols: dict, sql: bool):
     operands): quoted literal, literal(...), or a RAW field column
     (no double cast)."""
     if node.name == "str":
-        return f"'{node.field}'" if sql else F.lit(node.field)
+        # '' -escape embedded quotes so a quote-bearing literal stays
+        # one well-formed SQL string (both dialects use '' escaping)
+        if sql:
+            return "'" + node.field.replace("'", "''") + "'"
+        return F.lit(node.field)
     if node.name == "literal":
         return _raw_str(node.args[0], cols, sql)
     if node.name == "fld":
@@ -648,9 +671,13 @@ def compile_sql(node: FuncNode, cols: dict, ctx: dict = None) -> str:
                     f"{dflt})")
         return compile_sql(arg, cols, ctx)
     if name == "concat":
-        parts = ", ".join(_raw_str(x, cols, sql=True)
-                          for x in node.args)
-        return f"CONCAT({parts})"
+        # '||', not CONCAT(): DuckDB's CONCAT skips NULL operands,
+        # while Spark's F.concat (ConcatStringFunction semantics, the
+        # compile_col twin) returns NULL when ANY operand is NULL —
+        # '||' propagates NULL the same way in both engines
+        parts = " || ".join(_raw_str(x, cols, sql=True)
+                            for x in node.args)
+        return f"({parts})"
     if name == "literal":
         return _raw_str(node.args[0], cols, sql=True)
     if name == "strdist":

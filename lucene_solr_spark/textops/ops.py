@@ -128,23 +128,33 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      n_hashes: int = 8, bands: int = 4, n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs: band candidate generation,
-    then exact-Jaccard verification restricted to candidates.
+#: Default LSH hot-bucket bound: a (band, bucket-key) group contributes
+#: at most BUCKET_CAP members to pair generation. On a 100 TB
+#: boilerplate-heavy web corpus one hot bucket can hold 10^5-10^6 docs
+#: (cookie banners, license headers) — uncapped, that single bucket
+#: emits 10^10-10^12 candidate pairs. The cap bounds every bucket's
+#: fan-out at cap*(cap-1)/2 pairs and its collected id array at cap
+#: elements; near-dup recall for *real* near-duplicates is preserved
+#: because such pairs agree on many bands, while a >cap bucket is by
+#: construction boilerplate whose members are mutual duplicates of the
+#: retained sample anyway (the SlimPajama / BigQuery-LSH capping move).
+LSH_BUCKET_CAP = 512
 
-    The banding join is the scale path (candidates ~ O(near-dups), not
-    O(n^2)); verification touches only candidate pairs' shingles.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+def _band_members(sig, id_col: str, n_hashes: int, bands: int,
+                  bucket_cap: int, on_hot: str = "sample"):
+    """(docid, band, bk) membership rows, hot buckets bounded.
+
+    ``on_hot='sample'`` keeps the ``bucket_cap`` lowest doc ids of an
+    oversize bucket (deterministic, engine/oracle-identical);
+    ``on_hot='drop'`` removes oversize buckets entirely. Both run as
+    ONE shuffle: the row_number/count window partitions by (band, bk),
+    and the downstream groupBy on the same keys reuses that exchange.
     """
     r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, n_hashes, n)
     # one pass over the signatures: explode the band keys as an array of
     # structs (a union of per-band selects recomputes the whole
-    # signature aggregation per band — 4x the work in the plan), then
-    # bucket-group and pair within buckets (a self-join would recompute
-    # the band frame once per side)
+    # signature aggregation per band — 4x the work in the plan)
     band_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -154,6 +164,63 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     bdf = (sig.select(F.col(id_col).alias("docid"),
                       F.explode(band_arr).alias("s"))
            .select("docid", "s.band", "s.bk"))
+    w = Window.partitionBy("band", "bk")
+    if on_hot == "drop":
+        return (bdf.withColumn("_bsz", F.count("*").over(w))
+                .filter(F.col("_bsz") <= bucket_cap)
+                .drop("_bsz"))
+    return (bdf.withColumn("_rn",
+                           F.row_number().over(w.orderBy("docid")))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn"))
+
+
+def lsh_hot_buckets(df: DataFrame, id_col: str = "doc_id",
+                    n_hashes: int = 8, bands: int = 4, n: int = 3,
+                    bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Audit view of LSH buckets larger than ``bucket_cap`` — the
+    no-silent-truncation companion to ``minhash_lsh_pairs``: run it
+    alongside a capped dedup to LOG exactly which buckets were bounded
+    and how many members each dropped.
+    Output: (band, bk, bucket_size, n_dropped), largest first."""
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, n_hashes, n)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("", *[F.col(f"sig{b * r + j}")
+                                    for j in range(r)])).alias("bk"))
+        for b in range(bands)])
+    bdf = (sig.select(F.col(id_col).alias("docid"),
+                      F.explode(band_arr).alias("s"))
+           .select("docid", "s.band", "s.bk"))
+    return (bdf.groupBy("band", "bk")
+            .agg(F.count("*").cast("long").alias("bucket_size"))
+            .filter(F.col("bucket_size") > bucket_cap)
+            .withColumn("n_dropped",
+                        (F.col("bucket_size") - bucket_cap).cast("long"))
+            .orderBy(F.desc("bucket_size"), F.asc("band"), F.asc("bk")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = 8, bands: int = 4, n: int = 3,
+                      threshold: float = 0.8,
+                      bucket_cap: int = LSH_BUCKET_CAP,
+                      on_hot: str = "sample") -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: band candidate generation,
+    then exact-Jaccard verification restricted to candidates.
+
+    The banding join is the scale path (candidates ~ O(near-dups), not
+    O(n^2)); verification touches only candidate pairs' shingles.
+    Hot buckets are bounded at ``bucket_cap`` members (policy
+    ``on_hot``, see ``_band_members``; audit with ``lsh_hot_buckets``)
+    so a skewed corpus cannot blow up pair generation — after the cap
+    the per-bucket collect_list is <= cap elements and the explode
+    fan-out <= cap^2 pairs.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sig = minhash_signatures(df, id_col, n_hashes, n)
+    bdf = _band_members(sig, id_col, n_hashes, bands, bucket_cap, on_hot)
     grp = (bdf.groupBy("band", "bk")
            .agg(F.collect_list("docid").alias("ds"))
            .filter(F.size("ds") > 1))
@@ -1280,8 +1347,13 @@ def window_dedup(df: DataFrame, span: int = 16,
     Scale shape: the paper builds a suffix array; the Spark-practical
     form is ONE window explode (n_tokens rows) + ONE count groupBy +
     ONE equi-join back — two shuffles of token-order magnitude, both
-    map-side combinable and AQE-splittable on hot windows. Docs
-    shorter than span emit zeros (nothing to match).
+    map-side combinable and AQE-splittable on hot windows. The shuffle
+    key is xxhash64 of the window (8 bytes), not the raw ~100-byte
+    window string — the string is built and hashed map-side inside the
+    explode projection and never exchanged, cutting shuffle bytes
+    ~10x (64-bit collisions merge two windows with p ~ n^2/2^64 —
+    negligible at any real corpus size against count-only output).
+    Docs shorter than span emit zeros (nothing to match).
     """
     t = with_tokens(df)
     parts = ", ".join(f"tokens[i + {j}]" for j in range(span))
@@ -1289,7 +1361,8 @@ def window_dedup(df: DataFrame, span: int = 16,
          .select(F.col(id_col),
                  F.explode(F.expr(
                      f"transform(sequence(0, size(tokens) - {span}), "
-                     f"i -> concat_ws(' ', {parts}))")).alias("w")))
+                     f"i -> xxhash64(concat_ws(' ', {parts})))"))
+                 .alias("w")))
     occ = w.groupBy("w").agg(F.count("*").cast("long").alias("occ"))
     per = (w.join(occ, "w")
            .groupBy(id_col)

@@ -171,14 +171,22 @@ def partition_by_bucket(emb: DataFrame, n_planes: int, dim: int,
 
 def cosine_pairs_lsh(emb: DataFrame, top_n: int = 20, n_planes: int = 6,
                      dim: int = 64, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     bucket_cap: int = 4096) -> DataFrame:
     """Embedding near-duplicate pairs with LSH candidate generation —
     the 100 TB path: vectors pair only within their hyperplane bucket
     (an equi-join on the bucket key, candidates ~ O(near-dups)), then
     exact cosine re-ranks the candidates. Same output contract as the
     brute-force ``cosine_pairs`` restricted to same-bucket pairs;
     recall vs brute force is probabilistic in the plane count
-    (tests/test_newops.py pins it on the fixture corpora)."""
+    (tests/test_newops.py pins it on the fixture corpora).
+
+    Hot buckets are bounded at ``bucket_cap`` members (keep the cap
+    lowest vec_ids — deterministic, oracle-identical; same skew policy
+    as ``textops.minhash_lsh_pairs``): with few hyperplanes a mass of
+    boilerplate-near vectors lands in one bucket and the self-join
+    would emit O(size^2) pairs from that bucket alone."""
+    from pyspark.sql.window import Window
     planes = hyperplanes(n_planes, dim)
     sig = lsh_signature_expr(vec_col, planes)
     # norm hoisted out of the within-bucket pair fan-out (see
@@ -187,6 +195,10 @@ def cosine_pairs_lsh(emb: DataFrame, top_n: int = 20, n_planes: int = 6,
     wb = emb.select(F.col(id_col), F.col(vec_col),
                     F.expr(sig).alias("bucket"),
                     F.expr(nrm).alias("nn"))
+    wb = (wb.withColumn(
+            "_rn", F.row_number().over(
+                Window.partitionBy("bucket").orderBy(id_col)))
+          .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
     a = wb.select(F.col(id_col).alias("vec_a"),
                   F.col(vec_col).alias("ea"), "bucket",
                   F.col("nn").alias("sna"))
