@@ -143,6 +143,12 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     # Damerau killer: 'tabel' ~1 'table' ONLY via adjacent transposition
     # (classic levenshtein distance is 2) — FuzzyQuery.java:56
     "q_fuzzy_tr": (Fuzzy("tabel", 1), 10),
+    # maxEdits=2 exact-OSA probe (FuzzyQuery's default): 'tabel'
+    # reaches 'table' (1 transposition), 'label' (1 sub), plus the
+    # transposition+substitution / transposition+indel distance-2
+    # boundary vocabulary — the accept set is the exact OSA automaton
+    # semantics (LevenshteinAutomata.java:36), NOT the lev<=2 superset
+    "q_fuzzy2": (Fuzzy("tabel", 2), 10),
     "q_span_or": (SpanOr((SpanNear(("table", "hash"), 0), Term("dup"))),
                   10),
     "q_span_not": (SpanNot(SpanNear(("table", "hash"), 2),

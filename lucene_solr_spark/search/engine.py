@@ -46,8 +46,9 @@ from .query import (
     Prefix, Query,
     Regexp, ReversedWildcard, SpanNear,
     SpanNot, SpanOr,
-    Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms, rewrite,
-    transposition_variants,
+    Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms,
+    double_swap_variants, rewrite,
+    swap_positions, transposition_variants,
 )
 
 
@@ -101,21 +102,37 @@ def term_predicate(q: Query):
     if isinstance(q, TermInSet):
         return t.isin(list(q.terms))
     if isinstance(q, Fuzzy):
-        # Damerau-Levenshtein via transposition-variant expansion
-        # (FuzzyQuery.java:56, transpositions=true default) — see the
-        # Fuzzy docstring in query.py for exactness bounds
+        # exact OSA accept set of Lucene's transposition automata
+        # (LevenshteinAutomata.java:36; decomposition proof in the
+        # Fuzzy docstring, query.py)
         pred = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
         if q.transpositions and q.max_edits >= 1:
-            singles = transposition_variants(q.term)
-            for v in singles:
-                pred = pred | (F.levenshtein(t, F.lit(v))
-                               <= q.max_edits - 1)
-            if q.max_edits >= 2:
-                doubles = sorted({d for v in singles
-                                  for d in transposition_variants(v)}
-                                 - {q.term, *singles})
+            s = q.term
+            if q.max_edits == 1:
+                # 1 transposition, 0 other edits: exact swap variants
+                singles = transposition_variants(s)
+                if singles:
+                    pred = pred | t.isin(list(singles))
+            else:
+                # 1 transposition + <= 1 standard edit: pair-anchored
+                # prefix/suffix levenshtein split
+                for i in swap_positions(s):
+                    pair = s[i + 1] + s[i]
+                    for j in (i - 1, i, i + 1):
+                        if j < 0:
+                            continue
+                        pred = pred | (
+                            (F.substring(t, j + 1, 2) == pair)
+                            & ((F.levenshtein(F.substring(t, 1, j),
+                                              F.lit(s[:i]))
+                                + F.levenshtein(
+                                    t.substr(F.lit(j + 3),
+                                             F.length(t)),
+                                    F.lit(s[i + 2:]))) <= 1))
+                # 2 disjoint transpositions, 0 other edits
+                doubles = double_swap_variants(s)
                 if doubles:
-                    pred = pred | t.isin(doubles)
+                    pred = pred | t.isin(list(doubles))
         return pred
     if isinstance(q, Regexp):
         # full-term anchored like Lucene's automaton match

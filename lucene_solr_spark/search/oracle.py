@@ -29,8 +29,9 @@ from .query import (
     Prefix, Query,
     Regexp, SpanNear,
     SpanNot, SpanOr,
-    Synonym, Term, TermInSet, TermRange, Wildcard, rewrite,
-    transposition_variants,
+    Synonym, Term, TermInSet, TermRange, Wildcard,
+    double_swap_variants, rewrite,
+    swap_positions, transposition_variants,
 )
 from .sloppy import freq_denominator
 
@@ -504,17 +505,29 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
         if isinstance(q, TermInSet):
             return f"term IN ({', '.join(_q(t) for t in q.terms)})"
         if isinstance(q, Fuzzy):
-            # same Damerau expansion as engine._term_pred (query.py Fuzzy)
+            # same exact-OSA decomposition as engine._term_pred
+            # (query.py Fuzzy docstring)
             parts = [f"levenshtein(term, {_q(q.term)}) <= {q.max_edits}"]
             if q.transpositions and q.max_edits >= 1:
-                singles = transposition_variants(q.term)
-                for v in singles:
-                    parts.append(
-                        f"levenshtein(term, {_q(v)}) <= {q.max_edits - 1}")
-                if q.max_edits >= 2:
-                    doubles = sorted({d for v in singles
-                                      for d in transposition_variants(v)}
-                                     - {q.term, *singles})
+                s = q.term
+                if q.max_edits == 1:
+                    singles = transposition_variants(s)
+                    if singles:
+                        ins = ", ".join(_q(v) for v in singles)
+                        parts.append(f"term IN ({ins})")
+                else:
+                    for i in swap_positions(s):
+                        pair = s[i + 1] + s[i]
+                        for j in (i - 1, i, i + 1):
+                            if j < 0:
+                                continue
+                            parts.append(
+                                f"(substr(term, {j + 1}, 2) = {_q(pair)}"
+                                f" AND levenshtein(substr(term, 1, {j}),"
+                                f" {_q(s[:i])})"
+                                f" + levenshtein(substr(term, {j + 3}),"
+                                f" {_q(s[i + 2:])}) <= 1)")
+                    doubles = double_swap_variants(s)
                     if doubles:
                         ins = ", ".join(_q(d) for d in doubles)
                         parts.append(f"term IN ({ins})")

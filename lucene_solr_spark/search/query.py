@@ -180,22 +180,48 @@ class TermInSet:
 
 @dataclass(frozen=True)
 class Fuzzy:
-    """FuzzyQuery with transpositions=true (Damerau-Levenshtein,
-    SEARCH/FuzzyQuery.java:56 default). Neither Spark nor DuckDB has a
-    Damerau builtin, so both backends share the same expansion: a term
-    matches iff classic levenshtein <= max_edits, OR it is within
-    max_edits-1 classic edits of a single-adjacent-transposition
-    variant of the query term, OR (max_edits >= 2) equals a
-    double-transposition variant. Exact for max_edits <= 1; for
-    max_edits = 2 it covers every edit sequence normalizable to
-    transpositions-first (a superset of OSA restricted distance, subset
-    of unrestricted Damerau) — engine and oracle always agree because
-    the predicate text is shared. ``transpositions=False`` reproduces
-    classic Levenshtein (FuzzyQuery(..., transpositions=false))."""
+    """FuzzyQuery with transpositions=true (FuzzyQuery.java:56
+    default). Lucene's semantics are the OSA / restricted
+    Damerau-Levenshtein distance of its transposition-aware
+    Levenshtein automata (LevenshteinAutomata.java:36): adjacent
+    transposition is a primitive edit consuming an ORIGINAL-string
+    pair, edits apply in parallel — LuceneLevenshteinDistance.java's
+    own example: distance("ab", "bca") = 3, NOT 2.
+
+    Both backends realize the automaton's accept set EXACTLY for
+    max_edits <= 2 (the only values FuzzyQuery supports) via a closed
+    form over the builtin ``levenshtein`` shared by Spark and DuckDB —
+    see ``osa_distance`` for the reference DP and engine/oracle
+    ``_term_pred`` for the decomposition:
+
+      OSA(q, t) <= 2  iff
+        lev(q, t) <= 2                                  (0 transp.)
+        OR exists swap position i in q and j in {i-1, i, i+1}:
+           t[j:j+2] == q[i+1] + q[i]
+           AND lev(q[:i], t[:j]) + lev(q[i+2:], t[j+2:]) <= 1
+                                                        (1 transp.)
+        OR t in double_swap_variants(q)                 (2 transp.)
+
+    (the 1-transposition case is exact because the OSA DP's
+    transposition move goes d[i-2][j-2] -> d[i][j], so the alignment
+    splits into an independent prefix + suffix each bounded by plain
+    levenshtein, and a prefix alignment costs at least |i - j|;
+    two OVERLAPPING swaps compose to a 3-window rotation, which is a
+    delete+insert = lev 2, already inside the first branch).
+
+    ``transpositions=False`` reproduces classic Levenshtein
+    (FuzzyQuery(..., transpositions=false))."""
 
     term: str
     max_edits: int = 2
     transpositions: bool = True
+
+    def __post_init__(self):
+        # FuzzyQuery.java:103 rejects maxEdits outside
+        # [0, LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE = 2]
+        if not 0 <= self.max_edits <= 2:
+            raise ValueError(
+                f"max_edits must be 0..2, got {self.max_edits}")
 
 
 def transposition_variants(term: str) -> Tuple[str, ...]:
@@ -208,6 +234,55 @@ def transposition_variants(term: str) -> Tuple[str, ...]:
             if v != term and v not in out:
                 out.append(v)
     return tuple(out)
+
+
+def swap_positions(term: str) -> Tuple[int, ...]:
+    """Positions i where swapping term[i], term[i+1] changes the
+    string (the candidate OSA transposition sites)."""
+    return tuple(i for i in range(len(term) - 1)
+                 if term[i] != term[i + 1])
+
+
+def double_swap_variants(term: str) -> Tuple[str, ...]:
+    """Variants reachable by TWO transpositions of DISJOINT adjacent
+    original-string pairs (i2 >= i1 + 2) — the exhaustive
+    2-transposition/0-other-edit accept set of the OSA DP."""
+    out: list = []
+    ps = swap_positions(term)
+    for a in range(len(ps)):
+        for b in range(a + 1, len(ps)):
+            i, j = ps[a], ps[b]
+            if j < i + 2:
+                continue
+            v = list(term)
+            v[i], v[i + 1] = v[i + 1], v[i]
+            v[j], v[j + 1] = v[j + 1], v[j]
+            v = "".join(v)
+            if v != term and v not in out:
+                out.append(v)
+    return tuple(out)
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Reference OSA / restricted Damerau-Levenshtein DP (the distance
+    of Lucene's transposition automata; LuceneLevenshteinDistance.java
+    semantics). Used by tests and the spell surfaces; the search path
+    compiles the <=2 accept set to SQL instead (Fuzzy docstring)."""
+    n, m = len(a), len(b)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[n][m]
 
 
 @dataclass(frozen=True)
