@@ -135,9 +135,13 @@ def term_predicate(q: Query):
                     pred = pred | t.isin(list(doubles))
         return pred
     if isinstance(q, Regexp):
-        # full-term anchored like Lucene's automaton match
-        # (RegexpQuery.java:48); unanchored rlike is substring search
-        return t.rlike("^(?:" + q.pattern + ")$")
+        # Lucene RegExp DIALECT (RegExp.java grammar — '^'/'$'
+        # literal, '\\d' = letter d, '<n-m>' intervals ...) translated
+        # to Java regex (search/regexp.py), then full-term anchored
+        # like the automaton match (RegexpQuery.java:48); unanchored
+        # rlike is substring search
+        from .regexp import lucene_regexp_to_java
+        return t.rlike("^(?:" + lucene_regexp_to_java(q.pattern) + ")$")
     return None
 
 

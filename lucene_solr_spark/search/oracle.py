@@ -533,7 +533,11 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
                         parts.append(f"term IN ({ins})")
             return "(" + " OR ".join(parts) + ")"
         if isinstance(q, Regexp):
-            return f"regexp_matches(term, {_q('^(?:' + q.pattern + ')$')})"
+            # same RegExp-dialect translation as the engine
+            # (search/regexp.py; the emitted subset is Java/RE2-common)
+            from .regexp import lucene_regexp_to_java
+            jre = lucene_regexp_to_java(q.pattern)
+            return f"regexp_matches(term, {_q('^(?:' + jre + ')$')})"
         return None
 
     def matching(self, q: Query) -> str:

@@ -89,7 +89,8 @@ def py_term_matcher(q):
         cre = _re.compile(f"(?:{rx})\\Z")
         return lambda t: cre.match(t) is not None
     if isinstance(q, _R):
-        cre = _re.compile(f"(?:{q.pattern})\\Z")
+        from .regexp import lucene_regexp_to_java
+        cre = _re.compile(f"(?:{lucene_regexp_to_java(q.pattern)})\\Z")
         return lambda t: cre.match(t) is not None
     if isinstance(q, _TR):
         lo, hi, il, iu = q.lower, q.upper, q.include_lower, q.include_upper
