@@ -6566,6 +6566,46 @@ _AF_TEXT = ("The choir's 12345 hymn books weren’t a x "
 _AF_TOKEN_RE = "[a-z0-9'’＇]+"
 
 
+_UAX29_N_CASES = 16
+
+
+def _uax29_fixture_cases():
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "fixtures", "uax29_parity.json")
+    with open(path, encoding="utf-8") as f:
+        return _json.load(f)[:_UAX29_N_CASES]
+
+
+def _q_uax29_multilingual(spark, sf_dir):
+    """EXACT StandardTokenizer (UAX#29 word break + TR51 emoji
+    sequences, analysis/uax29.py — the reference JFlex grammar
+    StandardTokenizerImpl.jflex realized as a lazily-determinized NFA
+    over behaviorally-probed class tables) run through the same
+    vectorized pandas UDF the index builder uses, over the committed
+    multilingual parity corpus. The oracle's literals are the
+    REFERENCE DFA's own tokens (tests/fixtures/uax29_parity.json,
+    emitted by the Java harness in tools/uax29_harness) — a green row
+    means the Spark analysis pipeline reproduces Lucene's
+    tokenization on emoji / Hangul / Thai / CJK / Hebrew / mixed
+    text with zero boundary divergences."""
+    from lucene_solr_spark.analysis.analyzers import \
+        standard_tokenize_udf
+    rows = [(i, c["text"])
+            for i, c in enumerate(_uax29_fixture_cases())]
+    df = spark.createDataFrame(rows, "case_id int, text string")
+    tok = standard_tokenize_udf()
+    t = df.select("case_id", tok(F.col("text")).alias("ts"))
+    return (t.select(
+        "case_id",
+        F.explode(F.arrays_zip("ts.positions", "ts.terms"))
+        .alias("z"))
+        .select("case_id", F.col("z.positions").alias("pos"),
+                F.col("z.terms").alias("term"))
+        .orderBy("case_id", "pos"))
+
+
 def _q_analysis_filters(spark, sf_dir):
     """FieldAnalysisRequestHandler shape for a filter chain: tokenize
     (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
@@ -8206,6 +8246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_like_this": _q_fuzzy_like_this,
         "q_multi_range": _q_multi_range,
         "q_analysis_filters": _q_analysis_filters,
+        "q_uax29_multilingual": _q_uax29_multilingual,
         "q_ngram_tokens": _q_ngram_tokens,
         # round-3as: same pattern
         "p_graph": _p_graph,
@@ -13465,6 +13506,21 @@ ORDER BY d.doc_id ASC LIMIT 30"""
         possessive_strip_sql, truncate_token_sql)
     _af_text_sql = _AF_TEXT.replace("'", "''")
     _af_re_sql = _AF_TOKEN_RE.replace("'", "''")
+    # oracle literals = the reference DFA's tokens (Java-harness
+    # fixture), lowercased with the engine's Character.toLowerCase
+    # parity map; Spark must reproduce them via the pandas-UDF path
+    from lucene_solr_spark.analysis.uax29 import simple_lower
+    _ux_rows = []
+    for _ci, _case in enumerate(_uax29_fixture_cases()):
+        for _pos, (_typ, _tok) in enumerate(_case["tokens"]):
+            _tl = simple_lower(_tok).replace("'", "''")
+            _ux_rows.append(f"({_ci}, {_pos}, '{_tl}')")
+    out["q_uax29_multilingual"] = (
+        "SELECT CAST(case_id AS INT) AS case_id, "
+        "CAST(pos AS INT) AS pos, term "
+        "FROM (VALUES " + ", ".join(_ux_rows)
+        + ") t(case_id, pos, term) ORDER BY case_id, pos")
+
     out["q_analysis_filters"] = f"""
 WITH tk AS (
   SELECT unnest(regexp_extract_all(lower('{_af_text_sql}'),

@@ -75,74 +75,25 @@ def simple_tokenize(text: str) -> list[str]:
 # standard analyzer (UAX#29-ish), vectorized pandas UDF
 # --------------------------------------------------------------------------
 
-# candidate runs: \w plus the joiner chars we may need to re-split
-_CAND_RE = re.compile(r"\w+(?:[.,:'’·]\w+)*", re.UNICODE)
-
-_HAN = (
-    "⺀-⻿々〇㐀-䶿一-鿿豈-﫿"
-)
-_HIRAGANA = "ぁ-ゖ"
-_SINGLE_CHAR_RE = re.compile(f"[{_HAN}{_HIRAGANA}]")
-
-
-def _is_letter(c: str) -> bool:
-    return c.isalpha() and not _SINGLE_CHAR_RE.match(c)
-
-
-def _split_run(run: str) -> list[str]:
-    """Apply MidLetter/MidNum/MidNumLet joining rules inside a \\w+joiner run."""
-    parts: list[str] = []
-    buf: list[str] = []
-    i, n = 0, len(run)
-    while i < n:
-        c = run[i]
-        if c in ".,:'’·":
-            prev = run[i - 1] if i > 0 else ""
-            nxt = run[i + 1] if i + 1 < n else ""
-            joins = False
-            if prev and nxt:
-                if c == ".":  # MidNumLet: letter.letter or digit.digit
-                    joins = (_is_letter(prev) and _is_letter(nxt)) or (
-                        prev.isdigit() and nxt.isdigit())
-                elif c == ",":  # MidNum: digits only
-                    joins = prev.isdigit() and nxt.isdigit()
-                else:  # ':', apostrophes, middle dot: letters only
-                    joins = _is_letter(prev) and _is_letter(nxt)
-            if joins:
-                buf.append(c)
-            else:
-                if buf:
-                    parts.append("".join(buf))
-                    buf = []
-            i += 1
-            continue
-        if _SINGLE_CHAR_RE.match(c):  # CJK ideograph / hiragana: 1 token/char
-            if buf:
-                parts.append("".join(buf))
-                buf = []
-            parts.append(c)
-            i += 1
-            continue
-        buf.append(c)
-        i += 1
-    if buf:
-        parts.append("".join(buf))
-    return [p for p in parts if p]
-
-
 def standard_tokenize(text: str) -> tuple[list[str], list[int]]:
-    """(terms, positions): lowercased tokens; >255-char tokens dropped but
-    still consume a position (gap preserved)."""
+    """(terms, positions): StandardAnalyzer = StandardTokenizer +
+    LowerCaseFilter with EXACT reference semantics (analysis/uax29.py,
+    fuzz-verified against the reference DFA by tools/fuzz_uax29.py):
+    UAX#29 word break + TR51 emoji sequences, CJK/Hiragana per-char,
+    and maxTokenLength CHOPS over-long runs into window-sized tokens
+    (StandardTokenizer.setMaxTokenLength javadoc: "Tokens larger than
+    this will be chopped up at this token length and emitted as
+    multiple tokens"); casing is Character.toLowerCase per codepoint
+    (LowerCaseFilter), not python full casemapping."""
+    from .uax29 import simple_lower
+    from .uax29 import tokenize as _uax29_tokenize
     terms: list[str] = []
     positions: list[int] = []
     pos = -1
-    for m in _CAND_RE.finditer(text or ""):
-        for tok in _split_run(m.group(0)):
-            pos += 1
-            if len(tok) > MAX_TOKEN_LENGTH:
-                continue  # dropped, position gap preserved
-            terms.append(tok.lower())
-            positions.append(pos)
+    for tok, inc, _typ in _uax29_tokenize(text or "", MAX_TOKEN_LENGTH):
+        pos += inc
+        terms.append(simple_lower(tok))
+        positions.append(pos)
     return terms, positions
 
 

@@ -51,10 +51,14 @@ def test_unicode_lowercase_sigma():
     assert toks("ΣIGMA") == ["σigma"]
 
 
-def test_max_token_length_dropped_with_gap():
+def test_max_token_length_chops():
+    # StandardTokenizer.setMaxTokenLength javadoc: over-long runs are
+    # CHOPPED into maxTokenLength-sized tokens (buffer == max length;
+    # nothing is dropped at default settings) — fuzz-verified against
+    # the reference DFA
     terms, pos = standard_tokenize("a " + "x" * 300 + " b")
-    assert terms == ["a", "b"]
-    assert pos == [0, 2]  # gap preserved at position 1
+    assert terms == ["a", "x" * 255, "x" * 45, "b"]
+    assert pos == [0, 1, 2, 3]
 
 
 def test_positions_sequential():
