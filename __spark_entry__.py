@@ -17,6 +17,8 @@ import os
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -6606,6 +6608,56 @@ def _q_uax29_multilingual(spark, sf_dir):
         .orderBy("case_id", "pos"))
 
 
+_LANG_SAMPLE_N = 120
+_LANGS_10 = ("de", "fr", "es", "it", "pt", "ru", "sv", "no", "fi",
+             "hu")
+
+
+def _lang_fixture_sample(lang):
+    """Deterministic ~120-word sample of the Java-produced stem
+    fixture (tests/fixtures/lang_stems.json), pairs (word, stem)."""
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "fixtures", "lang_stems.json")
+    with open(path, encoding="utf-8") as f:
+        pairs = _json.load(f)[lang]
+    words = sorted(pairs)
+    step = max(1, len(words) // _LANG_SAMPLE_N)
+    words = words[::step][:_LANG_SAMPLE_N]
+    return [(w, pairs[w]) for w in words]
+
+
+def _mk_lang_analyzer(lang):
+    def f(spark, sf_dir):
+        """Language analyzer starter set (round-3 VERDICT item 8):
+        the reference's {Lang}LightStemmer (Savoy UniNE/CLEF light
+        stemming, analysis/lang.py python twin — fixture-verified
+        against the compiled reference class with zero divergences)
+        run through the Arrow pandas-UDF path, plus the snowball stop
+        set. The oracle's stem column is the REFERENCE CLASS's own
+        output (Java harness fixture) — green means the Spark path
+        reproduces the reference stemmer exactly."""
+        from lucene_solr_spark.analysis.lang import STEMMERS
+        from lucene_solr_spark.analysis.lang_stop import STOP_SETS
+        sample = _lang_fixture_sample(lang)
+        df = spark.createDataFrame([(w,) for w, _ in sample],
+                                   "word string")
+        stem = STEMMERS[lang]
+        stops = STOP_SETS[lang]
+
+        @F.pandas_udf("string")
+        def _stem(col: pd.Series) -> pd.Series:
+            return col.map(stem)
+
+        return (df.select(
+            "word", _stem("word").alias("stem"),
+            F.col("word").isin(list(stops)).alias("is_stop"))
+            .orderBy("word"))
+    f.__name__ = f"_q_analyzer_{lang}"
+    return f
+
+
 def _q_analysis_filters(spark, sf_dir):
     """FieldAnalysisRequestHandler shape for a filter chain: tokenize
     (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
@@ -8247,6 +8299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multi_range": _q_multi_range,
         "q_analysis_filters": _q_analysis_filters,
         "q_uax29_multilingual": _q_uax29_multilingual,
+        **{f"q_analyzer_{lang}": _mk_lang_analyzer(lang)
+           for lang in _LANGS_10},
         "q_ngram_tokens": _q_ngram_tokens,
         # round-3as: same pattern
         "p_graph": _p_graph,
@@ -13520,6 +13574,23 @@ ORDER BY d.doc_id ASC LIMIT 30"""
         "CAST(pos AS INT) AS pos, term "
         "FROM (VALUES " + ", ".join(_ux_rows)
         + ") t(case_id, pos, term) ORDER BY case_id, pos")
+
+    # per-language analyzer rows: stem literals from the REFERENCE
+    # stemmer classes (Java harness fixture); stop flags from the
+    # published snowball stop sets
+    from lucene_solr_spark.analysis.lang_stop import STOP_SETS
+    for _lang in _LANGS_10:
+        _rows = []
+        _stops = STOP_SETS[_lang]
+        for _w, _st in _lang_fixture_sample(_lang):
+            _we = _w.replace("'", "''")
+            _se = _st.replace("'", "''")
+            _fl = "TRUE" if _w in _stops else "FALSE"
+            _rows.append(f"('{_we}', '{_se}', {_fl})")
+        out[f"q_analyzer_{_lang}"] = (
+            "SELECT word, stem, is_stop FROM (VALUES "
+            + ", ".join(_rows)
+            + ") t(word, stem, is_stop) ORDER BY word")
 
     out["q_analysis_filters"] = f"""
 WITH tk AS (
