@@ -5090,46 +5090,57 @@ class StreamEvaluator:
                     f"parse stream needs a (file, line_no, line) "
                     f"source (cat()); missing {c!r}")
         import re as _re
-        files = sorted(r["file"] for r in
-                       src.select("file").distinct().collect())
-        legs, bad_checks = [], []
-        for fname in files:
-            part = src.where(F.col("file") == fname)
-            head = part.orderBy("line_no").first()
-            headers = _re.split(sep_regex, head["line"])
+
+        # ONE distributed job collects only the header line of every
+        # file (n_files rows of metadata — config-scale, unlike the
+        # former per-file .first() loop that launched a Spark job per
+        # file and could not survive a 10^5-file manifest)
+        hdr_rows = (src.groupBy("file")
+                    .agg(F.min("line_no").alias("_hln"))
+                    .join(src, "file")
+                    .where(F.col("line_no") == F.col("_hln"))
+                    .select("file", "_hln", "line").collect())
+        file_headers = {}
+        for r in sorted(hdr_rows, key=lambda r: r["file"]):
+            headers = _re.split(sep_regex, r["line"])
             if strip_quotes:
                 headers = [h[1:-1] if h.startswith('"')
                            and h.endswith('"') else h for h in headers]
-            data = part.where(F.col("line_no") > head["line_no"])
-            arr = F.split(F.col("line"), sep_regex, -1)
-            cols = [F.concat(F.col("file"), F.lit("_"),
-                             F.col("line_no")).alias("id")]
-            for i, h in enumerate(headers):
-                c = F.element_at(arr, i + 1)
-                if strip_quotes:
-                    c = F.regexp_replace(c, '^"(.*)"$', "$1")
-                cols.append(F.when(c == "", None).otherwise(c)
-                            .alias(h))
-            legs.append(data.select(*cols))
-            bad_checks.append(data.select(
-                F.lit(fname).alias("file"),
-                F.col("line_no"),
-                (F.size(arr) != F.lit(len(headers))).alias("bad")))
+            file_headers[r["file"]] = (int(r["_hln"]), headers)
+        all_cols: list = []
+        for fname in sorted(file_headers):
+            for h in file_headers[fname][1]:
+                if h not in all_cols:
+                    all_cols.append(h)
+
+        # broadcast the (file -> header array) map and build ONE plan:
+        # each output column reads its per-file position via
+        # array_position over the broadcast header array
+        hdf = src.sparkSession.createDataFrame(
+            [(f, hl, hs) for f, (hl, hs) in file_headers.items()],
+            "file string, _hln bigint, _hdrs array<string>")
+        j = (src.join(F.broadcast(hdf), "file")
+             .where(F.col("line_no") > F.col("_hln")))
+        arr = F.split(F.col("line"), sep_regex, -1)
         # CsvStream.java:131 — header/line field-count mismatch is an
-        # error, enforced with ONE job over the union of legs
-        bad = bad_checks[0]
-        for b in bad_checks[1:]:
-            bad = bad.unionByName(b)
-        first_bad = bad.where("bad").orderBy("file", "line_no").first()
+        # error, enforced with ONE job
+        first_bad = (j.where(F.size(arr) != F.size("_hdrs"))
+                     .select("file", "line_no")
+                     .orderBy("file", "line_no").first())
         if first_bad is not None:
             raise ValueError(
                 "Headers and lines must have the same number of "
                 f"fields [file:{first_bad['file']} line number:"
                 f"{first_bad['line_no']}]")
-        out = legs[0]
-        for leg in legs[1:]:
-            out = out.unionByName(leg, allowMissingColumns=True)
-        return out
+        cols = [F.concat(F.col("file"), F.lit("_"),
+                         F.col("line_no")).alias("id")]
+        for h in all_cols:
+            p = F.array_position(F.col("_hdrs"), h)
+            c = F.when(p > 0, F.element_at(arr, p.cast("int")))
+            if strip_quotes:
+                c = F.regexp_replace(c, '^"(.*)"$', "$1")
+            cols.append(F.when(c == "", None).otherwise(c).alias(h))
+        return j.select(*cols)
 
     def _s_parseCSV(self, e: StreamExpr) -> DataFrame:
         """CsvStream (solrj/io/stream/CsvStream.java:120): wrap a
