@@ -37,28 +37,19 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
-        # round-4 rotation (index-stat ValueSources, the
-        # ValueSourceParser registry closure, phrase identification)
-        "q_func_index", "q_func_registry", "q_phrases_id",
-        # round-3ar rotation (function qparser + loess + empdist IN;
-        # s_stream_scalarfns/v_ssl_prune/t_ict_pairs OUT)
-        "p_func", "s_stream_loess", "s_stream_empdist",
-        # round-3al rotation
-        "s_stream_ols", "s_stream_corrp", "s_stream_trainml",
-        # round-3ae rotation
-        "s_stream_spline",
-        # round-3ad rotation (s_stream_distops rotated OUT in 3al)
-        "s_stream_dist",
-        # round-3s rotation
-        "s_stream_evalexpr",
-        # round-3r rotation
-        "s_stream_regress",
-        # round-3o rotation
-        "p_bool", "p_terms",
-        # round-3n rotation (v_ssl_prune rotated OUT in 3ar)
-        "s_stream_facet2d",
-        # round-3m rotation
-        "p_complex_phrase",
+        # round-3 grading rotation (full window turnover — see the
+        # rationale block at the head of WINDOW_ORDER): new exact-OSA
+        # fuzzy, exact UAX#29 tokenizer, ten light-stemmer analyzers,
+        # capped-LSH clusters, distributed CSV parse, changed-op
+        # re-checks. Previous waves' rows keep three-scale local
+        # verify records (CORRECTNESS_LOCAL_*).
+        "q_fuzzy2", "q_uax29_multilingual",
+        "q_analyzer_de", "q_analyzer_fr", "q_analyzer_es",
+        "q_analyzer_it", "q_analyzer_pt", "q_analyzer_ru",
+        "q_analyzer_sv", "q_analyzer_no", "q_analyzer_fi",
+        "q_analyzer_hu",
+        "t_dup_clusters", "v_embed_lsh", "s_stream_parsecsv",
+        "t_window_dedup", "t_update_chain",
     ]
     out = [n for n in pinned + newest_wave if n not in window]
     assert not out, f"required surfaces fell out of the window: {out}"
