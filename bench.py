@@ -35,6 +35,13 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # host-regime probe BEFORE any timed work (r2 verdict: four warm
+    # rows ran slower than cold because the bimodal host flipped
+    # mid-bench; pre+post probes make a regime flip visible in the
+    # record, and the recording procedure gates on the pre-probe —
+    # see BENCH/BASELINE.md "Host variance")
+    probe_pre = _hw_probe()
+
     timings: dict[str, float] = {}
 
     # ---- index build over the documents corpus -----------------------------
@@ -90,6 +97,10 @@ def main() -> None:
         # round-3d: BM25F merged-stats scoring + the DCLM selection
         # flagship (classifier fold + per-slice window)
         "q_combined_fields", "t_dclm_select",
+        # round-3 grading wave: exact-OSA fuzzy maxEdits=2 expansion,
+        # the exact UAX#29 tokenizer through the Arrow UDF path, one
+        # light-stemmer analyzer row
+        "q_fuzzy2", "q_uax29_multilingual", "q_analyzer_de",
     ]
     qs = entrymod.queries()
 
@@ -217,10 +228,15 @@ def main() -> None:
         "transcript_turns": n_turns,
         "transcript_turns_per_sec": round(n_turns / transcript_sec, 1),
         "transcript_build_shuffle_partitions": build_parts,
+        # per-query best of (cold, warm): immune to a host-regime flip
+        # between the two passes (r2 verdict item 3)
+        "queries_best": {k: min(v, timings_cold.get(k, v))
+                         for k, v in timings.items()},
         # host-regime context: this VM's throughput is bimodal (see
-        # BENCH/BASELINE.md "Host variance"); the probe lets a reader
+        # BENCH/BASELINE.md "Host variance"); the probes let a reader
         # normalize run-to-run numbers. Healthy windows measure ~1.1s
         # at 32-proc, degraded windows 1.4-2.1s.
+        "hw_probe_pre": probe_pre,
         "hw_probe_cpu_spin_sec": _hw_probe(),
     }
     print(json.dumps(out))
