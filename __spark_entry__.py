@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lucene_solr_spark import B, K1
 from lucene_solr_spark.index.builder import InvertedIndex, build_index
 from lucene_solr_spark.index.segments import SegmentIndex, write_segments
 from lucene_solr_spark.search.engine import Searcher
@@ -666,6 +667,201 @@ def _q_classify_nb(spark, sf_dir):
                     F.col("lang").alias("cls"),
                     F.round("score", 6).alias("log_score"))
             .orderBy("doc_id"))
+
+
+def adjacent_swap_sql(t: str, s: str, dialect: str) -> str:
+    """Boolean SQL: ``t`` is exactly one adjacent transposition of
+    ``s`` (the OSA distance-1 case levenshtein misses). Spark uses
+    exists(sequence(...)), DuckDB list_filter(range(...)) — same
+    per-position predicate text."""
+    body = (f"substr({t}, 1, i - 1) = substr({s}, 1, i - 1) "
+            f"AND substr({t}, i, 1) = substr({s}, i + 1, 1) "
+            f"AND substr({t}, i + 1, 1) = substr({s}, i, 1) "
+            f"AND substr({t}, i + 2) = substr({s}, i + 2)")
+    if dialect == "spark":
+        return (f"({t} <> {s} AND length({t}) = length({s}) "
+                f"AND length({s}) >= 2 AND "
+                f"exists(sequence(1, length({s}) - 1), "
+                f"i -> {body}))")
+    return (f"({t} <> {s} AND length({t}) = length({s}) "
+            f"AND length({s}) >= 2 AND "
+            f"len(list_filter(range(1, length({s})), "
+            f"i -> {body})) > 0)")
+
+
+def _nfq_accept_sql(t: str, s: str, dialect: str) -> str:
+    """NearestFuzzyQuery acceptance (classification/utils/
+    NearestFuzzyQuery.java:55-58 via FuzzyTermsEnum): shared 2-char
+    prefix (PREFIX_LENGTH, clamped to the source length) and OSA
+    distance <= 1 (maxEdits = MIN_SIMILARITY = 1, transpositions
+    on)."""
+    p = f"least(2, length({s}))"
+    return (f"(substr({t}, 1, {p}) = substr({s}, 1, {p}) AND "
+            f"({t} = {s} OR levenshtein({t}, {s}) = 1 OR "
+            f"{adjacent_swap_sql(t, s, dialect)}))")
+
+
+_KNNF_DOC = 3          # test document for the fuzzy-KNN classifier
+_NFQ_MAX_VARIANTS = 50
+_NFQ_MAX_NUM_TERMS = 300
+
+
+def _q_classify_knn_fuzzy(spark, sf_dir):
+    """KNearestFuzzyClassifier (lucene/classification/
+    KNearestFuzzyClassifier.java:49 + utils/NearestFuzzyQuery.java:49)
+    — the last named classification variant: neighbors of the test
+    doc come from NearestFuzzyQuery over its distinct terms (per-term
+    OSA<=1 variants sharing a 2-char prefix, boost = 1 - ed/min(len),
+    per-term 50-variant cap, variant score = boost^2 *
+    (ln((N+1)/(df+1)) + 1) with the df-fallback-to-variant-average
+    rule, global 300-term cut), each matched variant scored under
+    BM25 with ARTIFICIAL df = ttf = 1 (newTermQuery's TermStates),
+    plus the constant-score 1.0 of the MUST class-field wildcard;
+    classes ranked by buildListFromTopDocs (sum score/maxScore over
+    the k neighbors / k-or-sumdoc). All expansion joins run against
+    the metadata-scale term dictionary; only final scoring touches
+    postings."""
+    from pyspark.sql.window import Window
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    src = (ix.postings.filter(F.col("docid") == _KNNF_DOC)
+           .select(F.col("term").alias("src")).distinct())
+    cand = (ix.term_stats.select("term", "df")
+            .join(F.broadcast(src),
+                  F.expr(_nfq_accept_sql("term", "src", "spark"))))
+    ed = F.when(F.col("term") == F.col("src"), 0).otherwise(1)
+    boost = F.when(ed == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - ed.cast("double")
+        / F.least(F.length("term"), F.length("src")).cast("double"))
+    cand = cand.withColumn("boost", boost)
+    w = Window.partitionBy("src").orderBy(F.desc("boost"),
+                                          F.asc("term"))
+    capped = (cand.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= _NFQ_MAX_VARIANTS))
+    per_src = (capped.groupBy("src")
+               .agg(F.floor(F.sum("df").cast("double")
+                            / F.count("*")).alias("avg_df")))
+    src_df = (src.join(ix.term_stats.select(
+        F.col("term").alias("src"), F.col("df").alias("src_df")),
+        "src", "left"))
+    nrow = ix.docs.agg(F.count("*").alias("n_docs"),
+                       F.sum("dl").alias("sumdl"))
+    scored_terms = (capped
+                    .join(F.broadcast(per_src), "src")
+                    .join(F.broadcast(src_df.select("src", "src_df")),
+                          "src")
+                    .crossJoin(F.broadcast(nrow))
+                    .withColumn("df_eff", F.when(
+                        F.coalesce(F.col("src_df"), F.lit(0)) > 0,
+                        F.col("src_df")).otherwise(F.col("avg_df")))
+                    .withColumn("vscore", (F.col("boost")
+                                           * F.col("boost"))
+                                * (F.log((F.col("n_docs")
+                                          .cast("double") + F.lit(1.0))
+                                         / (F.col("df_eff")
+                                            .cast("double")
+                                            + F.lit(1.0)))
+                                   + F.lit(1.0)))
+                    .orderBy(F.desc("vscore"), F.asc("term"))
+                    .limit(_NFQ_MAX_NUM_TERMS))
+    # BM25 with artificial df=1 stats (NearestFuzzyQuery.newTermQuery)
+    idf1 = ("ln(1e0 + (CAST(n_docs AS DOUBLE) - 1e0 + 0.5) "
+            "/ (1e0 + 0.5))")
+    sat = ("(CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE) + "
+           f"{K1!r} * ((1e0 - {B!r}) + {B!r} * CAST(qdl AS DOUBLE) "
+           "/ (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))")
+    hits = (ix.postings.select("term", "docid", "tf")
+            .join(F.broadcast(scored_terms.select(
+                "term", "vscore", "n_docs", "sumdl")), "term")
+            .join(ix.docs.select("docid", "qdl"), "docid")
+            .withColumn("contrib",
+                        F.col("vscore") * F.expr(idf1) * F.expr(sat)))
+    dlang = (ix.source.select("docid", "lang")
+             .filter(F.col("lang").isNotNull()))
+    nb = (hits.groupBy("docid")
+          .agg((F.sum("contrib") + F.lit(1.0)).alias("score"))
+          .join(dlang, "docid")   # MUST class-field wildcard (+1.0)
+          .orderBy(F.desc("score"), F.asc("docid")).limit(_KNN_K))
+    mx = nb.agg(F.max("score").alias("mx"))
+    sd = nb.agg(F.count("*").cast("double").alias("sumdoc"))
+    return (nb.crossJoin(mx).groupBy("lang")
+            .agg(F.sum(F.col("score") / F.col("mx")).alias("boostc"),
+                 F.count("*").cast("long").alias("n"))
+            .crossJoin(sd)
+            .select(F.col("lang").alias("cls"),
+                    F.round(F.col("boostc")
+                            / F.when(F.col("sumdoc") < _KNN_K,
+                                     F.col("sumdoc"))
+                            .otherwise(F.lit(float(_KNN_K))), 6)
+                    .alias("score"),
+                    "n")
+            .orderBy(F.desc("score"), F.asc("cls")))
+
+
+def _q_classify_bm25nb(spark, sf_dir):
+    """BM25NBClassifier (lucene/classification/BM25NBClassifier.java:48)
+    — naive bayes approximated with BM25 queries: per class c,
+
+        log(top1([MUST lang:c]))                       # log prior
+        + sum_w tf_w * log(top1([MUST lang:c, SHOULD text:w]))
+
+    where top1 is the best BM25 score. The class-field leg scores
+    idf_c for every doc of c (single-token field, dl = avgdl), so
+    top1 = idf_c + max over docs of c of the word's text-BM25 score
+    (0 when no doc of c contains w); the class list is then softmax-
+    normalized (normClassificationResults' log-sum-exp) to
+    probabilities. One (term, class) max-aggregate join is the only
+    wide shuffle; the per-class table broadcasts."""
+    from lucene_solr_spark.search.bm25 import idf_sql
+    se = _searcher(spark, sf_dir)
+    ix = se.ix
+    dlang = (ix.source.select("docid", "lang")
+             .filter(F.col("lang").isNotNull()))
+    ncls = dlang.agg(F.count("*").alias("n_cls"))
+    cls = (dlang.groupBy("lang")
+           .agg(F.count("*").alias("df_c"))
+           .crossJoin(F.broadcast(ncls))
+           .withColumn("idf_c", F.expr(
+               idf_sql("df_c", "CAST(n_cls AS DOUBLE)"))))
+    test = (ix.postings.filter(F.col("docid").isin(list(_NB_DOCS)))
+            .select("docid", "term", "tf"))
+    nrow = ix.docs.agg(F.count("*").alias("n_docs"),
+                       F.sum("dl").alias("sumdl"))
+    sat = ("(" + idf_sql("df", "CAST(n_docs AS DOUBLE)")
+           + " * CAST(ttf_ AS DOUBLE) / (CAST(ttf_ AS DOUBLE) + "
+           f"{K1!r} * ((1e0 - {B!r}) + {B!r} * CAST(qdl AS DOUBLE) "
+           "/ (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))")
+    best = (ix.postings
+            .select("term", F.col("docid").alias("tdoc"),
+                    F.col("tf").alias("ttf_"))
+            .join(F.broadcast(test.select("term").distinct()), "term")
+            .join(ix.term_stats.select("term", "df"), "term")
+            .join(ix.docs.select(F.col("docid").alias("tdoc"), "qdl"),
+                  "tdoc")
+            .join(dlang.select(F.col("docid").alias("tdoc"), "lang"),
+                  "tdoc")
+            .crossJoin(F.broadcast(nrow))
+            .withColumn("tscore", F.expr(sat))
+            .groupBy("term", "lang")
+            .agg(F.max("tscore").alias("best")))
+    j = (test.crossJoin(F.broadcast(cls.select("lang", "idf_c")))
+         .join(best, ["term", "lang"], "left")
+         .withColumn("best", F.coalesce("best", F.lit(0.0))))
+    sc = (j.groupBy("docid", "lang")
+          .agg((F.log(F.first("idf_c"))
+                + F.sum(F.col("tf").cast("double")
+                        * F.log(F.col("idf_c") + F.col("best"))))
+               .alias("s")))
+    w = Window.partitionBy("docid")
+    out = (sc.withColumn("smax", F.max("s").over(w))
+           .withColumn("lse", F.col("smax")
+                       + F.log(F.sum(F.exp(F.col("s") - F.col("smax")))
+                               .over(w)))
+           .select(F.col("docid").alias("doc_id"),
+                   F.col("lang").alias("cls"),
+                   F.round(F.exp(F.col("s") - F.col("lse")), 6)
+                   .alias("prob")))
+    return out.orderBy("doc_id", F.desc("prob"), F.asc("cls"))
 
 
 def _q_classify_knn(spark, sf_dir):
@@ -7544,6 +7740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_query": _q_facet_query,
         "q_classify_nb": _q_classify_nb,
         "q_classify_knn": _q_classify_knn,
+        "q_classify_bm25nb": _q_classify_bm25nb,
+        "q_classify_knn_fuzzy": _q_classify_knn_fuzzy,
         "q_diversified": _q_diversified,
         "q_covering": _q_covering,
         "q_field_stats": _q_field_stats,
@@ -7916,6 +8114,117 @@ SELECT docid AS doc_id, score, source FROM (
   SELECT dj.*, ROW_NUMBER() OVER (PARTITION BY source
       ORDER BY score DESC, docid ASC) AS rn FROM dj) t
 WHERE rn <= 2 ORDER BY score DESC, docid ASC LIMIT 10"""
+
+    # BM25NBClassifier twin (semantics in _q_classify_bm25nb)
+    out["q_classify_bm25nb"] = f"""
+WITH {ctes},
+dl AS (SELECT doc_id AS docid, lang FROM documents
+       WHERE lang IS NOT NULL),
+ncls AS (SELECT COUNT(*) AS n_cls FROM dl),
+cls AS (SELECT lang, COUNT(*) AS df_c FROM dl GROUP BY lang),
+cls2 AS (SELECT lang,
+                ln(1e0 + ((CAST(n_cls AS DOUBLE)) - (df_c) + 0.5)
+                   / ((df_c) + 0.5)) AS idf_c
+         FROM cls, ncls),
+test AS (SELECT docid, term, tf FROM postings
+         WHERE docid IN ({_nb_ids})),
+best AS (SELECT p.term, dl.lang,
+                MAX(ln(1e0 + ((CAST(st.n AS DOUBLE)) - (ts.df) + 0.5)
+                       / ((ts.df) + 0.5))
+                    * CAST(p.tf AS DOUBLE)
+                    / (CAST(p.tf AS DOUBLE)
+                       + 1.2 * ((1e0 - 0.75)
+                                + 0.75 * CAST(d.qdl AS DOUBLE)
+                                / (CAST(st.sumdl AS DOUBLE)
+                                   / CAST(st.n AS DOUBLE))))) AS best
+         FROM postings p
+         JOIN (SELECT DISTINCT term FROM test) tt ON tt.term = p.term
+         JOIN ts ON ts.term = p.term
+         JOIN docs d ON d.docid = p.docid
+         JOIN dl ON dl.docid = p.docid, st
+         GROUP BY p.term, dl.lang),
+jj AS (SELECT t.docid, t.tf, c.lang, c.idf_c,
+              COALESCE(b.best, 0e0) AS best
+       FROM test t CROSS JOIN cls2 c
+       LEFT JOIN best b ON b.term = t.term AND b.lang = c.lang),
+nbs AS (SELECT docid, lang,
+               LN(MIN(idf_c)) + SUM(CAST(tf AS DOUBLE)
+                                    * LN(idf_c + best)) AS s
+        FROM jj GROUP BY docid, lang),
+n1 AS (SELECT nbs.*, MAX(s) OVER (PARTITION BY docid) AS smax
+       FROM nbs),
+n2 AS (SELECT n1.*,
+              smax + LN(SUM(EXP(s - smax))
+                        OVER (PARTITION BY docid)) AS lse
+       FROM n1)
+SELECT docid AS doc_id, lang AS cls,
+       ROUND(EXP(s - lse), 6) AS prob
+FROM n2 ORDER BY doc_id, prob DESC, cls"""
+
+    # KNearestFuzzyClassifier twin (semantics in _q_classify_knn_fuzzy)
+    _nfq_acc = _nfq_accept_sql("ts.term", "s.src", "duckdb")
+    out["q_classify_knn_fuzzy"] = f"""
+WITH {ctes},
+dl AS (SELECT doc_id AS docid, lang FROM documents
+       WHERE lang IS NOT NULL),
+src AS (SELECT DISTINCT term AS src FROM postings
+        WHERE docid = {_KNNF_DOC}),
+cand AS (SELECT ts.term, ts.df, s.src FROM ts
+         JOIN src s ON {_nfq_acc}),
+cb AS (SELECT cand.*,
+              CASE WHEN term = src THEN 1e0
+                   ELSE 1e0 - CAST(1 AS DOUBLE)
+                        / CAST(LEAST(length(term), length(src))
+                               AS DOUBLE) END AS boost
+       FROM cand),
+capped AS (SELECT * FROM (
+             SELECT cb.*, ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY boost DESC, term ASC) AS rn
+             FROM cb) x WHERE rn <= {_NFQ_MAX_VARIANTS}),
+persrc AS (SELECT src, FLOOR(CAST(SUM(df) AS DOUBLE) / COUNT(*))
+                  AS avg_df
+           FROM capped GROUP BY src),
+srcdf AS (SELECT s.src, ts.df AS src_df
+          FROM src s LEFT JOIN ts ON ts.term = s.src),
+sterms AS (SELECT c.term,
+                  (c.boost * c.boost)
+                  * (LN((CAST(st.n AS DOUBLE) + 1e0)
+                        / (CAST(CASE WHEN COALESCE(sd.src_df, 0) > 0
+                                     THEN sd.src_df
+                                     ELSE p.avg_df END AS DOUBLE)
+                           + 1e0)) + 1e0) AS vscore
+           FROM capped c
+           JOIN persrc p ON p.src = c.src
+           JOIN srcdf sd ON sd.src = c.src, st
+           ORDER BY vscore DESC, term ASC
+           LIMIT {_NFQ_MAX_NUM_TERMS}),
+hits AS (SELECT p.docid,
+                SUM(t.vscore
+                    * ln(1e0 + (CAST(st.n AS DOUBLE) - 1e0 + 0.5)
+                         / (1e0 + 0.5))
+                    * (CAST(p.tf AS DOUBLE)
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * ((1e0 - 0.75)
+                                   + 0.75 * CAST(d.qdl AS DOUBLE)
+                                   / (CAST(st.sumdl AS DOUBLE)
+                                      / CAST(st.n AS DOUBLE))))))
+                + 1e0 AS score
+         FROM postings p
+         JOIN sterms t ON t.term = p.term
+         JOIN docs d ON d.docid = p.docid, st
+         GROUP BY p.docid),
+nbk AS (SELECT h.docid, h.score, dl.lang
+        FROM hits h JOIN dl ON dl.docid = h.docid
+        ORDER BY h.score DESC, h.docid ASC LIMIT {_KNN_K}),
+mx AS (SELECT MAX(score) AS mx FROM nbk),
+sdc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS sumdoc FROM nbk)
+SELECT lang AS cls,
+       ROUND(SUM(score / mx)
+             / (CASE WHEN sumdoc < {_KNN_K} THEN sumdoc
+                     ELSE CAST({_KNN_K} AS DOUBLE) END), 6) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nbk, mx, sdc GROUP BY lang, sumdoc
+ORDER BY score DESC, cls"""
 
     out["q_covering"] = f"""
 WITH {ctes},
