@@ -132,6 +132,11 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     "q_term_inset": (TermInSet(("dup", "vector", "line")), 10),
     "q_fuzzy": (Fuzzy("merg", 1), 10),
     "q_regexp": (Regexp("s.*k"), 10),
+    # RegExp automaton algebra as predicate composition: terms
+    # starting with s that do NOT end in k (intersection + complement
+    # spanning whole sub-patterns; RegExp.java REGEXP_INTERSECTION /
+    # REGEXP_COMPLEMENT, flags=ALL default)
+    "q_regexp_algebra": (Regexp("s.*&~(.*k)"), 10),
     "q_match_all": (MatchAll(), 10),
     "q_multiphrase": (MultiPhrase((("table", "slow"), ("hash", "batch"))),
                       10),
@@ -2219,6 +2224,17 @@ def _q_minhash_sig(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     return textops.minhash_lsh_pairs(_documents(spark, sf_dir),
                                      threshold=0.8)
+
+
+def _t_lsh_hot_buckets(spark, sf_dir):
+    """The LSH skew-policy audit view (no-silent-truncation companion
+    of the capped minhash_lsh_pairs): every (band, bucket) over the
+    cap with its member count and how many members the 'sample'
+    policy would drop. Run here with cap=2 so the fixture corpus
+    (which has near-dup clusters but no true hot buckets) exercises
+    the report path with real rows."""
+    return textops.lsh_hot_buckets(_documents(spark, sf_dir),
+                                   bucket_cap=2)
 
 
 def _q_simhash(spark, sf_dir):
@@ -7769,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_near_dup": _q_near_dup,
         "t_minhash_sig": _q_minhash_sig,
         "t_minhash_lsh": _q_minhash_lsh,
+        "t_lsh_hot_buckets": _t_lsh_hot_buckets,
         "t_simhash": _q_simhash,
         "t_fingerprint": _q_fingerprint,
         "q_highlight": _q_highlight,
@@ -8782,6 +8799,17 @@ SELECT i.doc_a, i.doc_b, i.inter,
 FROM inter i JOIN card ca ON ca.docid = i.doc_a
 JOIN card cb ON cb.docid = i.doc_b
 WHERE CAST(i.inter AS DOUBLE) / (ca.c + cb.c - i.inter) >= 0.8"""
+
+    out["t_lsh_hot_buckets"] = f"""
+WITH {ctes},
+{_sh_cte},
+sig AS (SELECT docid, {sig_cols} FROM sh GROUP BY docid),
+bands AS ({band_rows})
+SELECT band, bk, CAST(COUNT(*) AS BIGINT) AS bucket_size,
+       CAST(COUNT(*) - 2 AS BIGINT) AS n_dropped
+FROM bands GROUP BY band, bk
+HAVING COUNT(*) > 2
+ORDER BY bucket_size DESC, band ASC, bk ASC"""
 
     hexv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
     bit_sums = ", ".join(

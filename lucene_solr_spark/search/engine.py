@@ -136,12 +136,24 @@ def term_predicate(q: Query):
         return pred
     if isinstance(q, Regexp):
         # Lucene RegExp DIALECT (RegExp.java grammar — '^'/'$'
-        # literal, '\\d' = letter d, '<n-m>' intervals ...) translated
-        # to Java regex (search/regexp.py), then full-term anchored
-        # like the automaton match (RegexpQuery.java:48); unanchored
-        # rlike is substring search
-        from .regexp import lucene_regexp_to_java
-        return t.rlike("^(?:" + lucene_regexp_to_java(q.pattern) + ")$")
+        # literal, '\\d' = letter d, '<n-m>' intervals, a&b / ~a
+        # automaton algebra as predicate AND/NOT where they span a
+        # whole (sub)pattern) translated via search/regexp.py, then
+        # full-term anchored like the automaton match
+        # (RegexpQuery.java:48); unanchored rlike is substring search
+        from .regexp import lucene_regexp_to_tree
+
+        def _build(node):
+            kind = node[0]
+            if kind == "re":
+                return t.rlike("^(?:" + node[1] + ")$")
+            if kind == "and":
+                c = _build(node[1][0])
+                for x in node[1][1:]:
+                    c = c & _build(x)
+                return c
+            return ~_build(node[1])
+        return _build(lucene_regexp_to_tree(q.pattern))
     return None
 
 

@@ -534,10 +534,20 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
             return "(" + " OR ".join(parts) + ")"
         if isinstance(q, Regexp):
             # same RegExp-dialect translation as the engine
-            # (search/regexp.py; the emitted subset is Java/RE2-common)
-            from .regexp import lucene_regexp_to_java
-            jre = lucene_regexp_to_java(q.pattern)
-            return f"regexp_matches(term, {_q('^(?:' + jre + ')$')})"
+            # (search/regexp.py; the emitted subset is Java/RE2-common;
+            # top-level a&b / ~a compose as SQL AND / NOT)
+            from .regexp import lucene_regexp_to_tree
+
+            def _sqlw(node):
+                kind = node[0]
+                if kind == "re":
+                    return ("regexp_matches(term, "
+                            f"{_q('^(?:' + node[1] + ')$')})")
+                if kind == "and":
+                    return ("(" + " AND ".join(_sqlw(x)
+                                               for x in node[1]) + ")")
+                return "(NOT " + _sqlw(node[1]) + ")"
+            return _sqlw(lucene_regexp_to_tree(q.pattern))
         return None
 
     def matching(self, q: Query) -> str:

@@ -111,6 +111,16 @@ class RRepeat:         # min..max, max=None => unbounded
     max: object
 
 
+@dataclass(frozen=True)
+class RIntersection:   # a & b — composable as predicate AND when it
+    parts: Tuple       # spans a whole (sub)pattern
+
+
+@dataclass(frozen=True)
+class RComplement:     # ~a — composable as predicate NOT likewise
+    e: object
+
+
 # ------------------------------------------------------------- parser
 
 class _Parser:
@@ -159,10 +169,9 @@ class _Parser:
     def inter_exp(self):
         e = self.concat_exp()
         if self._match("&"):
-            self.inter_exp()  # validate the right side too
-            raise RegexpUnsupported(
-                "intersection (&) has no regex translation — compose "
-                "two Regexp predicates instead")
+            r = self.inter_exp()
+            rest = r.parts if isinstance(r, RIntersection) else (r,)
+            return RIntersection(tuple([e]) + tuple(rest))
         return e
 
     def concat_exp(self):
@@ -206,10 +215,7 @@ class _Parser:
 
     def compl_exp(self):
         if self._match("~"):
-            self.compl_exp()  # validate operand
-            raise RegexpUnsupported(
-                "complement (~) has no regex translation — negate the "
-                "match predicate instead")
+            return RComplement(self.compl_exp())
         return self.char_class_exp()
 
     def char_class_exp(self):
@@ -404,6 +410,16 @@ def _to_java(e) -> str:
         if e.min == e.max:
             return inner + "{%d}" % e.min
         return inner + "{%d,%d}" % (e.min, e.max)
+    if isinstance(e, RIntersection):
+        raise RegexpUnsupported(
+            "intersection (&) inside a larger expression has no regex "
+            "translation — it is supported only where it spans a "
+            "whole (sub)pattern, as a predicate conjunction")
+    if isinstance(e, RComplement):
+        raise RegexpUnsupported(
+            "complement (~) inside a larger expression has no regex "
+            "translation — it is supported only where it spans a "
+            "whole (sub)pattern, as a predicate negation")
     raise TypeError(f"unknown node {e!r}")
 
 
@@ -411,5 +427,31 @@ def lucene_regexp_to_java(pattern: str) -> str:
     """Translate a Lucene RegExp-dialect pattern to an equivalent
     (unanchored) Java/RE2/Python regex for whole-string matching.
     Raises RegexpSyntaxError on malformed input and RegexpUnsupported
-    on intersection/complement/named-automaton operators."""
+    on intersection/complement (anywhere — use
+    ``lucene_regexp_to_tree`` for predicate-level support) and named
+    automata."""
     return _to_java(_Parser(pattern).parse())
+
+
+def lucene_regexp_to_tree(pattern: str):
+    """Predicate tree for whole-string matching with automaton-
+    algebra operators supported where they compose as predicates:
+
+        ("re", java_regex)        leaf full-match
+        ("and", [trees...])       intersection  a&b
+        ("not", tree)             complement    ~a
+
+    ``a&b`` and ``~a`` are language intersection/complement
+    (RegExp.java REGEXP_INTERSECTION/REGEXP_COMPLEMENT); over a
+    whole-string match they are exactly predicate AND / NOT, so every
+    backend (Spark rlike Column, DuckDB SQL, python re) evaluates the
+    same tree. Occurrences INSIDE concatenation/repetition — where
+    only true automaton algebra could translate — still raise
+    RegexpUnsupported rather than being reinterpreted."""
+    def walk(node):
+        if isinstance(node, RIntersection):
+            return ("and", [walk(p) for p in node.parts])
+        if isinstance(node, RComplement):
+            return ("not", walk(node.e))
+        return ("re", _to_java(node))
+    return walk(_Parser(pattern).parse())

@@ -89,9 +89,19 @@ def py_term_matcher(q):
         cre = _re.compile(f"(?:{rx})\\Z")
         return lambda t: cre.match(t) is not None
     if isinstance(q, _R):
-        from .regexp import lucene_regexp_to_java
-        cre = _re.compile(f"(?:{lucene_regexp_to_java(q.pattern)})\\Z")
-        return lambda t: cre.match(t) is not None
+        from .regexp import lucene_regexp_to_tree
+
+        def _build(node):
+            kind = node[0]
+            if kind == "re":
+                cre = _re.compile(f"(?:{node[1]})\\Z")
+                return lambda t: cre.match(t) is not None
+            if kind == "and":
+                fs = [_build(x) for x in node[1]]
+                return lambda t: all(f(t) for f in fs)
+            f = _build(node[1])
+            return lambda t: not f(t)
+        return _build(lucene_regexp_to_tree(q.pattern))
     if isinstance(q, _TR):
         lo, hi, il, iu = q.lower, q.upper, q.include_lower, q.include_upper
         return lambda t: ((t >= lo if il else t > lo)

@@ -22,20 +22,39 @@ def full(pattern, s):
         is not None
 
 
-# -- typed rejection ---------------------------------------------------
+# -- typed rejection / predicate-algebra support -----------------------
 
-def test_intersection_rejected():
-    with pytest.raises(RegexpUnsupported):
-        lucene_regexp_to_java("a&b")
+def tree_full(pattern, s):
+    from lucene_solr_spark.search.regexp import lucene_regexp_to_tree
+
+    def ev(node):
+        if node[0] == "re":
+            return re.match("(?:%s)\\Z" % node[1], s) is not None
+        if node[0] == "and":
+            return all(ev(x) for x in node[1])
+        return not ev(node[1])
+    return ev(lucene_regexp_to_tree(pattern))
+
+
+def test_intersection_nested_rejected_top_level_supported():
+    # inside a concatenation only automaton algebra could translate
     with pytest.raises(RegexpUnsupported):
         lucene_regexp_to_java("(ab&a.*)c")
+    # where it spans a whole (sub)pattern it IS the predicate AND
+    assert not tree_full("a&b", "a")      # L(a) ∩ L(b) = {}
+    assert not tree_full("a&b", "b")
+    assert tree_full("(ab|ba)&(a.*)", "ab")
+    assert not tree_full("(ab|ba)&(a.*)", "ba")
 
 
-def test_complement_rejected():
+def test_complement_nested_rejected_top_level_supported():
     with pytest.raises(RegexpUnsupported):
-        lucene_regexp_to_java("~a")
-    with pytest.raises(RegexpUnsupported):
-        lucene_regexp_to_java("x~yz")  # concat arm still parses the ~
+        lucene_regexp_to_java("x~yz")  # '~y' bound inside the concat
+    assert tree_full("~(abc)", "abd")
+    assert not tree_full("~(abc)", "abc")
+    assert tree_full("abc&~(abd)", "abc")
+    assert not tree_full("abd&~(abd)", "abd")
+    assert tree_full("~(~(ab))", "ab")   # double complement
 
 
 def test_named_automaton_rejected():
