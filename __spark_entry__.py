@@ -2141,17 +2141,15 @@ _SPELL_Q = "srot"  # transposed misspelling of 'sort'
 
 
 def _spell_dist_sql(qw: str, col: str = "term") -> str:
-    """Shared engine/oracle SQL for Damerau-capped edit distance
-    (DirectSpellChecker.java:60 uses LuceneLevenshteinDistance, i.e.
-    transposition-aware): min over classic levenshtein against the
-    query and 1 + levenshtein against each single-adjacent-
-    transposition variant — exact for distances <= 2 under the same
-    bound documented at query.py:126 for FuzzyQuery."""
-    from lucene_solr_spark.search.query import transposition_variants
-    parts = [f"levenshtein({col}, '{qw}')"]
-    parts += [f"1 + levenshtein({col}, '{v}')"
-              for v in transposition_variants(qw)]
-    return "LEAST(" + ", ".join(parts) + ")"
+    """Shared engine/oracle SQL for the EXACT OSA distance capped at
+    3 (DirectSpellChecker.java:60 consumes LuceneLevenshteinDistance —
+    the restricted Damerau metric of the transposition automata; the
+    former min(lev, 1+lev(variant)) form UNDERESTIMATED it, e.g.
+    'ca'->'abc' = 2 instead of 3, because OSA violates the triangle
+    inequality). query.py's osa_capped_dist_sql is the closed-form
+    CASE swept against the reference DP with zero divergences."""
+    from lucene_solr_spark.search.query import osa_capped_dist_sql
+    return osa_capped_dist_sql(col, qw)
 
 
 def _q_spellcheck(spark, sf_dir):

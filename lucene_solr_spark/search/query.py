@@ -502,3 +502,42 @@ def collect_terms(q: Query) -> set:
     if isinstance(q, PayloadScore):
         return {q.term}
     return set()
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def osa_capped_dist_sql(col: str, s: str) -> str:
+    """Exact OSA distance of ``col`` vs the literal ``s``, capped at 3
+    (any value > 2 reports 3) — portable Spark/DuckDB SQL using only
+    levenshtein/substr/IN, built from the same closed-form
+    decomposition proved in the Fuzzy docstring. This is
+    LuceneLevenshteinDistance's metric as DirectSpellChecker consumes
+    it (distances beyond maxEdits=2 are never ranked, so the cap is
+    semantically free)."""
+    osa1 = f"levenshtein({col}, '{_sq(s)}') <= 1"
+    singles = transposition_variants(s)
+    if singles:
+        ins = ", ".join(f"'{_sq(v)}'" for v in singles)
+        osa1 = f"({osa1} OR {col} IN ({ins}))"
+    parts2 = [f"levenshtein({col}, '{_sq(s)}') <= 2"]
+    for i in swap_positions(s):
+        pair = _sq(s[i + 1] + s[i])
+        for j in (i - 1, i, i + 1):
+            if j < 0:
+                continue
+            parts2.append(
+                f"(substr({col}, {j + 1}, 2) = '{pair}'"
+                f" AND levenshtein(substr({col}, 1, {j}),"
+                f" '{_sq(s[:i])}')"
+                f" + levenshtein(substr({col}, {j + 3}),"
+                f" '{_sq(s[i + 2:])}') <= 1)")
+    doubles = double_swap_variants(s)
+    if doubles:
+        ins = ", ".join(f"'{_sq(v)}'" for v in doubles)
+        parts2.append(f"{col} IN ({ins})")
+    osa2 = "(" + " OR ".join(parts2) + ")"
+    return (f"(CASE WHEN {col} = '{_sq(s)}' THEN 0 "
+            f"WHEN {osa1} THEN 1 "
+            f"WHEN {osa2} THEN 2 ELSE 3 END)")

@@ -136,3 +136,27 @@ def test_max_edits_guard():
         Fuzzy("x", 3)
     with pytest.raises(ValueError):
         Fuzzy("x", -1)
+
+
+def test_osa_capped_dist_sql_matches_dp():
+    """The spell-surface distance SQL (query.osa_capped_dist_sql) is
+    the exact capped OSA metric — including the triangle-inequality
+    corner the old min(lev, 1+lev(variant)) form got wrong."""
+    import duckdb
+
+    from lucene_solr_spark.search.query import osa_capped_dist_sql
+    rng = random.Random(9)
+    vocab = sorted({"".join(rng.choice("abcst")
+                            for _ in range(rng.randint(1, 6)))
+                    for _ in range(350)})
+    for src in ["tabel", "ca", "stream", "aab"]:
+        sql = osa_capped_dist_sql("t", src)
+        vals = ", ".join(f"('{v}')" for v in vocab)
+        rows = duckdb.sql(
+            f"SELECT t, {sql} FROM (VALUES {vals}) x(t)").fetchall()
+        for t, d in rows:
+            assert d == min(osa_distance(src, t), 3), (src, t)
+    # the documented counterexample
+    assert duckdb.sql(
+        "SELECT " + osa_capped_dist_sql("t", "ca")
+        + " FROM (VALUES ('abc')) x(t)").fetchone()[0] == 3
