@@ -11,23 +11,20 @@ stop set — lucene/core/.../analysis/standard/StandardAnalyzer.java:52-54):
    DuckDB for oracle checks. This is the default for corpora whose
    vocabulary is ASCII (the synthetic test corpora are).
 
-``standard`` — a UAX#29-word-break approximation of Lucene's
-   StandardTokenizer (lucene/core/.../standard/StandardTokenizer.java:29-69,
-   generated DFA StandardTokenizerImpl.java) as a vectorized pandas UDF:
-   - \\w runs (letters/digits/underscore; underscore = ExtendNumLet joins)
-   - MidNumLet '.' joins letter.letter and digit.digit ("example.com", "3.14")
-   - MidNum ',' joins digit,digit only ("1,000")
-   - MidLetter ':' and apostrophes join letter:letter ("don't")
-   - CJK ideographs and Hiragana emit one token per char; Katakana runs join
-   - tokens longer than maxTokenLength=255 are dropped, positions keep gaps
-     (StandardTokenizer.java:89,142-165)
-   Known divergences from the JFlex grammar (documented, fixtures avoid
-   them): emoji sequences, Hangul/Thai segmentation, exotic Extend marks.
+``standard`` — the EXACT StandardTokenizer (lucene/core/.../standard/
+   StandardTokenizer.java:29-69; JFlex grammar
+   StandardTokenizerImpl.jflex) as a vectorized pandas UDF over
+   analysis/uax29.py: full UAX#29 word break + TR51 emoji sequences
+   with JFlex longest-match semantics, CJK/Hiragana per-char tokens,
+   Katakana/Hangul/Thai runs, and maxTokenLength=255 CHOPPING (the
+   reference's %buffer behavior — over-long runs split, nothing
+   dropped). Zero divergences against the reference DFA across the
+   committed multilingual fixture corpus and 10k+ differential fuzz
+   cases (tools/fuzz_uax29.py); lowercasing is per-codepoint
+   Character.toLowerCase parity (uax29.simple_lower).
 
-Both lowercase with Python/JVM full Unicode simple case folding
-(LowerCaseFilter — lucene/core/.../analysis/LowerCaseFilter.java:27).
-Positions are 0-based token indexes (posIncr always 1; the default chain
-has no stopwords so there are no gaps except dropped >255 tokens).
+Positions are 0-based token indexes (posIncr always 1; the default
+chain has no stopwords so there are no gaps).
 """
 
 from __future__ import annotations
