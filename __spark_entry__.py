@@ -299,6 +299,10 @@ WAND_SPECS = (
     # lexicographic range, IN-set, Damerau fuzzy, anchored regexp)
     "q_wildcard", "q_term_range", "q_term_inset", "q_fuzzy",
     "q_regexp",
+    # round-3: exact-OSA maxEdits=2 expansion and the RegExp
+    # predicate-algebra tree through the kernel's expansion /
+    # python-matcher fallback paths
+    "q_fuzzy2", "q_regexp_algebra",
 )
 
 
