@@ -72,6 +72,23 @@ def simple_tokenize(text: str) -> list[str]:
 # standard analyzer (UAX#29-ish), vectorized pandas UDF
 # --------------------------------------------------------------------------
 
+# Exact ASCII fast path: on pure-ASCII text the UAX#29 grammar
+# collapses (no Hebrew/Katakana/CJK/SA/emoji/extend classes reach it;
+# '#'/'*' keycaps need U+20E3). ASCII class members per the probed
+# tables (uax29_tables.py): ALetter=[A-Za-z], Numeric=[0-9],
+# ExtendNumLet='_', MidNumLet=".'", MidNum=",;", MidLetter=':',
+# SingleQuote="'" — so digit joiners are [.,;'] and letter joiners
+# [.:'].  The WORD rule subsumes the NUMERIC rule's language and the
+# greedy-vs-longest traps (Hebrew trailing quote, emoji ZWJ suffix
+# ambiguity) cannot occur, so ONE compiled regex is exact —
+# differentially verified against the NFA scanner (and transitively
+# the reference DFA) by tests/test_r5e_uax29_parity.py's ASCII sweep.
+_ASCII_CORE = (r"(?:[0-9](?:(?:_*|[.,;'])[0-9])*"
+               r"|[A-Za-z](?:(?:_*|[.:'])[A-Za-z])*)+")
+_ASCII_WORD_RE = re.compile(
+    r"_*" + _ASCII_CORE + r"(?:_+" + _ASCII_CORE + r")*_*")
+
+
 def standard_tokenize(text: str) -> tuple[list[str], list[int]]:
     """(terms, positions): StandardAnalyzer = StandardTokenizer +
     LowerCaseFilter with EXACT reference semantics (analysis/uax29.py,
@@ -81,13 +98,30 @@ def standard_tokenize(text: str) -> tuple[list[str], list[int]]:
     (StandardTokenizer.setMaxTokenLength javadoc: "Tokens larger than
     this will be chopped up at this token length and emitted as
     multiple tokens"); casing is Character.toLowerCase per codepoint
-    (LowerCaseFilter), not python full casemapping."""
+    (LowerCaseFilter), not python full casemapping. Pure-ASCII text
+    takes the single-regex fast path (~50x the NFA scanner); any
+    non-ASCII codepoint or >255-char token falls back to the scanner.
+    """
+    text = text or ""
+    if text.isascii():
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for m in _ASCII_WORD_RE.finditer(text):
+            tok = m.group(0)
+            if len(tok) > MAX_TOKEN_LENGTH:
+                break  # needs window chopping: NFA path below
+            pos += 1
+            terms.append(tok.lower())
+            positions.append(pos)
+        else:
+            return terms, positions
     from .uax29 import simple_lower
     from .uax29 import tokenize as _uax29_tokenize
-    terms: list[str] = []
-    positions: list[int] = []
+    terms = []
+    positions = []
     pos = -1
-    for tok, inc, _typ in _uax29_tokenize(text or "", MAX_TOKEN_LENGTH):
+    for tok, inc, _typ in _uax29_tokenize(text, MAX_TOKEN_LENGTH):
         pos += inc
         terms.append(simple_lower(tok))
         positions.append(pos)

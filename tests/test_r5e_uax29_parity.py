@@ -80,3 +80,37 @@ def test_simple_lower_java_semantics():
 
 def _toks(text):
     return [(ty, text[a:b]) for a, b, ty in segment(text)]
+
+
+def test_ascii_fast_path_matches_scanner():
+    """standard_tokenize's pure-ASCII single-regex fast path must be
+    indistinguishable from the NFA scanner (which is itself
+    fuzz-verified against the reference DFA) — including the joiner
+    classes [.,;'] / [.:'] / '_' and the >255 fallback."""
+    import random
+    import string
+
+    from lucene_solr_spark.analysis.analyzers import (
+        MAX_TOKEN_LENGTH, standard_tokenize)
+
+    def nfa_ref(text):
+        terms, positions, pos = [], [], -1
+        for t, inc, _ in tokenize(text, MAX_TOKEN_LENGTH):
+            pos += inc
+            terms.append(simple_lower(t))
+            positions.append(pos)
+        return terms, positions
+
+    rng = random.Random(77)
+    pool = list(string.printable)
+    jpool = list("abc019_.,;:'\"# *")
+    cases = ["a_b.c'd:e,f", "1,000.5", "don't", "9;5", "1;2;3",
+             "a;b", "_x_", "a" * 255, "a" * 256, "1" * 300 + ".5"]
+    for _ in range(4000):
+        k = rng.randint(0, 30)
+        cases.append("".join(rng.choice(pool) for _ in range(k)))
+    for _ in range(4000):
+        k = rng.randint(0, 24)
+        cases.append("".join(rng.choice(jpool) for _ in range(k)))
+    for s in cases:
+        assert standard_tokenize(s) == nfa_ref(s), repr(s)
