@@ -188,3 +188,34 @@ def english_analyze_udf():
             })
 
     return _tok
+
+
+def lang_analyze_udf(lang: str):
+    """Vectorized pandas UDF of a per-language analyzer chain
+    (analysis/lang.lang_analyze: exact UAX#29 tokenizer + elision for
+    fr/it + lowercase + snowball stop with position gaps + the
+    reference light stemmer), same struct shape as the standard
+    analyzer."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from .lang import STEMMERS, lang_analyze
+    if lang not in STEMMERS:
+        raise ValueError(f"unknown analyzer language {lang!r}")
+
+    ret = StructType([
+        StructField("terms", ArrayType(StringType())),
+        StructField("positions", ArrayType(IntegerType())),
+    ])
+
+    @F.pandas_udf(ret)
+    def _tok(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for chunk in s:
+            out = chunk.map(lambda t: lang_analyze(lang, t))
+            yield pd.DataFrame({
+                "terms": out.map(lambda t: t[0]),
+                "positions": out.map(lambda t: t[1]),
+            })
+
+    return _tok

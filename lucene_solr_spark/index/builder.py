@@ -34,8 +34,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.analyzers import simple_tokens_col, standard_tokenize_udf
+from ..analysis.analyzers import (lang_analyze_udf, simple_tokens_col,
+                                  standard_tokenize_udf)
 from ..codecs.smallfloat import norm_byte_sql, qdl_sql
+
+
+def _is_lang(analyzer: str) -> bool:
+    from ..analysis.lang import STEMMERS
+    return analyzer in STEMMERS
 
 
 @dataclass
@@ -85,12 +91,17 @@ def build_index(
             F.col(docid_col).cast("long").alias("docid"),
             simple_tokens_col(text_col).alias("tokens"),
         )
-    elif analyzer in ("standard", "english"):
+    elif analyzer in ("standard", "english") or _is_lang(analyzer):
         if analyzer == "standard":
             tok = standard_tokenize_udf()
-        else:
+        elif analyzer == "english":
             from ..analysis.analyzers import english_analyze_udf
             tok = english_analyze_udf()
+        else:
+            # per-language chain (GermanAnalyzer etc. core):
+            # exact UAX#29 tokenizer + elision (fr/it) + lowercase +
+            # snowball stop (position gaps) + reference light stemmer
+            tok = lang_analyze_udf(analyzer)
         tokens = df.select(
             F.col(docid_col).cast("long").alias("docid"),
             tok(F.col(text_col)).alias("ts"),

@@ -69,3 +69,23 @@ def test_articles_match_reference_sets():
     assert "dall" in ELISION_ARTICLES["it"]
     assert len(ELISION_ARTICLES["fr"]) == 13
     assert len(ELISION_ARTICLES["it"]) == 21
+
+
+def test_build_index_with_lang_analyzer(spark):
+    """build_index(analyzer='de'|'fr'|...) runs the per-language chain
+    through the Arrow UDF path end-to-end."""
+    from lucene_solr_spark.index.builder import build_index
+    df = spark.createDataFrame(
+        [(0, "Die Häusern der Kindern sind schön"),
+         (1, "L'avion et les chevaux")],
+        "doc_id long, text string")
+    de = {r["term"] for r in
+          build_index(df, analyzer="de").postings.collect()}
+    assert {"haus", "kind", "schon"} <= de
+    assert "die" not in de and "der" not in de      # stopped
+    fr = {r["term"] for r in
+          build_index(df, analyzer="fr").postings.collect()}
+    assert {"avion", "cheval"} <= fr                # elision + stem
+    assert "les" not in fr
+    with pytest.raises(ValueError):
+        build_index(df, analyzer="klingon")
