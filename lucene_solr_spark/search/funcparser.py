@@ -138,8 +138,23 @@ def parse_func(s: str) -> FuncNode:
     if _NUM_RE.match(s):
         return FuncNode("lit", value=float(s))
     if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
-        # quoted term literal (FunctionQParser.parseArg quoted form)
-        return FuncNode("str", field=s[1:-1])
+        # quoted term literal (FunctionQParser.parseArg quoted form);
+        # StrParser unescapes backslash-escaped chars inside quotes —
+        # the quote-aware _split_args keeps them raw until here
+        body = s[1:-1]
+        if "\\" in body:
+            out = []
+            esc = False
+            for ch in body:
+                if esc:
+                    out.append(ch)
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                else:
+                    out.append(ch)
+            body = "".join(out)
+        return FuncNode("str", field=body)
     m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\((.*)\)$", s, re.S)
     if m:
         name, body = m.group(1), m.group(2)

@@ -85,3 +85,14 @@ def test_split_round_robin_seq_floor(spark, xs_transcripts, tmp_path):
         spark, w.path, [str(tmp_path / f"p{i}") for i in range(3)],
         sequential=True)
     assert [p.doc_count for p in parts] == [3, 3, 4]
+
+
+def test_quoted_literal_backslash_unescape():
+    # StrParser unescapes \' inside quoted args; the quote-aware
+    # lexer delivers the raw text, parse_func unescapes
+    node = parse_func(r"concat(a, 'it\'s')")
+    assert node.args[1].field == "it's"
+    sql = compile_sql(node, {"a": "a"})
+    assert duckdb.sql(
+        f"SELECT {sql} FROM (VALUES ('x')) t(a)").fetchone()[0] \
+        == "xit's"
