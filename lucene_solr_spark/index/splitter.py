@@ -156,8 +156,10 @@ def split_round_robin(spark: SparkSession, src: str, dsts: list,
             # i-th of n contiguous docid ranges over [lo, hi]:
             # MultiPassIndexSplitter --seq uses partLen = maxDoc /
             # numParts (FLOOR) with the LAST part absorbing the
-            # remainder (10 docs / 3 parts -> 3/3/4, not 4/4/2)
-            width = max(1, (hi - lo + 1) // n)
+            # remainder (10 docs / 3 parts -> 3/3/4, not 4/4/2);
+            # width 0 (more parts than docs) leaves every part but
+            # the last empty, exactly like the reference
+            width = (hi - lo + 1) // n
             a = lo + i * width
             b = (hi + 1) if i == n - 1 else lo + (i + 1) * width
             drop = docs.filter(~((F.col("docid") >= a)

@@ -47,8 +47,7 @@ from .query import (
     Regexp, ReversedWildcard, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard, collect_terms,
-    double_swap_variants, rewrite,
-    swap_positions, transposition_variants,
+    osa_le1_sql, osa_le2_sql, rewrite,
 )
 
 
@@ -103,37 +102,14 @@ def term_predicate(q: Query):
         return t.isin(list(q.terms))
     if isinstance(q, Fuzzy):
         # exact OSA accept set of Lucene's transposition automata
-        # (LevenshteinAutomata.java:36; decomposition proof in the
-        # Fuzzy docstring, query.py)
-        pred = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
-        if q.transpositions and q.max_edits >= 1:
-            s = q.term
-            if q.max_edits == 1:
-                # 1 transposition, 0 other edits: exact swap variants
-                singles = transposition_variants(s)
-                if singles:
-                    pred = pred | t.isin(list(singles))
-            else:
-                # 1 transposition + <= 1 standard edit: pair-anchored
-                # prefix/suffix levenshtein split
-                for i in swap_positions(s):
-                    pair = s[i + 1] + s[i]
-                    for j in (i - 1, i, i + 1):
-                        if j < 0:
-                            continue
-                        pred = pred | (
-                            (F.substring(t, j + 1, 2) == pair)
-                            & ((F.levenshtein(F.substring(t, 1, j),
-                                              F.lit(s[:i]))
-                                + F.levenshtein(
-                                    t.substr(F.lit(j + 3),
-                                             F.length(t)),
-                                    F.lit(s[i + 2:]))) <= 1))
-                # 2 disjoint transpositions, 0 other edits
-                doubles = double_swap_variants(s)
-                if doubles:
-                    pred = pred | t.isin(list(doubles))
-        return pred
+        # (LevenshteinAutomata.java:36): the SAME SQL text as the
+        # oracle (query.osa_le{1,2}_sql — decomposition proof in the
+        # Fuzzy docstring), compiled to a Column via F.expr
+        if q.transpositions and q.max_edits == 1:
+            return F.expr(osa_le1_sql("term", q.term))
+        if q.transpositions and q.max_edits == 2:
+            return F.expr(osa_le2_sql("term", q.term))
+        return F.levenshtein(t, F.lit(q.term)) <= q.max_edits
     if isinstance(q, Regexp):
         # Lucene RegExp DIALECT (RegExp.java grammar — '^'/'$'
         # literal, '\\d' = letter d, '<n-m>' intervals, a&b / ~a
@@ -147,10 +123,11 @@ def term_predicate(q: Query):
             kind = node[0]
             if kind == "re":
                 return t.rlike("^(?:" + node[1] + ")$")
-            if kind == "and":
+            if kind in ("and", "or"):
                 c = _build(node[1][0])
                 for x in node[1][1:]:
-                    c = c & _build(x)
+                    c = (c & _build(x)) if kind == "and" \
+                        else (c | _build(x))
                 return c
             return ~_build(node[1])
         return _build(lucene_regexp_to_tree(q.pattern))

@@ -30,8 +30,7 @@ from .query import (
     Regexp, SpanNear,
     SpanNot, SpanOr,
     Synonym, Term, TermInSet, TermRange, Wildcard,
-    double_swap_variants, rewrite,
-    swap_positions, transposition_variants,
+    osa_le1_sql, osa_le2_sql, rewrite,
 )
 from .sloppy import freq_denominator
 
@@ -505,33 +504,13 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
         if isinstance(q, TermInSet):
             return f"term IN ({', '.join(_q(t) for t in q.terms)})"
         if isinstance(q, Fuzzy):
-            # same exact-OSA decomposition as engine._term_pred
-            # (query.py Fuzzy docstring)
-            parts = [f"levenshtein(term, {_q(q.term)}) <= {q.max_edits}"]
-            if q.transpositions and q.max_edits >= 1:
-                s = q.term
-                if q.max_edits == 1:
-                    singles = transposition_variants(s)
-                    if singles:
-                        ins = ", ".join(_q(v) for v in singles)
-                        parts.append(f"term IN ({ins})")
-                else:
-                    for i in swap_positions(s):
-                        pair = s[i + 1] + s[i]
-                        for j in (i - 1, i, i + 1):
-                            if j < 0:
-                                continue
-                            parts.append(
-                                f"(substr(term, {j + 1}, 2) = {_q(pair)}"
-                                f" AND levenshtein(substr(term, 1, {j}),"
-                                f" {_q(s[:i])})"
-                                f" + levenshtein(substr(term, {j + 3}),"
-                                f" {_q(s[i + 2:])}) <= 1)")
-                    doubles = double_swap_variants(s)
-                    if doubles:
-                        ins = ", ".join(_q(d) for d in doubles)
-                        parts.append(f"term IN ({ins})")
-            return "(" + " OR ".join(parts) + ")"
+            # the ONE shared exact-OSA accept set (query.osa_le{1,2}
+            # _sql — the engine compiles the same text via F.expr)
+            if q.transpositions and q.max_edits == 1:
+                return osa_le1_sql("term", q.term)
+            if q.transpositions and q.max_edits == 2:
+                return osa_le2_sql("term", q.term)
+            return f"levenshtein(term, {_q(q.term)}) <= {q.max_edits}"
         if isinstance(q, Regexp):
             # same RegExp-dialect translation as the engine
             # (search/regexp.py; the emitted subset is Java/RE2-common;
@@ -543,9 +522,10 @@ FROM sfreq f JOIN docs dd ON dd.docid = f.docid WHERE f.tf > 0"""
                 if kind == "re":
                     return ("regexp_matches(term, "
                             f"{_q('^(?:' + node[1] + ')$')})")
-                if kind == "and":
-                    return ("(" + " AND ".join(_sqlw(x)
-                                               for x in node[1]) + ")")
+                if kind in ("and", "or"):
+                    op = " AND " if kind == "and" else " OR "
+                    return ("(" + op.join(_sqlw(x)
+                                          for x in node[1]) + ")")
                 return "(NOT " + _sqlw(node[1]) + ")"
             return _sqlw(lucene_regexp_to_tree(q.pattern))
         return None

@@ -508,26 +508,32 @@ def _sq(s: str) -> str:
     return s.replace("'", "''")
 
 
-def osa_capped_dist_sql(col: str, s: str) -> str:
-    """Exact OSA distance of ``col`` vs the literal ``s``, capped at 3
-    (any value > 2 reports 3) — portable Spark/DuckDB SQL using only
-    levenshtein/substr/IN, built from the same closed-form
-    decomposition proved in the Fuzzy docstring. This is
-    LuceneLevenshteinDistance's metric as DirectSpellChecker consumes
-    it (distances beyond maxEdits=2 are never ranked, so the cap is
-    semantically free)."""
-    osa1 = f"levenshtein({col}, '{_sq(s)}') <= 1"
+def osa_le1_sql(col: str, s: str) -> str:
+    """Boolean SQL (portable Spark/DuckDB): OSA(col, s) <= 1 — exact
+    (lev <= 1 plus the single-adjacent-transposition variants). The
+    ONE shared implementation of the accept set; the engine compiles
+    it via F.expr, the oracle embeds it, osa_capped_dist_sql tiers
+    it."""
+    pred = f"levenshtein({col}, '{_sq(s)}') <= 1"
     singles = transposition_variants(s)
     if singles:
         ins = ", ".join(f"'{_sq(v)}'" for v in singles)
-        osa1 = f"({osa1} OR {col} IN ({ins}))"
-    parts2 = [f"levenshtein({col}, '{_sq(s)}') <= 2"]
+        pred = f"({pred} OR {col} IN ({ins}))"
+    return pred
+
+
+def osa_le2_sql(col: str, s: str) -> str:
+    """Boolean SQL (portable Spark/DuckDB): OSA(col, s) <= 2 — exact,
+    using the closed-form decomposition proved in the Fuzzy
+    docstring: lev <= 2, OR a pair-anchored single transposition with
+    lev(prefix) + lev(suffix) <= 1, OR a disjoint double swap."""
+    parts = [f"levenshtein({col}, '{_sq(s)}') <= 2"]
     for i in swap_positions(s):
         pair = _sq(s[i + 1] + s[i])
         for j in (i - 1, i, i + 1):
             if j < 0:
                 continue
-            parts2.append(
+            parts.append(
                 f"(substr({col}, {j + 1}, 2) = '{pair}'"
                 f" AND levenshtein(substr({col}, 1, {j}),"
                 f" '{_sq(s[:i])}')"
@@ -536,8 +542,15 @@ def osa_capped_dist_sql(col: str, s: str) -> str:
     doubles = double_swap_variants(s)
     if doubles:
         ins = ", ".join(f"'{_sq(v)}'" for v in doubles)
-        parts2.append(f"{col} IN ({ins})")
-    osa2 = "(" + " OR ".join(parts2) + ")"
+        parts.append(f"{col} IN ({ins})")
+    return "(" + " OR ".join(parts) + ")"
+
+
+def osa_capped_dist_sql(col: str, s: str) -> str:
+    """Exact OSA distance of ``col`` vs the literal ``s``, capped at 3
+    (any value > 2 reports 3) — LuceneLevenshteinDistance's metric as
+    DirectSpellChecker consumes it (distances beyond maxEdits=2 are
+    never ranked, so the cap is semantically free)."""
     return (f"(CASE WHEN {col} = '{_sq(s)}' THEN 0 "
-            f"WHEN {osa1} THEN 1 "
-            f"WHEN {osa2} THEN 2 ELSE 3 END)")
+            f"WHEN {osa_le1_sql(col, s)} THEN 1 "
+            f"WHEN {osa_le2_sql(col, s)} THEN 2 ELSE 3 END)")

@@ -398,6 +398,12 @@ def _to_java(e) -> str:
     if isinstance(e, RConcat):
         return "".join(_to_java(p) for p in e.parts)
     if isinstance(e, RRepeat):
+        if e.max is not None and e.min > e.max:
+            # RegExp.java parses a{n,m} with n > m; Operations.repeat
+            # yields the EMPTY language — match nothing instead of
+            # emitting an invalid '{3,2}' quantifier that throws in
+            # every backend
+            return "[^\\s\\S]"
         inner = "(?:" + _to_java(e.e) + ")"
         if e.min == 0 and e.max is None:
             return inner + "*"
@@ -453,5 +459,13 @@ def lucene_regexp_to_tree(pattern: str):
             return ("and", [walk(p) for p in node.parts])
         if isinstance(node, RComplement):
             return ("not", walk(node.e))
+        if isinstance(node, RUnion):
+            # a union whose branches contain algebra operators
+            # composes as predicate OR; a pure-regex union stays one
+            # regex leaf
+            try:
+                return ("re", _to_java(node))
+            except RegexpUnsupported:
+                return ("or", [walk(p) for p in node.parts])
         return ("re", _to_java(node))
     return walk(_Parser(pattern).parse())

@@ -99,6 +99,9 @@ def py_term_matcher(q):
             if kind == "and":
                 fs = [_build(x) for x in node[1]]
                 return lambda t: all(f(t) for f in fs)
+            if kind == "or":
+                fs = [_build(x) for x in node[1]]
+                return lambda t: any(f(t) for f in fs)
             f = _build(node[1])
             return lambda t: not f(t)
         return _build(lucene_regexp_to_tree(q.pattern))

@@ -5113,18 +5113,26 @@ class StreamEvaluator:
                 if h not in all_cols:
                     all_cols.append(h)
 
-        # broadcast the (file -> header array) map and build ONE plan:
-        # each output column reads its per-file position via
-        # array_position over the broadcast header array
+        # broadcast the per-file header metadata and build ONE plan:
+        # each output column reads its per-file position from a
+        # (header -> LAST 1-based position) map — duplicate header
+        # names within a file resolve to the LAST occurrence, the
+        # reference's Tuple.put overwrite order (CsvStream.java:160)
+        hrows = []
+        for f, (hl, hs) in file_headers.items():
+            hpos = {}
+            for i, h in enumerate(hs):
+                hpos[h] = i + 1
+            hrows.append((f, hl, len(hs), hpos))
         hdf = src.sparkSession.createDataFrame(
-            [(f, hl, hs) for f, (hl, hs) in file_headers.items()],
-            "file string, _hln bigint, _hdrs array<string>")
+            hrows,
+            "file string, _hln bigint, _hn int, _hpos map<string,int>")
         j = (src.join(F.broadcast(hdf), "file")
              .where(F.col("line_no") > F.col("_hln")))
         arr = F.split(F.col("line"), sep_regex, -1)
         # CsvStream.java:131 — header/line field-count mismatch is an
         # error, enforced with ONE job
-        first_bad = (j.where(F.size(arr) != F.size("_hdrs"))
+        first_bad = (j.where(F.size(arr) != F.col("_hn"))
                      .select("file", "line_no")
                      .orderBy("file", "line_no").first())
         if first_bad is not None:
@@ -5135,8 +5143,8 @@ class StreamEvaluator:
         cols = [F.concat(F.col("file"), F.lit("_"),
                          F.col("line_no")).alias("id")]
         for h in all_cols:
-            p = F.array_position(F.col("_hdrs"), h)
-            c = F.when(p > 0, F.element_at(arr, p.cast("int")))
+            p = F.element_at(F.col("_hpos"), F.lit(h))
+            c = F.when(p.isNotNull(), F.element_at(arr, p))
             if strip_quotes:
                 c = F.regexp_replace(c, '^"(.*)"$', "$1")
             cols.append(F.when(c == "", None).otherwise(c).alias(h))

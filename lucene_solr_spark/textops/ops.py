@@ -141,6 +141,26 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 LSH_BUCKET_CAP = 512
 
 
+def _band_frame(sig, id_col: str, n_hashes: int, bands: int):
+    """(docid, band, bk) LSH band-membership rows from a signature
+    frame — THE banding key construction (md5 over the band's
+    signature slice), shared by the capped pair generator and the
+    hot-bucket audit view so the two can never drift. One pass over
+    the signatures: the band keys explode as an array of structs (a
+    union of per-band selects would recompute the whole signature
+    aggregation per band — 4x the work in the plan)."""
+    r = n_hashes // bands
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("", *[F.col(f"sig{b * r + j}")
+                                    for j in range(r)])).alias("bk"))
+        for b in range(bands)])
+    return (sig.select(F.col(id_col).alias("docid"),
+                       F.explode(band_arr).alias("s"))
+            .select("docid", "s.band", "s.bk"))
+
+
 def _band_members(sig, id_col: str, n_hashes: int, bands: int,
                   bucket_cap: int, on_hot: str = "sample"):
     """(docid, band, bk) membership rows, hot buckets bounded.
@@ -151,19 +171,7 @@ def _band_members(sig, id_col: str, n_hashes: int, bands: int,
     ONE shuffle: the row_number/count window partitions by (band, bk),
     and the downstream groupBy on the same keys reuses that exchange.
     """
-    r = n_hashes // bands
-    # one pass over the signatures: explode the band keys as an array of
-    # structs (a union of per-band selects recomputes the whole
-    # signature aggregation per band — 4x the work in the plan)
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("", *[F.col(f"sig{b * r + j}")
-                                    for j in range(r)])).alias("bk"))
-        for b in range(bands)])
-    bdf = (sig.select(F.col(id_col).alias("docid"),
-                      F.explode(band_arr).alias("s"))
-           .select("docid", "s.band", "s.bk"))
+    bdf = _band_frame(sig, id_col, n_hashes, bands)
     w = Window.partitionBy("band", "bk")
     if on_hot == "drop":
         return (bdf.withColumn("_bsz", F.count("*").over(w))
@@ -183,17 +191,8 @@ def lsh_hot_buckets(df: DataFrame, id_col: str = "doc_id",
     alongside a capped dedup to LOG exactly which buckets were bounded
     and how many members each dropped.
     Output: (band, bk, bucket_size, n_dropped), largest first."""
-    r = n_hashes // bands
     sig = minhash_signatures(df, id_col, n_hashes, n)
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("", *[F.col(f"sig{b * r + j}")
-                                    for j in range(r)])).alias("bk"))
-        for b in range(bands)])
-    bdf = (sig.select(F.col(id_col).alias("docid"),
-                      F.explode(band_arr).alias("s"))
-           .select("docid", "s.band", "s.bk"))
+    bdf = _band_frame(sig, id_col, n_hashes, bands)
     return (bdf.groupBy("band", "bk")
             .agg(F.count("*").cast("long").alias("bucket_size"))
             .filter(F.col("bucket_size") > bucket_cap)

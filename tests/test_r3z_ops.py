@@ -161,3 +161,30 @@ def test_noop_emits_nothing(spark):
     ev, _ = _ev(spark)
     out = ev.eval("noop()")
     assert out.count() == 0 and out.columns == []
+
+
+def test_parsecsv_duplicate_header_last_wins(spark, tmp_path):
+    """CsvStream puts fields into the tuple in header order, so a
+    duplicate header name keeps the LAST column's value
+    (Tuple.put overwrite semantics)."""
+    root = _write(tmp_path, "dup.csv", "a,b,a\n1,2,3\n")
+    ev, _ = _ev(spark, chroot=root)
+    rows = ev.eval('parseCSV(cat("dup.csv"))').collect()
+    assert len(rows) == 1
+    assert rows[0]["a"] == "3"      # last occurrence, not "1"
+    assert rows[0]["b"] == "2"
+
+
+def test_parsecsv_many_files_one_plan(spark, tmp_path):
+    """Multi-file parse stays one distributed plan (the per-file
+    driver loop is gone): files with different headers union by
+    name."""
+    _write(tmp_path, "p1.csv", "x,y\n1,2\n")
+    root = _write(tmp_path, "p2.csv", "y,z\n5,6\n")
+    ev, _ = _ev(spark, chroot=root)
+    rows = {r["id"]: r for r in
+            ev.eval('parseCSV(cat("p1.csv,p2.csv"))').collect()}
+    assert rows["p1.csv_2"]["x"] == "1"
+    assert rows["p1.csv_2"]["z"] is None
+    assert rows["p2.csv_2"]["z"] == "6"
+    assert rows["p2.csv_2"]["x"] is None

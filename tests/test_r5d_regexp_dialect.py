@@ -176,3 +176,38 @@ def test_spark_matches_python(spark):
         jre = lucene_regexp_to_java(pattern)
         assert got == {v for v in vocab
                        if re.match("(?:%s)\\Z" % jre, v)}
+
+
+def test_repeat_min_greater_than_max_is_empty_language():
+    # RegExp.java parses a{3,2}; Operations.repeat gives the EMPTY
+    # language — must match nothing, not throw at query time
+    jre = lucene_regexp_to_java("a{3,2}")
+    for s in ["", "a", "aa", "aaa"]:
+        assert re.match("(?:%s)\\Z" % jre, s) is None
+    assert full("x|a{3,2}", "x")
+    assert not full("x|a{3,2}", "aaa")
+
+
+def test_union_branch_algebra_composes_as_or():
+    from lucene_solr_spark.search.regexp import lucene_regexp_to_tree
+
+    def ev(pattern, s):
+        def w(node):
+            if node[0] == "re":
+                return re.match("(?:%s)\\Z" % node[1], s) is not None
+            if node[0] == "and":
+                return all(w(x) for x in node[1])
+            if node[0] == "or":
+                return any(w(x) for x in node[1])
+            return not w(node[1])
+        return w(lucene_regexp_to_tree(pattern))
+
+    # ~(.*k)|foo : anything not ending in k, or exactly foo
+    assert ev("~(.*k)|foo", "foo")
+    assert ev("~(.*k)|foo", "bar")
+    assert not ev("~(.*k)|foo", "mark")
+    # precedence: & binds tighter than |
+    assert ev("a&b|c", "c")
+    assert not ev("a&b|c", "a")
+    # pure-regex unions stay one leaf
+    assert lucene_regexp_to_tree("ab|cd")[0] == "re"

@@ -136,3 +136,18 @@ def test_sequential_split_gives_contiguous_ranges(spark, store, corpus,
 def test_split_needs_two_parts(spark, store, tmp_path):
     with pytest.raises(ValueError):
         split_round_robin(spark, store.path, [str(tmp_path / "only")])
+
+
+def test_sequential_split_more_parts_than_docs(spark, xs_transcripts,
+                                               tmp_path):
+    """MultiPassIndexSplitter --seq with numParts > maxDoc: partLen
+    floors to 0, every part but the LAST is empty and the last
+    absorbs everything."""
+    corpus = xs_transcripts.limit(3).drop("docid")
+    w = IndexWriter.create(spark, str(tmp_path / "tiny"),
+                           docs_per_segment=128)
+    w.append_raw(corpus)
+    parts = split_round_robin(
+        spark, w.path, [str(tmp_path / f"q{i}") for i in range(5)],
+        sequential=True)
+    assert [p.doc_count for p in parts] == [0, 0, 0, 0, 3]
