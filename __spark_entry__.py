@@ -6872,6 +6872,55 @@ def _mk_lang_analyzer(lang):
     return f
 
 
+# CJKAnalyzer cases with the REFERENCE TEST SUITE's expected token
+# streams (TestCJKAnalyzer.java assertAnalyzesTo — posIncr all 1 for
+# these inputs, so positions are sequential)
+_CJK_CASES = (
+    ("一二三四五六七八九十",
+     ("一二", "二三", "三四", "四五", "五六", "六七", "七八",
+      "八九", "九十")),
+    ("一 二三四 五六七八九 十",
+     ("一", "二三", "三四", "五六", "六七", "七八", "八九", "十")),
+    ("abc defgh ijklmn opqrstu vwxy z",
+     ("abc", "defgh", "ijklmn", "opqrstu", "vwxy", "z")),
+    ("あいうえおabcかきくけこ",
+     ("あい", "いう", "うえ", "えお", "abc", "かき", "きく", "くけ",
+      "けこ")),
+    ("あいうえおabんcかきくけ こ",
+     ("あい", "いう", "うえ", "えお", "ab", "ん", "c", "かき",
+      "きく", "くけ", "こ")),
+    ("一 روبرت موير", ("一", "روبرت", "موير")),
+    ("𩬅艱鍟䇹愯瀛",
+     ("𩬅艱", "艱鍟", "鍟䇹", "䇹愯", "愯瀛")),
+    ("Ｔｅｓｔ １２３４ ｶﾀｶﾅ ﾊﾟﾅｿﾆｯｸ",
+     ("test", "1234", "カタ", "タカ", "カナ", "パナ", "ナソ",
+      "ソニ", "ニッ", "ック")),
+    ("testあい    ", ("test", "あい")),
+)
+
+
+def _q_analyzer_cjk(spark, sf_dir):
+    """CJKAnalyzer chain (CJKAnalyzer.java:55 — StandardTokenizer +
+    CJKWidthFilter + LowerCase + CJKBigramFilter + Stop) through the
+    Arrow pandas-UDF path over the reference test suite's own inputs;
+    the oracle's literals are TestCJKAnalyzer.java's expected token
+    streams — green means the Spark path reproduces the reference
+    chain on Han/kana/Hangul runs, surrogates, halfwidth folding and
+    voiced-mark composition."""
+    from lucene_solr_spark.analysis.analyzers import lang_analyze_udf
+    rows = [(i, t) for i, (t, _) in enumerate(_CJK_CASES)]
+    df = spark.createDataFrame(rows, "case_id int, text string")
+    tok = lang_analyze_udf("cjk")
+    t = df.select("case_id", tok(F.col("text")).alias("ts"))
+    return (t.select(
+        "case_id",
+        F.explode(F.arrays_zip("ts.positions", "ts.terms"))
+        .alias("z"))
+        .select("case_id", F.col("z.positions").alias("pos"),
+                F.col("z.terms").alias("term"))
+        .orderBy("case_id", "pos"))
+
+
 def _q_analysis_filters(spark, sf_dir):
     """FieldAnalysisRequestHandler shape for a filter chain: tokenize
     (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
@@ -7977,6 +8026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_uax29_multilingual": _q_uax29_multilingual,
         **{f"q_analyzer_{lang}": _mk_lang_analyzer(lang)
            for lang in _LANGS_10},
+        "q_analyzer_cjk": _q_analyzer_cjk,
         "q_ngram_tokens": _q_ngram_tokens,
         # round-3as: same pattern
         "p_graph": _p_graph,
@@ -13389,6 +13439,17 @@ ORDER BY d.doc_id ASC LIMIT 30"""
             "SELECT word, stem, is_stop FROM (VALUES "
             + ", ".join(_rows)
             + ") t(word, stem, is_stop) ORDER BY word")
+
+    _cjk_rows = []
+    for _ci, (_t, _want) in enumerate(_CJK_CASES):
+        for _p, _tok in enumerate(_want):
+            _cjk_rows.append(
+                f"({_ci}, {_p}, '{_tok.replace(chr(39), chr(39)*2)}')")
+    out["q_analyzer_cjk"] = (
+        "SELECT CAST(case_id AS INT) AS case_id, "
+        "CAST(pos AS INT) AS pos, term "
+        "FROM (VALUES " + ", ".join(_cjk_rows)
+        + ") t(case_id, pos, term) ORDER BY case_id, pos")
 
     out["q_analysis_filters"] = f"""
 WITH tk AS (

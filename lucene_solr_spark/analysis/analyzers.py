@@ -200,9 +200,18 @@ def lang_analyze_udf(lang: str):
         ArrayType, IntegerType, StringType, StructField, StructType,
     )
 
-    from .lang import STEMMERS, lang_analyze
-    if lang not in STEMMERS:
-        raise ValueError(f"unknown analyzer language {lang!r}")
+    if lang == "cjk":
+        from .cjk import cjk_analyze as _an
+
+        def _analyze(t):
+            return _an(t)
+    else:
+        from .lang import STEMMERS, lang_analyze
+        if lang not in STEMMERS:
+            raise ValueError(f"unknown analyzer language {lang!r}")
+
+        def _analyze(t):
+            return lang_analyze(lang, t)
 
     ret = StructType([
         StructField("terms", ArrayType(StringType())),
@@ -212,7 +221,7 @@ def lang_analyze_udf(lang: str):
     @F.pandas_udf(ret)
     def _tok(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for chunk in s:
-            out = chunk.map(lambda t: lang_analyze(lang, t))
+            out = chunk.map(_analyze)
             yield pd.DataFrame({
                 "terms": out.map(lambda t: t[0]),
                 "positions": out.map(lambda t: t[1]),
