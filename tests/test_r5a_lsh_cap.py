@@ -110,3 +110,31 @@ def test_window_dedup_hashed_key(spark):
     assert out[1]["n_windows"] == 3  # 18 tokens -> 3 windows
     # the pure-run window (positions aligned to a run start) is shared
     assert out[1]["dup_windows"] >= 1
+
+
+def test_cap_compiles_to_mapside_window_group_limit(spark):
+    """The bucket cap must stay a WindowGroupLimit with a PARTIAL
+    stage (enforced map-side, before the exchange) — the property
+    that makes the skew fix free at 100 TB."""
+    df = spark.createDataFrame([(i, f"doc {i} text body {i}") for i
+                                in range(30)],
+                               "doc_id long, text string")
+    plan = textops.minhash_lsh_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_window_dedup_shuffles_hash_not_strings(spark):
+    """window_dedup's groupBy key must be the xxhash64 long computed
+    inside the explode projection — the raw window string must never
+    reach an Exchange."""
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(40)))],
+        "doc_id long, text string")
+    plan = textops.window_dedup(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "xxhash64" in plan
+    # the count-groupBy exchange partitions on the hashed long w#..L
+    import re as _re
+    assert _re.search(r"hashpartitioning\(w#\d+L", plan)
