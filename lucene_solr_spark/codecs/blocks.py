@@ -368,8 +368,10 @@ def encode_postings_batch(p_doc: np.ndarray, p_tf: np.ndarray,
     ``p_doc/p_tf/p_qdl`` are posting-level arrays sorted by (term, doc);
     ``term_counts[t]`` = number of postings of term t (terms in order);
     ``pos_concat`` = doc-major concatenated positions aligned to
-    postings. Returns a list per term of dicts shaped like
-    encode_postings' output (byte-identical blocks).
+    postings. Returns FLAT per-block byte streams + offsets + skip
+    arrays + per-term block counts (byte-identical block contents to
+    encode_postings; the Arrow kernel wraps the streams into binary
+    ListArrays with zero per-term python work).
     """
     npost = p_doc.size
     nterm = term_counts.size
@@ -441,33 +443,74 @@ def encode_postings_batch(p_doc: np.ndarray, p_tf: np.ndarray,
     p_off_lo = val_bytes_cum[blk_pos_starts_v]
     p_off_hi = val_bytes_cum[blk_pos_starts_v + blk_npos]
 
-    # ---- assemble per-term python structures -----------------------------
-    dmem, tmem, pmem = dbuf.tobytes(), tbuf.tobytes(), pbuf.tobytes()
-    out = []
-    blk_term_starts = np.zeros(nterm, dtype=np.int64)
+    # ---- assemble FLAT block streams (no per-term python) ----------------
+    # Per-block byte layouts identical to encode_postings' output:
+    #   doc block = [1B width][8B first docid LE][packed payload]
+    #   tf  block = [1B width][packed payload]
+    #   pos block = [vbyte payload] (no header)
+    # Everything stays numpy/buffers; the kernel wraps them into Arrow
+    # binary ListArrays with zero per-term work.
     term_nblk = np.bincount(blk_term, minlength=nterm)
-    np.cumsum(term_nblk[:-1], out=blk_term_starts[1:])
+
+    d_pl = np.diff(doffs)                       # payload bytes/block
+    doc_lens = 9 + d_pl
+    doc_off = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(doc_lens, out=doc_off[1:])
+    dstream = np.zeros(int(doc_off[-1]), dtype=np.uint8)
+    starts = doc_off[:-1]
+    dstream[starts] = d_width.astype(np.uint8)
     first_hdr = blk_first.astype(np.uint64)
-    for t in range(nterm):
-        b0, b1 = blk_term_starts[t], blk_term_starts[t] + term_nblk[t]
-        doc_blocks, tf_blocks, pos_blocks = [], [], []
-        for j in range(b0, b1):
-            hdr = bytes([int(d_width[j])]) + first_hdr[j].tobytes()
-            doc_blocks.append(
-                hdr + dmem[doffs[j]:doffs[j + 1]])
-            tf_blocks.append(
-                bytes([int(t_width[j])]) + tmem[toffs[j]:toffs[j + 1]])
-            pos_blocks.append(pmem[p_off_lo[j]:p_off_hi[j]])
-        out.append({
-            "doc_blocks": doc_blocks,
-            "tf_blocks": tf_blocks,
-            "pos_blocks": pos_blocks,
-            "skip_last_docid": blk_last[b0:b1],
-            "skip_n_docs": blk_nvals[b0:b1].astype(np.int32),
-            "skip_max_tf": blk_max_tf[b0:b1],
-            "skip_min_qdl": blk_min_qdl[b0:b1],
-        })
-    return out
+    for k in range(8):
+        dstream[starts + 1 + k] = (
+            (first_hdr >> np.uint64(8 * k)) & np.uint64(0xFF)
+        ).astype(np.uint8)
+    if dbuf.size:
+        pidx = (np.arange(int(d_pl.sum()), dtype=np.int64)
+                - np.repeat(doffs[:-1], d_pl)
+                + np.repeat(starts + 9, d_pl))
+        dstream[pidx] = dbuf
+
+    t_pl = np.diff(toffs)
+    tf_lens = 1 + t_pl
+    tf_off = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(tf_lens, out=tf_off[1:])
+    tstream = np.zeros(int(tf_off[-1]), dtype=np.uint8)
+    tstarts = tf_off[:-1]
+    tstream[tstarts] = t_width.astype(np.uint8)
+    if tbuf.size:
+        tidx = (np.arange(int(t_pl.sum()), dtype=np.int64)
+                - np.repeat(toffs[:-1], t_pl)
+                + np.repeat(tstarts + 1, t_pl))
+        tstream[tidx] = tbuf
+
+    # position blocks tile pbuf contiguously (p_off_hi[j] ==
+    # p_off_lo[j+1] by construction), so pbuf IS the value stream
+    pos_off = np.concatenate((p_off_lo, [int(pbuf.size)])) if nblk \
+        else np.zeros(1, dtype=np.int64)
+
+    blk_term_starts = np.zeros(nterm + 1, dtype=np.int64)
+    np.cumsum(term_nblk, out=blk_term_starts[1:])
+    red = blk_term_starts[:-1].copy()
+    if nblk:
+        pos_lens = np.diff(pos_off)
+        per_term_bytes = (
+            np.add.reduceat(doc_lens + tf_lens + pos_lens, red)
+            if nterm else np.empty(0, dtype=np.int64))
+    else:
+        per_term_bytes = np.zeros(nterm, dtype=np.int64)
+
+    return {
+        "term_nblk": term_nblk,
+        "blk_term_starts": blk_term_starts,
+        "doc_stream": dstream, "doc_offsets": doc_off,
+        "tf_stream": tstream, "tf_offsets": tf_off,
+        "pos_stream": pbuf, "pos_offsets": pos_off,
+        "skip_last_docid": blk_last,
+        "skip_n_docs": blk_nvals.astype(np.int32),
+        "skip_max_tf": blk_max_tf,
+        "skip_min_qdl": blk_min_qdl,
+        "packed_bytes": per_term_bytes,
+    }
 
 
 def decode_block(doc_blocks, tf_blocks, skip_n_docs, i: int):

@@ -257,7 +257,6 @@ def _invert_kernel_arrow():
         offsets = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(dl, out=offsets[1:])
 
-        out = {c.name: [] for c in SEGDATA_SCHEMA.fields}
         if n_tok:
             # ---- materialize lowercased token bytes (ragged gather) ---
             lens = tok_ends - tok_starts
@@ -306,31 +305,75 @@ def _invert_kernel_arrow():
             p_code = scodes[pb]
             term_counts = np.bincount(p_code, minlength=len(uniq_py))
             ttf_per_term = np.bincount(scodes, minlength=len(uniq_py))
-            encs = blk.encode_postings_batch(
+            enc = blk.encode_postings_batch(
                 docids[p_doc_l], p_tf, qdl[p_doc_l], spos, term_counts)
-            for i in range(len(uniq_py)):
-                enc = encs[i]
-                out["seg_id"].append(seg_id)
-                out["term"].append(uniq_py[i])
-                out["df"].append(int(term_counts[i]))
-                out["ttf"].append(int(ttf_per_term[i]))
-                out["doc_blocks"].append(enc["doc_blocks"])
-                out["tf_blocks"].append(enc["tf_blocks"])
-                out["pos_blocks"].append(enc["pos_blocks"])
-                out["skip_last_docid"].append(
-                    enc["skip_last_docid"].tolist())
-                out["skip_n_docs"].append(enc["skip_n_docs"].tolist())
-                out["skip_max_tf"].append(enc["skip_max_tf"].tolist())
-                out["skip_min_qdl"].append(enc["skip_min_qdl"].tolist())
-                out["packed_bytes"].append(
-                    sum(len(x) for x in enc["doc_blocks"])
-                    + sum(len(x) for x in enc["tf_blocks"])
-                    + sum(len(x) for x in enc["pos_blocks"]))
             n_posting_rows = len(uniq_py)
         else:
+            enc = None
             n_posting_rows = 0
-        for cname in ("docid_min", "n_docs", "norm_blob", "qdl_blob"):
-            out[cname].extend([None] * n_posting_rows)
+        schema = pa.schema([
+            ("seg_id", pa.int32()), ("term", pa.string()),
+            ("df", pa.int64()), ("ttf", pa.int64()),
+            ("doc_blocks", pa.list_(pa.binary())),
+            ("tf_blocks", pa.list_(pa.binary())),
+            ("pos_blocks", pa.list_(pa.binary())),
+            ("skip_last_docid", pa.list_(pa.int64())),
+            ("skip_n_docs", pa.list_(pa.int32())),
+            ("skip_max_tf", pa.list_(pa.int64())),
+            ("skip_min_qdl", pa.list_(pa.int64())),
+            ("packed_bytes", pa.int64()),
+            ("docid_min", pa.int64()), ("n_docs", pa.int64()),
+            ("norm_blob", pa.binary()), ("qdl_blob", pa.binary()),
+        ])
+        tables = []
+        if n_posting_rows:
+            # ---- posting rows assembled as ARROW ARRAYS (no per-term
+            # python loop: the block byte streams and skip arrays come
+            # out of the encoder flat; binary/list arrays wrap their
+            # buffers directly)
+            nterm = n_posting_rows
+            loff = pa.array(enc["blk_term_starts"].astype(np.int32),
+                            pa.int32())
+
+            def _bin(stream, offs):
+                return pa.Array.from_buffers(
+                    pa.binary(), offs.size - 1,
+                    [None,
+                     pa.py_buffer(offs.astype(np.int32).tobytes()),
+                     pa.py_buffer(stream.tobytes())])
+
+            def _list(values):
+                return pa.ListArray.from_arrays(loff, values)
+
+            doc_blocks = _list(_bin(enc["doc_stream"],
+                                    enc["doc_offsets"]))
+            tf_blocks = _list(_bin(enc["tf_stream"],
+                                   enc["tf_offsets"]))
+            pos_blocks = _list(_bin(enc["pos_stream"],
+                                    enc["pos_offsets"]))
+            term_arr = uniq.cast(pa.string()) \
+                if uniq.type != pa.string() else uniq
+            tables.append(pa.Table.from_arrays([
+                pa.array(np.full(nterm, seg_id, dtype=np.int32),
+                         pa.int32()),
+                term_arr,
+                pa.array(term_counts.astype(np.int64), pa.int64()),
+                pa.array(ttf_per_term.astype(np.int64), pa.int64()),
+                doc_blocks, tf_blocks, pos_blocks,
+                _list(pa.array(enc["skip_last_docid"]
+                               .astype(np.int64), pa.int64())),
+                _list(pa.array(enc["skip_n_docs"], pa.int32())),
+                _list(pa.array(enc["skip_max_tf"].astype(np.int64),
+                               pa.int64())),
+                _list(pa.array(enc["skip_min_qdl"].astype(np.int64),
+                               pa.int64())),
+                pa.array(enc["packed_bytes"].astype(np.int64),
+                         pa.int64()),
+                pa.nulls(nterm, pa.int64()),
+                pa.nulls(nterm, pa.int64()),
+                pa.nulls(nterm, pa.binary()),
+                pa.nulls(nterm, pa.binary()),
+            ], schema=schema))
         # the per-segment norms row (term IS NULL): forward norm/qdl
         # blobs from the SAME tokenization pass — one shuffle + one
         # write produces the whole segment (was a second full pass)
@@ -341,31 +384,17 @@ def _invert_kernel_arrow():
         if docids.size:
             nb_arr[docids - lo] = int_to_byte4_np(dl).astype(np.uint8)
             qb_arr[docids - lo] = qdl.astype(np.int32)
-        out["seg_id"].append(seg_id)
-        out["term"].append(None)
-        for cname in ("df", "ttf", "doc_blocks", "tf_blocks", "pos_blocks",
-                      "skip_last_docid", "skip_n_docs", "skip_max_tf",
-                      "skip_min_qdl", "packed_bytes"):
-            out[cname].append(None)
-        out["docid_min"].append(lo)
-        out["n_docs"].append(int(docids.size))
-        out["norm_blob"].append(nb_arr.tobytes())
-        out["qdl_blob"].append(qb_arr.tobytes())
-        return pa.Table.from_pydict(
-            out, schema=pa.schema([
-                ("seg_id", pa.int32()), ("term", pa.string()),
-                ("df", pa.int64()), ("ttf", pa.int64()),
-                ("doc_blocks", pa.list_(pa.binary())),
-                ("tf_blocks", pa.list_(pa.binary())),
-                ("pos_blocks", pa.list_(pa.binary())),
-                ("skip_last_docid", pa.list_(pa.int64())),
-                ("skip_n_docs", pa.list_(pa.int32())),
-                ("skip_max_tf", pa.list_(pa.int64())),
-                ("skip_min_qdl", pa.list_(pa.int64())),
-                ("packed_bytes", pa.int64()),
-                ("docid_min", pa.int64()), ("n_docs", pa.int64()),
-                ("norm_blob", pa.binary()), ("qdl_blob", pa.binary()),
-            ]))
+        tables.append(pa.Table.from_pydict({
+            "seg_id": [seg_id], "term": [None], "df": [None],
+            "ttf": [None], "doc_blocks": [None], "tf_blocks": [None],
+            "pos_blocks": [None], "skip_last_docid": [None],
+            "skip_n_docs": [None], "skip_max_tf": [None],
+            "skip_min_qdl": [None], "packed_bytes": [None],
+            "docid_min": [lo], "n_docs": [int(docids.size)],
+            "norm_blob": [nb_arr.tobytes()],
+            "qdl_blob": [qb_arr.tobytes()],
+        }, schema=schema))
+        return pa.concat_tables(tables)
 
     return kernel
 
