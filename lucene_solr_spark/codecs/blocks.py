@@ -456,7 +456,9 @@ def encode_postings_batch(p_doc: np.ndarray, p_tf: np.ndarray,
     doc_lens = 9 + d_pl
     doc_off = np.zeros(nblk + 1, dtype=np.int64)
     np.cumsum(doc_lens, out=doc_off[1:])
-    dstream = np.zeros(int(doc_off[-1]), dtype=np.uint8)
+    # np.empty: every byte is written below (hdr+payload tile
+    # the stream) — zeroing would only add a page-touch pass
+    dstream = np.empty(int(doc_off[-1]), dtype=np.uint8)
     starts = doc_off[:-1]
     dstream[starts] = d_width.astype(np.uint8)
     first_hdr = blk_first.astype(np.uint64)
@@ -474,7 +476,7 @@ def encode_postings_batch(p_doc: np.ndarray, p_tf: np.ndarray,
     tf_lens = 1 + t_pl
     tf_off = np.zeros(nblk + 1, dtype=np.int64)
     np.cumsum(tf_lens, out=tf_off[1:])
-    tstream = np.zeros(int(tf_off[-1]), dtype=np.uint8)
+    tstream = np.empty(int(tf_off[-1]), dtype=np.uint8)
     tstarts = tf_off[:-1]
     tstream[tstarts] = t_width.astype(np.uint8)
     if tbuf.size:
