@@ -286,8 +286,17 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bit_length_np(v: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length. Fast path: frexp's exponent IS the
+    bit length for values exactly representable in float64 (< 2^53 —
+    docids/deltas/tfs are far below); the shift loop handles the
+    (never-hit-in-practice) huge-value case."""
+    tmp = v.astype(np.uint64)
+    if tmp.size == 0:
+        return np.zeros(v.shape, dtype=np.int64)
+    if int(tmp.max()) < (1 << 53):
+        return np.frexp(tmp.astype(np.float64))[1].astype(np.int64)
     bl = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.astype(np.uint64).copy()
+    tmp = tmp.copy()
     for shift in (32, 16, 8, 4, 2, 1):
         m = tmp >= np.uint64(1 << shift)
         bl[m] += shift
