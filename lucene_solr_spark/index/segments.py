@@ -276,14 +276,17 @@ def _invert_kernel_arrow():
                 [None, pa.py_buffer(tb_off.tobytes()),
                  pa.py_buffer(tok_bytes.tobytes())])
             de = pc.dictionary_encode(flat)
-            codes = de.indices.to_numpy().astype(np.int64)
+            # keep codes int32 (dictionary indices already are):
+            # radix argsort passes scale with byte width
+            codes = de.indices.to_numpy()
             uniq_unsorted = de.dictionary  # StringArray of uniques
             # order the dictionary (unsigned-byte term order =
             # TermsHashPerField.sortPostings); small: ~vocab size
             term_order = pc.sort_indices(uniq_unsorted).to_numpy() \
                 .astype(np.int64)
-            rank = np.empty_like(term_order)
-            rank[term_order] = np.arange(term_order.size)
+            rank = np.empty(term_order.size, dtype=np.int32)
+            rank[term_order] = np.arange(term_order.size,
+                                         dtype=np.int32)
             codes = rank[codes]
             uniq = uniq_unsorted.take(pa.array(term_order))
             uniq_py = uniq.to_pylist()
