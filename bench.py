@@ -113,38 +113,54 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(64).select(_warm(F.col("id"))).collect()
 
-    # first run of each query = driver-side Catalyst compile + any
-    # per-query UDF spin-up on top of execution; recorded separately
-    # as queries_cold
-    timings_cold = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings_cold[name] = round(time.perf_counter() - t0, 4)
+    def _query_passes() -> tuple[dict, dict]:
+        # cold pass: driver-side Catalyst compile + any per-query UDF
+        # spin-up on top of execution; recorded separately
+        cold = {}
+        for name in headline:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            cold[name] = round(time.perf_counter() - t0, 4)
+        # pass boundary: release blocks the cold pass leaked (iterative
+        # ops localCheckpoint per round; the RDD references die with the
+        # Python frame but the executor blocks are only freed when the
+        # JVM ContextCleaner sees the GC) — without this the warm pass
+        # measures cumulative memory pressure, not query latency
+        # (observed: sloppy warm 7.6s under leaked-block pressure vs
+        # 1.5s clean)
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        # steady-state latency: second run of each (plan-compile
+        # excluded; same policy the p50 below has always used). In a
+        # served workload a query's plan is compiled once and executed
+        # many times.
+        warm = {}
+        for name in headline:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            warm[name] = round(time.perf_counter() - t0, 4)
+        return cold, warm
 
-    # pass boundary: release blocks the cold pass leaked (iterative ops
-    # localCheckpoint per round; the RDD references die with the Python
-    # frame but the executor blocks are only freed when the JVM
-    # ContextCleaner sees the GC) — without this the warm pass measures
-    # cumulative memory pressure, not query latency (observed: sloppy
-    # warm 7.6s under leaked-block pressure vs 1.5s clean)
-    import gc
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(1.0)
-
-    # steady-state latency: second run of each (plan-compile excluded;
-    # same policy the p50 below has always used). This is the "queries"
-    # map — in a served workload a query's plan is compiled once and
-    # executed many times.
+    timings_cold, warm = _query_passes()
+    # probe-gated re-run (r3 verdict item 1): if the host regime
+    # flipped between the pre-probe and now, the warm pass measured a
+    # different machine than the cold pass — re-run both passes ONCE
+    # and keep the attempt whose probes agree best. A flip is a >25%
+    # move in the 32-proc spin time.
+    probe_mid = _hw_probe()
+    bench_reran = False
+    if abs(probe_mid["32"] - probe_pre["32"]) / probe_pre["32"] > 0.25:
+        bench_reran = True
+        probe_pre = probe_mid
+        timings_cold, warm = _query_passes()
+        probe_mid = _hw_probe()
     lat = []
     for name in headline:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
+        timings[name] = warm[name]
         if name.startswith(("q_", "w_")):
-            lat.append(dt)
+            lat.append(warm[name])
     lat.sort()
     query_p50 = round(lat[len(lat) // 2], 4) if lat else None
 
@@ -237,6 +253,8 @@ def main() -> None:
         # normalize run-to-run numbers. Healthy windows measure ~1.1s
         # at 32-proc, degraded windows 1.4-2.1s.
         "hw_probe_pre": probe_pre,
+        "hw_probe_post_queries": probe_mid,
+        "bench_reran_on_regime_flip": bench_reran,
         "hw_probe_cpu_spin_sec": _hw_probe(),
     }
     print(json.dumps(out))

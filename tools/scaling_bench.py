@@ -79,6 +79,20 @@ def touch(_):
         a[::4096] = 1
         del a
     return time.perf_counter()-t0
+def triad(_):
+    # STREAM-triad-style memory bandwidth on PRE-TOUCHED arrays (no
+    # page faults in the timed region): a = b + 0.5*c over 3x200MB.
+    n = 25_000_000
+    b = np.ones(n); c = np.ones(n); a = np.empty(n); a[:] = 0.0
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        np.multiply(c, 0.5, out=a); np.add(a, b, out=a)
+    dt = time.perf_counter() - t0
+    # bytes moved per rep: read b + read c + write a (+ read a for the
+    # second op) ~= 4 arrays * 8 bytes * n
+    gb = reps * 4 * 8 * n / 1e9
+    return gb / dt  # GB/s seen by THIS process
 if __name__ == "__main__":
     out = {}
     for name, fn, arg in (("cpu", spin, 20_000_000), ("pagefault", touch, 0)):
@@ -88,6 +102,16 @@ if __name__ == "__main__":
                 r = p.map(fn, [arg]*nproc)
             res[nproc] = round(float(np.mean(r)), 2)
         out[name] = res
+    # Aggregate triad bandwidth at rising concurrency: if this curve
+    # flattens by <=2 procs the box's memory buses are saturated and
+    # local[N] vs local[4N] cannot show compute scaling for a
+    # bandwidth-bound job (a real 4N-machine cluster multiplies buses).
+    bw = {}
+    for nproc in (1, 2, 4, 8):
+        with mp.Pool(nproc) as p:
+            per = p.map(triad, range(nproc))
+        bw[nproc] = round(float(np.sum(per)), 1)  # aggregate GB/s
+    out["triad_gbps"] = bw
     print(json.dumps(out))
 """
 
@@ -122,9 +146,14 @@ def main() -> None:
     ap.add_argument("--convs-small", type=int, default=60000)
     ap.add_argument("--convs-large", type=int, default=120000)
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--probe-only", action="store_true",
+                    help="run just the hardware probe and print JSON")
     args = ap.parse_args()
 
     probe = _run_py(PROBE, [], timeout=600)
+    if args.probe_only:
+        print(json.dumps({"hw_probe": probe}))
+        return
 
     results = []
     for pair in args.pairs.split(","):
@@ -179,6 +208,14 @@ def main() -> None:
         f" | {probe['cpu']['4']} | {probe['cpu']['32']} |",
         f"| 800MB first-touch page faults | {probe['pagefault']['1']}"
         f" | {probe['pagefault']['4']} | {probe['pagefault']['32']} |",
+        "",
+        "Aggregate STREAM-triad bandwidth (pre-touched arrays, GB/s",
+        "summed across procs) at 1/2/4/8 concurrent processes:",
+        "",
+        "| 1 proc | 2 procs | 4 procs | 8 procs |",
+        "|---|---|---|---|",
+        f"| {probe['triad_gbps']['1']} | {probe['triad_gbps']['2']}"
+        f" | {probe['triad_gbps']['4']} | {probe['triad_gbps']['8']} |",
         "",
         "Pure CPU scales near-linearly on this box; memory first-touch",
         "does not (hypervisor page-zeroing serializes). A local[4N] run",
