@@ -138,13 +138,19 @@ def standard_tokenize_udf():
         StructField("positions", ArrayType(IntegerType())),
     ])
 
+    from .uax29_vec import standard_tokenize_batch
+
     @F.pandas_udf(ret)
     def _tok(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for chunk in s:
-            out = chunk.map(standard_tokenize)
+            # whole-batch C/dense DFA kernel (uax29_vec) — same
+            # automaton, differentially verified vs standard_tokenize
+            res = standard_tokenize_batch(
+                ["" if t is None else t for t in chunk.tolist()],
+                MAX_TOKEN_LENGTH)
             yield pd.DataFrame({
-                "terms": out.map(lambda t: t[0]),
-                "positions": out.map(lambda t: t[1]),
+                "terms": [r[0] for r in res],
+                "positions": [r[1] for r in res],
             })
 
     return _tok
@@ -201,17 +207,17 @@ def lang_analyze_udf(lang: str):
     )
 
     if lang == "cjk":
-        from .cjk import cjk_analyze as _an
+        from .cjk import cjk_analyze_batch
 
-        def _analyze(t):
-            return _an(t)
+        def _analyze_batch(texts):
+            return cjk_analyze_batch(texts)
     else:
-        from .lang import STEMMERS, lang_analyze
+        from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:
             raise ValueError(f"unknown analyzer language {lang!r}")
 
-        def _analyze(t):
-            return lang_analyze(lang, t)
+        def _analyze_batch(texts):
+            return lang_analyze_batch(lang, texts)
 
     ret = StructType([
         StructField("terms", ArrayType(StringType())),
@@ -221,10 +227,11 @@ def lang_analyze_udf(lang: str):
     @F.pandas_udf(ret)
     def _tok(s: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for chunk in s:
-            out = chunk.map(_analyze)
+            res = _analyze_batch(
+                ["" if t is None else t for t in chunk.tolist()])
             yield pd.DataFrame({
-                "terms": out.map(lambda t: t[0]),
-                "positions": out.map(lambda t: t[1]),
+                "terms": [r[0] for r in res],
+                "positions": [r[1] for r in res],
             })
 
     return _tok

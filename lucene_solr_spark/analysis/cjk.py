@@ -124,8 +124,12 @@ def cjk_bigram(tokens) -> List[Tuple[str, str]]:
 def cjk_analyze(text: str) -> tuple:
     """(terms, positions) for the full CJKAnalyzer chain. Stopwords
     leave position gaps (StopFilter semantics)."""
+    return _cjk_from_spans(text or "", segment(text or ""))
+
+
+def _cjk_from_spans(text: str, spans) -> tuple:
     toks = [(simple_lower(width_fold(text[a:b])), a, b, typ)
-            for a, b, typ in segment(text or "")]
+            for a, b, typ in spans]
     terms: List[str] = []
     positions: List[int] = []
     pos = -1
@@ -136,3 +140,11 @@ def cjk_analyze(text: str) -> tuple:
         terms.append(term)
         positions.append(pos)
     return terms, positions
+
+
+def cjk_analyze_batch(texts: list) -> list:
+    """cjk_analyze over a whole Arrow batch (C/dense UAX#29 kernel for
+    the scan; width-fold/bigram/stop stay per-token)."""
+    from .uax29_vec import segment_batch
+    segs = segment_batch(texts)
+    return [_cjk_from_spans(t, s) for t, s in zip(texts, segs)]
