@@ -2308,6 +2308,60 @@ def _q_blob_meta(spark, sf_dir):
         F.expr(f"CAST(64 + {b1} % 129 AS INT)").alias("fake_height"))
 
 
+def _media_fixture_rows():
+    """(media_id, name, payload bytes) for the committed REAL encoded
+    image fixtures (JPEG/PNG/GIF/BMP written by the JDK's ImageIO —
+    tools/gen_media_fixtures.py). The manifest's dims were REQUESTED
+    from the encoder, so they are independent of the header parser
+    under test."""
+    import json as _json
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "media")
+    man = _json.loads(
+        open(os.path.join(base, "manifest.json")).read())
+    rows = []
+    for i, name in enumerate(sorted(man)):
+        with open(os.path.join(base, name), "rb") as f:
+            rows.append((i, name, f.read()))
+    return rows, man
+
+
+def _q_blob_meta_real(spark, sf_dir):
+    """REAL multimodal metadata: dependency-free header codecs
+    (multimodal/blobs.parse_image_meta — JPEG SOFn walk, PNG IHDR,
+    GIF screen descriptor, BMP info header) through the production
+    decode_images(real=True) mapInPandas path, over genuinely encoded
+    fixture bytes. The oracle holds the encoder-requested dims."""
+    from lucene_solr_spark.multimodal.blobs import as_media, decode_images
+    rows, _man = _media_fixture_rows()
+    df = spark.createDataFrame(rows, "media_id long, name string, "
+                                     "payload binary")
+    media = as_media(df, "media_id", "payload", "image")
+    meta = decode_images(media, real=True)
+    return (meta.join(df.select("media_id", "name"), "media_id")
+            .select(F.col("name"),
+                    F.col("n_bytes").cast("long"),
+                    F.col("width").cast("int"),
+                    F.col("height").cast("int"),
+                    F.col("channels").cast("int"))
+            .orderBy("name"))
+
+
+def _oracle_blob_meta_real() -> str:
+    rows, man = _media_fixture_rows()
+    vals = []
+    for i, name in enumerate(sorted(man)):
+        w, h = man[name]
+        nb = len(rows[i][2])
+        c = 1 if "gray" in name else 3
+        vals.append(f"('{name}', CAST({nb} AS BIGINT), "
+                    f"CAST({w} AS INT), CAST({h} AS INT), "
+                    f"CAST({c} AS INT))")
+    return ("SELECT * FROM (VALUES " + ", ".join(vals) +
+            ") AS t(name, n_bytes, width, height, channels) "
+            "ORDER BY name")
+
+
 # -- round-2b surfaces: streaming expressions, relatedness, elevation,
 #    child block join, percentiles, LTR, repetition, dup clusters ------------
 
@@ -7841,6 +7895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fingerprint": _q_fingerprint,
         "q_highlight": _q_highlight,
         "m_blob_meta": _q_blob_meta,
+        "m_blob_meta_real": _q_blob_meta_real,
         "m_frame_sample": _q_frame_sample,
         "m_resize_meta": _q_resize_meta,
         "v_ann_cosine": _q_ann_cosine,
@@ -8921,6 +8976,8 @@ FROM fx"""
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        sha256(text || ':64x48') AS resized_sha
 FROM documents"""
+
+    out["m_blob_meta_real"] = _oracle_blob_meta_real()
 
     mb0 = f"({hexm.format(p=1)} * 16 + {hexm.format(p=2)})"
     mb1 = f"({hexm.format(p=3)} * 16 + {hexm.format(p=4)})"

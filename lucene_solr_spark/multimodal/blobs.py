@@ -58,25 +58,90 @@ def _fake_dims(payload: bytes) -> tuple:
     return (64 + h[0] % 193, 64 + h[1] % 129, 1 + h[2] % 3)
 
 
+# --------------------------------------------------------------------------
+# dependency-free header codecs (real mode): metadata needs no image
+# library — JPEG dims live in the SOFn segment, PNG's in IHDR, GIF's
+# in the logical screen descriptor, BMP's in the info header. Formats
+# per the public specs (ITU T.81 §B.2.2, PNG RFC 2083 §3.1, GIF89a,
+# BITMAPINFOHEADER).
+# --------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# SOF markers carry frame dims: C0-CF minus DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xDA)) | {0x01}  # RSTn/SOI/TEM
+
+
+def parse_image_meta(payload: bytes):
+    """(width, height, channels) parsed from the encoded header bytes,
+    or None if the format is not recognized. Pure function — no codec
+    library; exercised against real ImageIO-encoded fixtures
+    (tools/gen_media_fixtures.py)."""
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" \
+            and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        c = _PNG_CHANNELS.get(payload[25] if n > 25 else -1)
+        return (w, h, c) if c else None
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None  # desynced: not a marker
+            marker = payload[i + 1]
+            if marker == 0xFF:          # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_STANDALONE:
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5:i + 7], "big")
+                w = int.from_bytes(payload[i + 7:i + 9], "big")
+                return (w, h, payload[i + 9])
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF
+                return None
+            i += 2 + seglen
+        return None
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h, 3)
+    if n >= 26 and payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return (abs(w), abs(h), 3)
+    return None
+
+
 def decode_images(media: DataFrame, real: bool = False) -> DataFrame:
     """mapInPandas image decode: binary payload -> typed metadata.
 
-    ``real=True`` would use an image codec (not available in this
-    container) — raises NotImplementedError. ``real=False`` runs the
-    full Arrow plumbing with the deterministic fake decoder.
+    ``real=True`` parses the actual encoded headers (JPEG/PNG/GIF/BMP,
+    dependency-free — parse_image_meta); unrecognized payloads yield
+    NULL dims. ``real=False`` runs the same Arrow plumbing with the
+    deterministic fake decoder (pixel DECODE, as opposed to metadata,
+    still needs a codec library — see resize_images/sample_frames).
     """
 
     def _decode(it):
         import pandas as pd
         for pdf in it:
-            if real:
-                raise NotImplementedError(
-                    "image codecs are not installed in this container; "
-                    "plug PIL/libvips here")
             rows = {"media_id": [], "n_bytes": [], "width": [],
                     "height": [], "channels": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, c = _fake_dims(bytes(payload))
+                payload = bytes(payload)
+                if real:
+                    meta = parse_image_meta(payload)
+                    w, h, c = meta if meta else (None, None, None)
+                else:
+                    w, h, c = _fake_dims(payload)
                 rows["media_id"].append(int(mid))
                 rows["n_bytes"].append(len(payload))
                 rows["width"].append(w)
