@@ -137,6 +137,12 @@ SEARCH_SPECS: dict[str, tuple[Query, int]] = {
     # spanning whole sub-patterns; RegExp.java REGEXP_INTERSECTION /
     # REGEXP_COMPLEMENT, flags=ALL default)
     "q_regexp_algebra": (Regexp("s.*&~(.*k)"), 10),
+    # round-4: algebra INSIDE concatenation — compiled by true
+    # automaton algebra (symbolic DFA product/complement + GNFA state
+    # elimination, search/regexp.py:_algebra_to_regex; the reference
+    # evaluates these via RegExp.java:897 makeIntersection / :563
+    # complement). Terms starting with s whose remainder contains no o.
+    "q_regexp_midalgebra": (Regexp("s~(.*o.*)"), 10),
     "q_match_all": (MatchAll(), 10),
     "q_multiphrase": (MultiPhrase((("table", "slow"), ("hash", "batch"))),
                       10),
@@ -303,6 +309,8 @@ WAND_SPECS = (
     # predicate-algebra tree through the kernel's expansion /
     # python-matcher fallback paths
     "q_fuzzy2", "q_regexp_algebra",
+    # round-4: mid-pattern automaton algebra through the same paths
+    "q_regexp_midalgebra",
 )
 
 

@@ -37,9 +37,12 @@ def tree_full(pattern, s):
 
 
 def test_intersection_nested_rejected_top_level_supported():
-    # inside a concatenation only automaton algebra could translate
-    with pytest.raises(RegexpUnsupported):
-        lucene_regexp_to_java("(ab&a.*)c")
+    # round 4: inside a concatenation the automaton-algebra path
+    # translates it (DFA product + state elimination)
+    import re
+    rx = re.compile(lucene_regexp_to_java("(ab&a.*)c"))
+    assert rx.fullmatch("abc")
+    assert not rx.fullmatch("aac") and not rx.fullmatch("ab")
     # where it spans a whole (sub)pattern it IS the predicate AND
     assert not tree_full("a&b", "a")      # L(a) ∩ L(b) = {}
     assert not tree_full("a&b", "b")
@@ -48,8 +51,13 @@ def test_intersection_nested_rejected_top_level_supported():
 
 
 def test_complement_nested_rejected_top_level_supported():
-    with pytest.raises(RegexpUnsupported):
-        lucene_regexp_to_java("x~yz")  # '~y' bound inside the concat
+    # round 4: '~y' bound inside the concat now compiles via the
+    # complement DFA
+    import re
+    rx = re.compile(lucene_regexp_to_java("x~yz"))
+    # x ~(y) z: 'xz' (middle "" != "y") and 'xaz' match; 'xyz' not
+    assert rx.fullmatch("xz") and rx.fullmatch("xaz")
+    assert not rx.fullmatch("xyz")
     assert tree_full("~(abc)", "abd")
     assert not tree_full("~(abc)", "abc")
     assert tree_full("abc&~(abd)", "abc")
