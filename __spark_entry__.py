@@ -6983,6 +6983,64 @@ def _q_analyzer_cjk(spark, sf_dir):
         .orderBy("case_id", "pos"))
 
 
+def _ja_golden_sample(n=24):
+    """First n non-empty lines of the reference-generated Japanese
+    golden fixture (tools/gen_kuromoji_dict.py: the REFERENCE
+    JapaneseTokenizer + JapaneseAnalyzer chain run over the compact
+    reference-built dictionary)."""
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "ja_golden.json")
+    with open(path, encoding="utf-8") as f:
+        g = _json.load(f)
+    out = []
+    for line, doc in zip(g["lines"], g["docs"]):
+        if doc:
+            out.append((line, doc))
+        if len(out) >= n:
+            break
+    return out
+
+
+def _q_analyzer_ja(spark, sf_dir):
+    """Japanese morphological analysis (kuromoji class): from-scratch
+    Viterbi lattice over UTF-16 units with the real IPADIC connection
+    matrix / unknown dictionary + the full JapaneseAnalyzer filter
+    chain (analysis/ja.py; reference JapaneseTokenizer.java semantics,
+    default SEARCH mode), through the Arrow pandas-UDF path. The
+    oracle's literals are the REFERENCE analyzer's own token stream
+    over the same dictionary (tests/fixtures/ja_golden.json) — green
+    means the Spark path reproduces the reference morphology
+    token-for-token including position gaps."""
+    from lucene_solr_spark.analysis.analyzers import lang_analyze_udf
+    rows = [(i, line) for i, (line, _doc)
+            in enumerate(_ja_golden_sample())]
+    df = spark.createDataFrame(rows, "case_id int, text string")
+    tok = lang_analyze_udf("ja")
+    t = df.select("case_id", tok(F.col("text")).alias("ts"))
+    return (t.select(
+        "case_id",
+        F.explode(F.arrays_zip("ts.positions", "ts.terms"))
+        .alias("z"))
+        .select("case_id", F.col("z.positions").alias("pos"),
+                F.col("z.terms").alias("term"))
+        .orderBy("case_id", "pos"))
+
+
+def _oracle_analyzer_ja() -> str:
+    rows = []
+    for ci, (_line, doc) in enumerate(_ja_golden_sample()):
+        p = -1
+        for term, inc in doc:
+            p += int(inc)
+            te = term.replace("'", "''")
+            rows.append(f"({ci}, {p}, '{te}')")
+    return ("SELECT CAST(case_id AS INT) AS case_id, "
+            "CAST(pos AS INT) AS pos, term "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") t(case_id, pos, term) ORDER BY case_id, pos")
+
+
 def _q_analysis_filters(spark, sf_dir):
     """FieldAnalysisRequestHandler shape for a filter chain: tokenize
     (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
@@ -8090,6 +8148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{f"q_analyzer_{lang}": _mk_lang_analyzer(lang)
            for lang in _LANGS_10},
         "q_analyzer_cjk": _q_analyzer_cjk,
+        "q_analyzer_ja": _q_analyzer_ja,
         "q_ngram_tokens": _q_ngram_tokens,
         # round-3as: same pattern
         "p_graph": _p_graph,
@@ -13515,6 +13574,8 @@ ORDER BY d.doc_id ASC LIMIT 30"""
         "CAST(pos AS INT) AS pos, term "
         "FROM (VALUES " + ", ".join(_cjk_rows)
         + ") t(case_id, pos, term) ORDER BY case_id, pos")
+
+    out["q_analyzer_ja"] = _oracle_analyzer_ja()
 
     out["q_analysis_filters"] = f"""
 WITH tk AS (

@@ -211,6 +211,11 @@ def lang_analyze_udf(lang: str):
 
         def _analyze_batch(texts):
             return cjk_analyze_batch(texts)
+    elif lang == "ja":
+        from .ja import ja_analyze_batch
+
+        def _analyze_batch(texts):
+            return ja_analyze_batch(texts)
     else:
         from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:

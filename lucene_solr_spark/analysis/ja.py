@@ -1,0 +1,442 @@
+"""Japanese morphological analysis (kuromoji class): a from-scratch
+Viterbi lattice tokenizer + the JapaneseAnalyzer filter chain, driven
+by dictionary artifacts exported from the reference
+(tools/gen_kuromoji_dict.py).
+
+Reference semantics reimplemented (not ported) from
+lucene/analysis/kuromoji/src/java/org/apache/lucene/analysis/ja/
+JapaneseTokenizer.java with the JapaneseAnalyzer default
+configuration — mode=SEARCH, discardPunctuation=true,
+discardCompoundToken=true, no user dictionary — under which the
+reference's machinery reduces to: dictionary + per-character-class
+unknown-word lattice over UTF-16 units, strict-min Viterbi with the
+IPADIC connection matrix (JapaneseTokenizer.add:482), search-mode
+long-token penalties applied to every non-user candidate
+(computePenalty:372 — (len-2)*3000 for all-kanji len>2, (len-7)*1700
+for other len>7), frontier commits and the MAX_BACKTRACE_GAP=1024
+safety prune (parse:685), and punctuation-first-char token discard at
+backtrace (backtrace + isPunctuation). The filter chain mirrors
+JapaneseAnalyzer.createComponents:90: BaseForm -> PartOfSpeechStop
+(exact stoptag match) -> CJKWidth -> Stop (ignore-case) ->
+KatakanaStem (>=4 katakana-block chars ending in U+30FC) -> LowerCase.
+
+Feasibility (round 4): the reference snapshot is MISSING the full
+IPADIC ``TokenInfoDictionary$buffer.dat`` (per-word costs of the 390k
+lexicon), so the stock JapaneseAnalyzer cannot instantiate in this
+sandbox and full-IPADIC behavior is unverifiable here.  The shipped
+``ja_dict/`` artifacts therefore carry a compact (~190 entry) lexicon
+built with the REFERENCE's own TokenInfoDictionaryBuilder on REAL
+IPADIC context ids, paired with the REAL connection matrix, unknown
+dictionary, character definition and stop resources (all complete in
+the snapshot).  Parity is enforced token-for-token against the
+reference analyzer running on the same dictionary
+(tests/fixtures/ja_golden.json); a full IPADIC export drops into the
+same artifact format with no code changes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DICT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "ja_dict")
+
+SEARCH_MODE_KANJI_LENGTH = 2
+SEARCH_MODE_OTHER_LENGTH = 7
+SEARCH_MODE_KANJI_PENALTY = 3000
+SEARCH_MODE_OTHER_PENALTY = 1700
+MAX_UNKNOWN_WORD_LENGTH = 1024
+MAX_BACKTRACE_GAP = 1024
+
+_jadict = None
+
+
+def _unesc(s: str) -> str:
+    if "\\" not in s:
+        return s
+    return (s.replace("\\t", "\t").replace("\\n", "\n")
+            .replace("\\r", "\r").replace("\\\\", "\\"))
+
+
+class _JaDict:
+    __slots__ = ("by_surface", "e_left", "e_cost", "e_pos", "e_base",
+                 "max_len", "M", "cls", "invoke", "group", "kanji",
+                 "punct", "unk_by_class", "u_left", "u_cost", "u_pos",
+                 "stopwords", "stoptags")
+
+
+def _load() -> _JaDict:
+    global _jadict
+    if _jadict is not None:
+        return _jadict
+    d = _JaDict()
+    by_surface: dict = {}
+    e_left: List[int] = []
+    e_cost: List[int] = []
+    e_pos: List[str] = []
+    e_base: List[Optional[str]] = []
+    max_len = 1
+    with gzip.open(os.path.join(_DICT_DIR, "entries.tsv.gz"),
+                   "rt", encoding="utf-8") as f:
+        for line in f:
+            surface, left, cost, pos, base = \
+                line.rstrip("\n").split("\t")
+            surface = _unesc(surface)
+            wid = len(e_left)
+            by_surface.setdefault(surface, []).append(wid)
+            e_left.append(int(left))
+            e_cost.append(int(cost))
+            e_pos.append(_unesc(pos))
+            e_base.append(_unesc(base) or None)
+            if len(surface) > max_len:
+                max_len = len(surface)
+    d.by_surface = by_surface
+    d.e_left = e_left
+    d.e_cost = e_cost
+    d.e_pos = e_pos
+    d.e_base = e_base
+    d.max_len = max_len
+    with gzip.open(os.path.join(_DICT_DIR, "costs.bin.gz"), "rb") as f:
+        header = b""
+        while not header.endswith(b"\n"):
+            header += f.read(1)
+        rows, cols = (int(x) for x in header.split())
+        M = np.frombuffer(f.read(rows * cols * 2), dtype="<i2")
+        d.M = M.reshape(rows, cols).astype(np.int32).tolist()
+    cls = np.zeros(0x10000, dtype=np.int64)
+    invoke = np.zeros(0x10000, dtype=bool)
+    group = np.zeros(0x10000, dtype=bool)
+    kanji = np.zeros(0x10000, dtype=bool)
+    punct = np.zeros(0x10000, dtype=bool)
+    with gzip.open(os.path.join(_DICT_DIR, "chardef.tsv.gz"),
+                   "rt", encoding="utf-8") as f:
+        for line in f:
+            a, b, c, iv, gr, kj, pc = line.split("\t")
+            a, b = int(a), int(b)
+            cls[a:b + 1] = int(c)
+            invoke[a:b + 1] = iv == "1"
+            group[a:b + 1] = gr == "1"
+            kanji[a:b + 1] = kj == "1"
+            punct[a:b + 1] = pc.strip() == "1"
+    d.cls = cls.tolist()
+    d.invoke = invoke.tolist()
+    d.group = group.tolist()
+    d.kanji = kanji.tolist()
+    d.punct = punct.tolist()
+    unk_by_class: dict = {}
+    u_left: List[int] = []
+    u_cost: List[int] = []
+    u_pos: List[str] = []
+    with gzip.open(os.path.join(_DICT_DIR, "unk.tsv.gz"),
+                   "rt", encoding="utf-8") as f:
+        for line in f:
+            _name, cid, left, cost, pos = line.rstrip("\n").split("\t")
+            uid = len(u_left)
+            unk_by_class.setdefault(int(cid), []).append(uid)
+            u_left.append(int(left))
+            u_cost.append(int(cost))
+            u_pos.append(_unesc(pos))
+    d.unk_by_class = unk_by_class
+    d.u_left = u_left
+    d.u_cost = u_cost
+    d.u_pos = u_pos
+    from .uax29 import simple_lower
+
+    def read_stopset(name):
+        out = set()
+        with open(os.path.join(_DICT_DIR, name), encoding="utf-8") \
+                as f:
+            for line in f:
+                line = line.split("#")[0].strip()
+                if line:
+                    out.add(line)
+        return out
+    d.stopwords = frozenset(simple_lower(w)
+                            for w in read_stopset("stopwords.txt"))
+    d.stoptags = frozenset(read_stopset("stoptags.txt"))
+    _jadict = d
+    return d
+
+
+def _units(text: str) -> str:
+    """The string as UTF-16 code units (the reference scans chars, not
+    codepoints); astral codepoints become surrogate pairs."""
+    if all(ord(c) <= 0xFFFF for c in text):
+        return text
+    out = []
+    for c in text:
+        o = ord(c)
+        if o > 0xFFFF:
+            o -= 0x10000
+            out.append(chr(0xD800 + (o >> 10)))
+            out.append(chr(0xDC00 + (o & 0x3FF)))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+class _Pos:
+    __slots__ = ("pos", "costs", "lastRightID", "backPos", "backIndex",
+                 "backID", "backType")
+
+    def __init__(self, pos: int):
+        self.pos = pos
+        self.costs: List[int] = []
+        self.lastRightID: List[int] = []
+        self.backPos: List[int] = []
+        self.backIndex: List[int] = []
+        self.backID: List[int] = []
+        self.backType: List[int] = []
+
+    def add(self, cost, last_right, back_pos, back_index, back_id,
+            back_type):
+        self.costs.append(cost)
+        self.lastRightID.append(last_right)
+        self.backPos.append(back_pos)
+        self.backIndex.append(back_index)
+        self.backID.append(back_id)
+        self.backType.append(back_type)
+
+    @property
+    def count(self):
+        return len(self.costs)
+
+
+_KNOWN, _UNKNOWN = 0, 1
+
+
+def ja_tokenize(text: str) -> List[Tuple[str, str, Optional[str]]]:
+    """JapaneseTokenizer(SEARCH, discardPunctuation, discardCompound)
+    -> [(surface, partOfSpeech, baseFormOrNone)] in token order (every
+    token's position increment is 1 in this configuration)."""
+    d = _load()
+    units = _units(text)
+    n = len(units)
+    if n == 0:
+        return []
+    M = d.M
+    cls, invoke, group, punct, kanji = \
+        d.cls, d.invoke, d.group, d.punct, d.kanji
+    by_surface = d.by_surface
+    e_left, e_cost = d.e_left, d.e_cost
+    u_left, u_cost = d.u_left, d.u_cost
+
+    positions: dict = {}
+    next_pos = 0
+
+    def get_pos(p: int) -> _Pos:
+        nonlocal next_pos
+        pd = positions.get(p)
+        if pd is None:
+            pd = positions[p] = _Pos(p)
+            if p + 1 > next_pos:
+                next_pos = p + 1
+        return pd
+
+    def compute_penalty(p: int, length: int) -> int:
+        if length > SEARCH_MODE_KANJI_LENGTH:
+            all_kanji = True
+            for p2 in range(p, p + length):
+                if not kanji[ord(units[p2])]:
+                    all_kanji = False
+                    break
+            if all_kanji:
+                return (length - SEARCH_MODE_KANJI_LENGTH) \
+                    * SEARCH_MODE_KANJI_PENALTY
+            elif length > SEARCH_MODE_OTHER_LENGTH:
+                return (length - SEARCH_MODE_OTHER_LENGTH) \
+                    * SEARCH_MODE_OTHER_PENALTY
+        return 0
+
+    def add(is_unk: int, from_pd: _Pos, end_pos: int, wid: int):
+        if is_unk:
+            word_cost = u_cost[wid]
+            left_id = u_left[wid]
+        else:
+            word_cost = e_cost[wid]
+            left_id = e_left[wid]
+        least = None
+        least_idx = -1
+        row_costs = from_pd.costs
+        row_right = from_pd.lastRightID
+        for idx in range(len(row_costs)):
+            c = row_costs[idx] + M[row_right[idx]][left_id]
+            if least is None or c < least:
+                least = c
+                least_idx = idx
+        least += word_cost
+        # searchMode && !outputCompounds: every non-user candidate
+        # carries the long-token penalty (JapaneseTokenizer.add:505)
+        least += compute_penalty(from_pd.pos, end_pos - from_pd.pos)
+        get_pos(end_pos).add(least, left_id, from_pd.pos, least_idx,
+                             wid, is_unk)
+
+    tokens: List[Tuple[int, int, int, int]] = []  # backPos,len,id,type
+    last_backtrace_pos = 0
+
+    def backtrace(end_pd: _Pos, from_idx: int):
+        nonlocal last_backtrace_pos
+        end_p = end_pd.pos
+        p = end_p
+        best_idx = from_idx
+        grp = []
+        while p > last_backtrace_pos:
+            pd = positions[p]
+            back_pos = pd.backPos[best_idx]
+            length = p - back_pos
+            back_type = pd.backType[best_idx]
+            back_id = pd.backID[best_idx]
+            next_best_idx = pd.backIndex[best_idx]
+            if length == 0 or not punct[ord(units[back_pos])]:
+                grp.append((back_pos, length, back_id, back_type))
+            p = back_pos
+            best_idx = next_best_idx
+        last_backtrace_pos = end_p
+        tokens.extend(reversed(grp))
+
+    get_pos(0).add(0, 0, -1, -1, -1, _KNOWN)
+    pos = 0
+    while pos < n:
+        pd = get_pos(pos)
+        is_frontier = next_pos == pos + 1
+        if pd.count == 0:
+            pos += 1
+            continue
+        if pos > last_backtrace_pos and pd.count == 1 and is_frontier:
+            # all paths pass through this single node: commit the
+            # prefix and re-base the cost (parse:712)
+            backtrace(pd, 0)
+            pd.costs[0] = 0
+        if pos - last_backtrace_pos >= MAX_BACKTRACE_GAP:
+            # safety prune (parse:738): commit the globally least-cost
+            # partial path and drop all others
+            least = None
+            least_idx = -1
+            least_pd = None
+            for p2 in range(pos, next_pos):
+                pd2 = positions.get(p2)
+                if pd2 is None:
+                    continue
+                for idx in range(pd2.count):
+                    c = pd2.costs[idx]
+                    if least is None or c < least:
+                        least = c
+                        least_idx = idx
+                        least_pd = pd2
+            for p2 in range(pos, next_pos):
+                pd2 = positions.get(p2)
+                if pd2 is None:
+                    continue
+                if pd2 is not least_pd:
+                    positions[p2] = _Pos(p2)
+                elif least_idx != 0:
+                    for attr in ("costs", "lastRightID", "backPos",
+                                 "backIndex", "backID", "backType"):
+                        lst = getattr(pd2, attr)
+                        lst[0] = lst[least_idx]
+                        del lst[1:]
+                else:
+                    for attr in ("costs", "lastRightID", "backPos",
+                                 "backIndex", "backID", "backType"):
+                        del getattr(pd2, attr)[1:]
+            backtrace(least_pd, 0)
+            least_pd.costs[0] = 0
+            if pos != least_pd.pos:
+                pos = least_pd.pos
+            pd = positions[pos]
+            if pd.count == 0:
+                pos += 1
+                continue
+        any_matches = False
+        # known dictionary: all prefix matches (equivalent to the FST
+        # walk — finals found in increasing-length order)
+        lim = min(d.max_len, n - pos)
+        for ln in range(1, lim + 1):
+            wids = by_surface.get(units[pos:pos + ln])
+            if wids:
+                for wid in wids:
+                    add(_KNOWN, pd, pos + ln, wid)
+                any_matches = True
+        # unknown words per character class
+        fc = ord(units[pos])
+        if not any_matches or invoke[fc]:
+            cid = cls[fc]
+            is_punct = punct[fc]
+            if not group[fc]:
+                ulen = 1
+            else:
+                ulen = 1
+                p2 = pos + 1
+                while ulen < MAX_UNKNOWN_WORD_LENGTH and p2 < n:
+                    c2 = ord(units[p2])
+                    if cls[c2] == cid and punct[c2] == is_punct:
+                        ulen += 1
+                        p2 += 1
+                    else:
+                        break
+            for uid in d.unk_by_class.get(cid, ()):
+                add(_UNKNOWN, pd, pos + ulen, uid)
+        pos += 1
+
+    end_pd = get_pos(pos)
+    if end_pd.count:
+        least = None
+        least_idx = -1
+        for idx in range(end_pd.count):
+            c = end_pd.costs[idx] + M[end_pd.lastRightID[idx]][0]
+            if least is None or c < least:
+                least = c
+                least_idx = idx
+        backtrace(end_pd, least_idx)
+
+    out = []
+    for back_pos, length, back_id, back_type in tokens:
+        surf16 = units[back_pos:back_pos + length]
+        surface = surf16.encode("utf-16-le", "surrogatepass") \
+            .decode("utf-16-le", "surrogatepass")
+        if back_type == _UNKNOWN:
+            out.append((surface, d.u_pos[back_id], None))
+        else:
+            base = d.e_base[back_id]
+            out.append((surface, d.e_pos[back_id],
+                        None if base == surface else base))
+    return out
+
+
+def _is_katakana_block(term: str) -> bool:
+    return all(0x30A0 <= ord(c) <= 0x30FF for c in term)
+
+
+def ja_analyze(text: str) -> Tuple[List[str], List[int]]:
+    """(terms, positions): the full JapaneseAnalyzer chain. Filtered
+    tokens (POS stoptags, stopwords) leave position gaps."""
+    from .cjk import width_fold
+    from .uax29 import simple_lower
+    d = _load()
+    terms: List[str] = []
+    positions: List[int] = []
+    pos = -1
+    for surface, ptag, base in ja_tokenize(text or ""):
+        pos += 1
+        term = base if base is not None else surface
+        if ptag in d.stoptags:
+            continue
+        term = width_fold(term)
+        if simple_lower(term) in d.stopwords:
+            continue
+        if len(term) >= 4 and term[-1] == "ー" \
+                and _is_katakana_block(term):
+            term = term[:-1]
+        terms.append(simple_lower(term))
+        positions.append(pos)
+    return terms, positions
+
+
+def ja_analyze_batch(texts: List[str]) -> List[Tuple[List[str],
+                                                     List[int]]]:
+    return [ja_analyze(t) for t in texts]

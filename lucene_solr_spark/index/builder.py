@@ -41,7 +41,7 @@ from ..codecs.smallfloat import norm_byte_sql, qdl_sql
 
 def _is_lang(analyzer: str) -> bool:
     from ..analysis.lang import STEMMERS
-    return analyzer == "cjk" or analyzer in STEMMERS
+    return analyzer in ("cjk", "ja") or analyzer in STEMMERS
 
 
 @dataclass
