@@ -7622,57 +7622,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
     # =================================================================
-    # ROUND-3 GRADING WINDOW (full rotation).  The driver's hard
-    # signal covers only these 50; rounds 1+2 accumulated 99 distinct
-    # driver-checked rows, and the r2 verdict directed: "keep rotating
-    # ... union of r1-r3 driver rows > 150 and every family has at
-    # least one driver-checked representative".  This window holds 46
-    # never-driver-checked rows + 4 pinned/changed re-checks, pushing
-    # the union to 145 (the arithmetic max with pins is 149).  Every
+    # ROUND-4 GRADING WINDOW (full rotation).  The driver's hard
+    # signal covers only these 50; rounds 1-3 accumulated 146 distinct
+    # driver-checked rows, and the r3 verdict directed: swap in 46
+    # never-checked rows prioritizing the classifier family, the
+    # regexp-algebra rows, the LSH-cap audit rows, q_analyzer_cjk,
+    # v_ann_lsh/v_pq, the suggester family and the remaining
+    # s_stream_* math rows; keep the standing pins; target cross-round
+    # union >= 190 with every family driver-checked at least once.
+    # This window holds 46 never-driver-checked rows + 4 pins /
+    # changed-machinery re-checks -> union 192 when green.  Every
     # rotated-OUT row keeps three-scale local verify records
     # (CORRECTNESS_LOCAL_*, tools/verify_contract.py = the driver's
-    # own compare) + pytest.  Pre-round-3 rotation rationale lives in
-    # git history of this block (b4454c1 and earlier).
+    # own compare) + pytest.  Round-3-and-earlier rotation rationale
+    # lives in git history of this block.
     # -----------------------------------------------------------------
-    # (a) NEW this round — new cross-engine machinery must take the
-    # hard check: exact-OSA fuzzy maxEdits=2; the exact UAX#29
-    # tokenizer over the Java-fixture corpus; ten reference-fixture
-    # light-stemmer analyzers.
-    "q_fuzzy2", "q_uax29_multilingual",
-    "q_analyzer_de", "q_analyzer_fr", "q_analyzer_es",
-    "q_analyzer_it", "q_analyzer_pt", "q_analyzer_ru",
-    "q_analyzer_sv", "q_analyzer_no", "q_analyzer_fi",
-    "q_analyzer_hu",
-    # (b) CHANGED this round, never driver-checked: the capped-LSH
-    # label-propagation clusters (exercises the same bounded pair
-    # generation as t_minhash_lsh, which rotates OUT in its favor),
-    # the capped embedding-LSH pairs, and the distributed CSV parse.
-    "t_dup_clusters", "v_embed_lsh", "s_stream_parsecsv",
-    # (c) CHANGED this round, re-check (already driver-green in r2,
-    # but semantics/oracle moved): RegExp dialect layer (also a
-    # round-1 judge pin), hashed-key window dedup, the
-    # length-0-only remove_blank in the update chain.
-    "q_regexp", "t_window_dedup", "t_update_chain",
-    # (d) round-1 judge pin (registry-contract test).
-    "q_spell_wordbreak",
-    # (e) never-driver-checked machinery the r2 verdict named:
-    # taxonomy/drill-sideways, payloads, graph/shortest-path,
-    # v_graph_beam/v_maxsim, multimodal m_*.
-    "q_drill_sideways", "q_payload", "q_payload_check",
-    "q_graph", "q_syn_graph", "p_graph",
-    "v_graph_search", "v_graph_beam", "v_maxsim",
-    "s_stream_shortest_path",
-    "m_frame_sample", "m_blob_meta", "m_resize_meta",
-    # (f) first driver-checked representative for families that never
-    # had one: the WAND packed-segment kernel variants (w_*), the
-    # remaining qparser plugins, component-heavy q rows, stream
-    # decorators, and the PII scrub.
-    "w_phrase_sloppy", "w_fuzzy", "w_regexp", "w_multiphrase",
-    "p_edismax", "p_surround", "p_join", "p_collapse",
-    "q_mlt", "q_ltr", "q_monitor", "q_collapse",
-    "q_sig_terms", "q_highlight_best",
-    "s_stream_rollup", "s_stream_parallel", "s_session_gap",
-    "t_pii",
+    # (a) NEW round-4 machinery — must take the hard check: mid-
+    # pattern regexp automaton algebra (engine + WAND kernel paths),
+    # real-header multimodal metadata, the Japanese morphological
+    # analyzer.
+    "q_regexp_midalgebra", "w_regexp_midalgebra", "m_blob_meta_real",
+    "q_analyzer_ja",
+    # (b) CHANGED machinery re-checks (driver-green r3, but the
+    # production scanner was replaced by the vectorized C/dense UAX#29
+    # kernel this round) + standing round-1 judge pins (q_regexp —
+    # whose translator also changed for algebra — and
+    # q_spell_wordbreak; registry-contract test).
+    "q_uax29_multilingual", "q_analyzer_de",
+    "q_regexp", "q_spell_wordbreak",
+    # (c) r3-verdict-named never-checked rows: classification family,
+    # whole-pattern regexp algebra, the LSH hot-bucket cap audit +
+    # recall harness, bucketed/PQ ANN, CJK analyzer chain.
+    "q_classify_nb", "q_classify_knn", "q_classify_bm25nb",
+    "q_classify_knn_fuzzy",
+    "q_regexp_algebra", "w_regexp_algebra",
+    "t_lsh_hot_buckets", "t_lsh_recall",
+    "v_ann_lsh", "v_pq", "q_analyzer_cjk",
+    # (d) suggest/spell family — first driver-checked representatives
+    # beyond q_spell_wordbreak.
+    "q_suggest", "q_suggest_infix", "q_suggest_edge",
+    "q_suggest_blended", "q_suggest_freetext", "q_suggest_fuzzy",
+    "q_spellcheck_collate",
+    # (e) streaming-expression math/statistics family (never checked).
+    "s_stream_math", "s_stream_stattests", "s_stream_matrix",
+    "s_stream_hist", "s_stream_interp", "s_stream_gaussfit",
+    "s_stream_kmeans", "s_stream_dbscan", "s_stream_markov",
+    "s_stream_mvn",
+    # (f) first driver-checked representative for remaining families:
+    # pluggable similarities, interval algebra, spans, geo, tree LTR,
+    # store integrity (CheckIndex), exact-OSA through the WAND kernel,
+    # the export writer, SemDeDup and perplexity-bucket selection.
+    "q_sim_classic", "q_sim_dfr",
+    "q_interval_ordered", "q_interval_contains",
+    "q_span_first", "q_span_multiterm",
+    "q_geo_distance", "q_geo_polygon",
+    "q_ltr_tree", "q_check_index", "w_fuzzy2", "q_export",
+    "v_semdedup", "t_ppl_buckets",
 ]
 # Round-2j surfaces (past-window, three-scale verify_contract records
 # as evidence — the established pattern): q_suggest_blended (the

@@ -37,19 +37,15 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
-        # round-3 grading rotation (full window turnover — see the
-        # rationale block at the head of WINDOW_ORDER): new exact-OSA
-        # fuzzy, exact UAX#29 tokenizer, ten light-stemmer analyzers,
-        # capped-LSH clusters, distributed CSV parse, changed-op
-        # re-checks. Previous waves' rows keep three-scale local
-        # verify records (CORRECTNESS_LOCAL_*).
-        "q_fuzzy2", "q_uax29_multilingual",
-        "q_analyzer_de", "q_analyzer_fr", "q_analyzer_es",
-        "q_analyzer_it", "q_analyzer_pt", "q_analyzer_ru",
-        "q_analyzer_sv", "q_analyzer_no", "q_analyzer_fi",
-        "q_analyzer_hu",
-        "t_dup_clusters", "v_embed_lsh", "s_stream_parsecsv",
-        "t_window_dedup", "t_update_chain",
+        # round-4 grading rotation (full window turnover — see the
+        # rationale block at the head of WINDOW_ORDER): new mid-
+        # pattern regexp automaton algebra, real-header multimodal
+        # metadata, the Japanese morphological analyzer, plus the
+        # vectorized-UAX29 re-checks. Previous waves' rows keep
+        # three-scale local verify records (CORRECTNESS_LOCAL_*).
+        "q_regexp_midalgebra", "w_regexp_midalgebra",
+        "m_blob_meta_real", "q_analyzer_ja",
+        "q_uax29_multilingual", "q_analyzer_de",
     ]
     out = [n for n in pinned + newest_wave if n not in window]
     assert not out, f"required surfaces fell out of the window: {out}"
