@@ -7041,6 +7041,74 @@ def _oracle_analyzer_ja() -> str:
             + ") t(case_id, pos, term) ORDER BY case_id, pos")
 
 
+def _lang2_golden_sample(lang, n=16):
+    """Representative non-empty lines of the second-wave golden
+    fixture (tools/gen_lang2_fixtures.py: the COMPILED reference
+    analyzers run over stop lists, affix combos, random script words,
+    digits and normalization-sensitive sequences).  Takes an evenly
+    spaced sample so stop-list, combo and random sections all
+    appear."""
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "lang2_golden.json")
+    with open(path, encoding="utf-8") as f:
+        g = _json.load(f)[lang]
+    rows = [(line, doc) for line, doc
+            in zip(g["lines"], g["docs"]) if doc]
+    step = max(1, len(rows) // n)
+    return rows[::step][:n]
+
+
+def _mk_lang2_analyzer(lang):
+    def f(spark, sf_dir):
+        """Second-wave language analyzer (round 4): the reference
+        {Lang}Analyzer default chain — normalizers + light stemmer +
+        stop set (analysis/lang2.py, token-for-token vs the COMPILED
+        reference analyzer over the full fixture corpus) — through
+        the Arrow pandas-UDF path.  The oracle's literals are the
+        reference analyzer's own token stream."""
+        from lucene_solr_spark.analysis.analyzers import lang_analyze_udf
+        rows = [(i, line) for i, (line, _doc)
+                in enumerate(_lang2_golden_sample(lang))]
+        df = spark.createDataFrame(rows, "case_id int, text string")
+        tok = lang_analyze_udf(lang)
+        t = df.select("case_id", tok(F.col("text")).alias("ts"))
+        return (t.select(
+            "case_id",
+            F.explode(F.arrays_zip("ts.positions", "ts.terms"))
+            .alias("z"))
+            .select("case_id", F.col("z.positions").alias("pos"),
+                    F.col("z.terms").alias("term"))
+            .orderBy("case_id", "pos"))
+    f.__name__ = f"_q_analyzer_{lang}"
+    f.__doc__ = f.__doc__ or ""
+    return f
+
+
+def _unesc_fixture(s: str) -> str:
+    if "\\" not in s:
+        return s
+    return (s.replace("\\t", "\t").replace("\\n", "\n")
+            .replace("\\r", "\r").replace("\\\\", "\\"))
+
+
+def _oracle_lang2(lang) -> str:
+    rows = []
+    for ci, (_line, doc) in enumerate(_lang2_golden_sample(lang)):
+        p = -1
+        for term, inc in doc:
+            p += int(inc)
+            te = _unesc_fixture(term).replace("'", "''")
+            rows.append(f"({ci}, {p}, '{te}')")
+    return ("SELECT CAST(case_id AS INT) AS case_id, "
+            "CAST(pos AS INT) AS pos, term "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") t(case_id, pos, term) ORDER BY case_id, pos")
+
+
+_LANGS2_ENTRY = ("ar", "fa", "bg", "cz", "hi", "id", "lv")
+
+
 def _q_analysis_filters(spark, sf_dir):
     """FieldAnalysisRequestHandler shape for a filter chain: tokenize
     (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
@@ -8154,6 +8222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            for lang in _LANGS_10},
         "q_analyzer_cjk": _q_analyzer_cjk,
         "q_analyzer_ja": _q_analyzer_ja,
+        **{f"q_analyzer_{_l}": _mk_lang2_analyzer(_l)
+           for _l in _LANGS2_ENTRY},
         "q_ngram_tokens": _q_ngram_tokens,
         # round-3as: same pattern
         "p_graph": _p_graph,
@@ -13581,6 +13651,8 @@ ORDER BY d.doc_id ASC LIMIT 30"""
         + ") t(case_id, pos, term) ORDER BY case_id, pos")
 
     out["q_analyzer_ja"] = _oracle_analyzer_ja()
+    for _l in _LANGS2_ENTRY:
+        out[f"q_analyzer_{_l}"] = _oracle_lang2(_l)
 
     out["q_analysis_filters"] = f"""
 WITH tk AS (

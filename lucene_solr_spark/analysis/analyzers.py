@@ -216,6 +216,11 @@ def lang_analyze_udf(lang: str):
 
         def _analyze_batch(texts):
             return ja_analyze_batch(texts)
+    elif lang in ("ar", "fa", "bg", "cz", "hi", "id", "lv"):
+        from .lang2 import lang2_analyze_batch
+
+        def _analyze_batch(texts):
+            return lang2_analyze_batch(lang, texts)
     else:
         from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:

@@ -41,7 +41,9 @@ from ..codecs.smallfloat import norm_byte_sql, qdl_sql
 
 def _is_lang(analyzer: str) -> bool:
     from ..analysis.lang import STEMMERS
-    return analyzer in ("cjk", "ja") or analyzer in STEMMERS
+    from ..analysis.lang2 import LANGS2
+    return analyzer in ("cjk", "ja") or analyzer in LANGS2 \
+        or analyzer in STEMMERS
 
 
 @dataclass
