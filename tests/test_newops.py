@@ -148,8 +148,13 @@ def test_multimodal_plumbing(spark, docs):
     assert all(len(r.payload) == 32 for r in rs)  # sha256 fake payload
     fr = sample_frames(media.limit(5), every_n=24).collect()
     assert len(fr) >= 5
-    with pytest.raises(Exception):
-        decode_images(media, real=True).collect()
+    # round 4: real mode parses actual headers (blobs.parse_image_meta)
+    # — these text payloads are not encoded images, so dims are NULL
+    # (real encoded fixtures are covered by test_r6b_media.py)
+    rm = decode_images(media, real=True).collect()
+    assert len(rm) == docs.count()
+    assert all(r.width is None and r.height is None
+               and r.channels is None for r in rm)
 
 
 def test_highlight_snippet_contains_term(spark, searcher):
