@@ -101,6 +101,10 @@ def main() -> None:
         # the exact UAX#29 tokenizer through the Arrow UDF path, one
         # light-stemmer analyzer row
         "q_fuzzy2", "q_uax29_multilingual", "q_analyzer_de",
+        # round-4: Japanese morphological analysis (Viterbi lattice
+        # through the Arrow path) and mid-pattern regexp automaton
+        # algebra through the engine's predicate compiler
+        "q_analyzer_ja", "q_regexp_midalgebra",
     ]
     qs = entrymod.queries()
 
