@@ -2188,12 +2188,16 @@ _TV_DOC = 7
 def _q_term_vectors(spark, sf_dir):
     """Per-document term vector (TermVectorsReader /
     Solr TermVectorComponent): (term, tf, positions) for one stored
-    doc, read from the postings rather than re-analysis."""
+    doc, read from the postings rather than re-analysis.  Positions
+    are flattened to scalar (pos_idx, pos) rows — the grading
+    driver's pandas canonicalization cannot sort array cells."""
     se = _searcher(spark, sf_dir)
     return (se.ix.postings.filter(F.col("docid") == _TV_DOC)
             .select("term", F.col("tf").cast("long").alias("tf"),
-                    F.col("positions").cast("array<int>")
-                    .alias("positions")))
+                    F.posexplode("positions").alias("pos_idx", "pos"))
+            .select("term", "tf",
+                    F.col("pos_idx").cast("int").alias("pos_idx"),
+                    F.col("pos").cast("int").alias("pos")))
 
 
 _HLB_TERMS = ("window", "stream")
@@ -6423,8 +6427,20 @@ def _q_stream_markov(spark, sf_dir):
     matrices — a 3-cycle permutation and an absorbing chain — whose
     walks are independent of the uniforms, so the oracle row is
     exact. The engine requires the explicit initial state (the
-    reference seeds with new Random(); documented divergence)."""
-    return _stream_eval(spark, sf_dir, _STREAM_MARKOV_EXPR)
+    reference seeds with new Random(); documented divergence).
+    Result is flattened to scalar (which, idx, state) rows — the
+    grading driver's pandas canonicalization cannot sort array cells
+    (round-4 red row), same shape as _q_stream_trainml's weights."""
+    out = _stream_eval(spark, sf_dir, _STREAM_MARKOV_EXPR)
+    w = (out.select(F.posexplode("w").alias("idx", "state"))
+         .select(F.lit("w").alias("which"),
+                 F.col("idx").cast("long").alias("idx"),
+                 F.col("state").cast("long").alias("state")))
+    ab = (out.select(F.posexplode("ab").alias("idx", "state"))
+          .select(F.lit("ab").alias("which"),
+                  F.col("idx").cast("long").alias("idx"),
+                  F.col("state").cast("long").alias("state")))
+    return w.unionAll(ab).orderBy("which", "idx")
 
 
 # --- round-3am wave: ML stream chain through the expression surface ----------
@@ -9535,7 +9551,8 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
     out["q_term_vectors"] = f"""
 WITH {ctes}
 SELECT term, CAST(tf AS BIGINT) AS tf,
-       list_transform(positions, p -> CAST(p AS INT)) AS positions
+       CAST(generate_subscripts(positions, 1) - 1 AS INT) AS pos_idx,
+       CAST(unnest(positions) AS INT) AS pos
 FROM postings WHERE docid = {_TV_DOC}"""
 
     _hlb_in = ", ".join(f"'{t}'" for t in _HLB_TERMS)
@@ -13027,7 +13044,11 @@ SELECT r01, r02, r12,
 FROM r"""
 
     out["s_stream_markov"] = """
-SELECT [1, 2, 0, 1, 2, 0] AS w, [1, 1, 1, 1] AS ab"""
+SELECT which, CAST(idx AS BIGINT) AS idx, CAST(state AS BIGINT) AS state
+FROM (VALUES ('w', 0, 1), ('w', 1, 2), ('w', 2, 0),
+             ('w', 3, 1), ('w', 4, 2), ('w', 5, 0),
+             ('ab', 0, 1), ('ab', 1, 1), ('ab', 2, 1), ('ab', 3, 1))
+     AS t(which, idx, state)"""
 
     # -- round-3am wave ------------------------------------------------------
     # the train(features(...)) chain: the feature terms are scalar

@@ -41,6 +41,17 @@ def main() -> None:
     # record, and the recording procedure gates on the pre-probe —
     # see BENCH/BASELINE.md "Host variance")
     probe_pre = _hw_probe()
+    # r4 verdict item 4: don't start a timed run inside a degraded host
+    # window (healthy 32-proc spin reads 0.95-1.13s on this box; the
+    # round-4 driver record started at 1.33 and recorded 6 warm>cold
+    # rows). Retry the probe a few times with a pause; if the window
+    # never clears, proceed but stamp the record as degraded.
+    probe_retries = 0
+    while probe_pre["32"] > 1.2 and probe_retries < 3:
+        probe_retries += 1
+        time.sleep(30.0)
+        probe_pre = _hw_probe()
+    probe_degraded_start = probe_pre["32"] > 1.2
 
     timings: dict[str, float] = {}
 
@@ -148,15 +159,19 @@ def main() -> None:
         return cold, warm
 
     timings_cold, warm = _query_passes()
-    # probe-gated re-run (r3 verdict item 1): if the host regime
-    # flipped between the pre-probe and now, the warm pass measured a
-    # different machine than the cold pass — re-run both passes ONCE
-    # and keep the attempt whose probes agree best. A flip is a >25%
-    # move in the 32-proc spin time.
+    # probe-gated re-run (r3 verdict item 1, gate tightened to 10% per
+    # the r4 verdict — the round-4 record's 13% flip slipped a 25%
+    # gate): if the host regime flipped between the pre-probe and now,
+    # the warm pass measured a different machine than the cold pass —
+    # re-run both passes (up to twice) until pre/post probes agree
+    # within 10%.
     probe_mid = _hw_probe()
     bench_reran = False
-    if abs(probe_mid["32"] - probe_pre["32"]) / probe_pre["32"] > 0.25:
+    reruns = 0
+    while (abs(probe_mid["32"] - probe_pre["32"]) / probe_pre["32"]
+           > 0.10 and reruns < 2):
         bench_reran = True
+        reruns += 1
         probe_pre = probe_mid
         timings_cold, warm = _query_passes()
         probe_mid = _hw_probe()
@@ -259,6 +274,9 @@ def main() -> None:
         "hw_probe_pre": probe_pre,
         "hw_probe_post_queries": probe_mid,
         "bench_reran_on_regime_flip": bench_reran,
+        "bench_rerun_count": reruns,
+        "hw_probe_start_retries": probe_retries,
+        "hw_probe_degraded_start": probe_degraded_start,
         "hw_probe_cpu_spin_sec": _hw_probe(),
     }
     print(json.dumps(out))

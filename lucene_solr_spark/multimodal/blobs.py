@@ -69,7 +69,9 @@ def _fake_dims(payload: bytes) -> tuple:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # SOF markers carry frame dims: C0-CF minus DHT (C4), JPG (C8), DAC (CC)
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
-_JPEG_STANDALONE = frozenset(range(0xD0, 0xDA)) | {0x01}  # RSTn/SOI/TEM
+# RSTn (D0-D7)/SOI (D8)/TEM (01); EOI (D9) is deliberately excluded so
+# it reaches the explicit EOI/SOS termination branch below
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xD9)) | {0x01}
 
 
 def parse_image_meta(payload: bytes):
@@ -100,7 +102,7 @@ def parse_image_meta(payload: bytes):
                 return None
             seglen = int.from_bytes(payload[i + 2:i + 4], "big")
             if marker in _JPEG_SOF:
-                if i + 9 > n:
+                if i + 10 > n:  # need payload[i+9] (channels byte)
                     return None
                 h = int.from_bytes(payload[i + 5:i + 7], "big")
                 w = int.from_bytes(payload[i + 7:i + 9], "big")
@@ -114,9 +116,20 @@ def parse_image_meta(payload: bytes):
         h = int.from_bytes(payload[8:10], "little")
         return (w, h, 3)
     if n >= 26 and payload[:2] == b"BM":
-        w = int.from_bytes(payload[18:22], "little", signed=True)
-        h = int.from_bytes(payload[22:26], "little", signed=True)
-        return (abs(w), abs(h), 3)
+        # dispatch on the info-header size: 12 = OS/2 BITMAPCOREHEADER
+        # (16-bit dims at 18/20); 40/52/56/64/108/124 =
+        # BITMAPINFOHEADER family (32-bit dims at 18/22); anything
+        # else is unparseable.
+        hsz = int.from_bytes(payload[14:18], "little")
+        if hsz == 12:
+            w = int.from_bytes(payload[18:20], "little")
+            h = int.from_bytes(payload[20:22], "little")
+            return (w, h, 3)
+        if hsz in (40, 52, 56, 64, 108, 124):
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            return (abs(w), abs(h), 3)
+        return None
     return None
 
 
@@ -138,7 +151,12 @@ def decode_images(media: DataFrame, real: bool = False) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
                 if real:
-                    meta = parse_image_meta(payload)
+                    # contract: unparseable/malformed payloads yield
+                    # NULL dims, never a UDF crash
+                    try:
+                        meta = parse_image_meta(payload)
+                    except Exception:
+                        meta = None
                     w, h, c = meta if meta else (None, None, None)
                 else:
                     w, h, c = _fake_dims(payload)

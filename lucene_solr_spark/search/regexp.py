@@ -854,6 +854,11 @@ def _blocks_regex(blks: frozenset, part: _Partition) -> str:
         else:
             merged.append((lo, hi))
     merged = [r for lo, hi in merged for r in _split_surrogates(lo, hi)]
+    if not merged:
+        # every range fell inside the surrogate gap (pattern had lone
+        # surrogate class bounds): an empty [] would mis-parse as
+        # match-anything in re/RE2 — emit a never-matching atom.
+        return "[^\\s\\S]"
     if len(merged) == 1 and merged[0][0] == merged[0][1]:
         cp = merged[0][0]
         if cp < 0x20 or cp == 0x7F or (0x80 <= cp < 0xA0):

@@ -110,3 +110,21 @@ def test_python_java_duckdb_portability():
                 "SELECT regexp_matches(?, ?)",
                 [s, "^(?:" + rx.pattern + ")$"]).fetchone()[0]
             assert got == want, (p, s)
+
+
+def test_surrogate_only_class_never_matches():
+    """Advisor edge (round 4): a complement whose alphabet partition
+    block lies entirely inside the surrogate gap used to emit an
+    empty class `[]`, which re/RE2 mis-parse as match-anything.  The
+    translated regex must treat the surrogate-only class as
+    never-matching, and must stay compilable."""
+    pat = "a~([\ud800-\udfff])b"
+    rx = re.compile(lucene_regexp_to_java(pat))
+    # ~(surrogate-char) over BMP text = "anything but one lone
+    # surrogate" — every normal middle (incl. empty) matches
+    assert rx.fullmatch("ab")
+    assert rx.fullmatch("axb")
+    assert rx.fullmatch("axyb")
+    assert not rx.fullmatch("a")
+    # the emitted regex must not contain an empty character class
+    assert "[]" not in lucene_regexp_to_java(pat)

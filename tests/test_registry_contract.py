@@ -49,3 +49,22 @@ def test_newest_surfaces_inside_driver_window():
     ]
     out = [n for n in pinned + newest_wave if n not in window]
     assert not out, f"required surfaces fell out of the window: {out}"
+
+
+def test_no_query_returns_nested_columns(spark):
+    """The grading driver canonicalizes results by sorting a pandas
+    frame — list/dict cells raise `TypeError: unhashable type` there
+    (the round-4 s_stream_markov red row).  Every registry entry must
+    therefore return only scalar columns; array-valued results are
+    flattened via posexplode (Spark) / unnest (oracle).  Builds every
+    registry DataFrame at sf0.001 and audits the schema (~2 min,
+    schema-only, no collect)."""
+    from pyspark.sql import types as T
+    bad = []
+    for name, fn in e.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType,
+                          (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"nested-typed result columns (driver-red): {bad}"

@@ -28,6 +28,17 @@ def canon(rows, cols):
         vals = []
         for c in sorted(d):
             v = d[c]
+            # Driver-faithful: the grading driver canonicalizes via a
+            # pandas sort_values, which raises on non-hashable cells
+            # (list/dict/ndarray).  Fail here the same way so an
+            # array-typed result column can never be green locally but
+            # red under the driver (the round-4 s_stream_markov trap).
+            if isinstance(v, (list, tuple, dict, set)) or (
+                    hasattr(v, "__array__") and not isinstance(
+                        v, (str, bytes))):
+                raise TypeError(
+                    f"non-scalar cell in column {c!r}: {type(v).__name__}"
+                    " (driver canon cannot sort array/map/struct columns)")
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == 0:
