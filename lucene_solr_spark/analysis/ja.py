@@ -412,31 +412,54 @@ def _is_katakana_block(term: str) -> bool:
     return all(0x30A0 <= ord(c) <= 0x30FF for c in term)
 
 
-def ja_analyze(text: str) -> Tuple[List[str], List[int]]:
-    """(terms, positions): the full JapaneseAnalyzer chain. Filtered
-    tokens (POS stoptags, stopwords) leave position gaps."""
+def term_final(d: "_JaDict", term: str) -> Optional[str]:
+    """The term-level tail of the JapaneseAnalyzer chain (CJKWidth ->
+    Stop -> KatakanaStem -> LowerCase) for one already-base-formed,
+    non-stoptag term; None when the stop filter drops it.  Single
+    source of truth for the scalar chain AND ja_vec's precomputed
+    per-word-id tables."""
     from .cjk import width_fold
     from .uax29 import simple_lower
+    term = width_fold(term)
+    if simple_lower(term) in d.stopwords:
+        return None
+    if len(term) >= 4 and term[-1] == "ー" \
+            and _is_katakana_block(term):
+        term = term[:-1]
+    return simple_lower(term)
+
+
+def _chain(tokens: List[Tuple[str, str, Optional[str]]]
+           ) -> Tuple[List[str], List[int]]:
+    """The JapaneseAnalyzer filter chain over a token stream (shared
+    by the scalar and compiled tokenizer paths)."""
     d = _load()
     terms: List[str] = []
     positions: List[int] = []
     pos = -1
-    for surface, ptag, base in ja_tokenize(text or ""):
+    for surface, ptag, base in tokens:
         pos += 1
-        term = base if base is not None else surface
         if ptag in d.stoptags:
             continue
-        term = width_fold(term)
-        if simple_lower(term) in d.stopwords:
+        f = term_final(d, base if base is not None else surface)
+        if f is None:
             continue
-        if len(term) >= 4 and term[-1] == "ー" \
-                and _is_katakana_block(term):
-            term = term[:-1]
-        terms.append(simple_lower(term))
+        terms.append(f)
         positions.append(pos)
     return terms, positions
 
 
+def ja_analyze(text: str) -> Tuple[List[str], List[int]]:
+    """(terms, positions): the full JapaneseAnalyzer chain. Filtered
+    tokens (POS stoptags, stopwords) leave position gaps."""
+    return _chain(ja_tokenize(text or ""))
+
+
 def ja_analyze_batch(texts: List[str]) -> List[Tuple[List[str],
                                                      List[int]]]:
-    return [ja_analyze(t) for t in texts]
+    """Batch analyze: compiled Viterbi lattice + precomputed chain
+    tables (ja_vec) when a compiler is available, scalar python
+    otherwise — identical output (differentially tested,
+    tests/test_r7a_ja_vec.py)."""
+    from .ja_vec import ja_analyze_batch as _vec
+    return _vec(texts)
