@@ -154,6 +154,68 @@ _LOWER[65:91] += 32
 
 _ALLOC_TUNED = False
 
+# ---------------------------------------------------------------------------
+# per-process transient arena (round-5): the invert kernel's large
+# transients (token-byte gathers, token-scale sort/scatter arrays) are
+# served from grow-only pooled buffers instead of fresh np.empty per
+# batch.  On this class of virtualized host, first-touch page supply
+# (hypervisor page zeroing) is the measured concurrency ceiling of the
+# build (BENCH/BASELINE.md "Host variance"; the STREAM-triad probe
+# shows bandwidth itself scales ~90% linear) — steady-state batches
+# must touch no new pages.  Buffers grow to the high-water mark of the
+# worker's batch sizes and are reused for the life of the process
+# (spark.python.worker.reuse is on by default).
+# ---------------------------------------------------------------------------
+
+_ARENA: dict = {}
+
+
+def _arena(name: str, n: int, dtype) -> np.ndarray:
+    """A length-n view of the grow-only pooled buffer ``name``.
+    Contents are UNINITIALIZED (like np.empty) — callers must fully
+    overwrite. Distinct names never alias."""
+    need = int(n) * np.dtype(dtype).itemsize
+    buf = _ARENA.get(name)
+    if buf is None or buf.nbytes < need:
+        cap = 1 << max(16, need - 1).bit_length()
+        buf = _ARENA[name] = np.empty(cap, dtype=np.uint8)
+    return buf[:need].view(dtype)
+
+
+_IOTA32 = np.empty(0, dtype=np.int32)
+_IOTA64 = np.empty(0, dtype=np.int64)
+
+
+def _iota32(n: int) -> np.ndarray:
+    global _IOTA32
+    if _IOTA32.size < n:
+        _IOTA32 = np.arange(1 << (n - 1).bit_length(), dtype=np.int32)
+    return _IOTA32[:n]
+
+
+def _iota64(n: int) -> np.ndarray:
+    global _IOTA64
+    if _IOTA64.size < n:
+        _IOTA64 = np.arange(1 << (n - 1).bit_length(), dtype=np.int64)
+    return _IOTA64[:n]
+
+
+def _segment_ids(group_off: np.ndarray, n: int, name: str,
+                 dtype=np.int64) -> np.ndarray:
+    """group index per element from group start offsets (the arena
+    form of np.repeat(arange(len(group_off)-1), diff(group_off))):
+    scatter 1 at each group boundary, cumsum in place."""
+    out = _arena(name, n, dtype)
+    out[:] = 0
+    # duplicates (empty groups) accumulate; boundaries at n belong to
+    # trailing empty groups with no elements to label
+    b = group_off[1:-1]
+    b = b[b < n]
+    if b.size:
+        np.add.at(out, b, 1)
+    np.cumsum(out, out=out)
+    return out
+
 
 def _tune_allocator():
     """Make reused python workers keep their heap warm.
@@ -207,11 +269,12 @@ def _byte_tokenize(text_col):
     if nb == 0:
         z = np.empty(0, dtype=np.int64)
         return raw, toffs, z, z, z
-    mask = _ALNUM[raw]
-    prev = np.empty(nb, dtype=bool)
+    mask = _arena("tok_mask", nb, bool)
+    np.take(_ALNUM, raw, out=mask)
+    prev = _arena("tok_prev", nb, bool)
     prev[0] = False
     prev[1:] = mask[:-1]
-    nxt = np.empty(nb, dtype=bool)
+    nxt = _arena("tok_nxt", nb, bool)
     nxt[-1] = False
     nxt[:-1] = mask[1:]
     doc_edge = toffs[1:-1]
@@ -254,23 +317,45 @@ def _invert_kernel_arrow():
         n_tok = tok_starts.size
         dl = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
         qdl = quantize_length_np(dl)
-        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        offsets = _arena("seg_doff", n_docs + 1, np.int64)
+        offsets[0] = 0
         np.cumsum(dl, out=offsets[1:])
 
         if n_tok:
-            # ---- materialize lowercased token bytes (ragged gather) ---
-            lens = tok_ends - tok_starts
-            tb_off = np.zeros(n_tok + 1, dtype=np.int64)
+            # ---- materialize lowercased token bytes (ragged gather),
+            # all large transients served from the per-process arena
+            # (steady-state batches touch no new pages) -----------------
+            lens = _arena("seg_lens", n_tok, np.int64)
+            np.subtract(tok_ends, tok_starts, out=lens)
+            tb_off = _arena("seg_tboff", n_tok + 1, np.int64)
+            tb_off[0] = 0
             np.cumsum(lens, out=tb_off[1:])
+            ntb = int(tb_off[-1])
+            # token index per output byte: scatter 1 at token
+            # boundaries + in-place cumsum (tb_off is strictly
+            # increasing — token lengths >= 1)
+            tob = _arena("seg_tob", ntb, np.int32)
+            tob[:] = 0
+            if n_tok > 1:
+                tob[tb_off[1:-1]] = 1
+            np.cumsum(tob, out=tob)
             # int32 gather: a segment's text is far below 2 GB, and the
             # index array is the kernel's largest transient (8 bytes per
             # token byte at int64) — halving it halves the memory
-            # streaming of the gather on this bandwidth-bound host
-            lens32 = lens.astype(np.int32)
-            gidx = (np.arange(int(tb_off[-1]), dtype=np.int32)
-                    - np.repeat(tb_off[:-1].astype(np.int32), lens32)
-                    + np.repeat(tok_starts.astype(np.int32), lens32))
-            tok_bytes = _LOWER[raw[gidx]]
+            # streaming of the gather on this bandwidth-bound host.
+            # gidx[b] = b - tb_off[tok(b)] + tok_starts[tok(b)]
+            shift = _arena("seg_shift", n_tok, np.int32)
+            shift[:] = tok_starts
+            shift2 = _arena("seg_shift2", n_tok, np.int32)
+            shift2[:] = tb_off[:-1]
+            np.subtract(shift, shift2, out=shift)
+            gidx = _arena("seg_gidx", ntb, np.int32)
+            np.take(shift, tob, out=gidx)
+            np.add(gidx, _iota32(ntb), out=gidx)
+            graw = _arena("seg_graw", ntb, np.uint8)
+            np.take(raw, gidx, out=graw)
+            tok_bytes = _arena("seg_tokb", ntb, np.uint8)
+            np.take(_LOWER, graw, out=tok_bytes)
             flat = pa.Array.from_buffers(
                 pa.large_utf8(), n_tok,
                 [None, pa.py_buffer(tb_off.tobytes()),
@@ -278,7 +363,7 @@ def _invert_kernel_arrow():
             de = pc.dictionary_encode(flat)
             # keep codes int32 (dictionary indices already are):
             # radix argsort passes scale with byte width
-            codes = de.indices.to_numpy()
+            codes0 = de.indices.to_numpy()
             uniq_unsorted = de.dictionary  # StringArray of uniques
             # order the dictionary (unsigned-byte term order =
             # TermsHashPerField.sortPostings); small: ~vocab size
@@ -287,30 +372,41 @@ def _invert_kernel_arrow():
             rank = np.empty(term_order.size, dtype=np.int32)
             rank[term_order] = np.arange(term_order.size,
                                          dtype=np.int32)
-            codes = rank[codes]
+            codes = _arena("seg_codes", n_tok, np.int32)
+            np.take(rank, codes0, out=codes)
             uniq = uniq_unsorted.take(pa.array(term_order))
-            uniq_py = uniq.to_pylist()
+            nuniq = len(uniq)
 
             n_docs = dl.size
-            doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), dl)
-            pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
-                offsets[:-1], dl)
+            doc_ix = _segment_ids(offsets, n_tok, "seg_docix")
+            pos = _arena("seg_pos", n_tok, np.int64)
+            np.take(offsets, doc_ix, out=pos)
+            np.subtract(_iota64(n_tok), pos, out=pos)
             order2 = np.argsort(codes, kind="stable")
-            sdoc = doc_ix[order2]
-            spos = pos[order2]
-            scodes = codes[order2]
+            sdoc = _arena("seg_sdoc", n_tok, np.int64)
+            np.take(doc_ix, order2, out=sdoc)
+            spos = _arena("seg_spos", n_tok, np.int64)
+            np.take(pos, order2, out=spos)
+            scodes = _arena("seg_scodes", n_tok, np.int32)
+            np.take(codes, order2, out=scodes)
             # posting (term, doc) run boundaries — fully vectorized
             # (FreqProxTermsWriterPerField's per-term lastDocID walk)
-            pb = np.flatnonzero((np.diff(scodes, prepend=-1) != 0)
-                                | (np.diff(sdoc, prepend=-1) != 0))
+            bnd = _arena("seg_bnd", n_tok, bool)
+            bnd[0] = True
+            np.not_equal(scodes[1:], scodes[:-1], out=bnd[1:])
+            bnd2 = _arena("seg_bnd2", n_tok, bool)
+            bnd2[0] = True
+            np.not_equal(sdoc[1:], sdoc[:-1], out=bnd2[1:])
+            np.logical_or(bnd, bnd2, out=bnd)
+            pb = np.flatnonzero(bnd)
             p_doc_l = sdoc[pb]
             p_tf = np.diff(np.concatenate((pb, [n_tok])))
             p_code = scodes[pb]
-            term_counts = np.bincount(p_code, minlength=len(uniq_py))
-            ttf_per_term = np.bincount(scodes, minlength=len(uniq_py))
+            term_counts = np.bincount(p_code, minlength=nuniq)
+            ttf_per_term = np.bincount(scodes, minlength=nuniq)
             enc = blk.encode_postings_batch(
                 docids[p_doc_l], p_tf, qdl[p_doc_l], spos, term_counts)
-            n_posting_rows = len(uniq_py)
+            n_posting_rows = nuniq
         else:
             enc = None
             n_posting_rows = 0

@@ -95,9 +95,12 @@ def triad(_):
     return gb / dt  # GB/s seen by THIS process
 if __name__ == "__main__":
     out = {}
+    # 8 procs added round-5: the ladder's upper level is local[8], so
+    # the page-supply mechanism claim must be measured at the ladder's
+    # own concurrency, not only at 32 (r4 verdict).
     for name, fn, arg in (("cpu", spin, 20_000_000), ("pagefault", touch, 0)):
         res = {}
-        for nproc in (1, 4, 32):
+        for nproc in (1, 4, 8, 32):
             with mp.Pool(nproc) as p:
                 r = p.map(fn, [arg]*nproc)
             res[nproc] = round(float(np.mean(r)), 2)
@@ -199,15 +202,17 @@ def main() -> None:
         "",
         "## Host hardware probe (context for the numbers above)",
         "",
-        "Mean per-task seconds for a fixed task at 1/4/32 concurrent",
-        "processes (no Spark):",
+        "Mean per-task seconds for a fixed task at 1/4/8/32 concurrent",
+        "processes (no Spark; 8 = the ladder's own upper concurrency):",
         "",
-        "| workload | 1 proc | 4 procs | 32 procs |",
-        "|---|---|---|---|",
+        "| workload | 1 proc | 4 procs | 8 procs | 32 procs |",
+        "|---|---|---|---|---|",
         f"| pure CPU (register arithmetic) | {probe['cpu']['1']}"
-        f" | {probe['cpu']['4']} | {probe['cpu']['32']} |",
+        f" | {probe['cpu']['4']} | {probe['cpu'].get('8', '-')}"
+        f" | {probe['cpu']['32']} |",
         f"| 800MB first-touch page faults | {probe['pagefault']['1']}"
-        f" | {probe['pagefault']['4']} | {probe['pagefault']['32']} |",
+        f" | {probe['pagefault']['4']} | {probe['pagefault'].get('8', '-')}"
+        f" | {probe['pagefault']['32']} |",
         "",
         "Aggregate STREAM-triad bandwidth (pre-touched arrays, GB/s",
         "summed across procs) at 1/2/4/8 concurrent processes:",
