@@ -7125,6 +7125,69 @@ def _oracle_lang2(lang) -> str:
 _LANGS2_ENTRY = ("ar", "fa", "bg", "cz", "hi", "id", "lv")
 
 
+def _snowball_golden_sample(lang, n=16):
+    """Representative non-empty lines of the round-5 Snowball-default
+    golden fixture (tools/gen_snowball_fixtures.py: the COMPILED
+    reference analyzers — DanishAnalyzer, DutchAnalyzer,
+    SwedishAnalyzer, NorwegianAnalyzer, RomanianAnalyzer,
+    TurkishAnalyzer — run over stop lists, stem+suffix-table crosses,
+    random words and normalization material)."""
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "snowball_golden.json")
+    with open(path, encoding="utf-8") as f:
+        g = _json.load(f)[lang]
+    rows = [(line, doc) for line, doc
+            in zip(g["lines"], g["docs"]) if doc]
+    step = max(1, len(rows) // n)
+    return rows[::step][:n]
+
+
+def _mk_lang3_analyzer(lang):
+    def f(spark, sf_dir):
+        """Snowball-default language analyzer (round 5): the reference
+        {Lang}Analyzer default chain — StandardTokenizer + (Turkish:
+        Apostrophe + TurkishLowerCase | else LowerCase) + Stop +
+        (Dutch: StemmerOverride) + the published Snowball stemmer
+        (analysis/lang3.py + analysis/snowball.py, token-for-token vs
+        the COMPILED reference analyzer over the full fixture corpus)
+        — through the Arrow pandas-UDF path.  The oracle's literals
+        are the reference analyzer's own token stream."""
+        from lucene_solr_spark.analysis.analyzers import lang_analyze_udf
+        rows = [(i, line) for i, (line, _doc)
+                in enumerate(_snowball_golden_sample(lang))]
+        df = spark.createDataFrame(rows, "case_id int, text string")
+        tok = lang_analyze_udf(lang)
+        t = df.select("case_id", tok(F.col("text")).alias("ts"))
+        return (t.select(
+            "case_id",
+            F.explode(F.arrays_zip("ts.positions", "ts.terms"))
+            .alias("z"))
+            .select("case_id", F.col("z.positions").alias("pos"),
+                    F.col("z.terms").alias("term"))
+            .orderBy("case_id", "pos"))
+    f.__name__ = f"_q_analyzer_{lang}"
+    f.__doc__ = f.__doc__ or ""
+    return f
+
+
+def _oracle_lang3(lang) -> str:
+    rows = []
+    for ci, (_line, doc) in enumerate(_snowball_golden_sample(lang)):
+        p = -1
+        for term, inc in doc:
+            p += int(inc)
+            te = _unesc_fixture(term).replace("'", "''")
+            rows.append(f"({ci}, {p}, '{te}')")
+    return ("SELECT CAST(case_id AS INT) AS case_id, "
+            "CAST(pos AS INT) AS pos, term "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") t(case_id, pos, term) ORDER BY case_id, pos")
+
+
+_LANGS3_ENTRY = ("da", "nl", "sv_sb", "no_sb", "ro", "tr")
+
+
 def _q_analysis_filters(spark, sf_dir):
     """FieldAnalysisRequestHandler shape for a filter chain: tokenize
     (apostrophe-keeping lowercase words), then EnglishPossessiveFilter
@@ -8238,6 +8301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
            for lang in _LANGS_10},
         "q_analyzer_cjk": _q_analyzer_cjk,
         "q_analyzer_ja": _q_analyzer_ja,
+        **{f"q_analyzer_{_l}": _mk_lang3_analyzer(_l)
+           for _l in _LANGS3_ENTRY},
         **{f"q_analyzer_{_l}": _mk_lang2_analyzer(_l)
            for _l in _LANGS2_ENTRY},
         "q_ngram_tokens": _q_ngram_tokens,
@@ -13674,6 +13739,8 @@ ORDER BY d.doc_id ASC LIMIT 30"""
     out["q_analyzer_ja"] = _oracle_analyzer_ja()
     for _l in _LANGS2_ENTRY:
         out[f"q_analyzer_{_l}"] = _oracle_lang2(_l)
+    for _l in _LANGS3_ENTRY:
+        out[f"q_analyzer_{_l}"] = _oracle_lang3(_l)
 
     out["q_analysis_filters"] = f"""
 WITH tk AS (

@@ -221,6 +221,11 @@ def lang_analyze_udf(lang: str):
 
         def _analyze_batch(texts):
             return lang2_analyze_batch(lang, texts)
+    elif lang in ("da", "nl", "ro", "tr", "sv_sb", "no_sb"):
+        from .lang3 import lang3_analyze_batch
+
+        def _analyze_batch(texts):
+            return lang3_analyze_batch(lang, texts)
     else:
         from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:

@@ -1,0 +1,223 @@
+#!/usr/bin/env python3
+"""Snowball-default analyzer artifacts from the reference (round 5):
+
+1. lucene_solr_spark/analysis/snowball_stop.py — stop sets read
+   verbatim from the reference resources (danish_stop.txt etc. in
+   snowball `|`-comment format; ro/tr stopwords.txt in '#' format —
+   public data).
+2. tests/fixtures/snowball_golden.json — golden (term, posInc)
+   streams produced by RUNNING the compiled reference analyzers
+   (DanishAnalyzer, DutchAnalyzer, SwedishAnalyzer, NorwegianAnalyzer,
+   RomanianAnalyzer, TurkishAnalyzer) over per-language corpora: the
+   full stop list, base words crossed with the stemmers' own suffix
+   tables, seeded random alphabet words, and language-specific
+   normalization material (Dutch accents/ij, Turkish dotted/dotless I
+   and apostrophes, Romanian cedilla vs comma forms).  The python
+   chain twins (analysis/lang3.py + analysis/snowball.py) must match
+   token-for-token.
+
+Reuses the /tmp/kuromoji scratch compile (core + analysis-common).
+"""
+
+import json
+import random
+import subprocess
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SCRATCH = Path("/tmp/kuromoji")
+REF = Path("/root/reference/lucene/analysis/common/src")
+
+SNOWBALL_STOPS = {  # WordlistLoader.getSnowballWordSet format
+    "da": "snowball/danish_stop.txt",
+    "nl": "snowball/dutch_stop.txt",
+    "sv_sb": "snowball/swedish_stop.txt",
+    "no_sb": "snowball/norwegian_stop.txt",
+}
+HASH_STOPS = {      # '#'-comment one-word-per-line format
+    "ro": "ro/stopwords.txt",
+    "tr": "tr/stopwords.txt",
+}
+ALPHA = {
+    "da": list("abdefghiklmnoprstuvyåæø"),
+    "nl": list("abdefghiklmnoprstuvwyz") + list("áäéëíïóöúüè"),
+    "sv_sb": list("abdefghiklmnoprstuvyäåö"),
+    "no_sb": list("abdefghiklmnoprstuvyåæø"),
+    "ro": list("abcdefghilmnoprstuvz") + list("ăâîşţ") + list("șț"),
+    "tr": list("abcdefghiklmnoprstuvyz") + list("çğıöşü") + ["I"],
+}
+SUFFIXES = {
+    "da": ["hed", "ethed", "ered", "e", "erede", "ende", "erende",
+           "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+           "erer", "s", "heds", "es", "endes", "enes", "ens", "ets",
+           "et", "eret", "igst", "ig", "lig", "elig", "els", "løst",
+           "gd", "dt", "gt", "kt"],
+    "nl": ["heden", "ene", "en", "se", "s", "e", "heid", "end", "ing",
+           "lijk", "baar", "bar", "ig", "tje", "etje"],
+    "sv_sb": ["a", "arna", "erna", "heterna", "orna", "ad", "e",
+              "ade", "ande", "arne", "are", "aste", "en", "anden",
+              "aren", "heten", "ern", "ar", "er", "heter", "or", "s",
+              "as", "es", "ens", "at", "andet", "het", "ast", "ig",
+              "lig", "els", "fullt", "löst"],
+    "no_sb": ["a", "e", "ede", "ande", "ende", "ane", "ene",
+              "hetene", "erte", "en", "heten", "ar", "er", "heter",
+              "s", "as", "es", "ens", "ets", "et", "het", "ert",
+              "ast", "leg", "eleg", "ig", "eig", "lig", "elig",
+              "els", "lov", "elov", "slov", "hetslov", "dt", "vt"],
+    "ro": ["ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua",
+           "iei", "iile", "ilor", "ile", "atei", "aţia", "aţie",
+           "abilitate", "ibilitate", "ivitate", "icitate", "icator",
+           "ical", "iciv", "ativ", "itiv", "aţiune", "iţiune",
+           "atoare", "itoare", "ător", "ica", "ibila", "oasa",
+           "ata", "ita", "anta", "ista", "uta", "iva", "ic", "ice",
+           "iune", "iuni", "ism", "ist", "at", "it", "iv", "are",
+           "ere", "ire", "ind", "ând", "ez", "eşte", "eze", "ai",
+           "sei", "ui", "ăşti", "aţi", "eţi", "ar", "serăţi", "eam",
+           "asem", "sesem", "au", "eau", "ează", "a", "e", "ie",
+           "i", "ă"],
+    "tr": ["lar", "ler", "ları", "leri", "ca", "ce", "nca", "nce",
+           "da", "de", "ta", "te", "nda", "nde", "dan", "den",
+           "ndan", "nden", "la", "le", "yla", "yle", "ki", "daki",
+           "deki", "ndaki", "in", "un", "ün", "ın", "nin", "nun",
+           "nün", "nın", "im", "um", "üm", "ım", "si", "su", "sü",
+           "sı", "miz", "niz", "muz", "nuz", "dir", "dur", "dır",
+           "tir", "miş", "muş", "mış", "di", "ti", "dik", "dım",
+           "sa", "se", "sak", "ken", "yken", "casına", "cesine",
+           "siniz", "sunuz", "sınız", "iz", "uz", "ız", "sin",
+           "sun", "sın", "yorum", "acak", "ecek", "dığı"],
+}
+EXTRA = {
+    "da": ["indtagelsen", "undersøgelse", "kærligheden", "smukkeste",
+           "hyggelig", "bøgerne", "danskerne", "følelsesladet",
+           "vennelaget", "bakken", "bakker", "gylden", "gyldent"],
+    "nl": ["lichamelijkheden", "koninklijke", "appelboompje",
+           "overeenkomstige", "café", "ruïne", "geïnteresseerd",
+           "fiets", "bromfiets", "ei", "kind", "kinderen",
+           "bessen", "bes", "groette", "groeten", "zeeën",
+           "vrolijkheid", "yoghurt", "ijsje"],
+    "sv_sb": ["klokkorna", "undersökning", "vackraste", "flickorna",
+              "möjligheterna", "svenskarna", "kärleksfullt",
+              "trolöst", "bakelser"],
+    "no_sb": ["hetene", "undersøkelse", "vakreste", "jentene",
+              "mulighetene", "nordmennene", "kjærlighetslov",
+              "billigst", "vennelaget"],
+    "ro": ["lucrările", "frumuseţea", "frumusețea", "copiii",
+           "abilitatea", "naţional", "național", "românească",
+           "studenţilor", "studenților", "cărţile", "cărțile",
+           "mergeam", "vorbeşte", "vorbește", "citiseserăţi"],
+    "tr": ["kitaplarımızdan", "Türkiye'nin", "İstanbul'da",
+           "ISPARTA", "ırmak", "ağaçlarının", "çocuklarıyla",
+           "evlerindeki", "gözlükçülükten", "soyad", "ad",
+           "kitabı", "renkli", "köpeğin", "İstanbul",
+           "güzelleştirilmiş", "değildir", "miyim"],
+}
+
+
+def snowball_words(rel):
+    words = []
+    for line in (REF / "resources/org/apache/lucene/analysis"
+                 / rel).read_text(encoding="utf-8").splitlines():
+        line = line.split("|")[0].strip()
+        if line:
+            words.extend(line.split())
+    return words
+
+
+def hash_words(rel):
+    words = []
+    for line in (REF / "resources/org/apache/lucene/analysis"
+                 / rel).read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            words.append(line)
+    return words
+
+
+def corpus(lang, stops, rng):
+    lines = []
+    for i in range(0, len(stops), 12):
+        lines.append(" ".join(stops[i:i + 12]))
+    bases = [w for w in stops if len(w) > 3][:30] or stops[:30]
+    bases = bases + [
+        "".join(rng.choice(ALPHA[lang]) for _ in range(rng.randint(3, 8)))
+        for _ in range(25)]
+    combo = [b + suf for b in bases for suf in SUFFIXES[lang]]
+    for i in range(0, len(combo), 10):
+        lines.append(" ".join(combo[i:i + 10]))
+    rand = []
+    for _ in range(1500):
+        k = rng.randint(1, 14)
+        rand.append("".join(rng.choice(ALPHA[lang]) for _ in range(k)))
+    for i in range(0, len(rand), 10):
+        lines.append(" ".join(rand[i:i + 10]))
+    lines.append(" ".join(EXTRA[lang]))
+    lines.append("hello WORLD 42 " + " ".join(EXTRA[lang][:2]))
+    lines.append("")
+    return lines
+
+
+def main():
+    subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-nowarn", "-cp", "classes",
+         str(REPO / "tools/kuromoji_harness/AnalyzeLang.java"),
+         "-d", "."], check=True, cwd=SCRATCH)
+    rng = random.Random(20260822)
+    golden = {}
+    stops_all = {}
+    for lang in list(SNOWBALL_STOPS) + list(HASH_STOPS):
+        if lang in SNOWBALL_STOPS:
+            stops = snowball_words(SNOWBALL_STOPS[lang])
+        else:
+            stops = hash_words(HASH_STOPS[lang])
+        stops_all[lang] = stops
+        lines = corpus(lang, stops, rng)
+        blob = "\n".join(lines) + "\n"
+        p = subprocess.run(
+            ["java", "-cp", f".:classes:{REF}/resources",
+             "AnalyzeLang", lang],
+            cwd=SCRATCH, input=blob.encode("utf-8"),
+            capture_output=True)
+        if p.returncode != 0:
+            raise RuntimeError(p.stderr.decode()[-2000:])
+        docs = []
+        cur = []
+        for ln in p.stdout.decode("utf-8").split("\n"):
+            if ln == "":
+                docs.append(cur)
+                cur = []
+            else:
+                cur.append(ln.split("\t"))
+        golden[lang] = {"lines": lines, "docs": docs[:len(lines)]}
+        ntok = sum(len(d) for d in golden[lang]["docs"])
+        print(f"{lang}: {len(lines)} lines, {ntok} tokens,"
+              f" {len(stops)} stopwords")
+
+    dst = REPO / "tests" / "fixtures" / "snowball_golden.json"
+    dst.write_text(json.dumps(golden, ensure_ascii=False),
+                   encoding="utf-8")
+    print(f"wrote {dst}")
+
+    out = ['"""Stop sets for the Snowball-default analyzer chains —',
+           "GENERATED by tools/gen_snowball_fixtures.py from the",
+           "reference analyzer resources (public data). Do not edit.",
+           '"""', "", "STOP_SETS = {"]
+    for lang, stops in stops_all.items():
+        out.append(f"    {lang!r}: frozenset((")
+        line = "       "
+        for w in stops:
+            tok = f" {w!r},"
+            if len(line) + len(tok) > 78:
+                out.append(line)
+                line = "       "
+            line += tok
+        out.append(line)
+        out.append("    )),")
+    out.append("}")
+    dst2 = (REPO / "lucene_solr_spark" / "analysis"
+            / "snowball_stop.py")
+    dst2.write_text("\n".join(out) + "\n", encoding="utf-8")
+    print(f"wrote {dst2}")
+
+
+if __name__ == "__main__":
+    main()

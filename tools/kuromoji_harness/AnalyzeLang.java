@@ -36,6 +36,19 @@ public class AnalyzeLang {
                 return new org.apache.lucene.analysis.el.GreekAnalyzer();
             case "gl":
                 return new org.apache.lucene.analysis.gl.GalicianAnalyzer();
+            // round-5: Snowball-default analyzers
+            case "da":
+                return new org.apache.lucene.analysis.da.DanishAnalyzer();
+            case "nl":
+                return new org.apache.lucene.analysis.nl.DutchAnalyzer();
+            case "sv_sb":
+                return new org.apache.lucene.analysis.sv.SwedishAnalyzer();
+            case "no_sb":
+                return new org.apache.lucene.analysis.no.NorwegianAnalyzer();
+            case "ro":
+                return new org.apache.lucene.analysis.ro.RomanianAnalyzer();
+            case "tr":
+                return new org.apache.lucene.analysis.tr.TurkishAnalyzer();
             default:
                 throw new IllegalArgumentException(lang);
         }

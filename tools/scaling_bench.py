@@ -34,7 +34,7 @@ cpus, n_convs = int(sys.argv[1]), int(sys.argv[2])
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .appName("scale-worker")
-         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 8)))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "8g")
          .config("spark.ui.enabled", "false")
