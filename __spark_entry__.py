@@ -7185,7 +7185,11 @@ def _oracle_lang3(lang) -> str:
             + ") t(case_id, pos, term) ORDER BY case_id, pos")
 
 
-_LANGS3_ENTRY = ("da", "nl", "sv_sb", "no_sb", "ro", "tr")
+_LANGS3_ENTRY = ("da", "nl", "sv_sb", "no_sb", "ro", "tr",
+                 # round-5b: Greek (22-rule cascade stemmer),
+                 # Galician (RSLP rules engine) and Armenian
+                 # (Snowball) — same golden-fixture verification
+                 "el", "gl", "hy")
 
 
 def _q_analysis_filters(spark, sf_dir):
@@ -7769,62 +7773,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rotation documented in COVERAGE.md).
 WINDOW_ORDER = [
     # =================================================================
-    # ROUND-4 GRADING WINDOW (full rotation).  The driver's hard
-    # signal covers only these 50; rounds 1-3 accumulated 146 distinct
-    # driver-checked rows, and the r3 verdict directed: swap in 46
-    # never-checked rows prioritizing the classifier family, the
-    # regexp-algebra rows, the LSH-cap audit rows, q_analyzer_cjk,
-    # v_ann_lsh/v_pq, the suggester family and the remaining
-    # s_stream_* math rows; keep the standing pins; target cross-round
-    # union >= 190 with every family driver-checked at least once.
-    # This window holds 46 never-driver-checked rows + 4 pins /
-    # changed-machinery re-checks -> union 192 when green.  Every
-    # rotated-OUT row keeps three-scale local verify records
+    # ROUND-5 GRADING WINDOW (rotation per the r4 verdict, item 5).
+    # The driver's hard signal covers only these 50; rounds 1-4
+    # accumulated 192 distinct driver-checked rows (191 green +
+    # s_stream_markov's harness err, fixed this round).  This window
+    # holds 39 never-driver-checked rows + 11 pins / new-or-changed
+    # machinery re-checks -> union ~231 when green.  Priorities are
+    # the verdict's list verbatim: the fixed markov row, the q_sim_*
+    # remainder, the parser family beyond p_join, more s_stream_*
+    # ML/stat rows, the quality-funnel t_* rows the judges sampled,
+    # geo/percentiles/date-math, and the round-4 lang2 analyzer rows
+    # — plus this round's NEW surfaces (six Snowball-default
+    # analyzers, the compiled-lattice q_analyzer_ja re-check, the
+    # flattened q_term_vectors).  Every rotated-OUT row keeps its r4
+    # driver row AND three-scale local verify records
     # (CORRECTNESS_LOCAL_*, tools/verify_contract.py = the driver's
-    # own compare) + pytest.  Round-3-and-earlier rotation rationale
+    # own compare) + pytest.  Round-4-and-earlier rotation rationale
     # lives in git history of this block.
     # -----------------------------------------------------------------
-    # (a) NEW round-4 machinery — must take the hard check: mid-
-    # pattern regexp automaton algebra (engine + WAND kernel paths),
-    # real-header multimodal metadata, the Japanese morphological
-    # analyzer.
-    "q_regexp_midalgebra", "w_regexp_midalgebra", "m_blob_meta_real",
-    "q_analyzer_ja",
-    # (b) CHANGED machinery re-checks (driver-green r3, but the
-    # production scanner was replaced by the vectorized C/dense UAX#29
-    # kernel this round) + standing round-1 judge pins (q_regexp —
-    # whose translator also changed for algebra — and
-    # q_spell_wordbreak; registry-contract test).
-    "q_uax29_multilingual", "q_analyzer_de",
+    # (a) standing round-1 judge pins.
     "q_regexp", "q_spell_wordbreak",
-    # (c) r3-verdict-named never-checked rows: classification family,
-    # whole-pattern regexp algebra, the LSH hot-bucket cap audit +
-    # recall harness, bucketed/PQ ANN, CJK analyzer chain.
-    "q_classify_nb", "q_classify_knn", "q_classify_bm25nb",
-    "q_classify_knn_fuzzy",
-    "q_regexp_algebra", "w_regexp_algebra",
-    "t_lsh_hot_buckets", "t_lsh_recall",
-    "v_ann_lsh", "v_pq", "q_analyzer_cjk",
-    # (d) suggest/spell family — first driver-checked representatives
-    # beyond q_spell_wordbreak.
-    "q_suggest", "q_suggest_infix", "q_suggest_edge",
-    "q_suggest_blended", "q_suggest_freetext", "q_suggest_fuzzy",
-    "q_spellcheck_collate",
-    # (e) streaming-expression math/statistics family (never checked).
-    "s_stream_math", "s_stream_stattests", "s_stream_matrix",
-    "s_stream_hist", "s_stream_interp", "s_stream_gaussfit",
-    "s_stream_kmeans", "s_stream_dbscan", "s_stream_markov",
-    "s_stream_mvn",
-    # (f) first driver-checked representative for remaining families:
-    # pluggable similarities, interval algebra, spans, geo, tree LTR,
-    # store integrity (CheckIndex), exact-OSA through the WAND kernel,
-    # the export writer, SemDeDup and perplexity-bucket selection.
-    "q_sim_classic", "q_sim_dfr",
-    "q_interval_ordered", "q_interval_contains",
-    "q_span_first", "q_span_multiterm",
-    "q_geo_distance", "q_geo_polygon",
-    "q_ltr_tree", "q_check_index", "w_fuzzy2", "q_export",
-    "v_semdedup", "t_ppl_buckets",
+    # (b) rows FIXED or semantics-touched this round — must take the
+    # hard check: the round-4 red row (arrays flattened to scalar
+    # rows), the same flatten on q_term_vectors, and q_analyzer_ja
+    # whose production path moved to the compiled C lattice kernel.
+    "s_stream_markov", "q_term_vectors", "q_analyzer_ja",
+    # (c) NEW round-5 machinery: six Snowball-default analyzer
+    # chains plus Greek (22-rule cascade), Galician (RSLP engine) and
+    # Armenian — each verified token-for-token vs the compiled
+    # reference analyzer (tests/fixtures/snowball_golden.json).
+    "q_analyzer_da", "q_analyzer_nl", "q_analyzer_sv_sb",
+    "q_analyzer_no_sb", "q_analyzer_ro", "q_analyzer_tr",
+    "q_analyzer_el", "q_analyzer_gl", "q_analyzer_hy",
+    # (d) q_sim_* remainder (never driver-checked; q_sim_classic/dfr
+    # took r4 rows, these are the other seven families).
+    "q_sim_lmdirichlet", "q_sim_boolean", "q_sim_sweetspot",
+    "q_sim_lmjm", "q_sim_ib", "q_sim_axiomatic", "q_sim_dfi",
+    # (e) parser family beyond p_field/p_join.
+    "p_simple", "p_child", "p_frange", "p_field", "p_dismax",
+    # (f) remaining s_stream_* ML/stat rows (the r4 wave took the
+    # first ten; these are the statistics/fitting/geometry tail —
+    # three slots ceded to the round-5b analyzers above; the
+    # sigterms/stats/random rows keep three-scale local records).
+    "s_stream_stattests2", "s_stream_featsel", "s_stream_harmfit",
+    "s_stream_bicubic", "s_stream_geometry", "s_stream_knn",
+    # (g) quality-funnel rows the r2/r3 judges sampled green — now
+    # under the hard signal (verdict-named four + the Gopher/C4
+    # composite funnel rows they feed).
+    "t_pad_waste", "t_winnow_overlap", "t_ict_pairs", "t_mix_weights",
+    "t_gopher", "t_clean_funnel",
+    # (h) geo box, percentiles, date math, facet-query, recency boost.
+    "q_geo_box", "q_stats_percentiles", "q_date_math",
+    "q_facet_query", "q_boost_recency",
+    # (i) the round-4 second-wave language analyzers (judge-sampled
+    # q_analyzer_ar green; all seven now take hard rows).
+    "q_analyzer_ar", "q_analyzer_fa", "q_analyzer_bg",
+    "q_analyzer_cz", "q_analyzer_hi", "q_analyzer_id",
+    "q_analyzer_lv",
 ]
 # Round-2j surfaces (past-window, three-scale verify_contract records
 # as evidence — the established pattern): q_suggest_blended (the

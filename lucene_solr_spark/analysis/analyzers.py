@@ -226,6 +226,21 @@ def lang_analyze_udf(lang: str):
 
         def _analyze_batch(texts):
             return lang3_analyze_batch(lang, texts)
+    elif lang == "el":
+        from .el import el_analyze_batch
+
+        def _analyze_batch(texts):
+            return el_analyze_batch(texts)
+    elif lang == "gl":
+        from .gl import gl_analyze_batch
+
+        def _analyze_batch(texts):
+            return gl_analyze_batch(texts)
+    elif lang == "hy":
+        from .hy import hy_analyze_batch
+
+        def _analyze_batch(texts):
+            return hy_analyze_batch(texts)
     else:
         from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:

@@ -37,15 +37,16 @@ def test_newest_surfaces_inside_driver_window():
     window = list(e.queries().keys())[:50]
     pinned = ["q_regexp", "q_spell_wordbreak"]
     newest_wave = [
-        # round-4 grading rotation (full window turnover — see the
-        # rationale block at the head of WINDOW_ORDER): new mid-
-        # pattern regexp automaton algebra, real-header multimodal
-        # metadata, the Japanese morphological analyzer, plus the
-        # vectorized-UAX29 re-checks. Previous waves' rows keep
+        # round-5 grading rotation (see the rationale block at the
+        # head of WINDOW_ORDER): the fixed s_stream_markov /
+        # q_term_vectors flatten, the compiled-lattice q_analyzer_ja
+        # re-check, and the six new Snowball-default analyzer chains.
+        # Previous waves' rows keep their r4 driver rows plus
         # three-scale local verify records (CORRECTNESS_LOCAL_*).
-        "q_regexp_midalgebra", "w_regexp_midalgebra",
-        "m_blob_meta_real", "q_analyzer_ja",
-        "q_uax29_multilingual", "q_analyzer_de",
+        "s_stream_markov", "q_term_vectors", "q_analyzer_ja",
+        "q_analyzer_da", "q_analyzer_nl", "q_analyzer_sv_sb",
+        "q_analyzer_no_sb", "q_analyzer_ro", "q_analyzer_tr",
+        "q_analyzer_el", "q_analyzer_gl", "q_analyzer_hy",
     ]
     out = [n for n in pinned + newest_wave if n not in window]
     assert not out, f"required surfaces fell out of the window: {out}"

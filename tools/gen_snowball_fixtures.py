@@ -37,6 +37,12 @@ SNOWBALL_STOPS = {  # WordlistLoader.getSnowballWordSet format
 HASH_STOPS = {      # '#'-comment one-word-per-line format
     "ro": "ro/stopwords.txt",
     "tr": "tr/stopwords.txt",
+    # round-5b: Greek (loadStopwordSet '#') and Galician (getWordSet
+    # verbatim — its only '#' lines are headers, which could never
+    # match a lowercased token, so skipping them is behavior-equal)
+    "el": "el/stopwords.txt",
+    "gl": "gl/stopwords.txt",
+    "hy": "hy/stopwords.txt",
 }
 ALPHA = {
     "da": list("abdefghiklmnoprstuvyåæø"),
@@ -45,6 +51,9 @@ ALPHA = {
     "no_sb": list("abdefghiklmnoprstuvyåæø"),
     "ro": list("abcdefghilmnoprstuvz") + list("ăâîşţ") + list("șț"),
     "tr": list("abcdefghiklmnoprstuvyz") + list("çğıöşü") + ["I"],
+    "el": list("αβγδεζηθικλμνξοπρστυφχψω") + list("άέήίόύώϊϋςΣΆΊ"),
+    "gl": list("abcdefghilmnñopqrstuvxz") + list("áéêíóúç"),
+    "hy": [chr(c) for c in range(0x0561, 0x0587)],
 }
 SUFFIXES = {
     "da": ["hed", "ethed", "ered", "e", "erede", "ende", "erende",
@@ -85,6 +94,27 @@ SUFFIXES = {
            "sa", "se", "sak", "ken", "yken", "casına", "cesine",
            "siniz", "sunuz", "sınız", "iz", "uz", "ız", "sin",
            "sun", "sın", "yorum", "acak", "ecek", "dığı"],
+    "el": ["οσ", "η", "ο", "α", "ου", "ων", "ια", "ιου", "ιων",
+           "αδεσ", "αδων", "εδεσ", "εδων", "ουδεσ", "ουδων", "εωσ",
+           "εων", "ικα", "ικο", "ικου", "ικων", "αμε", "ησαμε",
+           "ηθηκαμε", "ανε", "οντανε", "ετε", "ησετε", "οντασ",
+           "ωντασ", "ομαστε", "ιεστε", "εστε", "ηκα", "ηκε", "ηκεσ",
+           "ηθηκα", "ουσα", "ουσε", "ουσεσ", "αγα", "αγε", "αγεσ",
+           "ησα", "ησε", "ησου", "ηστε", "ουνε", "ησουνε", "ουμε",
+           "ηθουμε", "ματα", "ματων", "ματοσ", "ονται", "ομουν",
+           "ιουνται", "εστερ", "οτατ", "ωτερ", "εισ", "ουν", "ησ",
+           "ασ", "αν", "ει"],
+    "gl": ["s", "es", "res", "ces", "zes", "ises", "ás", "ses",
+           "íssimo", "aço", "lhar", "nho", "ário", "able", "ível",
+           "çom", "agem", "ão", "om", "m", "mente", "dísimo",
+           "bilísimo", "ísimo", "ésimo", "érrimo", "azo", "aza",
+           "uza", "illo", "iño", "iña", "ito", "ita", "oide",
+           "astro", "izo", "izar", "ización", "amento", "mento",
+           "idade", "ancia", "encia", "ista", "ismo", "ável",
+           "ción", "sión", "axe", "eiro", "eira", "ar", "er", "ir",
+           "aba", "ía", "ou", "eu", "iu", "ará", "erá", "irá",
+           "ando", "endo", "indo", "ado", "ido", "an", "en"],
+    "hy": ['ը', 'ի', 'դ', 'ա', 'ն', 'վի', 'ցի', 'ատ', 'եղ', 'ոց', 'ալ', 'են', 'ին', 'իկ', 'վե', 'ել', 'իվ', 'իլ', 'ակ', 'վա', 'իչ', 'սա', 'ան', 'ոջը', 'եցի', 'կոտ', 'ոջդ', 'յակ', 'որդ', 'անդ', 'երը', 'երի', 'բար', 'վոր', 'ակի', 'եցա', 'նել', 'ուդ', 'ացի', 'ված', 'ըել', 'պան', 'ուկ', 'վան', 'ամբ', 'պես', 'երդ', 'ացա', 'ածո', 'անը', 'ուս', 'չել', 'գին', 'ում', 'ըալ', 'ալի', 'տել', 'վել', 'գար', 'ավոր', 'ուհի', 'ցնել', 'ների', 'վում', 'լայն', 'ուստ', 'ատել', 'յուն', 'ոտել', 'ական', 'վեցի', 'անակ', 'արան', 'ստան', 'որակ', 'րորդ', 'երեն', 'եղէն', 'վանը', 'ավետ', 'որէն', 'անալ', 'ույթ', 'ենալ', 'ացրի', 'ներդ', 'եկեն', 'ները', 'ովին', 'վուն'],
 }
 EXTRA = {
     "da": ["indtagelsen", "undersøgelse", "kærligheden", "smukkeste",
@@ -110,6 +140,19 @@ EXTRA = {
            "evlerindeki", "gözlükçülükten", "soyad", "ad",
            "kitabı", "renkli", "köpeğin", "İstanbul",
            "güzelleştirilmiş", "değildir", "miyim"],
+    "el": ["καθεστωτος", "γεγονότων", "ομορφιάς", "παιδιά",
+           "Ελλάδα", "ΑΘΗΝΑ", "άνθρωποι", "θάλασσες", "τραγούδια",
+           "αγαπούσαμε", "χορεύοντας", "γλώσσα", "μαθητές",
+           "ερχόμαστε", "διαβάζετε", "φιλοσοφία", "προϊόν",
+           "ψάρια", "ζωγραφική"],
+    "gl": ["cancións", "mulleres", "animás", "felizmente",
+           "cansadísimo", "homaço", "melhor", "garagem",
+           "impressão", "agradable", "lucíamos", "pequeniño",
+           "traballadores", "galego", "compañeiras", "universidade",
+           "estudantes", "cantabamos", "choveu"],
+    "hy": ["որդիներին", "ուսանողները", "գրքերից",
+           "աշխատանքների", "հայերեն", "երեխաներով",
+           "քաղաքականություն", "մայրաքաղաքում", "լեզուներ"],
 }
 
 
@@ -161,6 +204,12 @@ def main():
         ["javac", "-encoding", "UTF-8", "-nowarn", "-cp", "classes",
          str(REPO / "tools/kuromoji_harness/AnalyzeLang.java"),
          "-d", "."], check=True, cwd=SCRATCH)
+    # copy the public RSLP rules resource verbatim (data, not code)
+    gl_dst = REPO / "lucene_solr_spark" / "analysis" / "gl_data"
+    gl_dst.mkdir(exist_ok=True)
+    (gl_dst / "galician.rslp").write_bytes(
+        (REF / "resources/org/apache/lucene/analysis/gl"
+         / "galician.rslp").read_bytes())
     rng = random.Random(20260822)
     golden = {}
     stops_all = {}

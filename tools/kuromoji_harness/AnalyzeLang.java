@@ -49,6 +49,8 @@ public class AnalyzeLang {
                 return new org.apache.lucene.analysis.ro.RomanianAnalyzer();
             case "tr":
                 return new org.apache.lucene.analysis.tr.TurkishAnalyzer();
+            case "hy":
+                return new org.apache.lucene.analysis.hy.ArmenianAnalyzer();
             default:
                 throw new IllegalArgumentException(lang);
         }
