@@ -39,18 +39,23 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from . import uax29 as _u
-from .uax29_tables import LOWER_EXC, RANGES
+# NOTE: uax29 / uax29_tables are imported LAZILY (only when the
+# dense tables must actually be BUILT): parsing the uax29_tables
+# module costs ~0.37s per process, and with the on-disk table cache
+# below a warm python worker never needs it.
 
 _tables = None
 
 
 class _Tables:
     __slots__ = ("lut", "T1C", "A2", "rules", "sep", "C", "startC",
-                 "T1C_list", "A2_list", "rules_list")
+                 "T1C_list", "A2_list", "rules_list", "lowlut")
 
 
 def _build_tables() -> _Tables:
+    from . import uax29 as _u
+    from .uax29_tables import RANGES
+
     # 1. disjoint intervals covering the codepoint space
     pts = {0, 0x110000}
     for ranges in RANGES.values():
@@ -125,13 +130,59 @@ def _build_tables() -> _Tables:
     t.T1C_list = t.T1C.tolist()
     t.A2_list = t.A2.tolist()
     t.rules_list = list(sc.rules)
+    t.lowlut = _build_lower_lut()
     return t
+
+
+def _tables_cache_path() -> str:
+    """Content-hashed on-disk cache of the dense tables: keyed on the
+    bytes of the modules the build depends on, so any change to the
+    scalar scanner, the probed ranges or this builder invalidates it.
+    ~0.5s build per python worker process otherwise — across a reused
+    32-worker pool that is ~16s of first-query latency (measured as
+    the round-4 q_uax29_multilingual cold-vs-warm residual)."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for name in ("uax29.py", "uax29_tables.py", "uax29_vec.py"):
+        with open(os.path.join(base, name), "rb") as f:
+            h.update(f.read())
+    return os.path.join(tempfile.gettempdir(),
+                        f"uax29_tables_{h.hexdigest()[:16]}.npz")
 
 
 def _tab() -> _Tables:
     global _tables
     if _tables is None:
+        path = _tables_cache_path()
+        try:
+            z = np.load(path)
+            t = _Tables()
+            t.lut = z["lut"]
+            t.T1C = np.ascontiguousarray(z["T1C"])
+            t.A2 = np.ascontiguousarray(z["A2"])
+            t.rules = z["rules"]
+            t.C = int(z["C"])
+            t.startC = int(z["startC"])
+            t.sep = int(z["sep"])
+            t.lowlut = np.ascontiguousarray(z["lowlut"])
+            t.T1C_list = t.T1C.tolist()
+            t.A2_list = t.A2.tolist()
+            t.rules_list = t.rules.tolist()
+            _tables = t
+            return _tables
+        except (OSError, KeyError, ValueError):
+            pass
         _tables = _build_tables()
+        try:
+            fd, tmp = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
+            np.savez(tmp, lut=_tables.lut, T1C=_tables.T1C,
+                     A2=_tables.A2, rules=_tables.rules,
+                     C=_tables.C, startC=_tables.startC,
+                     sep=_tables.sep, lowlut=_tables.lowlut)
+            os.replace(tmp, path)  # atomic: racing workers agree
+        except OSError:
+            pass
     return _tables
 
 
@@ -389,6 +440,7 @@ _lower_lut = None
 
 
 def _lower_cp(cp: int) -> int:
+    from .uax29_tables import LOWER_EXC
     r = _lower_cache.get(cp)
     if r is None:
         if cp in LOWER_EXC:
@@ -400,18 +452,23 @@ def _lower_cp(cp: int) -> int:
     return r
 
 
+def _build_lower_lut() -> np.ndarray:
+    """Dense Character.toLowerCase(int) table (~0.3s — built once per
+    HOST alongside the scan tables and served from the npz cache)."""
+    from .uax29_tables import LOWER_EXC
+    lut = np.fromiter(
+        (ord(c2) if len(c2 := chr(c).lower()) == 1 else c
+         for c in range(0x110000)),
+        dtype=np.int64, count=0x110000)
+    for cp, lo in LOWER_EXC.items():
+        lut[cp] = lo
+    return lut.astype(np.uint32)
+
+
 def _lower_lut_now() -> np.ndarray:
-    """Dense Character.toLowerCase(int) table (one-time ~0.3s per
-    process; amortized across every batch)."""
     global _lower_lut
     if _lower_lut is None:
-        lut = np.fromiter(
-            (ord(c2) if len(c2 := chr(c).lower()) == 1 else c
-             for c in range(0x110000)),
-            dtype=np.int64, count=0x110000)
-        for cp, lo in LOWER_EXC.items():
-            lut[cp] = lo
-        _lower_lut = lut.astype(np.uint32)
+        _lower_lut = _tab().lowlut
     return _lower_lut
 
 
