@@ -116,6 +116,10 @@ def main() -> None:
         # through the Arrow path) and mid-pattern regexp automaton
         # algebra through the engine's predicate compiler
         "q_analyzer_ja", "q_regexp_midalgebra",
+        # round-5: the Turkish Snowball-default chain (apostrophe +
+        # Turkish casing + the largest transliterated program) as the
+        # new-language-family flagship
+        "q_analyzer_tr",
     ]
     qs = entrymod.queries()
 

@@ -241,6 +241,16 @@ def lang_analyze_udf(lang: str):
 
         def _analyze_batch(texts):
             return hy_analyze_batch(texts)
+    elif lang == "lt":
+        from .lt import lt_analyze_batch
+
+        def _analyze_batch(texts):
+            return lt_analyze_batch(texts)
+    elif lang == "ga":
+        from .ga import ga_analyze_batch
+
+        def _analyze_batch(texts):
+            return ga_analyze_batch(texts)
     else:
         from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:

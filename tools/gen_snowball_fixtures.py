@@ -43,6 +43,8 @@ HASH_STOPS = {      # '#'-comment one-word-per-line format
     "el": "el/stopwords.txt",
     "gl": "gl/stopwords.txt",
     "hy": "hy/stopwords.txt",
+    "lt": "lt/stopwords.txt",
+    "ga": "ga/stopwords.txt",
 }
 ALPHA = {
     "da": list("abdefghiklmnoprstuvyåæø"),
@@ -54,6 +56,8 @@ ALPHA = {
     "el": list("αβγδεζηθικλμνξοπρστυφχψω") + list("άέήίόύώϊϋςΣΆΊ"),
     "gl": list("abcdefghilmnñopqrstuvxz") + list("áéêíóúç"),
     "hy": [chr(c) for c in range(0x0561, 0x0587)],
+    "lt": list("abcdefgiklmnoprstuvyz") + list("ąčęėįšųūž"),
+    "ga": list("abcdefghilmnoprstu") + list("áéíóú") + ["'", "N", "T", "A", "E"],
 }
 SUFFIXES = {
     "da": ["hed", "ethed", "ered", "e", "erede", "ende", "erende",
@@ -115,6 +119,8 @@ SUFFIXES = {
            "aba", "ía", "ou", "eu", "iu", "ará", "erá", "irá",
            "ando", "endo", "indo", "ado", "ido", "an", "en"],
     "hy": ['ը', 'ի', 'դ', 'ա', 'ն', 'վի', 'ցի', 'ատ', 'եղ', 'ոց', 'ալ', 'են', 'ին', 'իկ', 'վե', 'ել', 'իվ', 'իլ', 'ակ', 'վա', 'իչ', 'սա', 'ան', 'ոջը', 'եցի', 'կոտ', 'ոջդ', 'յակ', 'որդ', 'անդ', 'երը', 'երի', 'բար', 'վոր', 'ակի', 'եցա', 'նել', 'ուդ', 'ացի', 'ված', 'ըել', 'պան', 'ուկ', 'վան', 'ամբ', 'պես', 'երդ', 'ացա', 'ածո', 'անը', 'ուս', 'չել', 'գին', 'ում', 'ըալ', 'ալի', 'տել', 'վել', 'գար', 'ավոր', 'ուհի', 'ցնել', 'ների', 'վում', 'լայն', 'ուստ', 'ատել', 'յուն', 'ոտել', 'ական', 'վեցի', 'անակ', 'արան', 'ստան', 'որակ', 'րորդ', 'երեն', 'եղէն', 'վանը', 'ավետ', 'որէն', 'անալ', 'ույթ', 'ենալ', 'ացրի', 'ներդ', 'եկեն', 'ները', 'ովին', 'վուն'],
+    "lt": ['e', 'a', 'i', 'am', 'yl', 'os', 'ėj', 'ųj', 'ąj', 'ai', 'op', 'ei', 'oj', 'ok', 'ėl', 'ie', 'ia', 'ki', 'si', 'aj', 'iop', 'ios', 'ite', 'uje', 'esi', 'ėme', 'ėte', 'ome', 'iuk', 'iai', 'umi', 'esn', 'ame', 'auj', 'yse', 'ėse', 'iul', 'iok', 'ote', 'ose', 'ain', 'ate', 'išk', 'asi', 'osi', 'iųj', 'iej', 'uoj', 'aus', 'isi', 'ioj', 'oje', 'ias', 'iaj', 'yje', 'ais', 'uos', 'ies', 'iąj', 'imi', 'jam', 'dam', 'ėje', 'ing', 'iesi', 'ėsna', 'uisi', 'enie', 'iame', 'iasi', 'eria', 'iuje', 'aite', 'osna', 'iose', 'iate', 'iuoj', 'esiu', 'uosi', 'iuos', 'iumi', 'kite', 'zgan', 'ysna', 'erie', 'tute', 'site', 'uote', 'ioje', 'aisi', 'eisi', 'sime', 'iais', 'uose', 'ojime', 'učiuk', 'okate', 'eryse', 'avime', 'eryje'],
+    "ga": ['adh', 'ain', 'imh', 'ach', 'tar', 'irí', 'amh', 'ire', 'abh', 'áil', 'ibh', 'eamh', 'ímid', 'eabh', 'imid', 'acht', 'fidh', 'each', 'aimh', 'tear', 'aibh', 'aire', 'airí', 'eadh', 'aimid', 'achta', 'íocht', 'eacht', 'faidh', 'ginis', 'aímid', 'paite', 'aíocht', 'óidigh', 'gineas', 'eachta', 'íochta', 'patach', 'arcacht', 'aíochta', 'achtúil', 'pataigh', 'gineach', 'patacha', 'óideach', 'eachtúil', 'arcachta', 'óideacha', 'grafaíoch', 'arcachtaí', 'grafaíocht', 'grafaíochta', 'grafaíochtaí'],
 }
 EXTRA = {
     "da": ["indtagelsen", "undersøgelse", "kærligheden", "smukkeste",
@@ -153,6 +159,13 @@ EXTRA = {
     "hy": ["որդիներին", "ուսանողները", "գրքերից",
            "աշխատանքների", "հայերեն", "երեխաներով",
            "քաղաքականություն", "մայրաքաղաքում", "լեզուներ"],
+    "lt": ["namuose", "vaikams", "didžiausias", "lietuviškai",
+           "mokyklose", "žmonėms", "gražiausia", "studentų",
+           "universitetas", "kalbėjome", "ačiū"],
+    "ga": ["bhfear", "nAthair", "tSagart", "d'fhear", "b'ait",
+           "m'athair", "hÉireann", "gceist", "an-mhaith",
+           "t-athair", "scoileanna", "múinteoirí", "Gaeilge",
+           "páistí", "leabhair", "amhráin", "ceolchoirmeacha"],
 }
 
 

@@ -51,6 +51,10 @@ public class AnalyzeLang {
                 return new org.apache.lucene.analysis.tr.TurkishAnalyzer();
             case "hy":
                 return new org.apache.lucene.analysis.hy.ArmenianAnalyzer();
+            case "lt":
+                return new org.apache.lucene.analysis.lt.LithuanianAnalyzer();
+            case "ga":
+                return new org.apache.lucene.analysis.ga.IrishAnalyzer();
             default:
                 throw new IllegalArgumentException(lang);
         }
