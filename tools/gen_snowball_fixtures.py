@@ -45,6 +45,7 @@ HASH_STOPS = {      # '#'-comment one-word-per-line format
     "hy": "hy/stopwords.txt",
     "lt": "lt/stopwords.txt",
     "ga": "ga/stopwords.txt",
+    "eu": "eu/stopwords.txt",
 }
 ALPHA = {
     "da": list("abdefghiklmnoprstuvyåæø"),
@@ -58,6 +59,7 @@ ALPHA = {
     "hy": [chr(c) for c in range(0x0561, 0x0587)],
     "lt": list("abcdefgiklmnoprstuvyz") + list("ąčęėįšųūž"),
     "ga": list("abcdefghilmnoprstu") + list("áéíóú") + ["'", "N", "T", "A", "E"],
+    "eu": list("abdefghiklmnoprstuxz"),
 }
 SUFFIXES = {
     "da": ["hed", "ethed", "ered", "e", "erede", "ende", "erende",
@@ -121,6 +123,7 @@ SUFFIXES = {
     "hy": ['ը', 'ի', 'դ', 'ա', 'ն', 'վի', 'ցի', 'ատ', 'եղ', 'ոց', 'ալ', 'են', 'ին', 'իկ', 'վե', 'ել', 'իվ', 'իլ', 'ակ', 'վա', 'իչ', 'սա', 'ան', 'ոջը', 'եցի', 'կոտ', 'ոջդ', 'յակ', 'որդ', 'անդ', 'երը', 'երի', 'բար', 'վոր', 'ակի', 'եցա', 'նել', 'ուդ', 'ացի', 'ված', 'ըել', 'պան', 'ուկ', 'վան', 'ամբ', 'պես', 'երդ', 'ացա', 'ածո', 'անը', 'ուս', 'չել', 'գին', 'ում', 'ըալ', 'ալի', 'տել', 'վել', 'գար', 'ավոր', 'ուհի', 'ցնել', 'ների', 'վում', 'լայն', 'ուստ', 'ատել', 'յուն', 'ոտել', 'ական', 'վեցի', 'անակ', 'արան', 'ստան', 'որակ', 'րորդ', 'երեն', 'եղէն', 'վանը', 'ավետ', 'որէն', 'անալ', 'ույթ', 'ենալ', 'ացրի', 'ներդ', 'եկեն', 'ները', 'ովին', 'վուն'],
     "lt": ['e', 'a', 'i', 'am', 'yl', 'os', 'ėj', 'ųj', 'ąj', 'ai', 'op', 'ei', 'oj', 'ok', 'ėl', 'ie', 'ia', 'ki', 'si', 'aj', 'iop', 'ios', 'ite', 'uje', 'esi', 'ėme', 'ėte', 'ome', 'iuk', 'iai', 'umi', 'esn', 'ame', 'auj', 'yse', 'ėse', 'iul', 'iok', 'ote', 'ose', 'ain', 'ate', 'išk', 'asi', 'osi', 'iųj', 'iej', 'uoj', 'aus', 'isi', 'ioj', 'oje', 'ias', 'iaj', 'yje', 'ais', 'uos', 'ies', 'iąj', 'imi', 'jam', 'dam', 'ėje', 'ing', 'iesi', 'ėsna', 'uisi', 'enie', 'iame', 'iasi', 'eria', 'iuje', 'aite', 'osna', 'iose', 'iate', 'iuoj', 'esiu', 'uosi', 'iuos', 'iumi', 'kite', 'zgan', 'ysna', 'erie', 'tute', 'site', 'uote', 'ioje', 'aisi', 'eisi', 'sime', 'iais', 'uose', 'ojime', 'učiuk', 'okate', 'eryse', 'avime', 'eryje'],
     "ga": ['adh', 'ain', 'imh', 'ach', 'tar', 'irí', 'amh', 'ire', 'abh', 'áil', 'ibh', 'eamh', 'ímid', 'eabh', 'imid', 'acht', 'fidh', 'each', 'aimh', 'tear', 'aibh', 'aire', 'airí', 'eadh', 'aimid', 'achta', 'íocht', 'eacht', 'faidh', 'ginis', 'aímid', 'paite', 'aíocht', 'óidigh', 'gineas', 'eachta', 'íochta', 'patach', 'arcacht', 'aíochta', 'achtúil', 'pataigh', 'gineach', 'patacha', 'óideach', 'eachtúil', 'arcachta', 'óideacha', 'grafaíoch', 'arcachtaí', 'grafaíocht', 'grafaíochta', 'grafaíochtaí'],
+    "eu": ['ki', 'ik', 'go', 'ro', 'ka', 'to', 'gi', 'la', 'ga', 'era', 'nea', 'pea', 'tza', 'ada', 'eza', 'tea', 'eta', 'tia', 'kia', 'ide', 'oia', 'ero', 'rik', 'keta', 'kura', 'emea', 'tuna', 'egia', 'dura', 'gura', 'date', 'ztik', 'kera', 'gaia', 'orra', 'aria', 'ohia', 'bide', 'eria', 'anda', 'unea', 'kada', 'bera', 'koia', 'pera', 'idea', 'zlea', 'ezia', 'geia', 'asia', 'dade', 'pena', 'enea', 'kina', 'tade', 'tura', 'anga', 'tate', 'kuna', 'mena', 'gunea', 'teria', 'gilea', 'keria', 'kunea', 'zalea', 'lanik', 'denda', 'laria', 'kotea', 'kabea', 'duria', 'aldea', 'korra', 'gabea', 'kumea', 'degia', 'karia', 'taria', 'etxea', 'tegia', 'tzaka', 'bidea', 'aldia', 'tzaga', 'nahia', 'kidea', 'tokia', 'ostea', 'ordea', 'ezina', 'larik', 'bizia', 'galea', 'artea', 'pidea', 'taldea', 'zionea', 'larria', 'kizuna'],
 }
 EXTRA = {
     "da": ["indtagelsen", "undersøgelse", "kærligheden", "smukkeste",
@@ -166,6 +169,9 @@ EXTRA = {
            "m'athair", "hÉireann", "gceist", "an-mhaith",
            "t-athair", "scoileanna", "múinteoirí", "Gaeilge",
            "páistí", "leabhair", "amhráin", "ceolchoirmeacha"],
+    "eu": ["etxeetan", "lagunekin", "euskaldunak", "irakaslearen",
+           "ikasleentzat", "mendietatik", "itsasoraino",
+           "haurtzaroan", "liburutegia", "unibertsitatea"],
 }
 
 

@@ -55,6 +55,8 @@ public class AnalyzeLang {
                 return new org.apache.lucene.analysis.lt.LithuanianAnalyzer();
             case "ga":
                 return new org.apache.lucene.analysis.ga.IrishAnalyzer();
+            case "eu":
+                return new org.apache.lucene.analysis.eu.BasqueAnalyzer();
             default:
                 throw new IllegalArgumentException(lang);
         }
