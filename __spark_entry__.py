@@ -7189,7 +7189,7 @@ _LANGS3_ENTRY = ("da", "nl", "sv_sb", "no_sb", "ro", "tr",
                  # round-5b: Greek (22-rule cascade stemmer),
                  # Galician (RSLP rules engine) and Armenian
                  # (Snowball) — same golden-fixture verification
-                 "el", "gl", "hy", "lt", "ga", "eu")
+                 "el", "gl", "hy", "lt", "ga", "eu", "ca")
 
 
 def _q_analysis_filters(spark, sf_dir):

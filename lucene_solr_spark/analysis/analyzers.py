@@ -256,6 +256,11 @@ def lang_analyze_udf(lang: str):
 
         def _analyze_batch(texts):
             return eu_analyze_batch(texts)
+    elif lang == "ca":
+        from .ca import ca_analyze_batch
+
+        def _analyze_batch(texts):
+            return ca_analyze_batch(texts)
     else:
         from .lang import STEMMERS, lang_analyze_batch
         if lang not in STEMMERS:

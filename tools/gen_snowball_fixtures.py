@@ -46,6 +46,7 @@ HASH_STOPS = {      # '#'-comment one-word-per-line format
     "lt": "lt/stopwords.txt",
     "ga": "ga/stopwords.txt",
     "eu": "eu/stopwords.txt",
+    "ca": "ca/stopwords.txt",
 }
 ALPHA = {
     "da": list("abdefghiklmnoprstuvyåæø"),
@@ -60,6 +61,7 @@ ALPHA = {
     "lt": list("abcdefgiklmnoprstuvyz") + list("ąčęėįšųūž"),
     "ga": list("abcdefghilmnoprstu") + list("áéíóú") + ["'", "N", "T", "A", "E"],
     "eu": list("abdefghiklmnoprstuxz"),
+    "ca": list("abcdefgilmnopqrstuvx") + list("àèéíïòóúüç·") + ["'", "L", "D"],
 }
 SUFFIXES = {
     "da": ["hed", "ethed", "ered", "e", "erede", "ende", "erende",
@@ -124,6 +126,7 @@ SUFFIXES = {
     "lt": ['e', 'a', 'i', 'am', 'yl', 'os', 'ėj', 'ųj', 'ąj', 'ai', 'op', 'ei', 'oj', 'ok', 'ėl', 'ie', 'ia', 'ki', 'si', 'aj', 'iop', 'ios', 'ite', 'uje', 'esi', 'ėme', 'ėte', 'ome', 'iuk', 'iai', 'umi', 'esn', 'ame', 'auj', 'yse', 'ėse', 'iul', 'iok', 'ote', 'ose', 'ain', 'ate', 'išk', 'asi', 'osi', 'iųj', 'iej', 'uoj', 'aus', 'isi', 'ioj', 'oje', 'ias', 'iaj', 'yje', 'ais', 'uos', 'ies', 'iąj', 'imi', 'jam', 'dam', 'ėje', 'ing', 'iesi', 'ėsna', 'uisi', 'enie', 'iame', 'iasi', 'eria', 'iuje', 'aite', 'osna', 'iose', 'iate', 'iuoj', 'esiu', 'uosi', 'iuos', 'iumi', 'kite', 'zgan', 'ysna', 'erie', 'tute', 'site', 'uote', 'ioje', 'aisi', 'eisi', 'sime', 'iais', 'uose', 'ojime', 'učiuk', 'okate', 'eryse', 'avime', 'eryje'],
     "ga": ['adh', 'ain', 'imh', 'ach', 'tar', 'irí', 'amh', 'ire', 'abh', 'áil', 'ibh', 'eamh', 'ímid', 'eabh', 'imid', 'acht', 'fidh', 'each', 'aimh', 'tear', 'aibh', 'aire', 'airí', 'eadh', 'aimid', 'achta', 'íocht', 'eacht', 'faidh', 'ginis', 'aímid', 'paite', 'aíocht', 'óidigh', 'gineas', 'eachta', 'íochta', 'patach', 'arcacht', 'aíochta', 'achtúil', 'pataigh', 'gineach', 'patacha', 'óideach', 'eachtúil', 'arcachta', 'óideacha', 'grafaíoch', 'arcachtaí', 'grafaíocht', 'grafaíochta', 'grafaíochtaí'],
     "eu": ['ki', 'ik', 'go', 'ro', 'ka', 'to', 'gi', 'la', 'ga', 'era', 'nea', 'pea', 'tza', 'ada', 'eza', 'tea', 'eta', 'tia', 'kia', 'ide', 'oia', 'ero', 'rik', 'keta', 'kura', 'emea', 'tuna', 'egia', 'dura', 'gura', 'date', 'ztik', 'kera', 'gaia', 'orra', 'aria', 'ohia', 'bide', 'eria', 'anda', 'unea', 'kada', 'bera', 'koia', 'pera', 'idea', 'zlea', 'ezia', 'geia', 'asia', 'dade', 'pena', 'enea', 'kina', 'tade', 'tura', 'anga', 'tate', 'kuna', 'mena', 'gunea', 'teria', 'gilea', 'keria', 'kunea', 'zalea', 'lanik', 'denda', 'laria', 'kotea', 'kabea', 'duria', 'aldea', 'korra', 'gabea', 'kumea', 'degia', 'karia', 'taria', 'etxea', 'tegia', 'tzaka', 'bidea', 'aldia', 'tzaga', 'nahia', 'kidea', 'tokia', 'ostea', 'ordea', 'ezina', 'larik', 'bizia', 'galea', 'artea', 'pidea', 'taldea', 'zionea', 'larria', 'kizuna'],
+    "ca": ['o', 'á', 'ì', 'à', 's', 'é', 'a', 'ó', 'i', 'e', 'ï', 'í', 'us', 'ía', 'em', "'n", '-n', 'hi', 'ud', 'ir', 'ia', 'lo', 'it', 're', 'os', 'id', "'s", 'se', 'ie', 'ed', "'t", "'m", 'li', 'ii', 'is', 'ïn', 'ad', 'am', 'la', 'ïs', 'eu', 'ho', "'l", 'me', 'iu', '-m', 'ic', 'ïa', 'le', 'enc', "'ns", 'ita', 'iva', 'uda', 'osa', "'ls", 'nos', 'era', "'hi", 'nça', '-me', 'esc', 'esa', 'ima', 'ina', 'ira', 'ble', 'ica', 'ïda', 'ici', 'ida', 'isc', '-us', 'ïra', '-la', 'eta', '-ns', 'ens', 'itz', 'ixa', 'ada', 'ïsc', 'dre', "'ho", 'vos', 'ini', 'ase', '-ls', 'los', 'ava', 'ota', 'ara', 'aba', 'las', 'ana', '-li', 'les', 'iqu', '-te', 'ora', '-les', 'essa', 'dora', 'aría', '-nos', 'ible', 'isca', 'alla', 'able', 'ería'],
 }
 EXTRA = {
     "da": ["indtagelsen", "undersøgelse", "kærligheden", "smukkeste",
@@ -172,6 +175,10 @@ EXTRA = {
     "eu": ["etxeetan", "lagunekin", "euskaldunak", "irakaslearen",
            "ikasleentzat", "mendietatik", "itsasoraino",
            "haurtzaroan", "liburutegia", "unibertsitatea"],
+    "ca": ["cançons", "treballadors", "psicològic", "col·legi",
+           "l'home", "d'aigua", "L'Hospitalet", "paral·lel",
+           "universitats", "catalanes", "començament",
+           "arqueologia", "mengessin", "cantàvem"],
 }
 
 

@@ -57,6 +57,8 @@ public class AnalyzeLang {
                 return new org.apache.lucene.analysis.ga.IrishAnalyzer();
             case "eu":
                 return new org.apache.lucene.analysis.eu.BasqueAnalyzer();
+            case "ca":
+                return new org.apache.lucene.analysis.ca.CatalanAnalyzer();
             default:
                 throw new IllegalArgumentException(lang);
         }
