@@ -56,8 +56,15 @@ def test_term_vectors_match_reanalysis(spark, docs):
     stored text (TermVectorsReader contract: same analyzer, same
     positions)."""
     from __spark_entry__ import _TV_DOC, _q_term_vectors
-    tv = {r.term: (r.tf, list(r.positions))
-          for r in _q_term_vectors(spark, SF).collect()}
+    # round-5: the registry row is flattened to scalar
+    # (term, tf, pos_idx, pos) rows (driver canon cannot sort array
+    # cells); reassemble the per-term position lists here
+    tv = {}
+    for r in _q_term_vectors(spark, SF).orderBy(
+            "term", "pos_idx").collect():
+        tf, ps = tv.setdefault(r.term, (r.tf, []))
+        ps.append(r.pos)
+    tv = {t: (tf, ps) for t, (tf, ps) in tv.items()}
     text = docs.filter(F.col("doc_id") == _TV_DOC).collect()[0].text
     import re
     toks = [t.lower() for t in re.findall(r"[A-Za-z0-9]+", text)]
